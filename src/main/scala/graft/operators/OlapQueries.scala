@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Quantize
+
+/** Classic OLAP aggregation/join queries over the TPC-H-ish tables —
+  * exercising the "free with Spark SQL" surface SURVEY §2.1 notes the
+  * reference lacks (general joins, multi-key group-by). Money sums run in
+  * the quantized integer domain (exact, engine-independent) per SURVEY §7.4.
+  */
+object OlapQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(Quantize.quantize(col("l_quantity"), 0)).cast("long").as("sum_qty"),
+          sum(Quantize.quantize(col("l_extendedprice"), 2)).cast("long").as("sum_price_q"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))),
+
+    // Revenue per order for one customer segment: dimension join broadcasts,
+    // the lineitem->orders join shuffles on the join key (AQE handles skew).
+    "q3_join" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey").as("l_orderkey"))
+      Tables.lineitem(s, d)
+        .join(ord, "l_orderkey")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Quantize.quantize(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2))
+          .cast("long").as("revenue_q"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_q,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_q
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin
+  )
+}

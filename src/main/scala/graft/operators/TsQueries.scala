@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Quantize
+import graft.plans.ZoneMap
+
+/** Driver-facing query registrations for the relational/TS operator surface
+  * (SURVEY §2.1 O1–O8 + E1/E2), each paired with a DuckDB oracle.
+  *
+  * Constants are scaled versions of the reference benchmarks' parameters
+  * (range pred 0.9 quantile-ish; influx window=1680 rows -> 8 rows here
+  * since testdata signals have ~67 rows instead of millions).
+  */
+object TsQueries {
+  import Readings.OracleCte
+
+  private def r(s: SparkSession, dir: String): DataFrame = Readings.of(s, dir)
+
+  /** Tag dimension = customer keyed by c_custkey (signal_id), per SURVEY §1.4
+    * "tag columns become a proper dimension table".
+    */
+  private def tags(s: SparkSession, dir: String, segment: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey").as("signal_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o1_scan" -> ((s, d) => TsQuery.scan(r(s, d))),
+
+    "o2_project_ids" -> ((s, d) =>
+      TsQuery.projectAt(r(s, d), col("seq_no") % 10 === 0)),
+
+    "o3_range" -> ((s, d) =>
+      TsQuery.rangeFilter(r(s, d), col("value") > 150.0)),
+
+    "o3b_range_cond" -> ((s, d) =>
+      TsQuery.rangeFilter(r(s, d),
+        col("value") > 250.0 && col("seq_no").between(10, 50))),
+
+    "o4_equal" -> ((s, d) =>
+      TsQuery.equalFilter(
+        r(s, d).withColumn("value_q0", Quantize.quantize(col("value"), 0)),
+        col("value_q0"), 42L)),
+
+    "o5_agg_all" -> ((s, d) => TsQuery.aggAll(r(s, d))),
+
+    "o5_argmax" -> ((s, d) => TsQuery.argmax(r(s, d))),
+
+    "o6_window_pos" -> ((s, d) =>
+      TsQuery.windowMaxPositional(r(s, d), 0L, Long.MaxValue, 16L)),
+
+    "o6_window_time" -> ((s, d) => TsQuery.windowAggTime(r(s, d), "1 day")),
+
+    "influx_max" -> ((s, d) => r(s, d).agg(max(col("value")).as("vmax"))),
+
+    "influx_max_groupby" -> ((s, d) =>
+      TsQuery.windowMaxPositional(
+        r(s, d).filter(col("signal_id") === 7), 8L, 48L, 8L)
+        .select(col("win"), col("wmax"), col("cnt"))),
+
+    "tsbs_last_loc" -> ((s, d) =>
+      TsQuery.tagJoin(TsQuery.lastPerSignal(r(s, d)), tags(s, d, "BUILDING"))),
+
+    "tsbs_low_fuel" -> ((s, d) =>
+      TsQuery.lastPerSignal(r(s, d)).filter(col("last_value") < 50.0)),
+
+    "tsbs_high_load" -> ((s, d) =>
+      TsQuery.tagJoin(r(s, d), tags(s, d, "MACHINERY"))
+        .filter(col("value") > 100.0)
+        .select(col("signal_id"), col("seq_no"), col("value"))),
+
+    "o8_zonemap" -> ((s, d) => ZoneMap.segmentStats(r(s, d))),
+
+    "o8_zonemap_max" -> ((s, d) =>
+      ZoneMap.maxFromStats(ZoneMap.segmentStats(r(s, d)))),
+
+    "e1_quantize" -> ((s, d) =>
+      r(s, d).select(col("signal_id"), col("seq_no"), col("value_q"),
+        Quantize.dequantize(col("value_q"), Readings.Scale).as("value_dq"))),
+
+    "e2_approx" -> ((s, d) =>
+      r(s, d).select(col("signal_id"), col("seq_no"),
+        Quantize.approxTruncate(col("value_q"), 4).as("value_q4")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "o1_scan" ->
+      s"$OracleCte SELECT signal_id, seq_no, value FROM r",
+
+    "o2_project_ids" ->
+      s"$OracleCte SELECT signal_id, seq_no, value FROM r WHERE seq_no % 10 = 0",
+
+    "o3_range" ->
+      s"$OracleCte SELECT signal_id, seq_no FROM r WHERE value > 150.0",
+
+    "o3b_range_cond" ->
+      s"$OracleCte SELECT signal_id, seq_no FROM r WHERE value > 250.0 AND seq_no BETWEEN 10 AND 50",
+
+    "o4_equal" ->
+      s"$OracleCte SELECT signal_id, seq_no FROM r WHERE CAST(floor(value) AS BIGINT) = 42",
+
+    "o5_agg_all" ->
+      s"""$OracleCte, a AS (
+         |  SELECT signal_id, CAST(count(*) AS BIGINT) AS cnt,
+         |         min(value) AS vmin, max(value) AS vmax,
+         |         CAST(sum(value_q) AS BIGINT) AS sum_q
+         |  FROM r GROUP BY signal_id)
+         |SELECT signal_id, cnt, vmin, vmax, sum_q,
+         |       CAST(sum_q AS DOUBLE) / (100.0 * CAST(cnt AS DOUBLE)) AS avg_fx
+         |FROM a""".stripMargin,
+
+    "o5_argmax" ->
+      s"""$OracleCte SELECT signal_id, seq_no, value AS vmax FROM (
+         |  SELECT signal_id, seq_no, value,
+         |         rank() OVER (PARTITION BY signal_id ORDER BY value DESC) AS rk
+         |  FROM r) WHERE rk = 1""".stripMargin,
+
+    "o6_window_pos" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS win,
+         |  max(value) AS wmax, CAST(count(*) AS BIGINT) AS cnt
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "o6_window_time" ->
+      s"""$OracleCte SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS wstart,
+         |  max(value) AS wmax, CAST(count(*) AS BIGINT) AS cnt
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "influx_max" ->
+      s"$OracleCte SELECT max(value) AS vmax FROM r",
+
+    "influx_max_groupby" ->
+      s"""$OracleCte SELECT CAST(floor((seq_no - 9) / 8.0) AS BIGINT) AS win,
+         |  max(value) AS wmax, CAST(count(*) AS BIGINT) AS cnt
+         |FROM r WHERE signal_id = 7 AND seq_no > 8 AND seq_no <= 48
+         |GROUP BY 1""".stripMargin,
+
+    "tsbs_last_loc" ->
+      s"""$OracleCte, last AS (
+         |  SELECT signal_id, value AS last_value,
+         |         row_number() OVER (PARTITION BY signal_id ORDER BY ts DESC, seq_no DESC) AS rn
+         |  FROM r)
+         |SELECT l.signal_id, l.last_value
+         |FROM last l JOIN customer c ON c.c_custkey = l.signal_id
+         |WHERE l.rn = 1 AND c.c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "tsbs_low_fuel" ->
+      s"""$OracleCte, last AS (
+         |  SELECT signal_id, value AS last_value,
+         |         row_number() OVER (PARTITION BY signal_id ORDER BY ts DESC, seq_no DESC) AS rn
+         |  FROM r)
+         |SELECT signal_id, last_value FROM last
+         |WHERE rn = 1 AND last_value < 50.0""".stripMargin,
+
+    "tsbs_high_load" ->
+      s"""$OracleCte SELECT r.signal_id, r.seq_no, r.value
+         |FROM r JOIN customer c ON c.c_custkey = r.signal_id
+         |WHERE c.c_mktsegment = 'MACHINERY' AND r.value > 100.0""".stripMargin,
+
+    "o8_zonemap" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |  CAST(count(*) AS BIGINT) AS cnt, min(value) AS vmin,
+         |  max(value) AS vmax, CAST(sum(value_q) AS BIGINT) AS sum_q
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "o8_zonemap_max" ->
+      s"$OracleCte SELECT max(value) AS vmax FROM r",
+
+    "e1_quantize" ->
+      s"""$OracleCte SELECT signal_id, seq_no, value_q,
+         |  CAST(value_q AS DOUBLE) / 100.0 AS value_dq FROM r""".stripMargin,
+
+    "e2_approx" ->
+      s"""$OracleCte SELECT signal_id, seq_no,
+         |  CAST(floor(value_q / 16.0) * 16 AS BIGINT) AS value_q4 FROM r""".stripMargin
+  )
+}

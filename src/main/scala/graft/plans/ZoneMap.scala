@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Readings
+
+/** O8 — hierarchical pre-aggregated stats ("zone map" / segment-stats tree).
+  *
+  * The reference materializes per-segment `AggStats{min,max,sum,count}` and a
+  * K-ary fold of them (reference database/src/buffer_pool.rs:757-790,
+  * avl/btrarr.rs:11-92, stats.rs:77) so max/sum queries never touch data.
+  * Parquet row-group stats already give Spark scan-time skipping for free;
+  * this module is the SQL-visible flavor: a small stats table per
+  * (signal, segment) that aggregate queries can be answered from. At 100 TB
+  * the stats table is ~1/SegmentRows the size of the data and is itself a
+  * partitioned Parquet table; folding stats is associative so Spark's
+  * partial aggregation is the K-ary tree.
+  */
+object ZoneMap {
+
+  /** Build the per-(signal, segment) stats table from the readings view. */
+  def segmentStats(r: DataFrame): DataFrame =
+    r.groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        sum(col("value_q")).cast("long").as("sum_q"))
+
+  /** Answer a global max from the stats table alone (no data scan) —
+    * the reference's buffer_pool.rs:940-1101 stats-only query path.
+    */
+  def maxFromStats(stats: DataFrame): DataFrame =
+    stats.agg(max(col("vmax")).as("vmax"))
+
+  /** Global sum/count from stats (exact, fixed-point domain). */
+  def sumFromStats(stats: DataFrame): DataFrame =
+    stats.agg(sum(col("sum_q")).cast("long").as("sum_q"),
+              sum(col("cnt")).cast("long").as("cnt"))
+}
