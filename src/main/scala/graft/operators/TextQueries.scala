@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps
+
+/** Driver-facing registrations for the document/text pipeline (dedup,
+  * text analysis, multimodal metadata). SQL-expressible ops carry an exact
+  * DuckDB oracle; hash-based signatures (simhash, fingerprints, LSH
+  * internals) are engine-hash-specific -> rows-only check + ScalaTest.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+
+    "dedup_minhash" -> ((s, d) => Dedup.minhashNearDup(docs(s, d), 0.5)),
+
+    "dedup_ngram" -> ((s, d) => Dedup.ngramNearDup(docs(s, d), 4, 0.6)),
+
+    "dedup_simhash" -> ((s, d) =>
+      TextOps.simhash(docs(s, d), "doc_id", "text")),
+
+    "text_stats" -> ((s, d) =>
+      docs(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"),
+             sum(col("n_chars")).cast("long").as("chars"),
+             sum(TextOps.wsTokenCount(col("text"))).cast("long").as("ws_tokens"))),
+
+    "text_quality" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("long").as("punct_cnt"),
+        TextOps.tokens(col("text")).as("tl"))
+        .withColumn("word_cnt", size(col("tl")).cast("long"))
+        .withColumn("stop_cnt",
+          size(filter(col("tl"), t => t.isin(TextOps.Stopwords.map(x => x: Any): _*))).cast("long"))
+      base.select(col("doc_id"), col("n_tokens"), col("punct_cnt"), col("stop_cnt"),
+        when(col("word_cnt") === 0, lit(0.0))
+          .otherwise(col("stop_cnt").cast("double") / col("word_cnt").cast("double"))
+          .as("stop_ratio"))
+    }),
+
+    "text_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"))),
+
+    "text_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(TextOps.fingerprints(col("text"))).cast("long").as("n_fp"),
+        array_min(TextOps.fingerprints(col("text"))).as("fp_min"))),
+
+    "mm_meta" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        concat(lit("doc/"), (col("doc_id") % 3).cast("string")).as("media_type")))
+  )
+
+  private val ShingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl FROM documents
+      |), s2 AS (
+      |  SELECT doc_id,
+      |         list_distinct([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+      |                        for i in range(1, len(tl) - 1)]) AS sh
+      |  FROM toks
+      |), f AS (
+      |  SELECT doc_id, sh FROM s2 WHERE len(sh) > 0
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""$ShingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct([substr(lower(text), i, 4)
+        |                        for i in range(1, len(text) - 2)]) AS g
+        |  FROM documents
+        |), g1 AS (
+        |  SELECT doc_id, lang, g, CAST(len(g) AS BIGINT) AS ng FROM g0 WHERE len(g) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jac
+        |FROM g1 a JOIN g1 b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND CAST(least(a.ng, b.ng) AS DOUBLE) >= 0.6 * CAST(greatest(a.ng, b.ng) AS DOUBLE)
+        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.6""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, n_tokens, punct_cnt,
+        |    CAST(len(tl) AS BIGINT) AS word_cnt,
+        |    CAST(len(list_filter(tl, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stop_cnt
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
+        |  CASE WHEN word_cnt = 0 THEN 0.0
+        |       ELSE CAST(stop_cnt AS DOUBLE) / CAST(word_cnt AS DOUBLE) END AS stop_ratio
+        |FROM u""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tl, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+        |    len(list_filter(tl, x -> x IN ('the','a','of','is'))) AS s_en,
+        |    len(list_filter(tl, x -> x IN ('el','la','los','que'))) AS s_es,
+        |    len(list_filter(tl, x -> x IN ('le','les','et','une'))) AS s_fr
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'doc/' || CAST(doc_id % 3 AS VARCHAR) AS media_type
+        |FROM documents""".stripMargin
+  )
+}
