@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an `array<float>` embedding column.
+  *
+  * Arithmetic is done with `zip_with`/`aggregate` column expressions — a
+  * sequential left fold in double precision, bitwise-reproducible across
+  * engines (the DuckDB oracle computes the same fold), and codegen'd by
+  * Catalyst (no UDF in the scoring loop).
+  *
+  * Scale shape: probes are a small set -> broadcast; the brute-force path
+  * is probes × corpus (embarrassingly parallel, no shuffle of the corpus);
+  * the LSH path buckets the corpus by sign-hash so candidate generation is
+  * an equi-join on bucket id, never all-pairs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 decimals (ranking key). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (l2(a) * l2(b)), 6)
+
+  /** Squared euclidean distance (sequential fold). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k: for each probe (small, broadcast), rank the
+    * whole corpus. Deterministic tiebreak on candidate id.
+    */
+  def bruteTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        cosine(col("pe"), col("ce")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH (seeded, driver-side). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign of <v, plane_i>. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(aggregate(zip_with(v, typedLit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, d) => acc + d) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Bucketed approximate top-k: candidates restricted to the probe's LSH
+    * bucket (equi-join on bucket id — the 100 TB-safe shape; recall is
+    * tunable via plane count and multi-probe, tested in AnnSpec).
+    */
+  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+              nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val pb = probes.withColumn("bucket", lshBucket(col("pe"), planes))
+    val cb = corpus.withColumn("bucket", lshBucket(col("ce"), planes))
+    val joined = cb.join(broadcast(pb), Seq("bucket"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        cosine(col("pe"), col("ce")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** M1 — 1-NN classification: each test vector takes the label of its
+    * nearest train vector (squared-euclidean, tiebreak smallest id) —
+    * reference knn/mod.rs:310 `classify` semantics on Spark primitives.
+    */
+  def knn1(test: DataFrame, train: DataFrame): DataFrame = {
+    val joined = train.join(broadcast(test), col("test_id") =!= col("train_id"))
+      .select(col("test_id"), col("true_label"), col("train_id"), col("train_label"),
+        round(sqrt(sqDist(col("te"), col("tre"))), 6).as("dist"))
+    val w = Window.partitionBy(col("test_id"))
+      .orderBy(col("dist"), col("train_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("test_id"), col("train_label").as("pred_label"), col("true_label"))
+  }
+}
