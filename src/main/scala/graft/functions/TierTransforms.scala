@@ -1,0 +1,84 @@
+package graft.functions
+
+import breeze.linalg.DenseVector
+import breeze.math.Complex
+import breeze.signal.{fourierTr, iFourierTr}
+
+/** Lossy compaction transforms for the tier ladder — the Spark equivalents
+  * of the reference's recoding codecs (PAA database/src/segment.rs:516,
+  * Fourier-truncate segment.rs:699, LTTB/PLA compress/pla_lttb.rs:24,
+  * RRD-sample compress/rrd_sample.rs:15). Pure Array[Double] functions:
+  * used from compaction jobs via typed Dataset ops / UDFs (compaction is a
+  * rewrite job, not a per-query hot path) and property-tested for error
+  * bounds in TierSpec.
+  */
+object TierTransforms {
+
+  /** Piecewise aggregate approximation: mean of each chunk of `w` values. */
+  def paa(xs: Array[Double], w: Int): Array[Double] =
+    xs.grouped(w).map(c => c.sum / c.length).toArray
+
+  /** Reconstruct a PAA array back to original length (repeat means). */
+  def paaReconstruct(means: Array[Double], w: Int, n: Int): Array[Double] =
+    Array.tabulate(n)(i => means(i / w))
+
+  /** FFT low-pass: keep the `keep` lowest-frequency coefficient pairs
+    * (hermitian-symmetric), zero the rest, inverse-transform.
+    */
+  def fftTruncate(xs: Array[Double], keep: Int): Array[Double] = {
+    val n = xs.length
+    val spec: DenseVector[Complex] = fourierTr(DenseVector(xs))
+    val kept = DenseVector.tabulate[Complex](n) { i =>
+      if (i < keep || i > n - keep) spec(i) else Complex(0.0, 0.0)
+    }
+    iFourierTr(kept).map(_.real / n).toArray
+  }
+
+  /** Largest-Triangle-Three-Buckets downsampling to `threshold` points
+    * (Steinarsson 2013, public algorithm). Returns (index, value) pairs;
+    * first and last points always kept.
+    */
+  def lttb(xs: Array[Double], threshold: Int): Array[(Int, Double)] = {
+    val n = xs.length
+    if (threshold >= n || threshold < 3) return xs.zipWithIndex.map(_.swap)
+    val bucketSize = (n - 2).toDouble / (threshold - 2)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, xs(0)))
+    var a = 0
+    for (i <- 0 until threshold - 2) {
+      val rangeStart = math.floor((i + 1) * bucketSize).toInt + 1
+      val rangeEnd = math.min(math.floor((i + 2) * bucketSize).toInt + 1, n)
+      val avgX = (rangeStart until rangeEnd).map(_.toDouble).sum / math.max(1, rangeEnd - rangeStart)
+      val avgY = (rangeStart until rangeEnd).map(xs).sum / math.max(1, rangeEnd - rangeStart)
+      val bStart = math.floor(i * bucketSize).toInt + 1
+      val bEnd = math.min(math.floor((i + 1) * bucketSize).toInt + 1, n)
+      var best = bStart; var bestArea = -1.0
+      for (j <- bStart until bEnd) {
+        val area = math.abs(
+          (a - avgX) * (xs(j) - xs(a)) - (a - j) * (avgY - xs(a))) * 0.5
+        if (area > bestArea) { bestArea = area; best = j }
+      }
+      out += ((best, xs(best)))
+      a = best
+    }
+    out += ((n - 1, xs(n - 1)))
+    out.toArray
+  }
+
+  /** Linear interpolation reconstruction from LTTB keypoints. */
+  def lttbReconstruct(pts: Array[(Int, Double)], n: Int): Array[Double] = {
+    val out = new Array[Double](n)
+    for (Array((i0, v0), (i1, v1)) <- pts.sliding(2).map(_.toArray)) {
+      for (i <- i0 to i1) {
+        out(i) = if (i1 == i0) v0 else v0 + (v1 - v0) * (i - i0).toDouble / (i1 - i0)
+      }
+    }
+    out
+  }
+
+  /** RRDtool-style round-robin sampling: keep every k-th value. */
+  def rrdSample(xs: Array[Double], k: Int): Array[Double] =
+    xs.indices.collect { case i if i % k == 0 => xs(i) }.toArray
+
+  def maxAbsError(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => math.abs(x - y) }.foldLeft(0.0)(math.max)
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Readings.OracleCte
+
+/** Driver-facing registrations for the lossy tier ladder, segment ML and
+  * multimodal ops. Deterministic/SQL-expressible tiers carry oracles; the
+  * Breeze-FFT, LTTB, kernel and binary-payload paths are rows-only +
+  * ScalaTest error-bound properties (reference tolerance style,
+  * segment.rs:882-893).
+  */
+object TierQueries {
+
+  private def r(s: SparkSession, d: String): DataFrame = Readings.of(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tier_paa_max" -> ((s, d) => Tiers.paaMax(r(s, d), 4)),
+
+    "tier_rrd" -> ((s, d) => Tiers.rrdTier(r(s, d), 4)),
+
+    "tier_recode_plan" -> ((s, d) => Tiers.recodePlan(r(s, d), 4, 0.5)),
+
+    "tier_fft_err" -> ((s, d) =>
+      Tiers.fftError(Segments.complete(r(s, d)), keep = 4)),
+
+    "tier_lttb" -> ((s, d) =>
+      Tiers.lttbTier(Segments.complete(r(s, d)), npts = 6)),
+
+    "seg_kernel_rbf" -> ((s, d) => {
+      val segs = Segments.complete(r(s, d))
+      val dict = segs.filter(col("signal_id") < 2 && col("seg") === 0)
+        .orderBy(col("signal_id"))
+        .collect().map(_.getSeq[Double](2).toSeq).toSeq
+      SegmentMl.rbfFeatures(segs, dict, gamma = 0.001)
+    }),
+
+    "seg_knn" -> ((s, d) =>
+      SegmentMl.knnSegments(Segments.complete(r(s, d)), testSignals = Seq(0L, 1L, 2L))),
+
+    "mm_features" -> ((s, d) =>
+      Multimodal.byteHistogram(Multimodal.withPayload(Tables.documents(s, d)))),
+
+    "mm_frames" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.withPayload(Tables.documents(s, d)),
+        frameBytes = 16, stride = 2))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tier_paa_max" ->
+      s"""$OracleCte, c AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS chunk,
+         |         CAST(sum(value_q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT signal_id,
+         |  max(CAST(sq AS DOUBLE) / (100.0 * CAST(cnt AS DOUBLE))) AS paa_max
+         |FROM c GROUP BY 1""".stripMargin,
+
+    "tier_rrd" ->
+      s"""$OracleCte SELECT signal_id, seq_no, value FROM r
+         |WHERE (seq_no - 1) % 4 = 0""".stripMargin,
+
+    "tier_recode_plan" ->
+      s"""$OracleCte, c AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT signal_id, seg, cnt, cnt * 8 AS bytes_raw,
+         |  CAST(ceil(cnt / 4.0) * 8 AS BIGINT) AS bytes_paa,
+         |  CAST(ceil(cnt / 4.0) * 8 AS DOUBLE) / CAST(cnt * 8 AS DOUBLE) AS cr_paa,
+         |  CAST(ceil(cnt / 4.0) * 8 AS DOUBLE) / CAST(cnt * 8 AS DOUBLE) < 0.5 AS recode
+         |FROM c""".stripMargin
+  )
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TierTransforms
+
+/** The lossy tier ladder as batch compaction (the Spark shape of the
+  * reference's recoding daemons, database/src/recoding_daemon.rs:257-441):
+  * aged partitions are rewritten at coarser precision — exact ->
+  * quantized -> PAA(w) -> FFT(keep/2) ... — instead of background threads
+  * re-encoding buffers. Each transform is a partition rewrite job; the
+  * target-CR guard (recoding_daemon.rs:283-348) skips segments already at
+  * or below the target ratio.
+  */
+object Tiers {
+
+  /** PAA tier as a distributed group-by (no arrays materialized): chunk
+    * means in the fixed-point domain — sum_q is exact, one double division
+    * per chunk. This IS PAA at 100 TB: a keyed aggregation, shuffle on
+    * (signal, chunk).
+    */
+  def paaChunks(r: DataFrame, w: Int): DataFrame =
+    r.groupBy(col("signal_id"),
+        Readings.posWindow(col("seq_no"), 0L, w.toLong).as("chunk"))
+      .agg(sum(col("value_q")).cast("long").as("sq"),
+           count(lit(1)).as("cnt"))
+      .withColumn("chunk_mean",
+        col("sq").cast("double") / (lit(100.0) * col("cnt").cast("double")))
+
+  /** Max over the PAA tier (a query answered from the lossy tier). */
+  def paaMax(r: DataFrame, w: Int): DataFrame =
+    paaChunks(r, w).groupBy(col("signal_id"))
+      .agg(max(col("chunk_mean")).as("paa_max"))
+
+  /** RRD tier: keep every k-th reading of each signal. */
+  def rrdTier(r: DataFrame, k: Int): DataFrame =
+    r.filter((col("seq_no") - 1) % k === 0)
+      .select(col("signal_id"), col("seq_no"), col("value"))
+
+  /** FFT-truncation reconstruction error per complete segment (the
+    * fidelity metric the reference tracks after lossy recoding,
+    * buffer_pool.rs:940-1101). Typed map over segment arrays.
+    */
+  def fftError(segments: DataFrame, keep: Int): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.select(col("signal_id"), col("seg"), col("values"))
+      .as[(Long, Long, Seq[Double])]
+      .map { case (sid, seg, vs) =>
+        val xs = vs.toArray
+        val rec = TierTransforms.fftTruncate(xs, keep)
+        (sid, seg, TierTransforms.maxAbsError(xs, rec))
+      }
+      .toDF("signal_id", "seg", "err")
+  }
+
+  /** LTTB downsampling of each signal's full series to `npts` keypoints. */
+  def lttbTier(segments: DataFrame, npts: Int): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.select(col("signal_id"), col("seg"), col("values"))
+      .as[(Long, Long, Seq[Double])]
+      .map { case (sid, seg, vs) =>
+        val pts = TierTransforms.lttb(vs.toArray, npts)
+        val rec = TierTransforms.lttbReconstruct(pts, vs.length)
+        (sid, seg, pts.length.toLong, pts.head._2, pts.last._2,
+          TierTransforms.maxAbsError(vs.toArray, rec))
+      }
+      .toDF("signal_id", "seg", "n_pts", "first_v", "last_v", "err")
+  }
+
+  /** Target-CR recoding guard: per segment, the estimated compression ratio
+    * of the PAA(w) rewrite vs raw; recode only when the projected ratio
+    * beats the target (else the rewrite is wasted IO).
+    */
+  def recodePlan(r: DataFrame, w: Int, targetCr: Double): DataFrame =
+    r.groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bytes_raw", col("cnt") * 8)
+      .withColumn("bytes_paa", (ceil(col("cnt") / lit(w.toDouble)) * 8).cast("long"))
+      .withColumn("cr_paa", col("bytes_paa").cast("double") / col("bytes_raw").cast("double"))
+      .withColumn("recode", col("cr_paa") < targetCr)
+
+  /** Write a tier as partitioned parquet — the storage shape at scale
+    * (partition pruning on signal bucket, row-group stats for skipping).
+    */
+  def writeTier(df: DataFrame, path: String, buckets: Int = 32): Unit =
+    df.withColumn("sig_bucket", pmod(col("signal_id"), lit(buckets)))
+      .write.mode("overwrite").partitionBy("sig_bucket").parquet(path)
+}
