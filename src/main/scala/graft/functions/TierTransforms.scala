@@ -31,7 +31,7 @@ object TierTransforms {
     val kept = DenseVector.tabulate[Complex](n) { i =>
       if (i < keep || i > n - keep) spec(i) else Complex(0.0, 0.0)
     }
-    iFourierTr(kept).map(_.real / n).toArray
+    iFourierTr(kept).map(_.real).toArray
   }
 
   /** Largest-Triangle-Three-Buckets downsampling to `threshold` points

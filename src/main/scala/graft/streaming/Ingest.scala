@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.functions.Quantize
+
+/** Structured Streaming ingestion — the Spark shape of the reference's
+  * client -> BufferedSignal -> CompressionDaemon pipeline
+  * (database/src/client.rs:27-344, future_signal.rs:121-217,
+  * compression_daemon.rs:117-161):
+  *
+  *  - S1 source: file stream replay (rate-limited via maxFilesPerTrigger,
+  *    the analogue of the reference's Frequency/Amount client knobs);
+  *  - S2 segmentation: fixed-size per-signal chunks via
+  *    flatMapGroupsWithState (the reference's split_decider `i >= j`);
+  *  - S3 sink: foreachBatch append to tier-0 Parquet partitioned by signal
+  *    bucket — micro-batches replace the daemon's buffer-threshold
+  *    hand-off; event-time watermarking covers the late-data semantics the
+  *    reference never had (SURVEY §2.3).
+  */
+object Ingest {
+
+  /** Normalized streaming readings from raw event files (schema must be
+    * supplied for a file stream; ns timestamps arrive as longs).
+    */
+  def readingsStream(spark: SparkSession, srcDir: String,
+                     maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .select(
+        col("user_id").as("signal_id"),
+        expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("event_id"),
+        col("value"),
+        Quantize.quantize(col("value"), 2).as("value_q"))
+  }
+
+  /** S3 — tier-0 writer: append micro-batches as Parquet partitioned by
+    * signal bucket (bounded partition count; pruning key for reads).
+    */
+  def tier0Writer(readings: DataFrame, tier0Dir: String, checkpointDir: String,
+                  buckets: Int = 32): StreamingQuery =
+    readings
+      .withColumn("sig_bucket", pmod(col("signal_id"), lit(buckets)))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("sig_bucket").parquet(tier0Dir)
+      }
+      .start()
+
+  /** Event-time windowed aggregation with watermark over the stream —
+    * the streaming flavor of O6 (idiomatic Spark; positional windows are a
+    * batch concept).
+    */
+  def windowedMax(readings: DataFrame, width: String, watermark: String): DataFrame =
+    readings
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width))
+      .agg(max(col("value")).as("wmax"), count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("wmax"), col("cnt"))
+
+  case class SegState(nextSeg: Long, buf: List[Double])
+  case class SegOut(signal_id: Long, seg: Long, values: Seq[Double])
+  case class InRow(signal_id: Long, tsMicros: Long, event_id: Long, value: Double)
+
+  /** S2 — fixed-size segmentation with keyed state: buffer per signal,
+    * emit a segment every `segRows` values (reference
+    * future_signal.rs:186-203). Within a batch, rows are ordered by
+    * (ts, event_id) before appending, matching the batch seq_no order.
+    */
+  def segmentStream(spark: SparkSession, srcDir: String, segRows: Int,
+                    maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    val rs = readingsStream(spark, srcDir, maxFilesPerTrigger)
+      .select(col("signal_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("value"))
+      .as[InRow]
+
+    rs.groupByKey(_.signal_id)
+      .flatMapGroupsWithState[SegState, SegOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[InRow], state: GroupState[SegState]) =>
+          val prev = state.getOption.getOrElse(SegState(0L, Nil))
+          val incoming = rows.toSeq.sortBy(r => (r.tsMicros, r.event_id)).map(_.value)
+          val all = prev.buf ++ incoming
+          val full = all.grouped(segRows).toSeq
+          val (complete, rest) =
+            if (full.nonEmpty && full.last.size < segRows) (full.init, full.last)
+            else (full, Nil)
+          val out = complete.zipWithIndex.map { case (vs, i) =>
+            SegOut(key, prev.nextSeg + i, vs)
+          }
+          state.update(SegState(prev.nextSeg + complete.size, rest.toList))
+          out.iterator
+      }.toDF()
+  }
+}

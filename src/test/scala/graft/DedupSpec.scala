@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.functions.TextOps
+
+/** Dedup operators on a planted fixture: one exact dup pair, one near-dup
+  * pair, unrelated docs, and a degenerate too-short doc.
+  */
+class DedupSpec extends AnyFunSuite with SparkTest {
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 5
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, base, "en"),
+      (1L, base, "en"),                                  // exact dup of 0
+      (2L, base.replace("lazy", "sleepy"), "en"),        // near dup of 0
+      (3L, "completely different text about spark sql engines and columnar storage formats", "en"),
+      (4L, "xy", "en")                                   // too short for shingles
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("exact dedup groups byte-identical texts") {
+    val rows = Dedup.exact(docs).filter(col("cnt") > 1).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("cnt") == 2 && rows(0).getAs[Long]("keeper") == 0L)
+  }
+
+  test("minhash LSH finds the planted near-dup pairs and nothing else") {
+    val pairs = Dedup.minhashNearDup(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("ngram jaccard near-dup with blocking finds the same structure") {
+    val pairs = Dedup.ngramNearDup(docs, 4, 0.6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("shingles/charGrams guards: short text yields empty sets, no crash") {
+    import spark.implicits._
+    val short = Seq((9L, "ab two")).toDF("doc_id", "text")
+    val sh = short.select(TextOps.shingles3(TextOps.tokens(col("text"))).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(sh.isEmpty)
+    val g = short.select(TextOps.charGrams(lit("abc"), 4).as("g"))
+      .collect()(0).getSeq[String](0)
+    assert(g.isEmpty)
+  }
+
+  test("simhash: identical docs agree, near-dups are close in hamming") {
+    val sig = TextOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0L), sig(2L)) <= 16)
+    assert(hamming(sig(0L), sig(3L)) > 16)
+  }
+}

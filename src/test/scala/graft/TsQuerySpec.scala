@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TsQuery, Readings}
+import graft.plans.ZoneMap
+
+/** O1–O8 on a tiny deterministic fixture with hand-computed expectations. */
+class TsQuerySpec extends AnyFunSuite with SparkTest {
+
+  // two signals; signal 1 has a tied max (7.0 at seq 2 and 4)
+  private lazy val fixture: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, ts(0), 5.0), (1L, ts(1), 7.0), (1L, ts(2), 3.0),
+      (1L, ts(3), 7.0), (1L, ts(4), 1.0),
+      (2L, ts(0), 2.0), (2L, ts(1), 4.0), (2L, ts(2), 6.0))
+      .toDF("signal_id", "ts", "value")
+      .withColumn("value_q", graft.functions.Quantize.quantize(col("value"), 2))
+      .withColumn("seq_no", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("signal_id")).orderBy(col("ts"))).cast("long"))
+  }
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
+
+  test("aggAll: exact fixed-point sum and avg") {
+    val rows = TsQuery.aggAll(fixture).orderBy("signal_id").collect()
+    assert(rows.length == 2)
+    val s1 = rows(0)
+    assert(s1.getAs[Long]("cnt") == 5 && s1.getAs[Double]("vmin") == 1.0 &&
+      s1.getAs[Double]("vmax") == 7.0 && s1.getAs[Long]("sum_q") == 2300L &&
+      s1.getAs[Double]("avg_fx") == 4.6)
+  }
+
+  test("argmax returns the full tie set") {
+    val rows = TsQuery.argmax(fixture).filter(col("signal_id") === 1)
+      .orderBy("seq_no").collect()
+    assert(rows.map(_.getAs[Long]("seq_no")).toSeq == Seq(2L, 4L))
+  }
+
+  test("windowMaxPositional: tumbling 2-row windows") {
+    val rows = TsQuery.windowMaxPositional(fixture, 0, Long.MaxValue, 2)
+      .filter(col("signal_id") === 1).orderBy("win").collect()
+    assert(rows.map(r => (r.getAs[Long]("win"), r.getAs[Double]("wmax"))).toSeq ==
+      Seq((0L, 7.0), (1L, 7.0), (2L, 1.0)))
+  }
+
+  test("rangeFilter/equalFilter position lists") {
+    val pos = TsQuery.rangeFilter(fixture, col("value") > 4.0)
+      .orderBy("signal_id", "seq_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pos == Seq((1L, 1L), (1L, 2L), (1L, 4L), (2L, 3L)))
+    val eq = TsQuery.equalFilter(fixture, col("value_q"), 700L).collect()
+    assert(eq.length == 2)
+  }
+
+  test("zone map answers max/sum without touching data rows") {
+    val stats = ZoneMap.segmentStats(fixture)
+    assert(ZoneMap.maxFromStats(stats).collect()(0).getDouble(0) == 7.0)
+    val s = ZoneMap.sumFromStats(stats).collect()(0)
+    assert(s.getAs[Long]("sum_q") == 2300L + 1200L && s.getAs[Long]("cnt") == 8L)
+  }
+
+  test("lastPerSignal picks the latest row per signal") {
+    val rows = TsQuery.lastPerSignal(fixture).orderBy("signal_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (2L, 6.0)))
+  }
+
+  test("posWindow handles partial trailing windows") {
+    val w = fixture.select(col("seq_no"),
+      Readings.posWindow(col("seq_no"), 0, 16).as("win"))
+      .agg(countDistinct(col("win"))).collect()(0).getLong(0)
+    assert(w == 1) // all rows in window 0 at width 16
+  }
+}
