@@ -23,20 +23,33 @@ object TextOps {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
 
-  /** 3-token word shingles (distinct), the unit for MinHash/Jaccard dedup. */
-  def shingles3(tl: Column): Column =
-    when(size(tl) < 3, typedLit(Seq.empty[String]))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(tl) - 2),
-        i => concat_ws(" ",
-          element_at(tl, i), element_at(tl, i + 1), element_at(tl, i + 2)))))
+  // Set-construction steps are compiled single-pass UDFs rather than
+  // higher-order-function expressions: Spark HOFs are CodegenFallback
+  // (interpreted), so `element_at(regexp_extract_all(...), i)` inside a
+  // transform() re-evaluates the regex PER ELEMENT (~300x per doc). The
+  // UDFs implement exactly the semantics the DuckDB oracles state.
+
+  private val TokenRe = "[a-z0-9]+".r
+
+  private val shingles3Udf = udf((text: String) => {
+    val tl = TokenRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
+    if (tl.length < 3) Array.empty[String]
+    else tl.sliding(3).map(_.mkString(" ")).toArray.distinct
+  })
+
+  /** 3-token word shingles (distinct), the unit for MinHash/Jaccard dedup.
+    * Takes the raw text column (tokenizes internally, one pass).
+    */
+  def shingles3OfText(text: Column): Column = shingles3Udf(text)
+
+  private def charGramsUdf(n: Int) = udf((text: String) => {
+    val lc = text.toLowerCase(java.util.Locale.ROOT)
+    if (lc.length < n) Array.empty[String]
+    else lc.sliding(n).toArray.distinct
+  })
 
   /** Distinct character n-grams of the lowercased text. */
-  def charGrams(c: Column, n: Int): Column =
-    when(length(c) < n, typedLit(Seq.empty[String]))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), length(c) - (n - 1)),
-        i => lower(c).substr(i, lit(n)))))
+  def charGrams(c: Column, n: Int): Column = charGramsUdf(n)(c)
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 

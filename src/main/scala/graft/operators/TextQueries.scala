@@ -91,20 +91,22 @@ object TextQueries {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5""".stripMargin,
 
+    // brute-force all-pairs oracle; the (semantically implied) set-size
+    // ratio bound min >= t*max prunes the quadratic work in DuckDB
     "dedup_ngram" ->
       """WITH g0 AS (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id,
         |         list_distinct([substr(lower(text), i, 4)
         |                        for i in range(1, len(text) - 2)]) AS g
         |  FROM documents
         |), g1 AS (
-        |  SELECT doc_id, lang, g, CAST(len(g) AS BIGINT) AS ng FROM g0 WHERE len(g) > 0
+        |  SELECT doc_id, g, CAST(len(g) AS BIGINT) AS ng FROM g0 WHERE len(g) > 0
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |  CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jac
         |FROM g1 a JOIN g1 b
-        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  ON a.doc_id < b.doc_id
         | AND CAST(least(a.ng, b.ng) AS DOUBLE) >= 0.6 * CAST(greatest(a.ng, b.ng) AS DOUBLE)
         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.6""".stripMargin,

@@ -10,15 +10,20 @@ import graft.functions.TextOps
   */
 class DedupSpec extends AnyFunSuite with SparkTest {
 
-  private val base = "the quick brown fox jumps over the lazy dog " * 5
+  // 100 distinct tokens; the near-dup changes one token mid-text, so its
+  // shingle jaccard is ~0.94 — the regime LSH dedup is built for (the
+  // wide 8-row bands intentionally skip borderline-similarity pairs)
+  private val base = (0 until 100).map(i => s"tok$i word$i").mkString(" ")
+  private val near = (0 until 100)
+    .map(i => if (i == 50) "changed word50" else s"tok$i word$i").mkString(" ")
   private lazy val docs = {
     import spark.implicits._
     Seq(
       (0L, base, "en"),
-      (1L, base, "en"),                                  // exact dup of 0
-      (2L, base.replace("lazy", "sleepy"), "en"),        // near dup of 0
+      (1L, base, "en"),   // exact dup of 0
+      (2L, near, "en"),   // near dup of 0
       (3L, "completely different text about spark sql engines and columnar storage formats", "en"),
-      (4L, "xy", "en")                                   // too short for shingles
+      (4L, "xy", "en")    // too short for shingles
     ).toDF("doc_id", "text", "lang")
   }
 
@@ -35,7 +40,7 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
-  test("ngram jaccard near-dup with blocking finds the same structure") {
+  test("ngram jaccard near-dup finds the planted structure, skips unrelated") {
     val pairs = Dedup.ngramNearDup(docs, 4, 0.6)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -46,7 +51,7 @@ class DedupSpec extends AnyFunSuite with SparkTest {
   test("shingles/charGrams guards: short text yields empty sets, no crash") {
     import spark.implicits._
     val short = Seq((9L, "ab two")).toDF("doc_id", "text")
-    val sh = short.select(TextOps.shingles3(TextOps.tokens(col("text"))).as("s"))
+    val sh = short.select(TextOps.shingles3OfText(col("text")).as("s"))
       .collect()(0).getSeq[String](0)
     assert(sh.isEmpty)
     val g = short.select(TextOps.charGrams(lit("abc"), 4).as("g"))
