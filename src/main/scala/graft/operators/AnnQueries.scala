@@ -12,7 +12,10 @@ import graft.Tables
   */
 object AnnQueries {
 
-  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    Tables.embeddings(s, d)
+  }
 
   private def probes(s: SparkSession, d: String): DataFrame =
     emb(s, d).filter(col("vec_id") < 10)

@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product in double — the native codegen'd
+    * expression (graft.functions.VecDot). Callers must have run
+    * VectorFunctions.ensureRegistered(spark) (query entry points do).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def l2(a: Column): Column = sqrt(dot(a, a))
 
@@ -29,11 +30,8 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (l2(a) * l2(b)), 6)
 
-  /** Squared euclidean distance (sequential fold). */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+  /** Squared euclidean distance (native sequential fold, VecSqDist). */
+  def sqDist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
 
   /** Brute-force cosine top-k: for each probe (small, broadcast), rank the
     * whole corpus. Deterministic tiebreak on candidate id.
@@ -57,8 +55,8 @@ object Similarity {
   /** Sign-LSH bucket id: bit i = sign of <v, plane_i>. */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(aggregate(zip_with(v, typedLit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, d) => acc + d) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(v.cast("array<double>"), typedLit(p)) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
   /** Bucketed approximate top-k: candidates restricted to the probe's LSH
