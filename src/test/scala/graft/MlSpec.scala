@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.{Classifiers, CrPredictor, Fixtures}
+import graft.operators.Readings
+
+/** M3/M4/M5 — quality-range assertions (reference-style: metrics, not
+  * identical labels, SURVEY §7.4).
+  */
+class MlSpec extends AnyFunSuite with SparkTest {
+
+  // separable 3-class gaussian blobs -> classifiers must learn them
+  private lazy val blobs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = for {
+      label <- 0 until 3
+      _ <- 0 until 200
+    } yield {
+      val cx = label * 10.0
+      (Array(cx + rnd.nextGaussian(), cx + rnd.nextGaussian()), label.toLong)
+    }
+    Classifiers.featuresFrame(rows.toDF("vec", "label"), "vec", "label")
+  }
+
+  test("classifier suite reaches high accuracy on separable blobs") {
+    val train = blobs.sample(withReplacement = false, 0.8, 1L)
+    val accs = Classifiers.trainEval(blobs.except(train).union(train).limit(600), blobs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(accs.keySet.intersect(Set("decision_tree", "random_forest")).size == 2)
+    accs.foreach { case (m, a) => assert(a > 0.9, s"$m accuracy $a") }
+  }
+
+  test("kmeans purity on separable blobs is near 1") {
+    val purity = Classifiers.kmeansPurity(blobs, k = 3)
+      .collect()(0).getDouble(2)
+    assert(purity > 0.9, s"purity $purity")
+  }
+
+  test("outlier fixture hits the requested ratio deterministically") {
+    val f = Fixtures.outlierColumn(spark, 20000L, 0.1)
+    val n = f.count()
+    val out = f.filter(col("is_outlier")).count()
+    assert(n == 20000L)
+    assert(math.abs(out.toDouble / n - 0.1) < 0.01, s"ratio ${out.toDouble / n}")
+    // deterministic across runs
+    val again = Fixtures.outlierColumn(spark, 20000L, 0.1)
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    val first = f.agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(again == first)
+    // candidate sets: selectivity and sortedness
+    val ids = Fixtures.candidateIds(spark, 20000L, 0.05)
+    val c = ids.count().toDouble / 20000.0
+    assert(math.abs(c - 0.05) < 0.01, s"selectivity $c")
+  }
+
+  test("CR predictor orders codecs sensibly and respects the target guard") {
+    val r = Readings.of(spark, "/root/testdata/sf0.001")
+    val est = CrPredictor.estimate(r, 0.5, Readings.Scale)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(est("uncompressed") == 1.0)
+    assert(est("dict") < 1.0 && est("delta_bitpack") < 1.0)
+    assert(est("paa_4") == 0.25 && est("rrd_4") == 0.25)
+    val rec = CrPredictor.recommend(r, targetCr = 0.3, scale = Readings.Scale)
+      .collect().map(x => x.getString(0) -> x.getBoolean(2)).toMap
+    assert(rec("paa_4") && rec("rrd_4") && !rec("uncompressed"))
+  }
+}
