@@ -11,6 +11,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/scan setup should not be billed to the
+    // alphabetically-first query
+    try {
+      SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    } catch { case _: Throwable => () }
     // deterministic run order; failures are reported per-query and
     // excluded from the headline total instead of polluting it
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -34,12 +34,12 @@ object SegmentMl {
         col("values").as("rv"))
     val joined = train.join(broadcast(test), lit(true))
       .select(col("test_sig"), col("test_seg"), col("train_sig"), col("train_seg"),
-        round(Similarity.sqDist(col("tv"), col("rv")), 6).as("d2"))
+        round(sqrt(Similarity.sqDist(col("tv"), col("rv"))), 6).as("dist"))
     val w = Window.partitionBy(col("test_sig"), col("test_seg"))
-      .orderBy(col("d2"), col("train_sig"), col("train_seg"))
+      .orderBy(col("dist"), col("train_sig"), col("train_seg"))
     joined.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("test_sig"), col("test_seg"),
-        col("train_sig").as("pred_sig"), col("d2"))
+        col("train_sig").as("pred_sig"), col("dist"))
   }
 }

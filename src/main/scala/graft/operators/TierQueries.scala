@@ -42,6 +42,9 @@ object TierQueries {
     "seg_knn" -> ((s, d) =>
       SegmentMl.knnSegments(Segments.complete(r(s, d)), testSignals = Seq(0L, 1L, 2L))),
 
+    "storage_codec_cr" -> ((s, d) =>
+      graft.sources.CodecStore.compressionMatrix(r(s, d))),
+
     "mm_features" -> ((s, d) =>
       Multimodal.byteHistogram(Multimodal.withPayload(Tables.documents(s, d)))),
 
@@ -64,6 +67,32 @@ object TierQueries {
     "tier_rrd" ->
       s"""$OracleCte SELECT signal_id, seq_no, value FROM r
          |WHERE (seq_no - 1) % 4 = 0""".stripMargin,
+
+    "seg_knn" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+         |), t AS (
+         |  SELECT signal_id AS test_sig, seg AS test_seg, vals AS tv
+         |  FROM f WHERE signal_id IN (0, 1, 2)
+         |), tr AS (
+         |  SELECT signal_id AS train_sig, seg AS train_seg, vals AS rv
+         |  FROM f WHERE signal_id NOT IN (0, 1, 2)
+         |), s AS (
+         |  SELECT test_sig, test_seg, train_sig, train_seg,
+         |         round(list_distance(tv, rv), 6) AS dist
+         |  FROM t, tr
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY test_sig, test_seg
+         |    ORDER BY dist, train_sig, train_seg) AS rnk
+         |  FROM s
+         |)
+         |SELECT test_sig, test_seg, train_sig AS pred_sig, dist
+         |FROM rk WHERE rnk = 1""".stripMargin,
 
     "tier_recode_plan" ->
       s"""$OracleCte, c AS (

@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-codec matrix — the Spark-native answer to the reference's
+  * per-codec compression-ratio benchmark (database/src/compress/mod.rs:
+  * 127-135 prints `compressed_bytes / original_bytes` per codec per
+  * dataset). The reference hand-implements ~15 codecs; on Spark the
+  * equivalent degrees of freedom are the Parquet page codec
+  * (uncompressed/snappy/gzip/zstd) × the column representation (raw
+  * double vs fixed-point long, which Parquet dictionary/bit-pack encodes
+  * natively — the BUFF-domain effect). This job measures real on-disk
+  * bytes per combination.
+  */
+object CodecStore {
+
+  val Codecs: Seq[String] = Seq("uncompressed", "snappy", "gzip", "zstd")
+
+  private def dirBytes(p: Path): Long = {
+    val s = Files.walk(p)
+    try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
+    finally s.close()
+  }
+
+  /** Write `df` once per codec, return (codec, representation, bytes, cr)
+    * with cr relative to the uncompressed double representation.
+    */
+  def compressionMatrix(readings: DataFrame): DataFrame = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-codec")
+    val reprs = Seq(
+      "double" -> readings.select(col("signal_id"), col("seq_no"), col("value")),
+      "fixed_q" -> readings.select(col("signal_id"), col("seq_no"), col("value_q")))
+    val rows = for {
+      (repr, df) <- reprs
+      codec <- Codecs
+    } yield {
+      val out = base.resolve(s"$repr-$codec")
+      df.coalesce(1).write.mode("overwrite")
+        .option("compression", codec).parquet(out.toString)
+      (codec, repr, dirBytes(out))
+    }
+    val baseline = rows.collectFirst {
+      case ("uncompressed", "double", b) => b.toDouble
+    }.getOrElse(1.0)
+    rows.map { case (c, r, b) => (c, r, b, b / baseline) }
+      .toDF("codec", "repr", "bytes", "cr")
+  }
+}

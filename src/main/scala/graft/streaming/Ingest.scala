@@ -40,6 +40,25 @@ object Ingest {
         Quantize.quantize(col("value"), 2).as("value_q"))
   }
 
+  /** S1b — generator clients: synthetic signal streams from the
+    * rate-micro-batch source (the reference's normal/uniform generator
+    * clients, client.rs:231-344). Values are hash-derived from the row
+    * index — deterministic per index at any parallelism, like the
+    * reference's seeded generators.
+    */
+  def generatedSignals(spark: SparkSession, rowsPerBatch: Int, nSignals: Int): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", "0")
+      .load()
+      .select(
+        pmod(col("value"), lit(nSignals.toLong)).as("signal_id"),
+        col("timestamp").as("ts"),
+        col("value").as("event_id"),
+        ((abs(xxhash64(col("value"), lit("gen"))) % 100000L).cast("double") / 1000.0)
+          .as("value"))
+      .withColumn("value_q", Quantize.quantize(col("value"), 2))
+
   /** S3 — tier-0 writer: append micro-batches as Parquet partitioned by
     * signal bucket (bounded partition count; pruning key for reads).
     */

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Readings, TierManager}
+import graft.sources.CodecStore
+
+/** S6 — tier lifecycle: land -> age to quantized -> age to PAA, with the
+  * zone-map registered per tier; plus the storage-codec CR matrix.
+  */
+class TierManagerSpec extends AnyFunSuite with SparkTest {
+
+  test("tier ladder: land, compact, and answer from each tier") {
+    val root = Files.createTempDirectory("graft-tiers").toString
+    val tm = new TierManager(spark, root)
+    val r = Readings.of(spark, "/root/testdata/sf0.001")
+    tm.landTier0(r)
+
+    val t0 = spark.read.parquet(tm.tier0)
+    assert(t0.count() == r.count())
+    // partition layout present for pruning
+    assert(new java.io.File(tm.tier0).listFiles().exists(_.getName.startsWith("sig_bucket=")))
+
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val movedQ = tm.compactToQuantized(cutoff)
+    assert(movedQ > 0 && movedQ < r.count())
+    val t1 = spark.read.parquet(tm.tier1)
+    assert(t1.columns.contains("value_q") && !t1.columns.contains("value"))
+    assert(t1.count() == movedQ)
+
+    val movedP = tm.compactToPaa(w = 4, targetCr = 0.5)
+    assert(movedP > 0 && movedP < movedQ) // PAA shrinks row count ~4x
+    val paaMax = tm.maxFromColdTier().agg(max(col("paa_max"))).collect()(0).getDouble(0)
+    val trueMax = r.filter(col("ts") < lit(cutoff))
+      .agg(max(col("value"))).collect()(0).getDouble(0)
+    assert(paaMax <= trueMax + 1e-9) // chunk means never exceed the true max
+  }
+
+  test("storage codec matrix: fixed-point + compression beats raw doubles") {
+    val m = CodecStore.compressionMatrix(Readings.of(spark, "/root/testdata/sf0.001"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
+    assert(m(("uncompressed", "double")) == 1.0)
+    assert(m(("zstd", "fixed_q")) < 1.0, s"zstd/fixed_q cr=${m(("zstd", "fixed_q"))}")
+    assert(m(("zstd", "double")) < 1.0)
+    assert(m.size == CodecStore.Codecs.size * 2)
+  }
+}
