@@ -38,7 +38,35 @@ object OlapQueries {
         .agg(sum(Quantize.quantize(
           col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2))
           .cast("long").as("revenue_q"))
-    })
+    }),
+
+    // The surface the reference lacks and Spark SQL gives for free
+    // (SURVEY §2.1 "not present in the reference ... come free"):
+    // top-k, distinct, set operations, rollup.
+    "bonus_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "bonus_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id").as("signal_id"), col("event_type"))
+        .distinct()),
+
+    "bonus_setops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def heavyUsers(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 15).select(col("user_id").as("signal_id"))
+      heavyUsers("click").except(heavyUsers("purchase"))
+    }),
+
+    "bonus_rollup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("chars")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -49,6 +77,27 @@ object OlapQueries {
         |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_q,
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "bonus_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "bonus_distinct" ->
+      "SELECT DISTINCT user_id AS signal_id, event_type FROM events",
+
+    "bonus_setops" ->
+      """SELECT signal_id FROM (
+        |  SELECT user_id AS signal_id, count(*) AS c FROM events
+        |  WHERE event_type = 'click' GROUP BY 1) WHERE c > 15
+        |EXCEPT
+        |SELECT signal_id FROM (
+        |  SELECT user_id AS signal_id, count(*) AS c FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1) WHERE c > 15""".stripMargin,
+
+    "bonus_rollup" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
 
     "q3_join" ->
       """SELECT l.l_orderkey,
