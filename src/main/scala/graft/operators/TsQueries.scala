@@ -71,6 +71,28 @@ object TsQueries {
         .filter(col("value") > 100.0)
         .select(col("signal_id"), col("seq_no"), col("value"))),
 
+    // as-of join: each reading picks up its segment's start marker — the
+    // "latest state at event time" join; self-validating (seg must equal
+    // the reading's own segment id)
+    "asof_segment" -> ((s, d) => {
+      val rr = r(s, d)
+      val segStarts = rr
+        .groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+        .agg(min(col("ts")).as("seg_ts"))
+      IntervalOps.asofJoin(rr, segStarts, "signal_id", "ts", "seg_ts", Seq("seg"))
+        .select(col("signal_id"), col("seq_no"), col("seg"))
+    }),
+
+    // range join: readings against overlapping value bands, bin-bucketed
+    "range_bands" -> ((s, d) => {
+      val bands = s.range(13).select(col("id").as("band_id"),
+        (col("id") * 37.5).as("lo"), (col("id") * 37.5 + 80.0).as("hi"))
+      IntervalOps.rangeJoinByBins(
+        r(s, d).select(col("signal_id"), col("seq_no"), col("value")),
+        "value", bands, "lo", "hi", binWidth = 50.0)
+        .select(col("signal_id"), col("seq_no"), col("band_id"))
+    }),
+
     "o8_zonemap" -> ((s, d) => ZoneMap.segmentStats(r(s, d))),
 
     "o8_zonemap_max" -> ((s, d) =>
@@ -158,6 +180,24 @@ object TsQueries {
       s"""$OracleCte SELECT r.signal_id, r.seq_no, r.value
          |FROM r JOIN customer c ON c.c_custkey = r.signal_id
          |WHERE c.c_mktsegment = 'MACHINERY' AND r.value > 100.0""".stripMargin,
+
+    "asof_segment" ->
+      s"""$OracleCte, ss AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         min(ts) AS seg_ts
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT r.signal_id, r.seq_no, ss.seg
+         |FROM r ASOF JOIN ss
+         |  ON r.signal_id = ss.signal_id AND r.ts >= ss.seg_ts""".stripMargin,
+
+    "range_bands" ->
+      s"""$OracleCte, b AS (
+         |  SELECT CAST(i AS BIGINT) AS band_id, i * 37.5 AS lo, i * 37.5 + 80.0 AS hi
+         |  FROM range(13) t(i)
+         |)
+         |SELECT r.signal_id, r.seq_no, b.band_id
+         |FROM r JOIN b ON r.value >= b.lo AND r.value < b.hi""".stripMargin,
 
     "o8_zonemap" ->
       s"""$OracleCte SELECT signal_id,
