@@ -43,6 +43,14 @@ object OlapQueries {
     // The surface the reference lacks and Spark SQL gives for free
     // (SURVEY §2.1 "not present in the reference ... come free"):
     // top-k, distinct, set operations, rollup.
+    // TPC-H Q6 shape: tight filtered aggregation (quantized revenue)
+    "q6_filter_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(Quantize.quantize(col("l_extendedprice") * col("l_discount"), 2))
+          .cast("long").as("revenue_q"),
+          count(lit(1)).as("cnt"))),
+
     "bonus_topk" -> ((s, d) =>
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -77,6 +85,12 @@ object OlapQueries {
         |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_q,
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_q,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "bonus_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders

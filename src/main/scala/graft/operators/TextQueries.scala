@@ -61,7 +61,14 @@ object TextQueries {
     "mm_meta" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        concat(lit("doc/"), (col("doc_id") % 3).cast("string")).as("media_type")))
+        concat(lit("doc/"), (col("doc_id") % 3).cast("string")).as("media_type"))),
+
+    // text normalization: lowercase, strip punctuation, collapse runs of
+    // whitespace, trim — the standard pre-tokenization cleaning pass
+    "text_clean" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          lit("[.,!?;:]"), lit("")), lit("\\s+"), lit(" "))).as("cleaned")))
   )
 
   private val ShingleCte =
@@ -162,6 +169,14 @@ object TextQueries {
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  'doc/' || CAST(doc_id % 3 AS VARCHAR) AS media_type
+        |FROM documents""".stripMargin,
+
+    // note the 'g' flag: DuckDB regexp_replace replaces only the first
+    // match by default, Spark replaces all
+    "text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS cleaned
         |FROM documents""".stripMargin
   )
 }

@@ -48,6 +48,14 @@ object TsQueries {
 
     "o5_argmax" -> ((s, d) => TsQuery.argmax(r(s, d))),
 
+    // exact (interpolated) percentiles per signal — the continuous-quantile
+    // flavor of O5; both engines use the same linear-interpolation
+    // definition, rounded to 4dp to absorb lerp-formula ulp differences
+    "o5_percentile" -> ((s, d) =>
+      r(s, d).groupBy(col("signal_id"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+             round(expr("percentile(value, 0.9)"), 4).as("p90"))),
+
     "o6_window_pos" -> ((s, d) =>
       TsQuery.windowMaxPositional(r(s, d), 0L, Long.MaxValue, 16L)),
 
@@ -180,6 +188,12 @@ object TsQueries {
       s"""$OracleCte SELECT r.signal_id, r.seq_no, r.value
          |FROM r JOIN customer c ON c.c_custkey = r.signal_id
          |WHERE c.c_mktsegment = 'MACHINERY' AND r.value > 100.0""".stripMargin,
+
+    "o5_percentile" ->
+      s"""$OracleCte SELECT signal_id,
+         |  round(quantile_cont(value, 0.5), 4) AS p50,
+         |  round(quantile_cont(value, 0.9), 4) AS p90
+         |FROM r GROUP BY 1""".stripMargin,
 
     "asof_segment" ->
       s"""$OracleCte, ss AS (
