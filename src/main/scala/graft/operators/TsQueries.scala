@@ -61,6 +61,29 @@ object TsQueries {
 
     "o6_window_time" -> ((s, d) => TsQuery.windowAggTime(r(s, d), "1 day")),
 
+    // session windows (gap-based) — the session flavor the reference lacks
+    "ts_session" -> ((s, d) =>
+      r(s, d).groupBy(col("signal_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("cnt"), max(col("value")).as("vmax"))
+        .select(col("signal_id"),
+          unix_timestamp(col("session_window.start")).as("s_start"),
+          col("cnt"), col("vmax"))),
+
+    // regular-grid resample with forward fill (gap filling): daily grid
+    // per signal, each point carrying the last reading at-or-before it
+    "ts_resample_ffill" -> ((s, d) => {
+      val rr = r(s, d)
+      val grid = rr.groupBy(col("signal_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("signal_id"),
+          explode(sequence(col("t0"), col("t1"), expr("interval 1 day"))).as("gts"))
+      IntervalOps.asofJoin(grid,
+          rr.select(col("signal_id"), col("ts"), col("value")),
+          "signal_id", "gts", "ts", Seq("value"))
+        .select(col("signal_id"), unix_timestamp(col("gts")).as("g_start"),
+          col("value"))
+    }),
+
     "influx_max" -> ((s, d) => r(s, d).agg(max(col("value")).as("vmax"))),
 
     "influx_max_groupby" -> ((s, d) =>
@@ -188,6 +211,35 @@ object TsQueries {
       s"""$OracleCte SELECT r.signal_id, r.seq_no, r.value
          |FROM r JOIN customer c ON c.c_custkey = r.signal_id
          |WHERE c.c_mktsegment = 'MACHINERY' AND r.value > 100.0""".stripMargin,
+
+    "ts_session" ->
+      s"""$OracleCte, g AS (
+         |  SELECT signal_id, ts, value, seq_no,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY signal_id ORDER BY ts, seq_no)
+         |              >= INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+         |  FROM r
+         |), s AS (
+         |  SELECT signal_id, ts, value,
+         |    sum(brk) OVER (PARTITION BY signal_id ORDER BY ts, seq_no
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM g
+         |)
+         |SELECT signal_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+         |  CAST(count(*) AS BIGINT) AS cnt, max(value) AS vmax
+         |FROM s GROUP BY signal_id, sid""".stripMargin,
+
+    "ts_resample_ffill" ->
+      s"""$OracleCte, b AS (
+         |  SELECT signal_id, date_trunc('day', min(ts)) AS t0, max(ts) AS t1
+         |  FROM r GROUP BY 1
+         |), grid AS (
+         |  SELECT signal_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS gts
+         |  FROM b
+         |)
+         |SELECT grid.signal_id, CAST(floor(epoch(grid.gts)) AS BIGINT) AS g_start,
+         |  r.value
+         |FROM grid ASOF LEFT JOIN r
+         |  ON grid.signal_id = r.signal_id AND grid.gts >= r.ts""".stripMargin,
 
     "o5_percentile" ->
       s"""$OracleCte SELECT signal_id,
