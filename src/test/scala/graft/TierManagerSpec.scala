@@ -37,6 +37,27 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     assert(paaMax <= trueMax + 1e-9) // chunk means never exceed the true max
   }
 
+  test("positional windows read persisted seq_no with scan pushdown (production path)") {
+    val root = Files.createTempDirectory("graft-tier-seq").toString
+    val tm = new TierManager(spark, root)
+    val r = Readings.of(spark, "/root/testdata/sf0.001")
+    tm.landTier0(r)
+    val persisted = spark.read.parquet(tm.tier0)
+    // the Influx positional window query against the STORED seq_no
+    val fromTier = graft.operators.TsQuery
+      .windowMaxPositional(persisted.filter(col("signal_id") === 7), 8L, 48L, 8L)
+    val fromDerived = graft.operators.TsQuery
+      .windowMaxPositional(r.filter(col("signal_id") === 7), 8L, 48L, 8L)
+    val a = fromTier.orderBy("win").collect().map(x => (x.getLong(1), x.getDouble(2)))
+    val b = fromDerived.orderBy("win").collect().map(x => (x.getLong(1), x.getDouble(2)))
+    assert(a.sameElements(b))
+    // the seq_no range predicate must reach the parquet scan as a pushed
+    // filter — impossible on the derived path, free on the persisted one
+    val plan = fromTier.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(seq_no,8"), s"seq_no not pushed:\n$plan")
+  }
+
   test("storage codec matrix: fixed-point + compression beats raw doubles") {
     val m = CodecStore.compressionMatrix(Readings.of(spark, "/root/testdata/sf0.001"))
       .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
