@@ -32,6 +32,17 @@ object TsQueries {
     "o2_project_ids" -> ((s, d) =>
       TsQuery.projectAt(r(s, d), col("seq_no") % 10 === 0)),
 
+    // O2 with a materialized row-id LIST (the reference's Vec<usize> /
+    // bitmap exchange format): ids produced by one operator, consumed by
+    // a left-semi join — true late materialization, not a fused predicate
+    "o2b_project_idlist" -> ((s, d) => {
+      val rr = r(s, d)
+      val ids = rr.filter(col("value_q") % 97 === 0)
+        .select(col("signal_id"), col("seq_no"))
+      rr.join(ids, Seq("signal_id", "seq_no"), "left_semi")
+        .select(col("signal_id"), col("seq_no"), col("value"))
+    }),
+
     "o3_range" -> ((s, d) =>
       TsQuery.rangeFilter(r(s, d), col("value") > 150.0)),
 
@@ -144,6 +155,13 @@ object TsQueries {
 
     "o2_project_ids" ->
       s"$OracleCte SELECT signal_id, seq_no, value FROM r WHERE seq_no % 10 = 0",
+
+    "o2b_project_idlist" ->
+      s"""$OracleCte, ids AS (
+         |  SELECT signal_id, seq_no FROM r WHERE value_q % 97 = 0
+         |)
+         |SELECT r.signal_id, r.seq_no, r.value FROM r
+         |SEMI JOIN ids ON r.signal_id = ids.signal_id AND r.seq_no = ids.seq_no""".stripMargin,
 
     "o3_range" ->
       s"$OracleCte SELECT signal_id, seq_no FROM r WHERE value > 150.0",
