@@ -79,35 +79,72 @@ object TextOps {
       .otherwise("fr")
   }
 
-  /** 64-bit SimHash over a document's word tokens (weighted by term count):
-    * per bit, sum +/-count by the bit of xxhash64(token), take the sign.
-    * Pure column expressions -> whole-stage codegen; the 64 partial sums
-    * ride one aggregation (map-side combined).
+  /** FNV-1a 32-bit string hash. Chosen over xxhash64 because every step is
+    * overflow-free in 64-bit integer math, so the SQL oracle recomputes the
+    * identical value (list_reduce over code points) — Spark's xxhash64 has
+    * no DuckDB counterpart and would make every hash-derived operator
+    * unverifiable.
+    */
+  def fnv32(s: String): Long = {
+    var h = 2166136261L
+    var i = 0
+    while (i < s.length) {
+      h = ((h ^ s.charAt(i)) * 16777619L) & 0xffffffffL
+      i += 1
+    }
+    h
+  }
+
+  /** DuckDB expression computing fnv32 of string expression `t` (shared by
+    * the simhash/fingerprint oracles).
+    */
+  def fnv32Sql(t: String): String =
+    s"list_reduce(list_prepend(2166136261::BIGINT, " +
+      s"[unicode(ch)::BIGINT for ch in string_split($t, '')]), " +
+      "(a, x) -> (xor(a, x) * 16777619) % 4294967296)"
+
+  private val fnvLoUdf = udf((t: String) => fnv32(t))
+  private val fnvHiUdf = udf((t: String) => fnv32("x" + t))
+
+  /** 64-bit SimHash over a document's word tokens (weighted by term count),
+    * carried as two independent 32-bit halves (h_lo = fnv32(tok),
+    * h_hi = fnv32('x'+tok)) so no step needs the 64-bit wraparound DuckDB
+    * cannot express: per bit, sum +/-count by the token-hash bit, take the
+    * sign. The 64 partial sums ride one aggregation (map-side combined);
+    * output (id, sig_lo, sig_hi).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum((expr(s"(shiftright(h, $b) & 1) * 2 - 1") * col("cnt"))).as(s"s$b")
+      .withColumn("h_lo", fnvLoUdf(col("tok")))
+      .withColumn("h_hi", fnvHiUdf(col("tok")))
+    def bitSums(h: String, p: String) = (0 until 32).map { b =>
+      sum((shiftright(col(h), b).bitwiseAND(lit(1L)) * 2 - 1) * col("cnt")).as(s"$p$b")
     }
-    val sig = (0 until 64).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    def sig(p: String) = (0 until 32).map { b =>
+      when(col(s"$p$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    tf.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), sig.as("simhash"))
+    val sums = bitSums("h_lo", "l") ++ bitSums("h_hi", "u")
+    tf.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), sig("l").as("sig_lo"), sig("u").as("sig_hi"))
   }
 
-  /** Winnowing-style document fingerprints: xxhash64 of char 8-grams, min
-    * per sliding window of 4, distinct mins = the fingerprint set
-    * (Schleimer et al., SIGMOD'03 winnowing — public algorithm).
+  private val fingerprintUdf = udf((text: String) => {
+    val lc = text.toLowerCase(java.util.Locale.ROOT)
+    if (lc.length < 8) Array.empty[Long]
+    else {
+      val hashes = lc.sliding(8).map(fnv32).toArray
+      if (hashes.length < 4) hashes.distinct
+      else hashes.sliding(4).map(_.min).toArray.distinct
+    }
+  })
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — public
+    * algorithm): fnv32 of each positional char 8-gram, min per sliding
+    * window of 4, distinct mins = the fingerprint set. One compiled pass
+    * per document (HOF expressions would re-run the gram extraction per
+    * element); fnv32 keeps it oracle-expressible.
     */
-  def fingerprints(c: Column): Column = {
-    val hashes = transform(charGrams(c, 8), g => xxhash64(g))
-    when(size(hashes) < 4, array_distinct(hashes))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(hashes) - 3),
-        i => array_min(slice(hashes, i, lit(4))))))
-  }
+  def fingerprints(c: Column): Column = fingerprintUdf(c)
 }

@@ -75,6 +75,44 @@ object TierTransforms {
     out
   }
 
+  /** Compressed normalized cross-correlation sequence (the reference's
+    * nccc_compressed, database/src/kernel.rs:353): FFT both series at
+    * length 2^ceil(log2(2n-1)), keep only the `keep` leading coefficient
+    * pairs (kernel.rs:428 leading_fft zeroes indices in [keep, size-keep)),
+    * multiply X * conj(D), inverse-transform, keep the 2n-1 circular
+    * shifts ([0,n) head + (n-1) tail), and normalize by ||x||*||d||.
+    */
+  def ncccCompressed(x: Array[Double], d: Array[Double], keep: Int): Array[Double] = {
+    val n = math.max(x.length, d.length)
+    var size = 1
+    while (size < 2 * n - 1) size <<= 1
+    def spec(a: Array[Double]): DenseVector[Complex] = {
+      val padded = DenseVector.tabulate[Complex](size)(i =>
+        if (i < a.length) Complex(a(i), 0.0) else Complex.zero)
+      val s = fourierTr(padded)
+      DenseVector.tabulate[Complex](size)(i =>
+        if (i < keep || i >= size - keep) s(i) else Complex.zero)
+    }
+    val fx = spec(x)
+    val fd = spec(d)
+    val mul = DenseVector.tabulate[Complex](size)(i => fx(i) * fd(i).conjugate)
+    val cc = iFourierTr(mul).map(_.real) // breeze inverse includes the 1/size scale
+    val shifts = (0 until n).map(cc(_)) ++ (size - (n - 1) until size).map(cc(_))
+    val norm = math.sqrt(x.map(v => v * v).sum) * math.sqrt(d.map(v => v * v).sum)
+    shifts.map(_ / norm).toArray
+  }
+
+  /** sum_k exp(gamma * ncc_k) over all shifts (kernel.rs:344). */
+  def sumExpNcc(x: Array[Double], d: Array[Double], gamma: Double, keep: Int): Double =
+    ncccCompressed(x, d, keep).map(v => math.exp(gamma * v)).sum
+
+  /** SINK shift-invariant kernel similarity (kernel.rs:326 sinkcompressed):
+    * sumExp(x,d) / sqrt(sumExp(x,x) * sumExp(d,d)); 1.0 at x == d.
+    */
+  def sink(x: Array[Double], d: Array[Double], gamma: Double, keep: Int): Double =
+    sumExpNcc(x, d, gamma, keep) /
+      math.sqrt(sumExpNcc(x, x, gamma, keep) * sumExpNcc(d, d, gamma, keep))
+
   /** RRDtool-style round-robin sampling: keep every k-th value. */
   def rrdSample(xs: Array[Double], k: Int): Array[Double] =
     xs.indices.collect { case i if i % k == 0 => xs(i) }.toArray

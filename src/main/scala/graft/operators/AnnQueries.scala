@@ -5,12 +5,19 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Driver-facing registrations for embedding similarity search and
-  * embedding-space ML. The brute-force paths carry exact DuckDB oracles
-  * (list_dot_product over DOUBLE[] is the same sequential fold); the LSH
-  * and spark.ml paths are approximate/engine-specific -> rows-only +
-  * ScalaTest recall/quality assertions.
+  * embedding-space ML. The brute-force AND LSH paths carry exact DuckDB
+  * oracles: list_dot_product over DOUBLE[] is the same sequential fold the
+  * native graft_dot expression computes, and the LSH planes are
+  * deterministic integers (Similarity.lcgPlanes) the oracle regenerates in
+  * SQL. `ann_recall` quantifies LSH quality against the brute baseline
+  * (recall@10) as a CORRECTNESS-visible row; only the spark.ml paths stay
+  * rows-only + ScalaTest.
   */
 object AnnQueries {
+
+  private val NPlanes = 6
+  private val Dim = 64
+  private val TopK = 10
 
   private def emb(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(s)
@@ -29,7 +36,24 @@ object AnnQueries {
       Similarity.bruteTopK(probes(s, d), corpus(s, d), 10)),
 
     "ann_lsh" -> ((s, d) =>
-      Similarity.lshTopK(probes(s, d), corpus(s, d), 10)),
+      Similarity.lshTopK(probes(s, d), corpus(s, d), TopK, NPlanes, Dim)),
+
+    // recall@10 of the LSH path vs the exact baseline — the quantitative
+    // link the approximate tier must carry (the reference tracks query
+    // error the same way, buffer_pool.rs:940-1101); floor asserted in
+    // AnnSpec, exact value oracle-checked (both engines are deterministic)
+    "ann_recall" -> ((s, d) => {
+      val b = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id"))
+      val l = Similarity.lshTopK(probes(s, d), corpus(s, d), TopK, NPlanes, Dim)
+        .select(col("probe_id"), col("cand_id"))
+        .withColumn("hit", lit(1L))
+      b.join(l, Seq("probe_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_brute").cast("double"), 4))
+    }),
 
     "emb_norm" -> ((s, d) =>
       emb(s, d).select(col("vec_id"),
@@ -61,7 +85,76 @@ object AnnQueries {
     })
   )
 
+  // --- SQL generation for the LSH oracle: regenerate the deterministic
+  // planes and the multi-probe bucket list in DuckDB. All integer math is
+  // overflow-free; the dot-product fold is list_dot_product (matches the
+  // native graft_dot fold bitwise, as ann_brute proves).
+  private def planesSql: String =
+    Similarity.lcgPlanes(NPlanes, Dim)
+      .map(p => p.map(_.toLong).mkString("[", ",", "]::DOUBLE[]"))
+      .mkString("[", ", ", "]")
+
+  private def bucketSql(v: String): String =
+    (0 until NPlanes).map(i =>
+      s"(CASE WHEN list_dot_product($v, planes[${i + 1}]) >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def probeMasks: Seq[Long] =
+    0L +: ((0 until NPlanes).map(i => 1L << i) ++
+      (for { i <- 0 until NPlanes; j <- (i + 1) until NPlanes }
+        yield (1L << i) | (1L << j)))
+
+  private def lshCte: String =
+    s"""WITH planes AS (SELECT $planesSql AS planes),
+       |p AS (
+       |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe,
+       |    (SELECT ${bucketSql("pe")} FROM planes) AS bucket
+       |  FROM embeddings WHERE vec_id < 10
+       |), c AS (
+       |  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce,
+       |    (SELECT ${bucketSql("ce")} FROM planes) AS bucket
+       |  FROM embeddings
+       |), pm AS (
+       |  SELECT probe_id, pe,
+       |    unnest(${probeMasks.map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")}) AS bucket
+       |  FROM p
+       |), ls AS (
+       |  SELECT probe_id, cand_id,
+       |    round(list_dot_product(pe, ce) /
+       |          (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))), 6) AS sim
+       |  FROM pm JOIN c USING (bucket) WHERE probe_id <> cand_id
+       |), lr AS (
+       |  SELECT probe_id, cand_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk
+       |  FROM ls
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_lsh" ->
+      s"$lshCte\nSELECT probe_id, cand_id, sim, rnk FROM lr WHERE rnk <= $TopK",
+
+    "ann_recall" ->
+      s"""$lshCte, lsh AS (
+         |  SELECT probe_id, cand_id FROM lr WHERE rnk <= $TopK
+         |), bs AS (
+         |  SELECT p.probe_id, c.cand_id,
+         |    round(list_dot_product(pe, ce) /
+         |          (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))), 6) AS sim
+         |  FROM p JOIN c ON probe_id <> cand_id
+         |), br AS (
+         |  SELECT probe_id, cand_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM bs
+         |), brute AS (
+         |  SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_brute,
+         |  CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+         |        CAST(count(*) AS DOUBLE), 4) AS recall
+         |FROM brute b LEFT JOIN lsh l
+         |  ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id""".stripMargin,
+
     "ann_brute" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe

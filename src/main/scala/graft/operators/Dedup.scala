@@ -126,6 +126,36 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** SimHash near-duplicate pairs (Charikar simhash + Manku et al. banded
+    * Hamming search — public algorithms): the 64-bit signature (two 32-bit
+    * halves) splits into 4 x 16-bit bands; candidate pairs collide in at
+    * least one band (an equi-join on (band, value) — never all-pairs), then
+    * are confirmed by exact Hamming distance. For maxHamming <= 3 the band
+    * join is EXHAUSTIVE, not probabilistic: 3 flipped bits can touch at
+    * most 3 of the 4 bands (pigeonhole), so some band always matches and
+    * the output equals the brute-force all-pairs result the oracle computes.
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "band-join exhaustiveness needs maxHamming < #bands")
+    val sig = TextOps.simhash(docs, "doc_id", "text")
+    val bands = sig.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+      explode(array(
+        struct(lit(0).as("bi"), col("sig_lo").bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(1).as("bi"), shiftright(col("sig_lo"), 16).as("bv")),
+        struct(lit(2).as("bi"), col("sig_hi").bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(3).as("bi"), shiftright(col("sig_hi"), 16).as("bv")))).as("e"))
+      .select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+        col("e.bi").as("bi"), col("e.bv").as("bv"))
+    bands.as("a").join(bands.as("b"), Seq("bi", "bv"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))) +
+         bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi")))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Word-shingle MinHash near-dup (the standard text-corpus dedup). */
   def minhashNearDup(docs: DataFrame, threshold: Double): DataFrame =
     nearDupBySets(shingleSets(docs), threshold)

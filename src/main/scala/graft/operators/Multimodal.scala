@@ -61,7 +61,10 @@ object Multimodal {
         val nFrames = bytes.length / frameBytes
         val sampled = (0 until nFrames by stride).map { f =>
           val frame = bytes.slice(f * frameBytes, (f + 1) * frameBytes)
-          frame.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+          // 32-bit-masked polynomial checksum: wrap-free in 64-bit math, so
+          // the same value is computable exactly in the SQL oracle (BIGINT
+          // overflow errors in DuckDB rule out Java Long wrap semantics)
+          frame.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) & 0xffffffffL)
         }
         (id, nFrames.toLong, sampled.length.toLong, sampled)
       })

@@ -21,6 +21,30 @@ object SegmentMl {
     segments.select(col("signal_id") +: col("seg") +: feats: _*)
   }
 
+  /** M2 — SINK/GRAIL kernel feature row (reference kernel.rs:132 Kernel::run
+    * over sinkcompressed :326): shift-invariant FFT cross-correlation
+    * similarity against a small broadcast dictionary. Computed per segment
+    * in a typed partition map (Breeze FFT is a JVM library call, not a
+    * column expression); the dictionary rides the closure — the same
+    * broadcast-dictionary shape as rbfFeatures, fine at 100 TB because the
+    * per-row work is O(dict * seg log seg) with no shuffle.
+    */
+  def sinkFeatures(segments: DataFrame, dict: Seq[Array[Double]],
+                   gamma: Double, keep: Int): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    import graft.functions.TierTransforms
+    segments.select(col("signal_id"), col("seg"), col("values"))
+      .as[(Long, Long, Seq[Double])]
+      .map { case (sid, seg, vs) =>
+        val xs = vs.toArray
+        (sid, seg, dict.map(d => TierTransforms.sink(xs, d, gamma, keep)))
+      }
+      .toDF("signal_id", "seg", "sink")
+      .select(col("signal_id") +: col("seg") +:
+        dict.indices.map(i => col("sink").getItem(i).as(s"k$i")): _*)
+  }
+
   /** 1-NN among complete segments: each "test" segment (signals in
     * testSignals) takes the signal id of its nearest "train" segment by
     * squared euclidean — the UCR-archive classification shape.

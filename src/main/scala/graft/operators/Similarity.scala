@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Vector-similarity operators over an `array<float>` embedding column.
   *
-  * Arithmetic is done with `zip_with`/`aggregate` column expressions — a
+  * Arithmetic is done with the native codegen'd Catalyst expressions
+  * `graft_dot`/`graft_sqdist` (functions/VectorExpressions.scala) — a
   * sequential left fold in double precision, bitwise-reproducible across
-  * engines (the DuckDB oracle computes the same fold), and codegen'd by
-  * Catalyst (no UDF in the scoring loop).
+  * engines (the DuckDB oracle's list_dot_product computes the same fold),
+  * inside whole-stage codegen (no UDF, no higher-order-function fallback).
   *
   * Scale shape: probes are a small set -> broadcast; the brute-force path
   * is probes × corpus (embarrassingly parallel, no shuffle of the corpus);
@@ -46,11 +47,16 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** Deterministic random hyperplanes for sign-LSH (seeded, driver-side). */
-  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
+  /** Deterministic sign-LSH hyperplanes from integer LCG samples
+    * (plane(i,j) = ((1103515245*(i*dim+j) + 12345) mod 65536) - 32768).
+    * Integers are exactly representable as doubles and the formula is
+    * overflow-free in 64-bit, so the SQL oracle regenerates the SAME
+    * planes — which makes the whole LSH path deterministic and
+    * oracle-checkable, unlike seeded-Gaussian planes.
+    */
+  def lcgPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(nPlanes)(i => Seq.tabulate(dim)(j =>
+      (((1103515245L * (i * dim + j) + 12345L) % 65536L) - 32768L).toDouble))
 
   /** Sign-LSH bucket id: bit i = sign of <v, plane_i>. */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
@@ -59,14 +65,29 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
-  /** Bucketed approximate top-k: candidates restricted to the probe's LSH
-    * bucket (equi-join on bucket id — the 100 TB-safe shape; recall is
-    * tunable via plane count and multi-probe, tested in AnnSpec).
+  /** The probe's bucket plus every 1-bit and 2-bit flip of it (standard
+    * multi-probe LSH: neighbors most likely live in buckets that differ in
+    * the few lowest-margin hyperplane signs).
+    */
+  def multiProbeBuckets(bucket: Column, nPlanes: Int): Column = {
+    val flips1 = (0 until nPlanes).map(i => 1L << i)
+    val flips2 = for {
+      i <- 0 until nPlanes; j <- (i + 1) until nPlanes
+    } yield (1L << i) | (1L << j)
+    array((lit(0L) +: (flips1 ++ flips2)).map(m => bucket.bitwiseXOR(lit(m))): _*)
+  }
+
+  /** Bucketed approximate top-k: candidates restricted to the probe's
+    * multi-probed LSH buckets (equi-join on bucket id — the 100 TB-safe
+    * shape: the corpus is hashed once and shuffled by bucket, never
+    * all-pairs). Deterministic planes -> exact-match oracle in AnnQueries;
+    * recall vs the brute-force baseline is measured by `ann_recall`.
     */
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int,
-              nPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
-    val pb = probes.withColumn("bucket", lshBucket(col("pe"), planes))
+              nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val planes = lcgPlanes(nPlanes, dim)
+    val pb = probes.withColumn("bucket",
+        explode(multiProbeBuckets(lshBucket(col("pe"), planes), nPlanes)))
     val cb = corpus.withColumn("bucket", lshBucket(col("ce"), planes))
     val joined = cb.join(broadcast(pb), Seq("bucket"))
       .where(col("probe_id") =!= col("cand_id"))

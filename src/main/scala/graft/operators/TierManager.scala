@@ -11,11 +11,11 @@ import graft.plans.{ZoneMap, ZoneMapRegistry}
   *
   *   tier0 (exact, hot)  --age-->  tier1 (quantized)  --age-->  tier2 (PAA)
   *
-  * `compact` moves data older than a cutoff down one tier, guarded by the
-  * projected compression ratio (Tiers.recodePlan — don't rewrite what
-  * won't shrink), writes Parquet partitioned by signal bucket, registers
-  * the per-tier zone-map stats table, and answers reads via `read` which
-  * unions the tiers (newest tier wins per time range). Each step is a
+  * `compactTo*` moves data older than a cutoff down one tier, guarded
+  * per segment by the projected compression ratio (Tiers.recodePlan —
+  * don't rewrite what won't shrink), writes Parquet partitioned by signal
+  * bucket, and registers the per-tier zone-map stats table; queries read
+  * whichever tier covers their range (e.g. maxFromColdTier). Each step is a
   * partition rewrite — at 100 TB this is the standard compaction shape
   * (bounded per-job IO, no cross-partition shuffle beyond the PAA
   * aggregation key).
@@ -55,8 +55,12 @@ class TierManager(spark: SparkSession, root: String) {
     val plan = Tiers.recodePlan(t1, w, targetCr)
       .filter(col("recode"))
       .select(col("signal_id"), col("seg"))
-    val eligible = t1.join(plan,
-      Seq("signal_id"), "left_semi") // per-signal guard granularity
+    // per-SEGMENT guard (reference recoding_daemon.rs:283-348): only the
+    // exact segments the plan approved are rewritten; a signal's other
+    // segments stay quantized
+    val eligible = t1.withColumn("seg", Readings.segmentId(col("seq_no")))
+      .join(plan, Seq("signal_id", "seg"), "left_semi")
+      .drop("seg")
     val paa = Tiers.paaChunks(eligible, w)
       .select(col("signal_id"), col("chunk"), col("chunk_mean"), col("cnt"))
     Tiers.writeTier(paa, tier2)

@@ -45,12 +45,35 @@ object TierQueries {
     "storage_codec_cr" -> ((s, d) =>
       graft.sources.CodecStore.compressionMatrix(r(s, d))),
 
+    "seg_kernel_sink" -> ((s, d) => {
+      val segs = Segments.complete(r(s, d))
+      val dict = segs.filter(col("signal_id") < 2 && col("seg") === 0)
+        .orderBy(col("signal_id"))
+        .collect().map(_.getSeq[Double](2).toArray).toSeq
+      SegmentMl.sinkFeatures(segs, dict, gamma = 1.0, keep = 4)
+    }),
+
+    // array feature columns are emitted as CSV digest strings: the driver's
+    // comparator (pandas sort + hash) cannot order ndarray cells, and a
+    // digest makes the byte-histogram/frame-checksum oracle expressible
     "mm_features" -> ((s, d) =>
-      Multimodal.byteHistogram(Multimodal.withPayload(Tables.documents(s, d)))),
+      Multimodal.byteHistogram(Multimodal.withPayload(Tables.documents(s, d)))
+        .select(col("doc_id"), col("n_bytes"),
+          concat_ws(",", col("hist16").cast("array<string>")).as("hist16_csv"))),
 
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.withPayload(Tables.documents(s, d)),
-        frameBytes = 16, stride = 2))
+        frameBytes = 16, stride = 2)
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          concat_ws(",", col("frame_sums").cast("array<string>")).as("frames_csv"))),
+
+    // LTTB keypoint summary: endpoint/count columns are deterministic
+    // (first/last always kept, n_pts = min(npts, len)) -> oracle-able,
+    // unlike the float triangle-area err column in tier_lttb
+    "tier_lttb_summary" -> ((s, d) =>
+      Tiers.lttbTier(Segments.complete(r(s, d)), npts = 6)
+        .select(col("signal_id"), col("seg"), col("n_pts"),
+          col("first_v"), col("last_v")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -93,6 +116,43 @@ object TierQueries {
          |)
          |SELECT test_sig, test_seg, train_sig AS pred_sig, dist
          |FROM rk WHERE rnk = 1""".stripMargin,
+
+    // payload bytes are the UTF-8 encoding of `text`; the testdata corpus is
+    // pure ASCII (asserted in MultimodalSpec), so unicode(char) == byte and
+    // the histogram/frame folds are exactly expressible over characters
+    "mm_features" ->
+      """WITH c AS (
+        |  SELECT doc_id, [unicode(x)::BIGINT for x in string_split(text, '')] AS b
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(b) AS BIGINT) AS n_bytes,
+        |  array_to_string([len(list_filter(b, x -> x // 16 = h)) for h in range(0, 16)], ',') AS hist16_csv
+        |FROM c""".stripMargin,
+
+    "mm_frames" ->
+      """WITH c AS (
+        |  SELECT doc_id, [unicode(x)::BIGINT for x in string_split(text, '')] AS b
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, b, CAST(len(b) // 16 AS BIGINT) AS n_frames FROM c
+        |)
+        |SELECT doc_id, n_frames,
+        |  CAST(len([fi for fi in range(0, n_frames) if fi % 2 = 0]) AS BIGINT) AS n_sampled,
+        |  array_to_string([list_reduce(b[CAST(fi*16+1 AS INT):CAST(fi*16+16 AS INT)],
+        |                               (a, x) -> (a*31 + x) & 4294967295)
+        |                   for fi in range(0, n_frames) if fi % 2 = 0], ',') AS frames_csv
+        |FROM f""".stripMargin,
+
+    "tier_lttb_summary" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         CAST(count(*) AS BIGINT) AS cnt,
+         |         arg_min(value, seq_no) AS first_v,
+         |         arg_max(value, seq_no) AS last_v
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT signal_id, seg, CAST(6 AS BIGINT) AS n_pts, first_v, last_v
+         |FROM segs WHERE cnt = 16""".stripMargin,
 
     "tier_recode_plan" ->
       s"""$OracleCte, c AS (

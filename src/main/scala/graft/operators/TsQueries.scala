@@ -72,6 +72,13 @@ object TsQueries {
 
     "o6_window_time" -> ((s, d) => TsQuery.windowAggTime(r(s, d), "1 day")),
 
+    // O6 with argmax positions: the reference's windowed max also returns
+    // the attaining-row bitmap (buff_simd.rs:5096); here the max and the
+    // first attaining position ride one aggregation via lexicographic
+    // struct-max (max value, ties -> smallest seq_no), no second pass
+    "o6_window_argmax" -> ((s, d) =>
+      TsQuery.windowMaxArgmax(r(s, d), 16L)),
+
     // session windows (gap-based) — the session flavor the reference lacks
     "ts_session" -> ((s, d) =>
       r(s, d).groupBy(col("signal_id"), session_window(col("ts"), "12 hours"))
@@ -198,6 +205,19 @@ object TsQueries {
       s"""$OracleCte SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS wstart,
          |  max(value) AS wmax, CAST(count(*) AS BIGINT) AS cnt
          |FROM r GROUP BY 1""".stripMargin,
+
+    "o6_window_argmax" ->
+      s"""$OracleCte, w AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS win,
+         |         max(value) AS wmax, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT w.signal_id, w.win, w.wmax,
+         |  CAST(min(r.seq_no) AS BIGINT) AS amax_seq, w.cnt
+         |FROM w JOIN r ON r.signal_id = w.signal_id
+         | AND CAST(floor((r.seq_no - 1) / 16.0) AS BIGINT) = w.win
+         | AND r.value = w.wmax
+         |GROUP BY w.signal_id, w.win, w.wmax, w.cnt""".stripMargin,
 
     "influx_max" ->
       s"$OracleCte SELECT max(value) AS vmax FROM r",

@@ -70,6 +70,18 @@ object TsQuery {
       .groupBy(col("signal_id"), Readings.posWindow(col("seq_no"), start, width).as("win"))
       .agg(max(col("value")).as("wmax"), count(lit(1)).as("cnt"))
 
+  /** O6 + argmax — windowed max with the first attaining position
+    * (reference buff_simd.rs:5096 returns max plus the argmax bitmap).
+    * One aggregation: lexicographic max of (value, -seq_no) gives the max
+    * value and, among ties, the smallest seq_no — no second scan, no join.
+    */
+  def windowMaxArgmax(r: DataFrame, width: Long): DataFrame =
+    r.groupBy(col("signal_id"), Readings.posWindow(col("seq_no"), 0L, width).as("win"))
+      .agg(max(struct(col("value").as("v"), (-col("seq_no")).as("ns"))).as("m"),
+           count(lit(1)).as("cnt"))
+      .select(col("signal_id"), col("win"), col("m.v").as("wmax"),
+        (-col("m.ns")).as("amax_seq"), col("cnt"))
+
   /** O6b — event-time tumbling window (idiomatic Spark flavor; the reference
     * has only positional windows, SURVEY §2.3 says add the event-time one).
     */
