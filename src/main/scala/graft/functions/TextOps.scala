@@ -32,9 +32,12 @@ object TextOps {
   private val TokenRe = "[a-z0-9]+".r
 
   private val shingles3Udf = udf((text: String) => {
-    val tl = TokenRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
-    if (tl.length < 3) Array.empty[String]
-    else tl.sliding(3).map(_.mkString(" ")).toArray.distinct
+    if (text == null) Array.empty[String]
+    else {
+      val tl = TokenRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
+      if (tl.length < 3) Array.empty[String]
+      else tl.sliding(3).map(_.mkString(" ")).toArray.distinct
+    }
   })
 
   /** 3-token word shingles (distinct), the unit for MinHash/Jaccard dedup.
@@ -43,9 +46,12 @@ object TextOps {
   def shingles3OfText(text: Column): Column = shingles3Udf(text)
 
   private def charGramsUdf(n: Int) = udf((text: String) => {
-    val lc = text.toLowerCase(java.util.Locale.ROOT)
-    if (lc.length < n) Array.empty[String]
-    else lc.sliding(n).toArray.distinct
+    if (text == null) Array.empty[String]
+    else {
+      val lc = text.toLowerCase(java.util.Locale.ROOT)
+      if (lc.length < n) Array.empty[String]
+      else lc.sliding(n).toArray.distinct
+    }
   })
 
   /** Distinct character n-grams of the lowercased text. */
@@ -106,6 +112,39 @@ object TextOps {
   private val fnvLoUdf = udf((t: String) => fnv32(t))
   private val fnvHiUdf = udf((t: String) => fnv32("x" + t))
 
+  /** DuckDB CTE recomputing `simhash` exactly: tokenize, term counts,
+    * fnv32 halves, 64 per-bit ± count sums, sign → bit. Ends with a table
+    * `sig(doc_id, sig_lo, sig_hi)`. Tokens are [a-z0-9]+ so char == byte ==
+    * code point regardless of the corpus encoding; every integer step is
+    * overflow-free in BIGINT, so the oracle matches the engine bit-for-bit.
+    */
+  def simhashCteSql(docsTable: String = "documents"): String = {
+    def sums(h: String, p: String) = (0 until 32).map(b =>
+      s"sum(CASE WHEN ($h // ${1L << b}) % 2 = 1 THEN cnt ELSE -cnt END) AS $p$b")
+    def sig(p: String) = (0 until 32).map(b =>
+      s"CASE WHEN $p$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM $docsTable
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2
+       |), th AS (
+       |  SELECT doc_id, cnt,
+       |    ${fnv32Sql("tok")} AS h_lo,
+       |    ${fnv32Sql("'x' || tok")} AS h_hi
+       |  FROM tf
+       |), bs AS (
+       |  SELECT doc_id,
+       |    ${(sums("h_lo", "l") ++ sums("h_hi", "u")).mkString(",\n    ")}
+       |  FROM th GROUP BY 1
+       |), sig AS (
+       |  SELECT doc_id,
+       |    CAST(${sig("l")} AS BIGINT) AS sig_lo,
+       |    CAST(${sig("u")} AS BIGINT) AS sig_hi
+       |  FROM bs
+       |)""".stripMargin
+  }
+
   /** 64-bit SimHash over a document's word tokens (weighted by term count),
     * carried as two independent 32-bit halves (h_lo = fnv32(tok),
     * h_hi = fnv32('x'+tok)) so no step needs the 64-bit wraparound DuckDB
@@ -131,12 +170,15 @@ object TextOps {
   }
 
   private val fingerprintUdf = udf((text: String) => {
-    val lc = text.toLowerCase(java.util.Locale.ROOT)
-    if (lc.length < 8) Array.empty[Long]
+    if (text == null) Array.empty[Long]
     else {
-      val hashes = lc.sliding(8).map(fnv32).toArray
-      if (hashes.length < 4) hashes.distinct
-      else hashes.sliding(4).map(_.min).toArray.distinct
+      val lc = text.toLowerCase(java.util.Locale.ROOT)
+      if (lc.length < 8) Array.empty[Long]
+      else {
+        val hashes = lc.sliding(8).map(fnv32).toArray
+        if (hashes.length < 4) hashes.distinct
+        else hashes.sliding(4).map(_.min).toArray.distinct
+      }
     }
   })
 

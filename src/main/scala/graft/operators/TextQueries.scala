@@ -24,6 +24,10 @@ object TextQueries {
     "dedup_simhash" -> ((s, d) =>
       TextOps.simhash(docs(s, d), "doc_id", "text")),
 
+    // banded Hamming pairing over the simhash signatures (Manku et al.);
+    // exhaustive for maxHamming < #bands, so the all-pairs oracle matches
+    "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
+
     "text_stats" -> ((s, d) =>
       docs(s, d).groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("docs"),
@@ -84,6 +88,49 @@ object TextQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full simhash recomputation in SQL (tokens → tf → fnv32 halves →
+    // 64 signed bit-sums → sign bits); matches the engine bit-for-bit
+    "dedup_simhash" ->
+      s"${TextOps.simhashCteSql()}\nSELECT doc_id, sig_lo, sig_hi FROM sig",
+
+    "simhash_pairs" ->
+      s"""${TextOps.simhashCteSql()}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig_lo, b.sig_lo)) +
+         |       bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig_lo, b.sig_lo)) +
+         |      bit_count(xor(a.sig_hi, b.sig_hi)) <= 3""".stripMargin,
+
+    // winnowing fingerprints recomputed in SQL: fnv32 per positional char
+    // 8-gram, min per sliding window of 4 (full windows only), distinct
+    "text_fingerprint" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lower(text) AS lc FROM documents
+         |), pos AS (
+         |  SELECT doc_id, lc, unnest(range(1, len(lc) - 6)) AS i
+         |  FROM c WHERE len(lc) >= 8
+         |), h AS (
+         |  SELECT doc_id, i, ${TextOps.fnv32Sql("substr(lc, CAST(i AS INT), 8)")} AS hv
+         |  FROM pos
+         |), m AS (
+         |  SELECT doc_id, i, hv,
+         |    count(*) OVER (PARTITION BY doc_id) AS nh,
+         |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+         |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+         |  FROM h
+         |), fp AS (
+         |  SELECT doc_id, wm AS f FROM m WHERE nh >= 4 AND i <= nh - 3
+         |  UNION
+         |  SELECT doc_id, hv AS f FROM m WHERE nh < 4
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(DISTINCT f) AS BIGINT) AS n_fp,
+         |         min(f) AS fp_min
+         |  FROM fp GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp, a.fp_min
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "dedup_exact" ->
       """SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(min(doc_id) AS BIGINT) AS keeper

@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AnnQueries
+
+/** Quality gates for the approximate similarity tier: the LSH path must
+  * stay quantitatively tied to the exact baseline (the reference tracks
+  * query error the same way, buffer_pool.rs:940-1101). CORRECTNESS proves
+  * the recall VALUE is computed right; this spec enforces the FLOOR.
+  */
+class AnnSpec extends AnyFunSuite with SparkTest {
+
+  private val sfDirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .filter(d => new java.io.File(d).isDirectory)
+
+  test("ann_lsh recall@10 vs ann_brute meets the 0.9 floor") {
+    assume(sfDirs.nonEmpty, "no testdata present")
+    for (d <- sfDirs) {
+      val row = AnnQueries.queries("ann_recall")(spark, d).collect()(0)
+      val recall = row.getAs[Double]("recall")
+      assert(recall >= 0.9, s"multi-probe LSH recall $recall < 0.9 at $d")
+    }
+  }
+}

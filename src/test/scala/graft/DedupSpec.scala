@@ -60,11 +60,30 @@ class DedupSpec extends AnyFunSuite with SparkTest {
   }
 
   test("simhash: identical docs agree, near-dups are close in hamming") {
+    // full 64-bit signature = (sig_lo, sig_hi); expected hamming between
+    // unrelated docs is ~32 of 64 bits, near-dups a handful
     val sig = TextOps.simhash(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(sig(0L) == sig(1L))
-    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def hamming(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
     assert(hamming(sig(0L), sig(2L)) <= 16)
     assert(hamming(sig(0L), sig(3L)) > 16)
+  }
+
+  test("simhashPairs equals brute-force all-pairs at hamming <= 3") {
+    val sig = TextOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def hamming(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val ids = sig.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = hamming(sig(a), sig(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val banded = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)           // band join is exhaustive, not approximate
+    assert(brute.contains((0L, 1L, 0L)))  // the planted exact dup
   }
 }

@@ -43,4 +43,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       16, 2).as[(Long, Long, Long, Seq[Long])].collect().map(r => r._1 -> r._4).toMap
     out.foreach { case (id, r) => assert(again(id) == r._4) }
   }
+
+  test("testdata documents are pure ASCII (mm oracle unicode==byte premise)") {
+    // the mm_features/mm_frames oracles fold over unicode(char); they equal
+    // the engine's UTF-8 byte folds only while every doc is single-byte
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(dir).isDirectory) {
+        val nonAscii = Tables.documents(spark, dir)
+          .filter(octet_length(col("text")) =!= length(col("text"))).count()
+        assert(nonAscii == 0L, s"non-ASCII text in $dir breaks the mm oracles")
+      }
+    }
+  }
 }
