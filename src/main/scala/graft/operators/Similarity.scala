@@ -106,6 +106,42 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates are
+    * pairs whose sign-LSH buckets differ in at most `maxFlip` bits (an
+    * equi-join — side A explodes its bucket into the <=maxFlip-flip probe
+    * set, side B keeps its raw bucket; a pair at bucket-distance d matches
+    * on exactly one mask, so no dedup pass is needed), then exact cosine
+    * confirms. Never all-pairs: the corpus shuffles once, keyed by bucket.
+    * Recall vs the brute-force ground truth is measured by
+    * `dedup_emb_recall` and floored in AnnSpec.
+    */
+  def cosinePairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nPlanes: Int = 4, dim: Int = 64,
+                     maxFlip: Int = 2): DataFrame = {
+    val planes = lcgPlanes(nPlanes, dim)
+    val b = vecs.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val a = b.select(col(idCol).as("vec_a"), col(vecCol).as("ea"),
+        explode(multiProbeBuckets(col("bucket"), nPlanes, maxFlip)).as("bucket"))
+    val bb = b.select(col(idCol).as("vec_b"), col(vecCol).as("eb"), col("bucket"))
+    a.join(bb, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Brute-force cosine pairs >= threshold (the exact ground truth the
+    * LSH path is measured against — quadratic, measurement-only).
+    */
+  def cosinePairsBrute(vecs: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("vec_a"), col(vecCol).as("ea"))
+    val bb = vecs.select(col(idCol).as("vec_b"), col(vecCol).as("eb"))
+    a.join(bb, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** M1 — 1-NN classification: each test vector takes the label of its
     * nearest train vector (squared-euclidean, tiebreak smallest id) —
     * reference knn/mod.rs:310 `classify` semantics on Spark primitives.

@@ -22,4 +22,14 @@ class AnnSpec extends AnyFunSuite with SparkTest {
       assert(recall >= 0.9, s"multi-probe LSH recall $recall < 0.9 at $d")
     }
   }
+
+  test("dedup_embedding pair capture vs brute force meets the 0.8 floor") {
+    assume(sfDirs.nonEmpty, "no testdata present")
+    for (d <- sfDirs) {
+      val row = AnnQueries.queries("dedup_emb_recall")(spark, d).collect()(0)
+      val recall = row.getAs[Double]("recall")
+      assert(row.getAs[Long]("n_brute") > 0, s"degenerate fixture at $d")
+      assert(recall >= 0.8, s"bucketed pair recall $recall < 0.8 at $d")
+    }
+  }
 }
