@@ -106,6 +106,44 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF-style approximate top-k (IVF-Flat with a deterministic sampled
+    * codebook): the corpus is partitioned into `centroids.size` Voronoi
+    * cells by cosine; each probe searches its `nProbe` nearest cells
+    * exactly. The centroid dictionary is a bounded driver-side constant
+    * (the caller samples it deterministically), so CELL ASSIGNMENT IS
+    * MAP-ONLY — an argmax over per-centroid cosine expressions, no join,
+    * no shuffle, no row amplification of the corpus; at 100 TB the cells
+    * can be written as partition keys and probing prunes the scan. Ties:
+    * highest cosine, then lowest cell id (struct-max on (cos, -cell)).
+    */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
+    def bestCell(v: Column): Column = {
+      val scored = array(centroids.map { case (i, c) =>
+        struct(cosine(v.cast("array<double>"), typedLit(c)).as("c"),
+          lit(-i).as("negCell"))
+      }: _*)
+      -array_max(scored).getField("negCell")
+    }
+    val assigned = corpus.withColumn("cell", bestCell(col("ce")))
+    // probes are the small side: rank all cells per probe, keep nProbe
+    val pc = probes.select(col("probe_id"), col("pe"),
+        explode(array(centroids.map { case (i, c) =>
+          struct(lit(i).as("cell"),
+            cosine(col("pe").cast("array<double>"), typedLit(c)).as("pcos"))
+        }: _*)).as("e"))
+      .select(col("probe_id"), col("pe"), col("e.cell").as("cell"), col("e.pcos").as("pcos"))
+    val wP = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
+    val probeCells = pc.withColumn("prnk", row_number().over(wP))
+      .filter(col("prnk") <= nProbe).select(col("probe_id"), col("pe"), col("cell"))
+    val joined = assigned.join(broadcast(probeCells), Seq("cell"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), cosine(col("pe"), col("ce")).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates are
     * pairs whose sign-LSH buckets differ in at most `maxFlip` bits (an
     * equi-join — side A explodes its bucket into the <=maxFlip-flip probe

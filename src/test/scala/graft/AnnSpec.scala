@@ -23,6 +23,15 @@ class AnnSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("ann_ivf recall@10 vs ann_brute meets the 0.85 floor") {
+    assume(sfDirs.nonEmpty, "no testdata present")
+    for (d <- sfDirs) {
+      val row = AnnQueries.queries("ann_ivf_recall")(spark, d).collect()(0)
+      val recall = row.getAs[Double]("recall")
+      assert(recall >= 0.85, s"IVF recall $recall < 0.85 at $d")
+    }
+  }
+
   test("dedup_embedding pair capture vs brute force meets the 0.8 floor") {
     assume(sfDirs.nonEmpty, "no testdata present")
     for (d <- sfDirs) {
