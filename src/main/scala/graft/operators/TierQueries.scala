@@ -26,17 +26,23 @@ object TierQueries {
     "tier_recode_plan" -> ((s, d) => Tiers.recodePlan(r(s, d), 4, 0.5)),
 
     "tier_fft_err" -> ((s, d) =>
-      Tiers.fftError(Segments.complete(r(s, d)), keep = 4)),
+      Tiers.fftError(Segments.complete(r(s, d)), keep = 4)
+        .select(col("signal_id"), col("seg"), round(col("err"), 6).as("err"))),
 
     "tier_lttb" -> ((s, d) =>
-      Tiers.lttbTier(Segments.complete(r(s, d)), npts = 6)),
+      Tiers.lttbTier(Segments.complete(r(s, d)), npts = 6)
+        .withColumn("err", round(col("err"), 6))),
 
+    // rounded to 6 digits so the exact-compare oracle is robust to the
+    // last-ulp libm/fold-order differences between JVM and DuckDB
     "seg_kernel_rbf" -> ((s, d) => {
       val segs = Segments.complete(r(s, d))
       val dict = segs.filter(col("signal_id") < 2 && col("seg") === 0)
         .orderBy(col("signal_id"))
         .collect().map(_.getSeq[Double](2).toSeq).toSeq
       SegmentMl.rbfFeatures(segs, dict, gamma = 0.001)
+        .select(col("signal_id"), col("seg"),
+          round(col("k0"), 6).as("k0"), round(col("k1"), 6).as("k1"))
     }),
 
     "seg_knn" -> ((s, d) =>
@@ -51,6 +57,8 @@ object TierQueries {
         .orderBy(col("signal_id"))
         .collect().map(_.getSeq[Double](2).toArray).toSeq
       SegmentMl.sinkFeatures(segs, dict, gamma = 1.0, keep = 4)
+        .select(col("signal_id"), col("seg"),
+          round(col("k0"), 6).as("k0"), round(col("k1"), 6).as("k1"))
     }),
 
     // array feature columns are emitted as CSV digest strings: the driver's
@@ -116,6 +124,161 @@ object TierQueries {
          |)
          |SELECT test_sig, test_seg, train_sig AS pred_sig, dist
          |FROM rk WHERE rnk = 1""".stripMargin,
+
+    // full LTTB recomputed in SQL: with n=16, npts=6 the four bucket
+    // selections are fixed index ranges, so the inherently-sequential
+    // argmax chain (each step's triangle anchors on the previous pick)
+    // unrolls into four chained CTEs; list_position(areas, list_max)
+    // reproduces the strict ">" first-max tie-break. Reconstruction error
+    // is exact at 6-digit rounding.
+    "tier_lttb" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+         |), s1 AS (
+         |  SELECT *, [abs((0 - 5.5)*(vals[j+1]-vals[1]) - (0 - j)*((vals[5]+vals[6]+vals[7]+vals[8])/4.0 - vals[1]))*0.5 for j in [1,2,3]] AS a1
+         |  FROM f
+         |), s1b AS (
+         |  SELECT signal_id, seg, vals, [1,2,3][list_position(a1, list_max(a1))] AS b1 FROM s1
+         |), s2 AS (
+         |  SELECT *, [abs((b1 - 9.0)*(vals[j+1]-vals[b1+1]) - (b1 - j)*((vals[9]+vals[10]+vals[11])/3.0 - vals[b1+1]))*0.5 for j in [4,5,6,7]] AS a2
+         |  FROM s1b
+         |), s2b AS (
+         |  SELECT signal_id, seg, vals, b1, [4,5,6,7][list_position(a2, list_max(a2))] AS b2 FROM s2
+         |), s3 AS (
+         |  SELECT *, [abs((b2 - 12.5)*(vals[j+1]-vals[b2+1]) - (b2 - j)*((vals[12]+vals[13]+vals[14]+vals[15])/4.0 - vals[b2+1]))*0.5 for j in [8,9,10]] AS a3
+         |  FROM s2b
+         |), s3b AS (
+         |  SELECT signal_id, seg, vals, b1, b2, [8,9,10][list_position(a3, list_max(a3))] AS b3 FROM s3
+         |), s4 AS (
+         |  SELECT *, [abs((b3 - 15.0)*(vals[j+1]-vals[b3+1]) - (b3 - j)*(vals[16] - vals[b3+1]))*0.5 for j in [11,12,13,14]] AS a4
+         |  FROM s3b
+         |), s4b AS (
+         |  SELECT signal_id, seg, vals, b1, b2, b3, [11,12,13,14][list_position(a4, list_max(a4))] AS b4 FROM s4
+         |), kp AS (
+         |  SELECT signal_id, seg, vals, [0, b1, b2, b3, b4, 15] AS kps FROM s4b
+         |), spans AS (
+         |  SELECT signal_id, seg, vals, kps[p] AS i0, kps[p+1] AS i1
+         |  FROM kp, range(1, 6) t(p)
+         |), pts AS (
+         |  SELECT signal_id, seg,
+         |    abs(vals[m+1] - (vals[i0+1] + (vals[i1+1]-vals[i0+1])*(m-i0)/(i1-i0))) AS ae
+         |  FROM spans, range(0, 16) t(m)
+         |  WHERE m >= i0 AND m <= i1
+         |)
+         |SELECT p.signal_id, p.seg, CAST(6 AS BIGINT) AS n_pts,
+         |  f.vals[1] AS first_v, f.vals[16] AS last_v, round(max(p.ae), 6) AS err
+         |FROM pts p JOIN f USING (signal_id, seg)
+         |GROUP BY 1, 2, 4, 5""".stripMargin,
+
+    // FFT low-pass reconstruction error recomputed without an FFT: keep=4
+    // leaves 7 live coefficients of the 16-pt transform (k<4, k>12), so
+    // spectrum + inverse are direct DFT sums; exact at 6-digit rounding
+    "tier_fft_err" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+         |), ks AS (SELECT unnest([0,1,2,3,13,14,15]) AS k),
+         |sx AS (
+         |  SELECT f.signal_id, f.seg, ks.k,
+         |    list_sum([f.vals[m]*cos(2*pi()*(m-1)*ks.k/16.0) for m in range(1,17)]) AS xr,
+         |    -list_sum([f.vals[m]*sin(2*pi()*(m-1)*ks.k/16.0) for m in range(1,17)]) AS xi
+         |  FROM f, ks
+         |), rec AS (
+         |  SELECT sx.signal_id, sx.seg, t.m,
+         |    sum(sx.xr*cos(2*pi()*t.m*sx.k/16.0) - sx.xi*sin(2*pi()*t.m*sx.k/16.0)) / 16.0 AS rv
+         |  FROM sx, range(0,16) t(m)
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT f.signal_id, f.seg, round(max(abs(f.vals[rec.m+1] - rec.rv)), 6) AS err
+         |FROM f JOIN rec USING (signal_id, seg)
+         |GROUP BY 1, 2""".stripMargin,
+
+    // RBF kernel vs the 2-segment dictionary, recomputed with the same
+    // element-order squared-distance fold; exact at 6-digit rounding
+    "seg_kernel_rbf" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+         |), d0 AS (SELECT vals AS dv FROM f WHERE signal_id = 0 AND seg = 0),
+         |   d1 AS (SELECT vals AS dv FROM f WHERE signal_id = 1 AND seg = 0)
+         |SELECT f.signal_id, f.seg,
+         |  round(exp(-0.001 * list_sum([(f.vals[i]-d0.dv[i])*(f.vals[i]-d0.dv[i]) for i in range(1,17)])), 6) AS k0,
+         |  round(exp(-0.001 * list_sum([(f.vals[i]-d1.dv[i])*(f.vals[i]-d1.dv[i]) for i in range(1,17)])), 6) AS k1
+         |FROM f, d0, d1""".stripMargin,
+
+    // SINK kernel recomputed WITHOUT an FFT: with keep=4 the truncated
+    // spectrum has only 8 live coefficients (k<4 and k>=28 of the 32-pt
+    // transform), so each spectrum / inverse-transform is a direct 8-term
+    // DFT sum — O(n*keep) relational math that matches the Breeze FFT
+    // bitwise at 6-digit rounding (kernel semantics: reference
+    // kernel.rs:326 sinkcompressed / :353 nccc_compressed)
+    "seg_kernel_sink" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+         |), d AS (
+         |  SELECT signal_id AS di, vals AS dv FROM f WHERE signal_id IN (0, 1) AND seg = 0
+         |), ks AS (SELECT unnest([0,1,2,3,28,29,30,31]) AS k),
+         |js AS (SELECT unnest(list_concat(range(0,16), range(17,32))) AS j),
+         |sx AS (
+         |  SELECT f.signal_id, f.seg, ks.k,
+         |    list_sum([f.vals[m]*cos(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS xr,
+         |    -list_sum([f.vals[m]*sin(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS xi
+         |  FROM f, ks
+         |), sd AS (
+         |  SELECT d.di, ks.k,
+         |    list_sum([d.dv[m]*cos(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS dr,
+         |    -list_sum([d.dv[m]*sin(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS dmi
+         |  FROM d, ks
+         |), nx AS (
+         |  SELECT signal_id, seg, sqrt(list_sum([v*v for v in vals])) AS nrm FROM f
+         |), nd AS (
+         |  SELECT di, sqrt(list_sum([v*v for v in dv])) AS nrm FROM d
+         |), ccxd AS (
+         |  SELECT sx.signal_id, sx.seg, sd.di, js.j,
+         |    sum((sx.xr*sd.dr + sx.xi*sd.dmi) * cos(2*pi()*js.j*sx.k/32.0)
+         |      - (sx.xi*sd.dr - sx.xr*sd.dmi) * sin(2*pi()*js.j*sx.k/32.0)) / 32.0 AS cc
+         |  FROM sx JOIN sd ON sx.k = sd.k, js
+         |  GROUP BY 1, 2, 3, 4
+         |), sumxd AS (
+         |  SELECT c.signal_id, c.seg, c.di, sum(exp(c.cc / (nx.nrm * nd.nrm))) AS se
+         |  FROM ccxd c JOIN nx USING (signal_id, seg) JOIN nd ON c.di = nd.di
+         |  GROUP BY 1, 2, 3
+         |), ccxx AS (
+         |  SELECT sx.signal_id, sx.seg, js.j,
+         |    sum((sx.xr*sx.xr + sx.xi*sx.xi) * cos(2*pi()*js.j*sx.k/32.0)) / 32.0 AS cc
+         |  FROM sx, js GROUP BY 1, 2, 3
+         |), sumxx AS (
+         |  SELECT c.signal_id, c.seg, sum(exp(c.cc / (nx.nrm * nx.nrm))) AS se
+         |  FROM ccxx c JOIN nx USING (signal_id, seg) GROUP BY 1, 2
+         |), ccdd AS (
+         |  SELECT sd.di, js.j,
+         |    sum((sd.dr*sd.dr + sd.dmi*sd.dmi) * cos(2*pi()*js.j*sd.k/32.0)) / 32.0 AS cc
+         |  FROM sd, js GROUP BY 1, 2
+         |), sumdd AS (
+         |  SELECT c.di, sum(exp(c.cc / (nd.nrm * nd.nrm))) AS se
+         |  FROM ccdd c JOIN nd USING (di) GROUP BY 1
+         |), sink AS (
+         |  SELECT x.signal_id, x.seg, x.di, x.se / sqrt(xx.se * dd.se) AS s
+         |  FROM sumxd x JOIN sumxx xx USING (signal_id, seg) JOIN sumdd dd ON x.di = dd.di
+         |)
+         |SELECT signal_id, seg,
+         |  round(max(CASE WHEN di = 0 THEN s END), 6) AS k0,
+         |  round(max(CASE WHEN di = 1 THEN s END), 6) AS k1
+         |FROM sink GROUP BY 1, 2""".stripMargin,
 
     // payload bytes are the UTF-8 encoding of `text`; the testdata corpus is
     // pure ASCII (asserted in MultimodalSpec), so unicode(char) == byte and
