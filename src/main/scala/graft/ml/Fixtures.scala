@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** M4 — deterministic outlier / selectivity fixture generators, the Spark
@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object Fixtures {
 
+  private val M32 = 4294967296L // 2^32
+
+  /** 32-bit xorshift-multiply mixer (murmur-finalizer style) over a
+    * non-negative salted row id. Every intermediate stays inside the
+    * non-negative 63-bit range, so the SAME arithmetic runs under ANSI
+    * Spark and in DuckDB BIGINT — making hash-derived fixtures
+    * oracle-checkable (unlike xxhash64, which is engine-specific).
+    */
+  // multiplier constants must stay below 2^31 so (2^32-1) * m fits in a
+  // signed 64-bit long (ANSI Spark errors on overflow; DuckDB too)
+  def mix32(id: Column, salt: Long): Column = {
+    val a = pmod(pmod(id, lit(M32)) * lit(1540483477L) + lit(salt), lit(M32))
+    val b = pmod(a.bitwiseXOR(shiftright(a, 16)) * lit(668265261L), lit(M32))
+    val c = pmod(b.bitwiseXOR(shiftright(b, 13)) * lit(1540483477L), lit(M32))
+    c.bitwiseXOR(shiftright(c, 16))
+  }
+
+  /** The DuckDB expression computing [[mix32]] of BIGINT expression `t`. */
+  def mix32Sql(t: String, salt: Long): String = {
+    val a = s"((($t) % $M32) * 1540483477 + $salt) % $M32"
+    val b = s"(xor($a, ($a) >> 16) * 668265261) % $M32"
+    val c = s"(xor($b, ($b) >> 13) * 1540483477) % $M32"
+    s"xor($c, ($c) >> 16)"
+  }
+
   /** n values in a majority band, with `outlierRatio` of rows pushed far
     * outside it. Deterministic per row id.
     */
@@ -20,8 +45,8 @@ object Fixtures {
                     majorityLo: Double = 0.0, majorityHi: Double = 1.0,
                     outlierScale: Double = 1000.0): DataFrame = {
     val ids = spark.range(n)
-    val u = (abs(xxhash64(col("id"), lit("u"))) % 1000000L).cast("double") / 1000000.0
-    val isOut = (abs(xxhash64(col("id"), lit("o"))) % 1000000L).cast("double") / 1000000.0 < outlierRatio
+    val u = (mix32(col("id"), 1L) % 1000000L).cast("double") / 1000000.0
+    val isOut = (mix32(col("id"), 2L) % 1000000L).cast("double") / 1000000.0 < outlierRatio
     ids.select(col("id").as("row_id"),
       when(isOut, lit(majorityHi) + u * outlierScale)
         .otherwise(lit(majorityLo) + u * (majorityHi - majorityLo)).as("value"),
@@ -33,7 +58,7 @@ object Fixtures {
     */
   def candidateIds(spark: SparkSession, n: Long, selectivity: Double): DataFrame =
     spark.range(n)
-      .where((abs(xxhash64(col("id"), lit("sel"))) % 1000000L).cast("double") / 1000000.0
+      .where((mix32(col("id"), 3L) % 1000000L).cast("double") / 1000000.0
         < selectivity)
       .select(col("id").as("row_id"))
 }

@@ -28,12 +28,15 @@ object MlQueries {
         Classifiers.featuresFrame(Tables.embeddings(s, d), "embedding", "label"),
         k = 10)),
 
-    // M4: deterministic outlier fixture — output its summary stats
+    // M4: deterministic outlier fixture — output its summary stats plus a
+    // full-column checksum (sum of the quantized uniform draws) so the
+    // oracle pins every row's hash value, not just the extremes
     "ml_outlier_fixture" -> ((s, _) =>
       Fixtures.outlierColumn(s, 10000L, 0.1)
         .agg(count(lit(1)).as("n"),
           sum(col("is_outlier").cast("long")).as("n_outliers"),
-          max(col("value")).as("vmax"))),
+          max(col("value")).as("vmax"),
+          sum(Fixtures.mix32(col("row_id"), 1L) % 1000000L).as("sum_u"))),
 
     // M5: per-codec compression-ratio estimates over the readings sample
     "ml_cr_predict" -> ((s, d) =>
@@ -41,5 +44,23 @@ object MlQueries {
         scale = Readings.Scale))
   )
 
-  val oracles: Map[String, String] = Map.empty
+  // the outlier fixture's mixer is plain 63-bit-safe integer arithmetic
+  // (Fixtures.mix32), so DuckDB can regenerate the whole fixture and check
+  // count, outlier count, max value and the full-column hash checksum
+  val oracles: Map[String, String] = Map(
+    "ml_outlier_fixture" ->
+      s"""WITH ids AS (SELECT range AS id FROM range(0, 10000)),
+         |h AS (
+         |  SELECT id, ${Fixtures.mix32Sql("id", 1L)} % 1000000 AS hu,
+         |         ${Fixtures.mix32Sql("id", 2L)} % 1000000 AS ho
+         |  FROM ids
+         |), v AS (
+         |  SELECT hu, hu / 1000000.0 AS u, ho / 1000000.0 < 0.1 AS is_out FROM h
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(is_out::BIGINT) AS BIGINT) AS n_outliers,
+         |  max(CASE WHEN is_out THEN 1.0 + u * 1000.0 ELSE 0.0 + u * 1.0 END) AS vmax,
+         |  CAST(sum(hu) AS BIGINT) AS sum_u
+         |FROM v""".stripMargin
+  )
 }
