@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
+  * prints ONE machine-readable JSON line on stdout.
+  *
+  * - Each query runs SPARK_GRAFT_REPS times (default 3); the reported
+  *   per-query number is the MEDIAN, so one-off JIT/GC hiccups don't
+  *   pollute the headline (the reference harness also runs repetitions,
+  *   database/script/end2end.sh).
+  * - `*_tier` variants read the PERSISTED ingest tier (seq_no/value_q
+  *   landed once, untimed): the per-query cost excludes the seq_no
+  *   derivation shuffle that ingest pays once at scale, and scans get
+  *   parquet filter pushdown end-to-end.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,16 +32,45 @@ object Bench {
       SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     } catch { case _: Throwable => () }
-    // deterministic run order; failures are reported per-query and
-    // excluded from the headline total instead of polluting it
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val outcome =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.getClass.getSimpleName + ": " + e.getMessage) }
-      val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $secs%8.2fs ${outcome.getOrElse("")}")
-      (name, secs, outcome)
+    // untimed ingest: land tier0 once; the *_tier variants below then
+    // measure the read path the architecture actually ships at 100 TB
+    val tier0: Option[String] =
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-tier").toString
+        val tm = new graft.operators.TierManager(spark, dir)
+        tm.landTier0(graft.operators.Readings.of(spark, sfDir))
+        Some(tm.tier0)
+      } catch { case _: Throwable => None }
+
+    val base: Seq[(String, () => Unit)] = SparkEntry.queries.toSeq
+      .map { case (n, fn) => (n, () => { fn(spark, sfDir).count(); () }) }
+    val tierVariants: Seq[(String, () => Unit)] = tier0.toSeq.flatMap { t =>
+      Seq(
+        ("o6_window_pos_tier", () => {
+          graft.operators.TsQuery.windowMaxPositional(
+            spark.read.parquet(t), 0L, Long.MaxValue, 16L).count(); ()
+        }),
+        ("o3_range_tier", () => {
+          spark.read.parquet(t).filter(col("value") > 150.0)
+            .select(col("signal_id"), col("seq_no")).count(); ()
+        }))
+    }
+
+    val results = (base ++ tierVariants).sortBy(_._1).map { case (name, run) =>
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val outcome =
+          try { run(); None }
+          catch { case e: Throwable => Some(e.getClass.getSimpleName + ": " + e.getMessage) }
+        ((System.nanoTime() - t0) / 1e9, outcome)
+      }
+      val okTimes = runs.collect { case (s, None) => s }.sorted
+      val err = runs.collectFirst { case (_, Some(e)) => e }
+        .filter(_ => okTimes.isEmpty)
+      val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
+      System.err.println(f"[bench] $name%-22s $median%8.2fs " +
+        f"(${okTimes.size}/$reps ok) ${err.getOrElse("")}")
+      (name, median, err)
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -41,7 +85,7 @@ object Bench {
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
     val nerr = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nerr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nerr,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
