@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.classification.{DecisionTreeClassifier, LinearSVC, NaiveBayes, RandomForestClassifier}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
-import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,12 +17,10 @@ import org.apache.spark.sql.functions._
 object Classifiers {
 
   /** array<float|double> column + long label -> ml features frame. */
-  def featuresFrame(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+  def featuresFrame(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
     df.select(
-      toVec(col(vecCol).cast("array<double>")).as("features"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"),
       col(labelCol).cast("double").as("label"))
-  }
 
   /** Train the classifier suite on `train`, return (model, accuracy) rows
     * evaluated on `test`. Binary-only models (SVC) are skipped when the
@@ -49,10 +47,9 @@ object Classifiers {
     rows.toDF("model", "accuracy")
   }
 
-  private def minFeature(df: DataFrame): Double = {
-    val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray.min)
-    df.select(min(toArr(col("features")))).collect()(0).getDouble(0)
-  }
+  private def minFeature(df: DataFrame): Double =
+    df.select(min(array_min(vector_to_array(col("features")))))
+      .collect()(0).getDouble(0)
 
   /** KMeans clustering with purity against known labels (the reference's
     * recoding-fidelity style metric: label agreement after lossy steps).

@@ -139,11 +139,9 @@ object AnnQueries {
 
     "emb_kmeans" -> ((s, d) => {
       import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.linalg.Vectors
-      val toVec = udf((a: Seq[Float]) =>
-        Vectors.dense(a.map(_.toDouble).toArray))
+      import org.apache.spark.ml.functions.array_to_vector
       val feat = emb(s, d).select(col("vec_id"), col("label"),
-        toVec(col("embedding")).as("features"))
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
       val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat)
       model.transform(feat)
         .groupBy(col("prediction").cast("long").as("cluster"))
