@@ -28,8 +28,11 @@ object CrPredictor {
         Quantize.quantize(col("value"), scale).as("q"))
       .cache()
 
-    val n = s.count().toDouble.max(1.0)
-    val distinct = s.select(countDistinct(col("q"))).collect()(0).getLong(0).toDouble
+    // one job for both sample stats (count + cardinality)
+    val statsRow = s.agg(count(lit(1)).as("n"),
+      countDistinct(col("q")).as("nd")).collect()(0)
+    val n = statsRow.getLong(0).toDouble.max(1.0)
+    val distinct = statsRow.getLong(1).toDouble
     // dictionary: key width ~ log2(cardinality) bits per value
     val dictBits = math.max(1.0, math.ceil(math.log(distinct.max(2.0)) / math.log(2.0)))
 
