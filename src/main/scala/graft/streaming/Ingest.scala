@@ -87,6 +87,21 @@ object Ingest {
       .select(unix_timestamp(col("window.start")).as("wstart"),
         col("wmax"), col("cnt"))
 
+  /** Streaming exact deduplication of a document stream — the streaming
+    * flavor of Dedup.exact (first occurrence of each content hash wins).
+    * `dropDuplicatesWithinWatermark` bounds the dedup state by event
+    * time: a hash's state is dropped once the watermark passes it, the
+    * only state shape that survives an unbounded 100 TB/day stream
+    * (global dropDuplicates state would grow forever). Exactness is
+    * therefore scoped to the watermark horizon — duplicates farther
+    * apart than `watermark` need the batch operator (a nightly
+    * Dedup.exact pass over the landed tier).
+    */
+  def dedupStream(docs: DataFrame, watermark: String): DataFrame =
+    docs.withColumn("content_hash", xxhash64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   case class SegState(nextSeg: Long, buf: List[Double])
   case class SegOut(signal_id: Long, seg: Long, values: Seq[Double])
   case class InRow(signal_id: Long, tsMicros: Long, event_id: Long, value: Double)

@@ -105,4 +105,39 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(streamed == batch)
   }
+
+  test("streaming dedup: first occurrence wins, state bounded by watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = Ingest.dedupStream(docs, "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    // batch 1: a, b, dup-of-a (same text); batch 2: dup-of-b within the
+    // watermark horizon plus a genuinely new doc c
+    mem.addData((1L, ts(0), "alpha"), (2L, ts(1), "beta"), (3L, ts(2), "alpha"))
+    q.processAllAvailable()
+    mem.addData((4L, ts(3), "beta"), (5L, ts(4), "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_stream").select(col("doc_id"))
+      .as[Long].collect().toSet
+    // exactly one survivor per distinct text; within a micro-batch the
+    // first-arriving row wins, and batch-2 duplicates of batch-1 state drop
+    assert(kept.size == 3, s"expected 3 survivors, got $kept")
+    assert(kept.contains(5L) && !kept.contains(4L) && !kept.contains(3L))
+    assert(kept.intersect(Set(1L, 2L)).size == 2)
+    // parity with the batch operator on the same rows
+    val batchDocs = Seq((1L, ts(0), "alpha"), (2L, ts(1), "beta"),
+      (3L, ts(2), "alpha"), (4L, ts(3), "beta"), (5L, ts(4), "gamma"))
+      .toDF("doc_id", "ts", "text")
+    val batchKept = batchDocs.withColumn("content_hash", xxhash64(col("text")))
+      .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == batchKept)
+  }
 }
