@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static plan audit — the 100 TB invariants, asserted on the physical
+  * plans of the registered queries rather than read off by hand. A plan
+  * regression (a lost broadcast, an accidental cross product, a filter
+  * that stopped pushing) fails CI here long before it costs hours on a
+  * cluster. Plans are audited post-EnsureRequirements (executedPlan),
+  * descending through the AQE wrapper.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTest
+    with AdaptiveSparkPlanHelper {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  // every non-ML query whose construction does not itself run jobs;
+  // ML fits and dictionary-collecting kernels are excluded because
+  // building their DataFrame already executes Spark jobs
+  private val auditable = Seq(
+    "o1_scan", "o2_project_ids", "o2b_project_idlist", "o3_range",
+    "o3b_range_cond", "o4_equal", "o5_agg_all", "o5_argmax", "o5_percentile",
+    "o6_window_pos", "o6_window_time", "o6_window_argmax", "o8_zonemap",
+    "o8_zonemap_max", "influx_max", "influx_max_groupby", "tsbs_last_loc",
+    "tsbs_low_fuel", "tsbs_high_load", "ts_session", "ts_resample_ffill",
+    "asof_segment", "asof_native", "range_bands", "e1_quantize", "e2_approx",
+    "q1_agg", "q3_join", "q6_filter_agg", "bonus_topk", "bonus_distinct",
+    "bonus_setops", "bonus_rollup", "dedup_exact", "dedup_minhash",
+    "dedup_ngram", "dedup_simhash", "simhash_pairs", "dedup_embedding",
+    "text_stats", "text_quality", "text_lang_id", "text_token_count",
+    "text_clean", "text_fingerprint", "emb_norm", "ann_lsh",
+    "tier_paa_max", "tier_rrd", "tier_recode_plan", "tier_lttb",
+    "tier_lttb_summary", "mm_meta", "mm_features", "mm_frames")
+  // excluded on purpose: ann_recall / ann_ivf_recall / dedup_emb_recall
+  // embed the brute-force exact baseline (a bounded broadcast
+  // nested-loop probe set by design), and ml_* / *_kmeans / seg_kernel_*
+  // run jobs (fits, dictionary collects) at DataFrame-construction time
+
+  test("no query plans a cartesian product or an unbounded nested-loop join") {
+    for (name <- auditable) {
+      val p = plan(name)
+      assert(collect(p) { case c: CartesianProductExec => c }.isEmpty,
+        s"$name plans a CartesianProduct")
+      // the exact-baseline probes (ann_brute, seg_knn, emb_knn_1nn)
+      // broadcast a BOUNDED side by design and are not in this list;
+      // everything else must join by hash on a key
+      assert(collect(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("dimension joins broadcast the small side") {
+    for (name <- Seq("q3_join", "tsbs_last_loc", "tsbs_high_load")) {
+      val b = collect(plan(name)) { case j: BroadcastHashJoinExec => j }
+      assert(b.nonEmpty, s"$name lost its broadcast join")
+    }
+  }
+
+  test("aggregations are map-side partial (two HashAggregate phases)") {
+    for (name <- Seq("q1_agg", "o5_agg_all", "influx_max_groupby", "dedup_exact")) {
+      val aggs = collect(plan(name)) { case a: HashAggregateExec => a }
+      assert(aggs.size >= 2, s"$name is not partial-aggregated: ${aggs.size} phases")
+    }
+  }
+
+  test("LSH dedup shuffles only on keys, never funnels the corpus") {
+    // every exchange must be hash-partitioned (keyed); a RoundRobin or
+    // single-partition exchange in the pair-generation path would mean
+    // the corpus is being funneled, not bucketed
+    for (name <- Seq("dedup_minhash", "dedup_ngram", "simhash_pairs", "ann_lsh")) {
+      val exs = collect(plan(name)) { case e: ShuffleExchangeExec => e }
+      assert(exs.nonEmpty, s"$name: expected keyed shuffles")
+      exs.foreach { e =>
+        val part = e.outputPartitioning.getClass.getSimpleName
+        assert(part.contains("HashPartitioning"),
+          s"$name shuffles with $part instead of hash partitioning")
+      }
+    }
+  }
+
+  test("whole-stage codegen covers the scan->filter->project hot path") {
+    // under AQE, CollapseCodegenStages runs per query stage at execution
+    // time — run the query, then audit the FINAL adaptive plan
+    for (name <- Seq("o3_range", "text_quality", "e1_quantize")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // executes THIS plan (count() would build a new one)
+      val spans = collect(df.queryExecution.executedPlan) {
+        case w: WholeStageCodegenExec => w
+      }
+      assert(spans.nonEmpty, s"$name has no codegen span")
+    }
+  }
+}
