@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{TsQueries, OlapQueries, TextQueries, AnnQueries, TierQueries}
+import graft.operators.{TsQueries, OlapQueries, TextQueries, AnnQueries, TierQueries, PipelineQueries}
 import graft.ml.MlQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,10 +14,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TsQueries.queries ++ OlapQueries.queries ++ TextQueries.queries ++ AnnQueries.queries ++ TierQueries.queries ++ MlQueries.queries
+    TsQueries.queries ++ OlapQueries.queries ++ TextQueries.queries ++ AnnQueries.queries ++ TierQueries.queries ++ MlQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TsQueries.oracles ++ OlapQueries.oracles ++ TextQueries.oracles ++ AnnQueries.oracles ++ TierQueries.oracles ++ MlQueries.oracles
+    TsQueries.oracles ++ OlapQueries.oracles ++ TextQueries.oracles ++ AnnQueries.oracles ++ TierQueries.oracles ++ MlQueries.oracles ++ PipelineQueries.oracles
 }

@@ -74,7 +74,28 @@ object OlapQueries {
       Tables.documents(s, d)
         .rollup(col("lang"), col("source"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("n_chars")).cast("long").as("chars")))
+          sum(col("n_chars")).cast("long").as("chars"))),
+
+    // sketch aggregates — the 100 TB answer for distinct counts and
+    // quantiles (HLL++ / quantile summaries: mergeable, bounded-memory,
+    // one pass, no global sort). Sketch internals are engine-specific, so
+    // the query emits the exact values plus booleans asserting the sketch
+    // landed within its documented error; the oracle recomputes the exact
+    // values and expects both flags true — the accuracy contract itself is
+    // what gets hash-checked
+    "bonus_approx" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.agg(
+          countDistinct(col("l_orderkey")).cast("long").as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ap"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50e"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50a"))
+        .select(col("n_exact"),
+          (abs(col("ap") - col("n_exact")).cast("double") <=
+            col("n_exact").cast("double") * 0.05).as("cd_ok"),
+          round(col("p50e"), 4).as("p50"),
+          (abs(col("p50a") - col("p50e")) <= col("p50e") * 0.05).as("p50_ok"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,6 +133,13 @@ object OlapQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    "bonus_approx" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+        |  true AS cd_ok,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  true AS p50_ok
+        |FROM lineitem""".stripMargin,
 
     "q3_join" ->
       """SELECT l.l_orderkey,

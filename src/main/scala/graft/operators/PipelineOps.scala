@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.ml.Fixtures
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw documents and the trainer: deterministic splits, token-budget
+  * sequence packing, per-group quota sampling, and the composed
+  * clean→filter→dedup pass. Every derivation is hash- or window-based with
+  * no RNG state, so results are identical across cluster sizes and re-runs,
+  * and each operator is exactly recomputable by the DuckDB oracle.
+  */
+object PipelineOps {
+
+  /** Deterministic train/val/test assignment: mix32(doc_id) % 100 →
+    * 80/10/10. Map-only (no shuffle, no state) — the assignment of a doc
+    * never depends on any other doc, so it scales trivially and stays
+    * stable when the corpus grows (the property reservoir sampling lacks).
+    */
+  def sampleSplit(docs: DataFrame, salt: Long = 7L): DataFrame = {
+    val h = Fixtures.mix32(col("doc_id"), salt) % 100L
+    docs.select(col("doc_id"), col("lang"),
+      when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+  }
+
+  /** Token-budget sequence packing: per (lang, shard) stream, documents are
+    * concatenated in doc_id order and a document joins the pack where its
+    * FIRST token lands (floor(start_tok / budget)). The shard key bounds
+    * window-partition size — packing is per-stream and embarrassingly
+    * parallel, so a 100 TB corpus packs as width-many independent running
+    * sums instead of one global one. Output: one row per pack.
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Long, shards: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      TextOps.wsTokenCount(col("text")).as("toks"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("start_tok", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("pack_id",
+        floor(col("start_tok") / lit(budgetTokens.toDouble)).cast("long"))
+      .groupBy(col("lang"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("pack_toks"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  /** Per-group quota sampling: the `perGroup` highest-token documents per
+    * language (ties broken by doc_id). row_number over a keyed window —
+    * Spark's WindowGroupLimit pushes the rank filter below the sort at
+    * scale, so each group materializes only its top N.
+    */
+  def quotaSample(docs: DataFrame, perGroup: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      TextOps.wsTokenCount(col("text")).as("toks"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("toks").desc, col("doc_id"))
+    t.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perGroup)
+  }
+
+  /** The composed curation pass: normalize text (lowercase, strip
+    * punctuation, collapse whitespace), keep only exact-dedup keepers
+    * (min doc_id per sha256 group — one keyed shuffle), and gate on token
+    * count. This is the end-to-end shape: each stage is a narrow
+    * projection or a single keyed exchange, so the whole pass is one scan
+    * + one shuffle at any corpus size.
+    */
+  def curate(docs: DataFrame, minTokens: Long, maxTokens: Long): DataFrame = {
+    val cleaned = docs.select(col("doc_id"), col("lang"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        lit("[.,!?;:]"), lit("")), lit("\\s+"), lit(" "))).as("cleaned"),
+      TextOps.wsTokenCount(col("text")).as("toks"),
+      sha2(col("text"), 256).as("h"))
+    cleaned
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("keeper") &&
+        col("toks").between(minTokens, maxTokens))
+      .select(col("doc_id"), col("lang"), col("toks"), col("cleaned"))
+  }
+}

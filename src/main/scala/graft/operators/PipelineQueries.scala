@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.ml.Fixtures
+
+/** Driver-facing registrations for the corpus-curation pipeline operators
+  * (PipelineOps). All four are deterministic and fully SQL-expressible, so
+  * each carries an exact DuckDB oracle.
+  */
+object PipelineQueries {
+
+  private val PackBudget = 512L
+  private val PackShards = 8
+  private val QuotaPerLang = 25
+  private val MinToks = 5L
+  private val MaxToks = 1000L
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_split" -> ((s, d) => PipelineOps.sampleSplit(docs(s, d))),
+
+    "pipe_pack" -> ((s, d) =>
+      PipelineOps.packSequences(docs(s, d), PackBudget, PackShards)),
+
+    "pipe_quota" -> ((s, d) => PipelineOps.quotaSample(docs(s, d), QuotaPerLang)),
+
+    "pipe_curate" -> ((s, d) => PipelineOps.curate(docs(s, d), MinToks, MaxToks))
+  )
+
+  private val ToksSql = raw"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "pipe_split" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ${Fixtures.mix32Sql("doc_id", 7L)} % 100 AS hv
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang,
+         |  CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h""".stripMargin,
+
+    "pipe_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $ToksSql AS toks,
+         |         CAST(doc_id % $PackShards AS BIGINT) AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT *, sum(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |                            ROWS UNBOUNDED PRECEDING) - toks AS start_tok
+         |  FROM t
+         |)
+         |SELECT lang, shard,
+         |  CAST(floor(start_tok / $PackBudget.0) AS BIGINT) AS pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS pack_toks,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    "pipe_quota" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $ToksSql AS toks FROM documents
+         |), r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY lang ORDER BY toks DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, toks, rnk FROM r WHERE rnk <= $QuotaPerLang""".stripMargin,
+
+    "pipe_curate" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS cleaned,
+         |    $ToksSql AS toks,
+         |    sha256(text) AS h
+         |  FROM documents
+         |), k AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper FROM c
+         |)
+         |SELECT doc_id, lang, toks, cleaned FROM k
+         |WHERE doc_id = keeper AND toks BETWEEN $MinToks AND $MaxToks""".stripMargin
+  )
+}

@@ -102,6 +102,27 @@ object TsQueries {
           col("value"))
     }),
 
+    // first difference per signal (rate-of-change stream): keyed window,
+    // one shuffle on signal_id; the first row of each signal has no
+    // predecessor and is dropped
+    "ts_delta" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("signal_id")).orderBy(col("seq_no"))
+      r(s, d).select(col("signal_id"), col("seq_no"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .filter(col("delta").isNotNull)
+    }),
+
+    // trailing moving average over the last 4 readings (rows frame, keyed
+    // window); rounded to 6dp to absorb summation-order ulp differences
+    "ts_moving_avg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("signal_id")).orderBy(col("seq_no"))
+        .rowsBetween(-3, 0)
+      r(s, d).select(col("signal_id"), col("seq_no"),
+        round(avg(col("value")).over(w), 6).as("mavg"))
+    }),
+
     "influx_max" -> ((s, d) => r(s, d).agg(max(col("value")).as("vmax"))),
 
     "influx_max_groupby" -> ((s, d) =>
@@ -232,6 +253,17 @@ object TsQueries {
          | AND CAST(floor((r.seq_no - 1) / 16.0) AS BIGINT) = w.win
          | AND r.value = w.wmax
          |GROUP BY w.signal_id, w.win, w.wmax, w.cnt""".stripMargin,
+
+    "ts_delta" ->
+      s"""$OracleCte SELECT signal_id, seq_no,
+         |  value - lag(value) OVER (PARTITION BY signal_id ORDER BY seq_no) AS delta
+         |FROM r QUALIFY delta IS NOT NULL""".stripMargin,
+
+    "ts_moving_avg" ->
+      s"""$OracleCte SELECT signal_id, seq_no,
+         |  round(avg(value) OVER (PARTITION BY signal_id ORDER BY seq_no
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+         |FROM r""".stripMargin,
 
     "influx_max" ->
       s"$OracleCte SELECT max(value) AS vmax FROM r",

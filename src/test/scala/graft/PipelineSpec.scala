@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.PipelineOps
+
+/** Corpus-curation pipeline operators on a planted fixture: packing
+  * conserves tokens and respects stream order, splits are deterministic
+  * and complete, quota keeps exactly N per group, curate drops dups and
+  * out-of-gate docs.
+  */
+class PipelineSpec extends AnyFunSuite with SparkTest {
+
+  // 40 docs in 2 langs; doc i has i%7+1 tokens; doc 20 duplicates doc 0's
+  // text; doc 30 is a single token (below the curate gate)
+  private lazy val docs = {
+    import spark.implicits._
+    (0 until 40).map { i =>
+      val text =
+        if (i == 20) (0 until 1).map(_ => "tok0 word extra pad five").mkString(" ")
+        else if (i == 0) "tok0 word extra pad five"
+        else if (i == 30) "solo"
+        else (0 to i % 7).map(j => s"w$i$j").mkString(" ")
+      (i.toLong, text, if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+  }
+
+  test("sampleSplit is deterministic, complete, and roughly 80/10/10") {
+    val a = PipelineOps.sampleSplit(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = PipelineOps.sampleSplit(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)                       // no RNG state
+    assert(a.size == 40)                 // every doc assigned
+    val train = a.values.count(_ == "train")
+    assert(train >= 24 && train <= 40)   // 80% in expectation on 40 docs
+  }
+
+  test("packSequences conserves tokens, packs in doc order, bounds starts") {
+    val budget = 10L
+    val packs = PipelineOps.packSequences(docs, budget, shards = 2).collect()
+    val totalToks = packs.map(_.getAs[Long]("pack_toks")).sum
+    val expected = docs.select(
+      graft.functions.TextOps.wsTokenCount(col("text")).as("t"))
+      .agg(sum(col("t"))).collect()(0).getLong(0)
+    assert(totalToks == expected)        // every token lands in exactly one pack
+    // within a (lang, shard) stream pack ids are contiguous from 0
+    packs.groupBy(r => (r.getString(0), r.getAs[Long]("shard"))).foreach {
+      case (_, rows) =>
+        val ids = rows.map(_.getAs[Long]("pack_id")).sorted
+        assert(ids.head == 0L && ids.sameElements(ids.head to ids.last))
+    }
+    assert(packs.forall(_.getAs[Long]("n_docs") >= 1L))
+  }
+
+  test("quotaSample keeps exactly N per group when the group is large enough") {
+    val q = PipelineOps.quotaSample(docs, 5).collect()
+    val byLang = q.groupBy(_.getString(1))
+    assert(byLang("en").length == 5 && byLang("de").length == 5)
+    assert(q.forall(_.getAs[Long]("rnk") <= 5L))
+    // ranked by token count descending
+    byLang.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("toks")).toSeq.sliding(2).forall {
+        case Seq(x, y) => x >= y; case _ => true
+      })
+    }
+  }
+
+  test("curate drops exact duplicates and out-of-gate docs, keeps min id") {
+    val out = PipelineOps.curate(docs, 2L, 1000L).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(!ids.contains(20L) && ids.contains(0L))  // dup loses to keeper
+    assert(!ids.contains(30L))                      // below the token gate
+    assert(out.forall(_.getAs[Long]("toks") >= 2L))
+    // normalization happened: no uppercase, no squashable whitespace
+    assert(out.forall { r =>
+      val c = r.getAs[String]("cleaned")
+      c == c.toLowerCase && !c.contains("  ")
+    })
+  }
+}
