@@ -91,15 +91,18 @@ object Dedup {
   }
 
   /** LSH band table: (doc_id, band, band_hash) — the join key that buckets
-    * candidates. Each doc contributes `Bands` rows.
+    * candidates. Each doc contributes `Bands` rows. The band list is
+    * unrolled to literal indices rather than a transform() over
+    * sequence(): higher-order functions are CodegenFallback (interpreted),
+    * and the unrolled form keeps the slice+hash per band inside
+    * whole-stage codegen.
     */
   def bandTable(sets: DataFrame): DataFrame =
     minhashSignatures(sets)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), lit(Bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(b, slice(col("sig"), b * lit(RowsPerBand) + 1, lit(RowsPerBand))).as("bh"))))
-        .as("e"))
+      .select(col("doc_id"), explode(array(
+        (0 until Bands).map(b => struct(lit(b).as("band"),
+          xxhash64(lit(b), slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
+            .as("bh"))): _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
 
   /** Near-duplicate pairs over arbitrary element sets: MinHash-LSH

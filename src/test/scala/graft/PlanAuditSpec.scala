@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "text_stats", "text_quality", "text_lang_id", "text_token_count",
     "text_clean", "text_fingerprint", "emb_norm", "ann_lsh",
     "tier_paa_max", "tier_rrd", "tier_recode_plan", "tier_lttb",
-    "tier_lttb_summary", "mm_meta", "mm_features", "mm_frames")
+    "tier_lttb_summary", "mm_meta", "mm_features", "mm_frames",
+    "pipe_split", "pipe_pack", "pipe_quota", "pipe_curate",
+    "ts_delta", "ts_moving_avg", "bonus_approx")
   // excluded on purpose: ann_recall / ann_ivf_recall / dedup_emb_recall
   // embed the brute-force exact baseline (a bounded broadcast
   // nested-loop probe set by design), and ml_* / *_kmeans / seg_kernel_*
@@ -84,6 +86,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
           s"$name shuffles with $part instead of hash partitioning")
       }
     }
+  }
+
+  test("the deterministic split is map-only: zero exchanges") {
+    // sampleSplit must stay a pure projection — any shuffle here would
+    // mean the per-doc assignment somehow depends on other rows
+    val exs = collect(plan("pipe_split")) { case e: ShuffleExchangeExec => e }
+    assert(exs.isEmpty, s"pipe_split shuffles: ${exs.size} exchanges")
   }
 
   test("whole-stage codegen covers the scan->filter->project hot path") {
