@@ -33,7 +33,12 @@ object PipelineOps {
     * parallel, so a 100 TB corpus packs as width-many independent running
     * sums instead of one global one. Output: one row per pack.
     */
-  def packSequences(docs: DataFrame, budgetTokens: Long, shards: Int = 8): DataFrame = {
+  /** Per-document pack assignment — the packing decision itself:
+    * (doc_id, lang, shard, toks, start_tok, pack_id). The streaming packer
+    * (graft.streaming.Ingest.packStream) produces the same assignment
+    * incrementally; parity is asserted in PipelineSpec.
+    */
+  def packAssignments(docs: DataFrame, budgetTokens: Long, shards: Int = 8): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       TextOps.wsTokenCount(col("text")).as("toks"),
       pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
@@ -43,11 +48,14 @@ object PipelineOps {
       .withColumn("start_tok", sum(col("toks")).over(w) - col("toks"))
       .withColumn("pack_id",
         floor(col("start_tok") / lit(budgetTokens.toDouble)).cast("long"))
+  }
+
+  def packSequences(docs: DataFrame, budgetTokens: Long, shards: Int = 8): DataFrame =
+    packAssignments(docs, budgetTokens, shards)
       .groupBy(col("lang"), col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).cast("long").as("pack_toks"),
         min(col("doc_id")).as("first_doc"))
-  }
 
   /** Per-group quota sampling: the `perGroup` highest-token documents per
     * language (ties broken by doc_id). row_number over a keyed window —
@@ -61,6 +69,35 @@ object PipelineOps {
     t.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= perGroup)
   }
+
+  /** Benchmark decontamination: train documents sharing at least one
+    * 3-token shingle with any benchmark document, with the count of shared
+    * shingles. Candidate generation is an equi-join on the shingle itself
+    * (keyed shuffle; the benchmark shingle set is small and broadcasts) —
+    * never a doc×doc comparison, so the shape survives a 100 TB train
+    * corpus × fixed benchmark suite.
+    */
+  def decontaminate(docs: DataFrame, benchPred: org.apache.spark.sql.Column): DataFrame = {
+    val sh = Dedup.shingleSets(docs)
+    val bench = sh.filter(benchPred)
+      .select(explode(col("sh")).as("s")).distinct()
+    val train = sh.filter(!benchPred)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    train.join(broadcast(bench), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingle sets are distinct per doc
+  }
+
+  /** Vocabulary construction: the `topK` most frequent word tokens across
+    * the corpus (ties broken alphabetically). Two-level aggregation —
+    * map-side partial counts, one keyed shuffle on token, then a bounded
+    * top-K — the canonical reduce shape for corpus statistics.
+    */
+  def vocabTopK(docs: DataFrame, topK: Int): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topK)
 
   /** The composed curation pass: normalize text (lowercase, strip
     * punctuation, collapse whitespace), keep only exact-dedup keepers

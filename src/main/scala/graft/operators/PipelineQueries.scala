@@ -15,6 +15,7 @@ object PipelineQueries {
   private val QuotaPerLang = 25
   private val MinToks = 5L
   private val MaxToks = 1000L
+  private val VocabK = 100
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -26,7 +27,15 @@ object PipelineQueries {
 
     "pipe_quota" -> ((s, d) => PipelineOps.quotaSample(docs(s, d), QuotaPerLang)),
 
-    "pipe_curate" -> ((s, d) => PipelineOps.curate(docs(s, d), MinToks, MaxToks))
+    "pipe_curate" -> ((s, d) => PipelineOps.curate(docs(s, d), MinToks, MaxToks)),
+
+    // benchmark set stands in as every 50th doc; output = contaminated
+    // train docs with their shared-shingle counts
+    "pipe_decontam" -> ((s, d) =>
+      PipelineOps.decontaminate(docs(s, d),
+        org.apache.spark.sql.functions.col("doc_id") % 50 === 0)),
+
+    "pipe_vocab" -> ((s, d) => PipelineOps.vocabTopK(docs(s, d), VocabK))
   )
 
   private val ToksSql = raw"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"
@@ -68,6 +77,29 @@ object PipelineQueries {
          |  FROM t
          |)
          |SELECT doc_id, lang, toks, rnk FROM r WHERE rnk <= $QuotaPerLang""".stripMargin,
+
+    "pipe_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |         list_distinct([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+        |                        for i in range(1, len(tl) - 1)]) AS sh
+        |  FROM toks WHERE len(tl) >= 3
+        |), b AS (
+        |  SELECT DISTINCT unnest(sh) AS s FROM f WHERE doc_id % 50 = 0
+        |), t AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM f WHERE doc_id % 50 <> 0
+        |)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM t JOIN b USING (s) GROUP BY 1""".stripMargin,
+
+    "pipe_vocab" ->
+      s"""SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |      FROM documents)
+         |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT $VocabK""".stripMargin,
 
     "pipe_curate" ->
       s"""WITH c AS (

@@ -188,7 +188,20 @@ object TsQueries {
 
     "e2_approx" -> ((s, d) =>
       r(s, d).select(col("signal_id"), col("seq_no"),
-        Quantize.approxTruncate(col("value_q"), 4).as("value_q4")))
+        Quantize.approxTruncate(col("value_q"), 4).as("value_q4"))),
+
+    // E2b — precision-progressive SUM: the aggregate computed over the
+    // truncated fixed-point domain, with its relative error vs the exact
+    // fixed-point sum (reference split_double.rs:2949 sum@precision —
+    // approximate answers from the first k bit planes, error-characterized)
+    "e2b_approx_sum" -> ((s, d) =>
+      r(s, d).groupBy(col("signal_id"))
+        .agg(sum(Quantize.approxTruncate(col("value_q"), 4)).cast("long").as("sum_q4"),
+             sum(col("value_q")).cast("long").as("sum_q"))
+        .withColumn("rel_err",
+          when(col("sum_q") === 0L, lit(0.0))
+            .otherwise(round(abs(col("sum_q") - col("sum_q4")).cast("double") /
+              abs(col("sum_q")).cast("double"), 6))))
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,6 +388,19 @@ object TsQueries {
 
     "e2_approx" ->
       s"""$OracleCte SELECT signal_id, seq_no,
-         |  CAST(floor(value_q / 16.0) * 16 AS BIGINT) AS value_q4 FROM r""".stripMargin
+         |  CAST(floor(value_q / 16.0) * 16 AS BIGINT) AS value_q4 FROM r""".stripMargin,
+
+    "e2b_approx_sum" ->
+      s"""$OracleCte, a AS (
+         |  SELECT signal_id,
+         |    CAST(sum(CAST(floor(value_q / 16.0) * 16 AS BIGINT)) AS BIGINT) AS sum_q4,
+         |    CAST(sum(value_q) AS BIGINT) AS sum_q
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT signal_id, sum_q4, sum_q,
+         |  CASE WHEN sum_q = 0 THEN 0.0
+         |       ELSE round(CAST(abs(sum_q - sum_q4) AS DOUBLE) /
+         |                  CAST(abs(sum_q) AS DOUBLE), 6) END AS rel_err
+         |FROM a""".stripMargin
   )
 }

@@ -102,6 +102,42 @@ object Ingest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  case class PackState(usedToks: Long)
+  case class PackDocIn(doc_id: Long, lang: String, shard: Long, toks: Long)
+  case class PackAssign(doc_id: Long, lang: String, shard: Long, toks: Long,
+                        start_tok: Long, pack_id: Long)
+
+  /** Streaming sequence packer — the incremental flavor of
+    * PipelineOps.packAssignments: keyed state per (lang, shard) stream is
+    * ONE long (tokens consumed), so state is O(#streams) regardless of
+    * corpus size. Docs are assigned to the pack where their first token
+    * lands; within a micro-batch rows are ordered by doc_id, so a stream
+    * arriving in doc_id order reproduces the batch assignment exactly
+    * (asserted in PipelineSpec).
+    */
+  def packStream(docs: DataFrame, budgetTokens: Long, shards: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val in = docs.select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        graft.functions.TextOps.wsTokenCount(col("text")).as("toks"))
+      .as[PackDocIn]
+    in.groupByKey(r => (r.lang, r.shard))
+      .flatMapGroupsWithState[PackState, PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[PackDocIn], state: GroupState[PackState]) =>
+          var used = state.getOption.map(_.usedToks).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val a = PackAssign(r.doc_id, key._1, key._2, r.toks,
+              used, used / budgetTokens)
+            used += r.toks
+            a
+          }
+          state.update(PackState(used))
+          out.iterator
+      }.toDF()
+  }
+
   case class SegState(nextSeg: Long, buf: List[Double])
   case class SegOut(signal_id: Long, seg: Long, values: Seq[Double])
   case class InRow(signal_id: Long, tsMicros: Long, event_id: Long, value: Double)

@@ -65,6 +65,56 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("streaming packer reproduces the batch assignment incrementally") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val budget = 10L
+    val fixture = docs.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "lang")
+    val out = graft.streaming.Ingest.packStream(stream, budget, shards = 2)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("pack_stream").start()
+    // two micro-batches in doc_id order — state must carry across batches
+    mem.addData(fixture.take(20).toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(fixture.drop(20).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pack_stream")
+      .select(col("doc_id"), col("start_tok"), col("pack_id"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val batch = graft.operators.PipelineOps.packAssignments(docs, budget, shards = 2)
+      .select(col("doc_id"), col("start_tok"), col("pack_id"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed == batch)
+  }
+
+  test("decontaminate flags exactly the train docs sharing bench shingles") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "alpha beta gamma delta", "en"),        // bench doc
+      (1L, "alpha beta gamma epsilon", "en"),      // shares "alpha beta gamma"
+      (2L, "zeta eta theta iota", "en"),           // clean
+      (3L, "x alpha beta gamma delta y", "en")     // shares two shingles
+    ).toDF("doc_id", "text", "lang")
+    val out = PipelineOps.decontaminate(fixture, col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("vocabTopK returns the K most frequent tokens, ties alphabetical") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "aa bb aa cc", "en"), (1L, "aa bb dd", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = PipelineOps.vocabTopK(fixture, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("aa", 3L), ("bb", 2L), ("cc", 1L)))
+  }
+
   test("curate drops exact duplicates and out-of-gate docs, keeps min id") {
     val out = PipelineOps.curate(docs, 2L, 1000L).collect()
     val ids = out.map(_.getLong(0)).toSet

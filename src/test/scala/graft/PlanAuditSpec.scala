@@ -39,8 +39,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "text_clean", "text_fingerprint", "emb_norm", "ann_lsh",
     "tier_paa_max", "tier_rrd", "tier_recode_plan", "tier_lttb",
     "tier_lttb_summary", "mm_meta", "mm_features", "mm_frames",
-    "pipe_split", "pipe_pack", "pipe_quota", "pipe_curate",
-    "ts_delta", "ts_moving_avg", "bonus_approx")
+    "pipe_split", "pipe_pack", "pipe_quota", "pipe_curate", "pipe_vocab",
+    "ts_delta", "ts_moving_avg", "bonus_approx", "e2b_approx_sum")
   // excluded on purpose: ann_recall / ann_ivf_recall / dedup_emb_recall
   // embed the brute-force exact baseline (a bounded broadcast
   // nested-loop probe set by design), and ml_* / *_kmeans / seg_kernel_*
