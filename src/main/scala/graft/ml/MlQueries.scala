@@ -38,7 +38,9 @@ object MlQueries {
           max(col("value")).as("vmax"),
           sum(Fixtures.mix32(col("row_id"), 1L) % 1000000L).as("sum_u"))),
 
-    // M5: per-codec compression-ratio estimates over the readings sample
+    // M5: per-codec compression-ratio estimates over a hash-gated sample
+    // of the readings — fully deterministic, so even this policy estimator
+    // carries an exact oracle (CrPredictor.estimateSql)
     "ml_cr_predict" -> ((s, d) =>
       CrPredictor.estimate(Readings.of(s, d), sampleFraction = 0.5,
         scale = Readings.Scale))
@@ -48,6 +50,9 @@ object MlQueries {
   // (Fixtures.mix32), so DuckDB can regenerate the whole fixture and check
   // count, outlier count, max value and the full-column hash checksum
   val oracles: Map[String, String] = Map(
+    "ml_cr_predict" ->
+      CrPredictor.estimateSql(Readings.OracleCte, sampleFraction = 0.5),
+
     "ml_outlier_fixture" ->
       s"""WITH ids AS (SELECT range AS id FROM range(0, 10000)),
          |h AS (

@@ -180,6 +180,33 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** E1/E2 for the vector tier — fixed-point vector quantization:
+    * floor(v * scale) held as doubles (components and their dot sums stay
+    * far inside the exact-integer double range), so quantized dot/cosine
+    * is EXACT integer arithmetic, reproducible bit-for-bit by the SQL
+    * oracle. This is the reference's compressed-domain query theme (BUFF
+    * fixed-point predicates, SURVEY §2.2) applied to embeddings: rank in
+    * the quantized domain without touching the f32 originals.
+    */
+  def quantizeVec(v: Column, scale: Double): Column =
+    transform(v.cast("array<double>"), x => floor(x * lit(scale)).cast("double"))
+
+  /** Brute-force top-k ranked entirely in the quantized domain. The sim
+    * values differ from float cosine by O(1/scale); `ann_quant_recall`
+    * measures the rank agreement vs the exact float baseline.
+    */
+  def quantTopK(probes: DataFrame, corpus: DataFrame, k: Int, scale: Double): DataFrame = {
+    val qp = probes.select(col("probe_id"), quantizeVec(col("pe"), scale).as("qp"))
+    val qc = corpus.select(col("cand_id"), quantizeVec(col("ce"), scale).as("qc"))
+    val joined = qc.join(broadcast(qp), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(dot(col("qp"), col("qc")) / (l2(col("qp")) * l2(col("qc"))), 6).as("sim_q"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim_q").desc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** M1 — 1-NN classification: each test vector takes the label of its
     * nearest train vector (squared-euclidean, tiebreak smallest id) —
     * reference knn/mod.rs:310 `classify` semantics on Spark primitives.

@@ -32,6 +32,15 @@ class AnnSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("quantized-domain ranking vs float baseline meets the 0.85 floor") {
+    assume(sfDirs.nonEmpty, "no testdata present")
+    for (d <- sfDirs) {
+      val row = AnnQueries.queries("ann_quant_recall")(spark, d).collect()(0)
+      val recall = row.getAs[Double]("recall")
+      assert(recall >= 0.85, s"quantized recall $recall < 0.85 at $d")
+    }
+  }
+
   test("dedup_embedding pair capture vs brute force meets the 0.8 floor") {
     assume(sfDirs.nonEmpty, "no testdata present")
     for (d <- sfDirs) {
