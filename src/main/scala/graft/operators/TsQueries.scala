@@ -123,6 +123,56 @@ object TsQueries {
         round(avg(col("value")).over(w), 6).as("mavg"))
     }),
 
+    // z-score outlier detection per signal (the production flavor of the
+    // reference's outlier concern, outlier/mod.rs): moments computed as
+    // EXACT integer sums over the fixed-point domain (sum_q, sum_q^2 —
+    // associative, map-side combined, engine-identical), then one
+    // broadcast join of the tiny per-signal stats back onto the readings
+    "ts_zscore" -> ((s, d) => {
+      val rr = r(s, d)
+      val stats = rr.groupBy(col("signal_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_q")).cast("long").as("s1"),
+          sum(col("value_q") * col("value_q")).cast("long").as("s2"))
+        .withColumn("mean_q", col("s1").cast("double") / col("n").cast("double"))
+        .withColumn("var_q",
+          col("s2").cast("double") / col("n").cast("double") -
+            col("mean_q") * col("mean_q"))
+        .where(col("var_q") > 0.0)
+        .select(col("signal_id"), col("mean_q"), col("var_q"))
+      rr.join(broadcast(stats), "signal_id")
+        .withColumn("z",
+          (col("value_q").cast("double") - col("mean_q")) / sqrt(col("var_q")))
+        .where(abs(col("z")) > 3.0)
+        .select(col("signal_id"), col("seq_no"), col("value"),
+          round(col("z"), 6).as("z"))
+    }),
+
+    // cross-signal Pearson correlation over seq_no-aligned pairs of the
+    // first 5 signals — the moments ride ONE aggregation per pair as exact
+    // integer sums; the tiny pivoted side joins by seq_no (keyed shuffle)
+    "ts_corr" -> ((s, d) => {
+      val rr = r(s, d).filter(col("signal_id") < 5)
+        .select(col("signal_id"), col("seq_no"), col("value_q"))
+      val a = rr.select(col("signal_id").as("sig_a"), col("seq_no"),
+        col("value_q").as("qa"))
+      val b = rr.select(col("signal_id").as("sig_b"), col("seq_no"),
+        col("value_q").as("qb"))
+      a.join(b, "seq_no").where(col("sig_a") < col("sig_b"))
+        .groupBy(col("sig_a"), col("sig_b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qa")).cast("long").as("sa"),
+          sum(col("qb")).cast("long").as("sb"),
+          sum(col("qa") * col("qa")).cast("long").as("saa"),
+          sum(col("qb") * col("qb")).cast("long").as("sbb"),
+          sum(col("qa") * col("qb")).cast("long").as("sab"))
+        .withColumn("corr_q", round(
+          (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+            (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")) *
+             sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))), 6))
+        .select(col("sig_a"), col("sig_b"), col("n"), col("corr_q"))
+    }),
+
     "influx_max" -> ((s, d) => r(s, d).agg(max(col("value")).as("vmax"))),
 
     "influx_max_groupby" -> ((s, d) =>
@@ -277,6 +327,46 @@ object TsQueries {
          |  round(avg(value) OVER (PARTITION BY signal_id ORDER BY seq_no
          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
          |FROM r""".stripMargin,
+
+    "ts_zscore" ->
+      s"""$OracleCte, st AS (
+         |  SELECT signal_id, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(value_q) AS BIGINT) AS s1,
+         |         CAST(sum(value_q * value_q) AS BIGINT) AS s2
+         |  FROM r GROUP BY 1
+         |), m AS (
+         |  SELECT signal_id,
+         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+         |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+         |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var_q
+         |  FROM st
+         |)
+         |SELECT r.signal_id, r.seq_no, r.value,
+         |  round((CAST(r.value_q AS DOUBLE) - m.mean_q) / sqrt(m.var_q), 6) AS z
+         |FROM r JOIN m USING (signal_id)
+         |WHERE m.var_q > 0.0
+         |  AND abs((CAST(r.value_q AS DOUBLE) - m.mean_q) / sqrt(m.var_q)) > 3.0""".stripMargin,
+
+    "ts_corr" ->
+      s"""$OracleCte, s5 AS (
+         |  SELECT signal_id, seq_no, value_q FROM r WHERE signal_id < 5
+         |), p AS (
+         |  SELECT a.signal_id AS sig_a, b.signal_id AS sig_b,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a.value_q) AS BIGINT) AS sa,
+         |    CAST(sum(b.value_q) AS BIGINT) AS sb,
+         |    CAST(sum(a.value_q * a.value_q) AS BIGINT) AS saa,
+         |    CAST(sum(b.value_q * b.value_q) AS BIGINT) AS sbb,
+         |    CAST(sum(a.value_q * b.value_q) AS BIGINT) AS sab
+         |  FROM s5 a JOIN s5 b ON a.seq_no = b.seq_no AND a.signal_id < b.signal_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT sig_a, sig_b, n,
+         |  round(CAST(n * sab - sa * sb AS DOUBLE) /
+         |        (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+         |         sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS corr_q
+         |FROM p""".stripMargin,
 
     "influx_max" ->
       s"$OracleCte SELECT max(value) AS vmax FROM r",

@@ -40,7 +40,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "tier_paa_max", "tier_rrd", "tier_recode_plan", "tier_lttb",
     "tier_lttb_summary", "mm_meta", "mm_features", "mm_frames",
     "pipe_split", "pipe_pack", "pipe_quota", "pipe_curate", "pipe_vocab",
-    "ts_delta", "ts_moving_avg", "bonus_approx", "e2b_approx_sum")
+    "ts_delta", "ts_moving_avg", "ts_zscore", "ts_corr",
+    "bonus_approx", "e2b_approx_sum")
+  // ann_quant is excluded like ann_brute: both rank a bounded broadcast
+  // probe set against the corpus by design (the exact/quantized baselines)
   // excluded on purpose: ann_recall / ann_ivf_recall / dedup_emb_recall
   // embed the brute-force exact baseline (a bounded broadcast
   // nested-loop probe set by design), and ml_* / *_kmeans / seg_kernel_*
