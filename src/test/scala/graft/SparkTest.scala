@@ -14,6 +14,11 @@ trait SparkTest extends BeforeAndAfterAll { self: Suite =>
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
+      // the cluster-deployment wiring: every suite runs through the
+      // extensions path (functions + zone-map rule + as-of strategy),
+      // exactly as a 1000-executor session would (ExtensionsSpec asserts
+      // the injections took)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     graft.functions.VectorFunctions.ensureRegistered(s)
     s
