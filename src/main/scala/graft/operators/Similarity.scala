@@ -38,9 +38,14 @@ object Similarity {
     * whole corpus. Deterministic tiebreak on candidate id.
     */
   def bruteTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+    // norms are computed ONCE per vector before the join (1 fold per pair
+    // instead of 3); sqrt(dot(v,v)) and the product order are unchanged,
+    // so the doubles are bitwise-identical to the inline form
+    val pn = probes.withColumn("pn", l2(col("pe")))
+    val cn = corpus.withColumn("cn", l2(col("ce")))
+    val joined = cn.join(broadcast(pn), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        cosine(col("pe"), col("ce")).as("sim"))
+        round(dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     joined.withColumn("rnk", row_number().over(w).cast("long"))
@@ -93,13 +98,14 @@ object Similarity {
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               nPlanes: Int = 6, dim: Int = 64, maxFlip: Int = 2): DataFrame = {
     val planes = lcgPlanes(nPlanes, dim)
-    val pb = probes.withColumn("bucket",
+    val pb = probes.withColumn("pn", l2(col("pe"))).withColumn("bucket",
         explode(multiProbeBuckets(lshBucket(col("pe"), planes), nPlanes, maxFlip)))
-    val cb = corpus.withColumn("bucket", lshBucket(col("ce"), planes))
+    val cb = corpus.withColumn("cn", l2(col("ce")))
+      .withColumn("bucket", lshBucket(col("ce"), planes))
     val joined = cb.join(broadcast(pb), Seq("bucket"))
       .where(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        cosine(col("pe"), col("ce")).as("sim"))
+        round(dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     joined.withColumn("rnk", row_number().over(w).cast("long"))
@@ -125,7 +131,8 @@ object Similarity {
       }: _*)
       -array_max(scored).getField("negCell")
     }
-    val assigned = corpus.withColumn("cell", bestCell(col("ce")))
+    val assigned = corpus.withColumn("cn", l2(col("ce")))
+      .withColumn("cell", bestCell(col("ce")))
     // probes are the small side: rank all cells per probe, keep nProbe
     val pc = probes.select(col("probe_id"), col("pe"),
         explode(array(centroids.map { case (i, c) =>
@@ -136,9 +143,11 @@ object Similarity {
     val wP = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
     val probeCells = pc.withColumn("prnk", row_number().over(wP))
       .filter(col("prnk") <= nProbe).select(col("probe_id"), col("pe"), col("cell"))
-    val joined = assigned.join(broadcast(probeCells), Seq("cell"))
+    val joined = assigned.join(
+        broadcast(probeCells.withColumn("pn", l2(col("pe")))), Seq("cell"))
       .where(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"), cosine(col("pe"), col("ce")).as("sim"))
+      .select(col("probe_id"), col("cand_id"),
+        round(dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
     joined.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -158,13 +167,16 @@ object Similarity {
                      maxFlip: Int = 2): DataFrame = {
     val planes = lcgPlanes(nPlanes, dim)
     val b = vecs.select(col(idCol), col(vecCol),
+      l2(col(vecCol)).as("nrm"),
       lshBucket(col(vecCol), planes).as("bucket"))
-    val a = b.select(col(idCol).as("vec_a"), col(vecCol).as("ea"),
+    val a = b.select(col(idCol).as("vec_a"), col(vecCol).as("ea"), col("nrm").as("na"),
         explode(multiProbeBuckets(col("bucket"), nPlanes, maxFlip)).as("bucket"))
-    val bb = b.select(col(idCol).as("vec_b"), col(vecCol).as("eb"), col("bucket"))
+    val bb = b.select(col(idCol).as("vec_b"), col(vecCol).as("eb"),
+      col("nrm").as("nb"), col("bucket"))
     a.join(bb, Seq("bucket"))
       .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -173,10 +185,13 @@ object Similarity {
     */
   def cosinePairsBrute(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("vec_a"), col(vecCol).as("ea"))
-    val bb = vecs.select(col(idCol).as("vec_b"), col(vecCol).as("eb"))
+    val a = vecs.select(col(idCol).as("vec_a"), col(vecCol).as("ea"),
+      l2(col(vecCol)).as("na"))
+    val bb = vecs.select(col(idCol).as("vec_b"), col(vecCol).as("eb"),
+      l2(col(vecCol)).as("nb"))
     a.join(bb, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -197,10 +212,12 @@ object Similarity {
     */
   def quantTopK(probes: DataFrame, corpus: DataFrame, k: Int, scale: Double): DataFrame = {
     val qp = probes.select(col("probe_id"), quantizeVec(col("pe"), scale).as("qp"))
+      .withColumn("pn", l2(col("qp")))
     val qc = corpus.select(col("cand_id"), quantizeVec(col("ce"), scale).as("qc"))
+      .withColumn("cn", l2(col("qc")))
     val joined = qc.join(broadcast(qp), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        round(dot(col("qp"), col("qc")) / (l2(col("qp")) * l2(col("qc"))), 6).as("sim_q"))
+        round(dot(col("qp"), col("qc")) / (col("pn") * col("cn")), 6).as("sim_q"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim_q").desc, col("cand_id"))
     joined.withColumn("rnk", row_number().over(w).cast("long"))
