@@ -1,0 +1,94 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.{TextOps, TierTransforms => T}
+
+/** ScalaCheck property suite for the pure transform kernels — the
+  * property-based layer the reference wires up but barely uses (SURVEY §5:
+  * "quickcheck is wired but aspirational"). Runs as native ScalaCheck
+  * Properties under sbt's test-interface (no scalatest bridge needed).
+  */
+object TransformProps extends Properties("graft.transforms") {
+
+  private val series: Gen[Array[Double]] =
+    Gen.chooseNum(4, 96).flatMap(n =>
+      Gen.containerOfN[Array, Double](n, Gen.chooseNum(-1e3, 1e3)))
+
+  private val window: Gen[Int] = Gen.choose(1, 8)
+
+  property("paa: reconstruction error bounded by each chunk's spread") =
+    forAll(series, window) { (xs, w) =>
+      val rec = T.paaReconstruct(T.paa(xs, w), w, xs.length)
+      xs.grouped(w).zipWithIndex.forall { case (chunk, ci) =>
+        val spread = chunk.max - chunk.min
+        chunk.indices.forall { j =>
+          math.abs(rec(ci * w + j) - chunk(j)) <= spread + 1e-9
+        }
+      }
+    }
+
+  property("paa: chunk-weighted mean preserves the series sum") =
+    forAll(series, window) { (xs, w) =>
+      val means = T.paa(xs, w)
+      val counts = xs.grouped(w).map(_.length).toArray
+      val total = means.zip(counts).map { case (m, c) => m * c }.sum
+      math.abs(total - xs.sum) <= 1e-6 * math.max(1.0, math.abs(xs.sum))
+    }
+
+  property("fftTruncate: keeping every coefficient is the identity") =
+    forAll(series) { xs =>
+      val keep = xs.length / 2 + 1
+      T.maxAbsError(T.fftTruncate(xs, keep), xs) <= 1e-7
+    }
+
+  property("lttb: endpoints kept, indices strictly increasing, size exact") =
+    forAll(series, Gen.choose(3, 20)) { (xs, th) =>
+      val pts = T.lttb(xs, th)
+      val expectedSize = math.min(th, xs.length)
+      Prop.all(
+        Prop(pts.head == ((0, xs.head))) :| "first point kept",
+        Prop(pts.last == ((xs.length - 1, xs.last))) :| "last point kept",
+        Prop(pts.length == expectedSize) :| s"size ${pts.length} != $expectedSize",
+        Prop(pts.map(_._1).toSeq.sliding(2).forall {
+          case Seq(a, b) => a < b
+          case _ => true
+        }) :| "indices strictly increasing")
+    }
+
+  property("lttb: reconstruction recovers every kept value (FP tolerance)") =
+    forAll(series, Gen.choose(3, 20)) { (xs, th) =>
+      // re-check the generator bounds: ScalaCheck's shrinker ignores them,
+      // and a single-point series has no segments to reconstruct from.
+      // Tolerance, not equality: the interpolation v0 + (v1-v0)*t lands an
+      // ulp off v1 at t=1 — the SQL oracle mirrors the same formula, so
+      // this is the operator's actual (and verified) semantics
+      (xs.length < 2 || th < 3) || {
+        val pts = T.lttb(xs, th)
+        val rec = T.lttbReconstruct(pts, xs.length)
+        pts.forall { case (i, v) =>
+          math.abs(rec(i) - v) <= 1e-9 * math.max(1.0, math.abs(v))
+        }
+      }
+    }
+
+  property("rrdSample: exactly every k-th value, in order") =
+    forAll(series, Gen.choose(1, 8)) { (xs, k) =>
+      T.rrdSample(xs, k).toSeq == xs.indices.filter(_ % k == 0).map(xs).toSeq
+    }
+
+  property("sink: self-similarity is 1, symmetric in its arguments") =
+    forAll(series.suchThat(_.exists(_ != 0.0))) { xs =>
+      val self = T.sink(xs, xs, gamma = 1.0, keep = 4)
+      val shifted = xs.map(_ + 1.0)
+      val ab = T.sink(xs, shifted, 1.0, 4)
+      val ba = T.sink(shifted, xs, 1.0, 4)
+      math.abs(self - 1.0) <= 1e-9 && math.abs(ab - ba) <= 1e-9
+    }
+
+  property("fnv32: stays in the unsigned 32-bit range; injective-ish on nearby strings") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val h = TextOps.fnv32(s)
+      h >= 0L && h < (1L << 32) && (s.isEmpty || TextOps.fnv32(s + "x") != h)
+    }
+}
