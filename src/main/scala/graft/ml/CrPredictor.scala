@@ -46,21 +46,20 @@ object CrPredictor {
         Quantize.quantize(col("value"), scale).as("q"))
       .cache()
 
-    // one job for both sample stats (count + cardinality)
-    val statsRow = s.agg(count(lit(1)).as("n"),
-      countDistinct(col("q")).as("nd")).collect()(0)
-    val distinct = statsRow.getLong(1)
+    val distinct = s.agg(countDistinct(col("q")).as("nd")).collect()(0).getLong(0)
     val dictBits = ceilLog2(distinct)
 
     // delta bit width from per-signal consecutive steps (order by seq_no);
     // p95 rounded to 6dp before ceil so an interpolation ulp cannot
-    // straddle the integer boundary
+    // straddle the integer boundary. A sample with no consecutive pairs
+    // aggregates to null -> fall back to 0 (minimum-width estimate).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("signal_id")).orderBy(col("seq_no"))
-    val p95 = s.withColumn("d", col("q") - lag(col("q"), 1).over(w))
+    val p95Row = s.withColumn("d", col("q") - lag(col("q"), 1).over(w))
       .where(col("d").isNotNull)
       .agg(round(expr("percentile(abs(d), 0.95)"), 6).as("p95"))
-      .collect()(0).getDouble(0)
+      .collect()(0)
+    val p95 = if (p95Row.isNullAt(0)) 0.0 else p95Row.getDouble(0)
     val p95i = math.max(2L, math.ceil(p95).toLong)
     val deltaBits = ceilLog2(2L * p95i) + 1L
 

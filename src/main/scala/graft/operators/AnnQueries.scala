@@ -50,6 +50,17 @@ object AnnQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
 
+  /** recall = |approx ∩ brute| / |brute| over the given key columns —
+    * the one summary row every *_recall query emits.
+    */
+  private def recallSummary(brute: DataFrame, approx: DataFrame,
+                            keys: Seq[String]): DataFrame =
+    brute.join(approx.withColumn("hit", lit(1L)), keys, "left")
+      .agg(count(lit(1)).as("n_brute"),
+        coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_brute").cast("double"), 4))
+
   private def emb(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(s)
     Tables.embeddings(s, d)
@@ -73,18 +84,12 @@ object AnnQueries {
     // link the approximate tier must carry (the reference tracks query
     // error the same way, buffer_pool.rs:940-1101); floor asserted in
     // AnnSpec, exact value oracle-checked (both engines are deterministic)
-    "ann_recall" -> ((s, d) => {
-      val b = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
-        .select(col("probe_id"), col("cand_id"))
-      val l = Similarity.lshTopK(probes(s, d), corpus(s, d), TopK, NPlanes, Dim, MaxFlip)
-        .select(col("probe_id"), col("cand_id"))
-        .withColumn("hit", lit(1L))
-      b.join(l, Seq("probe_id", "cand_id"), "left")
-        .agg(count(lit(1)).as("n_brute"),
-          coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hit"))
-        .withColumn("recall",
-          round(col("n_hit").cast("double") / col("n_brute").cast("double"), 4))
-    }),
+    "ann_recall" -> ((s, d) => recallSummary(
+      Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id")),
+      Similarity.lshTopK(probes(s, d), corpus(s, d), TopK, NPlanes, Dim, MaxFlip)
+        .select(col("probe_id"), col("cand_id")),
+      Seq("probe_id", "cand_id"))),
 
     // IVF-Flat variant: deterministic 16-cell codebook, map-only cell
     // assignment, probes search their 4 nearest cells exactly
@@ -92,19 +97,13 @@ object AnnQueries {
       Similarity.ivfTopK(probes(s, d), corpus(s, d), TopK,
         ivfCentroids(s, d), NProbe)),
 
-    "ann_ivf_recall" -> ((s, d) => {
-      val b = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
-        .select(col("probe_id"), col("cand_id"))
-      val l = Similarity.ivfTopK(probes(s, d), corpus(s, d), TopK,
+    "ann_ivf_recall" -> ((s, d) => recallSummary(
+      Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id")),
+      Similarity.ivfTopK(probes(s, d), corpus(s, d), TopK,
           ivfCentroids(s, d), NProbe)
-        .select(col("probe_id"), col("cand_id"))
-        .withColumn("hit", lit(1L))
-      b.join(l, Seq("probe_id", "cand_id"), "left")
-        .agg(count(lit(1)).as("n_brute"),
-          coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hit"))
-        .withColumn("recall",
-          round(col("n_hit").cast("double") / col("n_brute").cast("double"), 4))
-    }),
+        .select(col("probe_id"), col("cand_id")),
+      Seq("probe_id", "cand_id"))),
 
     // embedding-cosine near-duplicate pairs (LSH-bucketed candidates,
     // exact cosine confirm) and their measured recall vs brute force
@@ -115,34 +114,25 @@ object AnnQueries {
 
     "dedup_emb_recall" -> ((s, d) => {
       val vecs = emb(s, d).select(col("vec_id"), col("embedding"))
-      val brute = Similarity.cosinePairsBrute(vecs, "vec_id", "embedding", DupThreshold)
-        .select(col("vec_a"), col("vec_b"))
-      val lsh = Similarity.cosinePairsLsh(vecs, "vec_id", "embedding",
-          DupThreshold, NPlanes, Dim, PairFlip)
-        .select(col("vec_a"), col("vec_b")).withColumn("hit", lit(1L))
-      brute.join(lsh, Seq("vec_a", "vec_b"), "left")
-        .agg(count(lit(1)).as("n_brute"),
-          coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hit"))
-        .withColumn("recall",
-          round(col("n_hit").cast("double") / col("n_brute").cast("double"), 4))
+      recallSummary(
+        Similarity.cosinePairsBrute(vecs, "vec_id", "embedding", DupThreshold)
+          .select(col("vec_a"), col("vec_b")),
+        Similarity.cosinePairsLsh(vecs, "vec_id", "embedding",
+            DupThreshold, NPlanes, Dim, PairFlip)
+          .select(col("vec_a"), col("vec_b")),
+        Seq("vec_a", "vec_b"))
     }),
 
     // top-k ranked entirely in the quantized integer domain (no f32 reads)
     "ann_quant" -> ((s, d) =>
       Similarity.quantTopK(probes(s, d), corpus(s, d), TopK, QuantScale)),
 
-    "ann_quant_recall" -> ((s, d) => {
-      val b = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
-        .select(col("probe_id"), col("cand_id"))
-      val q = Similarity.quantTopK(probes(s, d), corpus(s, d), TopK, QuantScale)
-        .select(col("probe_id"), col("cand_id"))
-        .withColumn("hit", lit(1L))
-      b.join(q, Seq("probe_id", "cand_id"), "left")
-        .agg(count(lit(1)).as("n_brute"),
-          coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hit"))
-        .withColumn("recall",
-          round(col("n_hit").cast("double") / col("n_brute").cast("double"), 4))
-    }),
+    "ann_quant_recall" -> ((s, d) => recallSummary(
+      Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id")),
+      Similarity.quantTopK(probes(s, d), corpus(s, d), TopK, QuantScale)
+        .select(col("probe_id"), col("cand_id")),
+      Seq("probe_id", "cand_id"))),
 
     "emb_norm" -> ((s, d) =>
       emb(s, d).select(col("vec_id"),
@@ -171,6 +161,17 @@ object AnnQueries {
         .agg(count(lit(1)).as("cnt"))
     })
   )
+
+  /** Shared SQL tail computing the recall summary row from a `brute` and
+    * an approx relation over key columns (k1, k2) — mirrors recallSummary.
+    */
+  private def recallTailSql(approxRel: String, k1: String, k2: String): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_brute,
+       |  CAST(sum(CASE WHEN l.$k2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN l.$k2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |        CAST(count(*) AS DOUBLE), 4) AS recall
+       |FROM brute b LEFT JOIN $approxRel l
+       |  ON b.$k1 = l.$k1 AND b.$k2 = l.$k2""".stripMargin
 
   // --- SQL generation for the LSH oracle: regenerate the deterministic
   // planes and the multi-probe bucket list in DuckDB. All integer math is
@@ -311,12 +312,7 @@ object AnnQueries {
          |), brute AS (
          |  SELECT probe_id, cand_id FROM fr WHERE rnk <= $TopK
          |)
-         |SELECT CAST(count(*) AS BIGINT) AS n_brute,
-         |  CAST(sum(CASE WHEN q.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |  round(CAST(sum(CASE WHEN q.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
-         |        CAST(count(*) AS DOUBLE), 4) AS recall
-         |FROM brute b LEFT JOIN quant q
-         |  ON b.probe_id = q.probe_id AND b.cand_id = q.cand_id""".stripMargin,
+         |${recallTailSql("quant", "probe_id", "cand_id")}""".stripMargin,
 
     "ann_ivf" ->
       s"$ivfCte\nSELECT probe_id, cand_id, sim, rnk FROM ivr WHERE rnk <= $TopK",
@@ -334,12 +330,7 @@ object AnnQueries {
          |), brute AS (
          |  SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK
          |)
-         |SELECT CAST(count(*) AS BIGINT) AS n_brute,
-         |  CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |  round(CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
-         |        CAST(count(*) AS DOUBLE), 4) AS recall
-         |FROM brute b LEFT JOIN ivf l
-         |  ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id""".stripMargin,
+         |${recallTailSql("ivf", "probe_id", "cand_id")}""".stripMargin,
 
     "dedup_embedding" ->
       s"$pairCte\nSELECT vec_a, vec_b, cos FROM cp WHERE cos >= $DupThreshold",
@@ -355,12 +346,7 @@ object AnnQueries {
          |), brute AS (
          |  SELECT vec_a, vec_b FROM bp WHERE cos >= $DupThreshold
          |)
-         |SELECT CAST(count(*) AS BIGINT) AS n_brute,
-         |  CAST(sum(CASE WHEN l.vec_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |  round(CAST(sum(CASE WHEN l.vec_b IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
-         |        CAST(count(*) AS DOUBLE), 4) AS recall
-         |FROM brute b LEFT JOIN lshp l
-         |  ON b.vec_a = l.vec_a AND b.vec_b = l.vec_b""".stripMargin,
+         |${recallTailSql("lshp", "vec_a", "vec_b")}""".stripMargin,
 
     "ann_lsh" ->
       s"$lshCte\nSELECT probe_id, cand_id, sim, rnk FROM lr WHERE rnk <= $TopK",
@@ -380,12 +366,7 @@ object AnnQueries {
          |), brute AS (
          |  SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK
          |)
-         |SELECT CAST(count(*) AS BIGINT) AS n_brute,
-         |  CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |  round(CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
-         |        CAST(count(*) AS DOUBLE), 4) AS recall
-         |FROM brute b LEFT JOIN lsh l
-         |  ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id""".stripMargin,
+         |${recallTailSql("lsh", "probe_id", "cand_id")}""".stripMargin,
 
     "ann_brute" ->
       """WITH p AS (

@@ -13,7 +13,11 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest
     with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("injected functions resolve by name in pure SQL") {
-    val row = spark.sql(
+    // a fresh session re-applies the extensions to a NEW function
+    // registry, but never SparkTest's programmatic ensureRegistered —
+    // so resolution here can only come from the injection
+    val s2 = spark.newSession()
+    val row = s2.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       graft_sqdist(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS sq
         |""".stripMargin).collect()(0)
