@@ -38,13 +38,21 @@ object PipelineOps {
     * (graft.streaming.Ingest.packStream) produces the same assignment
     * incrementally; parity is asserted in PipelineSpec.
     */
-  def packAssignments(docs: DataFrame, budgetTokens: Long, shards: Int = 8): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("lang"),
-      TextOps.wsTokenCount(col("text")).as("toks"),
-      pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+  def packAssignments(docs: DataFrame, budgetTokens: Long, shards: Int = 8): DataFrame =
+    packAssignmentsFromToks(
+      docs.select(col("doc_id"), col("lang"),
+        TextOps.wsTokenCount(col("text")).as("toks")),
+      budgetTokens, shards)
+
+  /** Packing over rows that already carry (doc_id, lang, toks) — the form
+    * a composed pipeline uses after curation has counted tokens once.
+    */
+  def packAssignmentsFromToks(toks: DataFrame, budgetTokens: Long,
+                              shards: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .withColumn("start_tok", sum(col("toks")).over(w) - col("toks"))
       .withColumn("pack_id",
         floor(col("start_tok") / lit(budgetTokens.toDouble)).cast("long"))

@@ -35,7 +35,13 @@ object PipelineQueries {
       PipelineOps.decontaminate(docs(s, d),
         org.apache.spark.sql.functions.col("doc_id") % 50 === 0)),
 
-    "pipe_vocab" -> ((s, d) => PipelineOps.vocabTopK(docs(s, d), VocabK))
+    "pipe_vocab" -> ((s, d) => PipelineOps.vocabTopK(docs(s, d), VocabK)),
+
+    // the composed pipeline end to end: curate -> split -> pack, the exact
+    // view CorpusStore materializes partitioned by (split, lang)
+    "pipe_corpus" -> ((s, d) =>
+      graft.sources.CorpusStore.curatedCorpus(docs(s, d),
+        PackBudget, PackShards, MinToks, MaxToks))
   )
 
   private val ToksSql = raw"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"
@@ -77,6 +83,38 @@ object PipelineQueries {
          |  FROM t
          |)
          |SELECT doc_id, lang, toks, rnk FROM r WHERE rnk <= $QuotaPerLang""".stripMargin,
+
+    "pipe_corpus" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS cleaned,
+         |    $ToksSql AS toks,
+         |    sha256(text) AS h
+         |  FROM documents
+         |), k AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper FROM c
+         |), cur AS (
+         |  SELECT doc_id, lang, toks, cleaned FROM k
+         |  WHERE doc_id = keeper AND toks BETWEEN $MinToks AND $MaxToks
+         |), sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${graft.ml.Fixtures.mix32Sql("doc_id", 7L)} % 100 AS hv
+         |        FROM documents)
+         |), sh AS (
+         |  SELECT *, CAST(doc_id % $PackShards AS BIGINT) AS shard FROM cur
+         |), pk AS (
+         |  SELECT doc_id, shard,
+         |    sum(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |                    ROWS UNBOUNDED PRECEDING) - toks AS start_tok
+         |  FROM sh
+         |)
+         |SELECT cur.doc_id, cur.lang, sp.split, pk.shard,
+         |  CAST(floor(pk.start_tok / $PackBudget.0) AS BIGINT) AS pack_id,
+         |  CAST(pk.start_tok AS BIGINT) AS start_tok, cur.toks, cur.cleaned
+         |FROM cur JOIN sp USING (doc_id) JOIN pk USING (doc_id)""".stripMargin,
 
     "pipe_decontam" ->
       """WITH toks AS (

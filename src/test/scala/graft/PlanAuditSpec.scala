@@ -40,7 +40,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "tier_paa_max", "tier_rrd", "tier_recode_plan", "tier_lttb",
     "tier_lttb_summary", "mm_meta", "mm_features", "mm_frames",
     "pipe_split", "pipe_pack", "pipe_quota", "pipe_curate", "pipe_vocab",
-    "pipe_decontam",
+    "pipe_decontam", "pipe_corpus",
     "ts_delta", "ts_moving_avg", "ts_zscore", "ts_corr",
     "bonus_approx", "e2b_approx_sum")
   // ann_quant is excluded like ann_brute: both rank a bounded broadcast
