@@ -70,6 +70,23 @@ object TsQueries {
     "o6_window_pos" -> ((s, d) =>
       TsQuery.windowMaxPositional(r(s, d), 0L, Long.MaxValue, 16L)),
 
+    // top-k readings per signal (the bounded flavor of O5b's argmax set);
+    // WindowGroupLimit pushes the rank filter below the per-signal sort
+    "o5_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("signal_id")).orderBy(col("value").desc, col("seq_no"))
+      r(s, d).withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("signal_id"), col("seq_no"), col("value"), col("rnk"))
+    }),
+
+    // exact interpolated median per positional window — O5c at O6's grain
+    "o6_window_p50" -> ((s, d) =>
+      r(s, d).groupBy(col("signal_id"),
+          Readings.posWindow(col("seq_no"), 0L, 16L).as("win"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          count(lit(1)).as("cnt"))),
+
     "o6_window_time" -> ((s, d) => TsQuery.windowAggTime(r(s, d), "1 day")),
 
     // O6 with argmax positions: the reference's windowed max also returns
@@ -292,6 +309,20 @@ object TsQueries {
          |  SELECT signal_id, seq_no, value,
          |         rank() OVER (PARTITION BY signal_id ORDER BY value DESC) AS rk
          |  FROM r) WHERE rk = 1""".stripMargin,
+
+    "o5_topk" ->
+      s"""$OracleCte SELECT signal_id, seq_no, value, rnk FROM (
+         |  SELECT signal_id, seq_no, value,
+         |    CAST(row_number() OVER (PARTITION BY signal_id
+         |      ORDER BY value DESC, seq_no) AS BIGINT) AS rnk
+         |  FROM r) WHERE rnk <= 3""".stripMargin,
+
+    "o6_window_p50" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS win,
+         |  round(quantile_cont(value, 0.5), 4) AS p50,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "o6_window_pos" ->
       s"""$OracleCte SELECT signal_id,

@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
   private val auditable = Seq(
     "o1_scan", "o2_project_ids", "o2b_project_idlist", "o3_range",
     "o3b_range_cond", "o4_equal", "o5_agg_all", "o5_argmax", "o5_percentile",
-    "o6_window_pos", "o6_window_time", "o6_window_argmax", "o8_zonemap",
+    "o5_topk", "o6_window_pos", "o6_window_time", "o6_window_argmax",
+    "o6_window_p50", "o8_zonemap",
     "o8_zonemap_max", "influx_max", "influx_max_groupby", "tsbs_last_loc",
     "tsbs_low_fuel", "tsbs_high_load", "ts_session", "ts_resample_ffill",
     "asof_segment", "asof_native", "range_bands", "e1_quantize", "e2_approx",
