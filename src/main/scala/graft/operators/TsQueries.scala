@@ -18,6 +18,11 @@ object TsQueries {
 
   private def r(s: SparkSession, dir: String): DataFrame = Readings.of(s, dir)
 
+  // EWMA recurrence step — written as `0.3 * x + 0.7 * acc` to match the
+  // oracle's list_reduce lambda operation-for-operation (IEEE-exact)
+  private val EwmaFoldUdf = udf((vals: Seq[Double]) =>
+    vals.tail.foldLeft(vals.head)((acc, x) => 0.3 * x + 0.7 * acc))
+
   /** Tag dimension = customer keyed by c_custkey (signal_id), per SURVEY §1.4
     * "tag columns become a proper dimension table".
     */
@@ -190,6 +195,30 @@ object TsQueries {
         .select(col("sig_a"), col("sig_b"), col("n"), col("corr_q"))
     }),
 
+    // gap detection: consecutive-reading gaps over 6 hours per signal —
+    // the diagnostic sibling of ts_session (integer epoch math, exact)
+    "ts_gaps" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("signal_id")).orderBy(col("seq_no"))
+      r(s, d).select(col("signal_id"), col("seq_no"),
+          (unix_timestamp(col("ts")) -
+            lag(unix_timestamp(col("ts")), 1).over(w)).as("gap_s"))
+        .filter(col("gap_s") > 6 * 3600L)
+    }),
+
+    // segment-local EWMA smoothing (alpha=0.3, state resets per segment):
+    // the per-segment final EWMA, computed as an EXPLICIT sequential left
+    // fold over the ordered segment array on both engines (Spark UDF /
+    // DuckDB list_reduce, identical `0.3*x + 0.7*acc` step). A running
+    // window-sum closed form was tried first and failed the exact gate:
+    // the engines associate window sums differently, and one last-ulp
+    // difference flipped a 6dp rounding boundary. Sequential recurrences
+    // need sequential folds to be engine-exact.
+    "ts_ewma_seg" -> ((s, d) =>
+      Segments.complete(r(s, d))
+        .select(col("signal_id"), col("seg"),
+          round(EwmaFoldUdf(col("values")), 6).as("ewma"))),
+
     "influx_max" -> ((s, d) => r(s, d).agg(max(col("value")).as("vmax"))),
 
     "influx_max_groupby" -> ((s, d) =>
@@ -358,6 +387,26 @@ object TsQueries {
          |  round(avg(value) OVER (PARTITION BY signal_id ORDER BY seq_no
          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
          |FROM r""".stripMargin,
+
+    "ts_gaps" ->
+      s"""$OracleCte, g AS (
+         |  SELECT signal_id, seq_no,
+         |    CAST(floor(epoch(ts)) AS BIGINT) -
+         |      lag(CAST(floor(epoch(ts)) AS BIGINT))
+         |        OVER (PARTITION BY signal_id ORDER BY seq_no) AS gap_s
+         |  FROM r
+         |)
+         |SELECT signal_id, seq_no, gap_s FROM g WHERE gap_s > 21600""".stripMargin,
+
+    "ts_ewma_seg" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT signal_id, seg,
+         |  round(list_reduce(vals::DOUBLE[], (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+         |FROM segs WHERE cnt = 16""".stripMargin,
 
     "ts_zscore" ->
       s"""$OracleCte, st AS (
