@@ -57,6 +57,21 @@ object TextOps {
   /** Distinct character n-grams of the lowercased text. */
   def charGrams(c: Column, n: Int): Column = charGramsUdf(n)(c)
 
+  /** Standard pre-tokenization normalization: lowercase, strip
+    * punctuation, collapse whitespace runs, trim. The SQL twin is
+    * [[cleanTextSql]] — keep the two in lockstep.
+    */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c),
+      lit("[.,!?;:]"), lit("")), lit("\\s+"), lit(" ")))
+
+  /** DuckDB expression computing [[cleanText]] of string expression `t`
+    * (note the 'g' flags: DuckDB regexp_replace is first-match-only by
+    * default, Spark replaces all).
+    */
+  def cleanTextSql(t: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($t), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
   /** Per-language marker tokens for the language-ID heuristic. With real

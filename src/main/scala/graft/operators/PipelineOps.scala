@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
@@ -26,17 +26,14 @@ object PipelineOps {
       when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
   }
 
-  /** Token-budget sequence packing: per (lang, shard) stream, documents are
-    * concatenated in doc_id order and a document joins the pack where its
-    * FIRST token lands (floor(start_tok / budget)). The shard key bounds
-    * window-partition size — packing is per-stream and embarrassingly
-    * parallel, so a 100 TB corpus packs as width-many independent running
-    * sums instead of one global one. Output: one row per pack.
-    */
-  /** Per-document pack assignment — the packing decision itself:
-    * (doc_id, lang, shard, toks, start_tok, pack_id). The streaming packer
-    * (graft.streaming.Ingest.packStream) produces the same assignment
-    * incrementally; parity is asserted in PipelineSpec.
+  /** Token-budget sequence packing, per-document assignment: per
+    * (lang, shard) stream, documents are concatenated in doc_id order and
+    * a document joins the pack where its FIRST token lands
+    * (floor(start_tok / budget)). The shard key bounds window-partition
+    * size — packing is per-stream and embarrassingly parallel, so a
+    * 100 TB corpus packs as width-many independent running sums instead
+    * of one global one. The streaming packer (Ingest.packStream) produces
+    * the same assignment incrementally; parity asserted in PipelineSpec.
     */
   def packAssignments(docs: DataFrame, budgetTokens: Long, shards: Int = 8): DataFrame =
     packAssignmentsFromToks(
@@ -85,7 +82,7 @@ object PipelineOps {
     * never a doc×doc comparison, so the shape survives a 100 TB train
     * corpus × fixed benchmark suite.
     */
-  def decontaminate(docs: DataFrame, benchPred: org.apache.spark.sql.Column): DataFrame = {
+  def decontaminate(docs: DataFrame, benchPred: Column): DataFrame = {
     val sh = Dedup.shingleSets(docs)
     val bench = sh.filter(benchPred)
       .select(explode(col("sh")).as("s")).distinct()
@@ -116,8 +113,7 @@ object PipelineOps {
     */
   def curate(docs: DataFrame, minTokens: Long, maxTokens: Long): DataFrame = {
     val cleaned = docs.select(col("doc_id"), col("lang"),
-      trim(regexp_replace(regexp_replace(lower(col("text")),
-        lit("[.,!?;:]"), lit("")), lit("\\s+"), lit(" "))).as("cleaned"),
+      TextOps.cleanText(col("text")).as("cleaned"),
       TextOps.wsTokenCount(col("text")).as("toks"),
       sha2(col("text"), 256).as("h"))
     cleaned

@@ -1,12 +1,15 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.Tables
+import graft.functions.TextOps
 import graft.ml.Fixtures
 
 /** Driver-facing registrations for the corpus-curation pipeline operators
-  * (PipelineOps). All four are deterministic and fully SQL-expressible, so
-  * each carries an exact DuckDB oracle.
+  * (PipelineOps) and the composed CorpusStore view. Every entry is
+  * deterministic and fully SQL-expressible, so each carries an exact
+  * DuckDB oracle.
   */
 object PipelineQueries {
 
@@ -32,8 +35,7 @@ object PipelineQueries {
     // benchmark set stands in as every 50th doc; output = contaminated
     // train docs with their shared-shingle counts
     "pipe_decontam" -> ((s, d) =>
-      PipelineOps.decontaminate(docs(s, d),
-        org.apache.spark.sql.functions.col("doc_id") % 50 === 0)),
+      PipelineOps.decontaminate(docs(s, d), col("doc_id") % 50 === 0)),
 
     "pipe_vocab" -> ((s, d) => PipelineOps.vocabTopK(docs(s, d), VocabK)),
 
@@ -45,6 +47,23 @@ object PipelineQueries {
   )
 
   private val ToksSql = raw"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"
+
+  // curate stages as a shared CTE prefix (ends with table `cur`):
+  // normalize -> sha256-keeper dedup -> token gate, used by both the
+  // pipe_curate and pipe_corpus oracles
+  private def curateCteSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang,
+       |    ${TextOps.cleanTextSql("text")} AS cleaned,
+       |    $ToksSql AS toks,
+       |    sha256(text) AS h
+       |  FROM documents
+       |), k AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper FROM c
+       |), cur AS (
+       |  SELECT doc_id, lang, toks, cleaned FROM k
+       |  WHERE doc_id = keeper AND toks BETWEEN $MinToks AND $MaxToks
+       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pipe_split" ->
@@ -85,23 +104,11 @@ object PipelineQueries {
          |SELECT doc_id, lang, toks, rnk FROM r WHERE rnk <= $QuotaPerLang""".stripMargin,
 
     "pipe_corpus" ->
-      s"""WITH c AS (
-         |  SELECT doc_id, lang,
-         |    trim(regexp_replace(regexp_replace(lower(text),
-         |      '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS cleaned,
-         |    $ToksSql AS toks,
-         |    sha256(text) AS h
-         |  FROM documents
-         |), k AS (
-         |  SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper FROM c
-         |), cur AS (
-         |  SELECT doc_id, lang, toks, cleaned FROM k
-         |  WHERE doc_id = keeper AND toks BETWEEN $MinToks AND $MaxToks
-         |), sp AS (
+      s"""$curateCteSql, sp AS (
          |  SELECT doc_id,
          |    CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val'
          |         ELSE 'test' END AS split
-         |  FROM (SELECT doc_id, ${graft.ml.Fixtures.mix32Sql("doc_id", 7L)} % 100 AS hv
+         |  FROM (SELECT doc_id, ${Fixtures.mix32Sql("doc_id", 7L)} % 100 AS hv
          |        FROM documents)
          |), sh AS (
          |  SELECT *, CAST(doc_id % $PackShards AS BIGINT) AS shard FROM cur
@@ -140,17 +147,6 @@ object PipelineQueries {
          |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT $VocabK""".stripMargin,
 
     "pipe_curate" ->
-      s"""WITH c AS (
-         |  SELECT doc_id, lang,
-         |    trim(regexp_replace(regexp_replace(lower(text),
-         |      '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS cleaned,
-         |    $ToksSql AS toks,
-         |    sha256(text) AS h
-         |  FROM documents
-         |), k AS (
-         |  SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper FROM c
-         |)
-         |SELECT doc_id, lang, toks, cleaned FROM k
-         |WHERE doc_id = keeper AND toks BETWEEN $MinToks AND $MaxToks""".stripMargin
+      s"$curateCteSql SELECT doc_id, lang, toks, cleaned FROM cur"
   )
 }

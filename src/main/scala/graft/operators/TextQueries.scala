@@ -71,8 +71,7 @@ object TextQueries {
     // whitespace, trim — the standard pre-tokenization cleaning pass
     "text_clean" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
-        trim(regexp_replace(regexp_replace(lower(col("text")),
-          lit("[.,!?;:]"), lit("")), lit("\\s+"), lit(" "))).as("cleaned")))
+        TextOps.cleanText(col("text")).as("cleaned")))
   )
 
   private val ShingleCte =
@@ -218,12 +217,7 @@ object TextQueries {
         |  'doc/' || CAST(doc_id % 3 AS VARCHAR) AS media_type
         |FROM documents""".stripMargin,
 
-    // note the 'g' flag: DuckDB regexp_replace replaces only the first
-    // match by default, Spark replaces all
     "text_clean" ->
-      """SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text),
-        |    '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS cleaned
-        |FROM documents""".stripMargin
+      s"SELECT doc_id, ${TextOps.cleanTextSql("text")} AS cleaned FROM documents"
   )
 }

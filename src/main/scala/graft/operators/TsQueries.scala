@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Quantize
@@ -78,8 +79,8 @@ object TsQueries {
     // top-k readings per signal (the bounded flavor of O5b's argmax set);
     // WindowGroupLimit pushes the rank filter below the per-signal sort
     "o5_topk" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("signal_id")).orderBy(col("value").desc, col("seq_no"))
+      val w = W.partitionBy(col("signal_id"))
+        .orderBy(col("value").desc, col("seq_no"))
       r(s, d).withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("signal_id"), col("seq_no"), col("value"), col("rnk"))
@@ -128,8 +129,7 @@ object TsQueries {
     // one shuffle on signal_id; the first row of each signal has no
     // predecessor and is dropped
     "ts_delta" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("signal_id")).orderBy(col("seq_no"))
+      val w = W.partitionBy(col("signal_id")).orderBy(col("seq_no"))
       r(s, d).select(col("signal_id"), col("seq_no"),
         (col("value") - lag(col("value"), 1).over(w)).as("delta"))
         .filter(col("delta").isNotNull)
@@ -138,8 +138,7 @@ object TsQueries {
     // trailing moving average over the last 4 readings (rows frame, keyed
     // window); rounded to 6dp to absorb summation-order ulp differences
     "ts_moving_avg" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("signal_id")).orderBy(col("seq_no"))
+      val w = W.partitionBy(col("signal_id")).orderBy(col("seq_no"))
         .rowsBetween(-3, 0)
       r(s, d).select(col("signal_id"), col("seq_no"),
         round(avg(col("value")).over(w), 6).as("mavg"))
@@ -198,8 +197,7 @@ object TsQueries {
     // gap detection: consecutive-reading gaps over 6 hours per signal —
     // the diagnostic sibling of ts_session (integer epoch math, exact)
     "ts_gaps" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("signal_id")).orderBy(col("seq_no"))
+      val w = W.partitionBy(col("signal_id")).orderBy(col("seq_no"))
       r(s, d).select(col("signal_id"), col("seq_no"),
           (unix_timestamp(col("ts")) -
             lag(unix_timestamp(col("ts")), 1).over(w)).as("gap_s"))
