@@ -104,6 +104,70 @@ case class VecSqDist(left: Expression, right: Expression) extends VectorFoldExpr
     copy(left = l, right = r)
 }
 
+/** Fixed-point vector quantization: floor(v_i * scale) per element, held
+  * as doubles (exactly representable integers — the BUFF bounded-float
+  * domain applied to vectors). The transform() HOF form is CodegenFallback
+  * and re-dispatches a closure per element; this generates one primitive
+  * loop. `right` must be a foldable double (the scale).
+  */
+case class VecQuantize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_quantize"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elementType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, double), " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val scale = r.asInstanceOf[Double]
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    elementType match {
+      case FloatType =>
+        while (i < n) { out(i) = math.floor(a.getFloat(i) * scale); i += 1 }
+      case _ =>
+        while (i < n) { out(i) = math.floor(a.getDouble(i) * scale); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = elementType match {
+      case FloatType => "getFloat"
+      case _ => "getDouble"
+    }
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = java.lang.Math.floor(((double) $a.$getter($i)) * $s);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecQuantize =
+    copy(left = l, right = r)
+}
+
 /** Registration: programmatic (idempotent, per-session) and via
   * `spark.sql.extensions=graft.GraftExtensions` (see graft.GraftExtensions).
   */
@@ -114,7 +178,10 @@ object VectorFunctions {
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
     ("graft_sqdist",
       new ExpressionInfo(classOf[VecSqDist].getName, "graft_sqdist"),
-      (args: Seq[Expression]) => VecSqDist(args(0), args(1))))
+      (args: Seq[Expression]) => VecSqDist(args(0), args(1))),
+    ("graft_quantize",
+      new ExpressionInfo(classOf[VecQuantize].getName, "graft_quantize"),
+      (args: Seq[Expression]) => VecQuantize(args(0), args(1))))
 
   /** Register into a session's function registry (safe to call repeatedly). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -204,7 +204,7 @@ object Similarity {
     * the quantized domain without touching the f32 originals.
     */
   def quantizeVec(v: Column, scale: Double): Column =
-    transform(v.cast("array<double>"), x => floor(x * lit(scale)).cast("double"))
+    call_function("graft_quantize", v.cast("array<double>"), lit(scale))
 
   /** Brute-force top-k ranked entirely in the quantized domain. The sim
     * values differ from float cosine by O(1/scale); `ann_quant_recall`

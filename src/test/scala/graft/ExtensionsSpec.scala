@@ -19,9 +19,11 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest
     val s2 = spark.newSession()
     val row = s2.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
-        |       graft_sqdist(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS sq
+        |       graft_sqdist(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS sq,
+        |       graft_quantize(array(1.26d, -0.5d), 64.0d) AS q
         |""".stripMargin).collect()(0)
     assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 25.0)
+    assert(row.getSeq[Double](2) == Seq(80.0, -32.0))
   }
 
   test("injected planner strategy plans the native as-of join on its own") {
