@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, PipelineOps}
+import graft.ml.CrPredictor
+
+/** Degenerate-input behavior: every operator must return an empty (or
+  * well-defined) result on an empty corpus rather than throw — at 100 TB
+  * an empty partition, an empty lang group, or an all-filtered batch is a
+  * daily event, not an edge case.
+  */
+class EdgeCaseSpec extends AnyFunSuite with SparkTest {
+
+  private lazy val emptyDocs = {
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType))))
+  }
+
+  private lazy val emptyReadings =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("signal_id", LongType), StructField("seq_no", LongType),
+        StructField("value", DoubleType), StructField("value_q", LongType))))
+
+  test("document/pipeline operators are empty-safe") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.minhashNearDup(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    assert(PipelineOps.sampleSplit(emptyDocs).count() == 0)
+    assert(PipelineOps.packSequences(emptyDocs, 512L).count() == 0)
+    assert(PipelineOps.quotaSample(emptyDocs, 5).count() == 0)
+    assert(PipelineOps.curate(emptyDocs, 1L, 10L).count() == 0)
+    assert(PipelineOps.vocabTopK(emptyDocs, 10).count() == 0)
+    assert(PipelineOps.decontaminate(emptyDocs, col("doc_id") === 0L).count() == 0)
+  }
+
+  test("CR predictor returns the full codec table on an empty sample") {
+    // regression: the percentile over zero consecutive deltas aggregates
+    // to null and must fall back, not throw
+    val est = CrPredictor.estimate(emptyReadings, 0.5, 2).collect()
+    assert(est.length == 5)
+    assert(est.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("single-doc corpus: packer emits one pack, dedup finds no pairs") {
+    import spark.implicits._
+    val one = Seq((0L, "just one tiny document here", "en")).toDF("doc_id", "text", "lang")
+    val packs = PipelineOps.packSequences(one, 512L).collect()
+    assert(packs.length == 1 && packs(0).getAs[Long]("n_docs") == 1L)
+    assert(Dedup.minhashNearDup(one, 0.5).count() == 0)
+    assert(PipelineOps.decontaminate(one, col("doc_id") === 0L).count() == 0)
+  }
+}
