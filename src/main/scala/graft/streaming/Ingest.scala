@@ -102,6 +102,23 @@ object Ingest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming curation — the incremental flavor of PipelineOps.curate:
+    * normalize + token-gate are stateless per-row maps; exact dedup is the
+    * watermark-bounded first-occurrence state (dedupStream). For a stream
+    * arriving in doc_id order the survivors match the batch operator's
+    * min-doc_id keepers (parity asserted in PipelineSpec); duplicates
+    * farther apart than the watermark need the nightly batch pass, as with
+    * dedupStream.
+    */
+  def curateStream(docs: DataFrame, watermark: String,
+                   minToks: Long, maxToks: Long): DataFrame =
+    dedupStream(
+      docs.withColumn("cleaned", graft.functions.TextOps.cleanText(col("text")))
+        .withColumn("toks", graft.functions.TextOps.wsTokenCount(col("text")))
+        .filter(col("toks").between(minToks, maxToks)),
+      watermark)
+      .select(col("doc_id"), col("toks"), col("cleaned"))
+
   case class PackState(usedToks: Long)
   case class PackDocIn(doc_id: Long, lang: String, shard: Long, toks: Long)
   case class PackAssign(doc_id: Long, lang: String, shard: Long, toks: Long,

@@ -115,6 +115,34 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     assert(out == Seq(("aa", 3L), ("bb", 2L), ("cc", 1L)))
   }
 
+  test("streaming curation matches the batch pass on an in-order stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val fixture = docs.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+      .map { case (id, text, _) => (id, ts(id.toInt), text) }
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = graft.streaming.Ingest.curateStream(stream, "10 minutes", 2L, 1000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curate_stream").start()
+    mem.addData(fixture.take(20).toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(fixture.drop(20).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curate_stream")
+      .select(col("doc_id"), col("toks"), col("cleaned"))
+      .as[(Long, Long, String)].collect().toSet
+    val batch = graft.operators.PipelineOps.curate(docs, 2L, 1000L)
+      .select(col("doc_id"), col("toks"), col("cleaned"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("curate drops exact duplicates and out-of-gate docs, keeps min id") {
     val out = PipelineOps.curate(docs, 2L, 1000L).collect()
     val ids = out.map(_.getLong(0)).toSet
