@@ -51,6 +51,41 @@ object OlapQueries {
           .cast("long").as("revenue_q"),
           count(lit(1)).as("cnt"))),
 
+    // TPC-H Q5 shape: the 6-table join (lineitem-orders-customer-supplier-
+    // nation-region) with the local-supplier constraint. Dims chain into
+    // broadcasts (region filters nation, nation+supplier stay small); only
+    // the two fact joins shuffle, and Catalyst orders them
+    "q5_join" -> ((s, d) => {
+      val natAsia = Tables.load(s, d, "nation")
+        .join(broadcast(Tables.load(s, d, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(Quantize.quantize(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2))
+          .cast("long").as("revenue_q"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // part-dimension rollup (Q9 flavor): revenue by brand, part broadcast
+    "q9_parts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.load(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(Quantize.quantize(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2))
+          .cast("long").as("revenue_q"),
+          count(lit(1)).as("cnt"))),
+
     "bonus_topk" -> ((s, d) =>
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -133,6 +168,27 @@ object OlapQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_q,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |               AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+
+    "q9_parts" ->
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_q,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1""".stripMargin,
 
     "bonus_approx" ->
       """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,

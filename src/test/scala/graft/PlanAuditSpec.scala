@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "o8_zonemap_max", "influx_max", "influx_max_groupby", "tsbs_last_loc",
     "tsbs_low_fuel", "tsbs_high_load", "ts_session", "ts_resample_ffill",
     "asof_segment", "asof_native", "range_bands", "e1_quantize", "e2_approx",
-    "q1_agg", "q3_join", "q6_filter_agg", "bonus_topk", "bonus_distinct",
+    "q1_agg", "q3_join", "q5_join", "q6_filter_agg", "q9_parts",
+    "bonus_topk", "bonus_distinct",
     "bonus_setops", "bonus_rollup", "dedup_exact", "dedup_minhash",
     "dedup_ngram", "dedup_simhash", "simhash_pairs", "dedup_embedding",
     "text_stats", "text_quality", "text_lang_id", "text_token_count",
