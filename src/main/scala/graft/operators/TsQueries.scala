@@ -235,6 +235,12 @@ object TsQueries {
         .filter(col("value") > 100.0)
         .select(col("signal_id"), col("seq_no"), col("value"))),
 
+    // O7's complement: signals with NO dimension row in the segment —
+    // broadcast anti-join (the untagged-stream diagnostic)
+    "tsbs_untagged" -> ((s, d) =>
+      TsQuery.lastPerSignal(r(s, d))
+        .join(broadcast(tags(s, d, "BUILDING")), Seq("signal_id"), "left_anti")),
+
     // as-of join: each reading picks up its segment's start marker — the
     // "latest state at event time" join; self-validating (seg must equal
     // the reading's own segment id)
@@ -476,6 +482,15 @@ object TsQueries {
       s"""$OracleCte SELECT r.signal_id, r.seq_no, r.value
          |FROM r JOIN customer c ON c.c_custkey = r.signal_id
          |WHERE c.c_mktsegment = 'MACHINERY' AND r.value > 100.0""".stripMargin,
+
+    "tsbs_untagged" ->
+      s"""$OracleCte, last AS (
+         |  SELECT signal_id, value AS last_value,
+         |         row_number() OVER (PARTITION BY signal_id ORDER BY ts DESC, seq_no DESC) AS rn
+         |  FROM r)
+         |SELECT signal_id, last_value FROM last
+         |WHERE rn = 1 AND signal_id NOT IN (
+         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
 
     "ts_session" ->
       s"""$OracleCte, g AS (

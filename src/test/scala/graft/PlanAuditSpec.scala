@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "o5_topk", "o6_window_pos", "o6_window_time", "o6_window_argmax",
     "o6_window_p50", "o8_zonemap",
     "o8_zonemap_max", "influx_max", "influx_max_groupby", "tsbs_last_loc",
-    "tsbs_low_fuel", "tsbs_high_load", "ts_session", "ts_resample_ffill",
+    "tsbs_low_fuel", "tsbs_high_load", "tsbs_untagged",
+    "ts_session", "ts_resample_ffill",
     "asof_segment", "asof_native", "range_bands", "e1_quantize", "e2_approx",
     "q1_agg", "q3_join", "q5_join", "q6_filter_agg", "q9_parts",
     "bonus_topk", "bonus_distinct",
@@ -66,7 +67,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
   }
 
   test("dimension joins broadcast the small side") {
-    for (name <- Seq("q3_join", "tsbs_last_loc", "tsbs_high_load")) {
+    for (name <- Seq("q3_join", "q5_join", "tsbs_last_loc", "tsbs_high_load")) {
       val b = collect(plan(name)) { case j: BroadcastHashJoinExec => j }
       assert(b.nonEmpty, s"$name lost its broadcast join")
     }
