@@ -42,9 +42,26 @@ object Bench {
         Some(tm.tier0)
       } catch { case _: Throwable => None }
 
+    // untimed corpus materialization: the *_store variant then measures
+    // the trainer's read path (partition-pruned split scan), not the
+    // curation compute the pipeline pays once
+    val corpusDir: Option[String] =
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-corpus")
+          .toString + "/corpus"
+        graft.sources.CorpusStore.write(
+          graft.Tables.documents(spark, sfDir), dir)
+        Some(dir)
+      } catch { case _: Throwable => None }
+
     val base: Seq[(String, () => Unit)] = SparkEntry.queries.toSeq
       .map { case (n, fn) => (n, () => { fn(spark, sfDir).count(); () }) }
-    val tierVariants: Seq[(String, () => Unit)] = tier0.toSeq.flatMap { t =>
+    val corpusVariants: Seq[(String, () => Unit)] = corpusDir.toSeq.map { dir =>
+      ("pipe_corpus_store", () => {
+        graft.sources.CorpusStore.readSplit(spark, dir, "train").count(); ()
+      })
+    }
+    val tierVariants: Seq[(String, () => Unit)] = corpusVariants ++ tier0.toSeq.flatMap { t =>
       Seq(
         ("o6_window_pos_tier", () => {
           graft.operators.TsQuery.windowMaxPositional(
