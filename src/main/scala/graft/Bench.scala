@@ -33,26 +33,34 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     } catch { case _: Throwable => () }
     // untimed ingest: land tier0 once; the *_tier variants below then
-    // measure the read path the architecture actually ships at 100 TB
+    // measure the read path the architecture actually ships at 100 TB.
+    // Setup failures are logged (a missing bench row must be diagnosable)
+    // and the scratch dirs are deleted after the run.
+    var scratch: List[java.nio.file.Path] = Nil
+    def tempDir(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      scratch ::= p
+      p.toString
+    }
     val tier0: Option[String] =
       try {
-        val dir = java.nio.file.Files.createTempDirectory("graft-bench-tier").toString
-        val tm = new graft.operators.TierManager(spark, dir)
+        val tm = new graft.operators.TierManager(spark, tempDir("graft-bench-tier"))
         tm.landTier0(graft.operators.Readings.of(spark, sfDir))
         Some(tm.tier0)
-      } catch { case _: Throwable => None }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] tier0 setup failed (no *_tier rows): $e"); None }
 
     // untimed corpus materialization: the *_store variant then measures
     // the trainer's read path (partition-pruned split scan), not the
     // curation compute the pipeline pays once
     val corpusDir: Option[String] =
       try {
-        val dir = java.nio.file.Files.createTempDirectory("graft-bench-corpus")
-          .toString + "/corpus"
+        val dir = tempDir("graft-bench-corpus") + "/corpus"
         graft.sources.CorpusStore.write(
           graft.Tables.documents(spark, sfDir), dir)
         Some(dir)
-      } catch { case _: Throwable => None }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] corpus setup failed (no pipe_corpus_store row): $e"); None }
 
     val base: Seq[(String, () => Unit)] = SparkEntry.queries.toSeq
       .map { case (n, fn) => (n, () => { fn(spark, sfDir).count(); () }) }
@@ -95,14 +103,27 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }
+    // 3-decimal values keep the line short, and the headline fields ride at
+    // BOTH ends of the object: the driver's tail capture has clipped the
+    // leading fields of long lines in past rounds, so `value`/`n_ok` repeat
+    // the summary after the per-query map (JSON object key order is free)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map {
-      case (k, v, None) => s""""$k":$v"""
+      case (k, v, None) => s""""$k":${f3(v)}"""
       case (k, _, Some(err)) => s""""$k":{"err":"${esc(err.take(200))}"}"""
     }.mkString("{", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
     val nerr = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nerr,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"value":${f3(total)},"n_ok":${ok.size},"n_err":$nerr}""")
+    scratch.foreach { p =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scratch cleanup failed for $p: $e") }
+    }
     spark.stop()
   }
 }

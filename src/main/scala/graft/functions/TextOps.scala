@@ -124,8 +124,21 @@ object TextOps {
       s"[unicode(ch)::BIGINT for ch in string_split($t, '')]), " +
       "(a, x) -> (xor(a, x) * 16777619) % 4294967296)"
 
-  private val fnvLoUdf = udf((t: String) => fnv32(t))
-  private val fnvHiUdf = udf((t: String) => fnv32("x" + t))
+  /** Seeded continuation of [[fnv32]]: fnv32(p + s) == fnv32From(fnv32(p), s).
+    * The interpreted twin of the codegen'd [[Fnv32]] expression.
+    */
+  def fnv32From(seed: Long, s: String): Long = {
+    var h = seed
+    var i = 0
+    while (i < s.length) {
+      h = ((h ^ s.charAt(i)) * 16777619L) & 0xffffffffL
+      i += 1
+    }
+    h
+  }
+
+  private val FnvSeedLo = 2166136261L
+  private val FnvSeedHi = fnv32("x") // prefixed hash folds from the prefix's state
 
   /** DuckDB CTE recomputing `simhash` exactly: tokenize, term counts,
     * fnv32 halves, 64 per-bit ± count sums, sign → bit. Ends with a table
@@ -168,11 +181,12 @@ object TextOps {
     * output (id, sig_lo, sig_hi).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    VectorFunctions.ensureRegistered(docs.sparkSession)
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h_lo", fnvLoUdf(col("tok")))
-      .withColumn("h_hi", fnvHiUdf(col("tok")))
+      .withColumn("h_lo", call_function("graft_fnv32", col("tok"), lit(FnvSeedLo)))
+      .withColumn("h_hi", call_function("graft_fnv32", col("tok"), lit(FnvSeedHi)))
     def bitSums(h: String, p: String) = (0 until 32).map { b =>
       sum((shiftright(col(h), b).bitwiseAND(lit(1L)) * 2 - 1) * col("cnt")).as(s"$p$b")
     }

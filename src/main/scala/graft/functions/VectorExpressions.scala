@@ -113,8 +113,15 @@ case class VecSqDist(left: Expression, right: Expression) extends VectorFoldExpr
 case class VecQuantize(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "graft_quantize"
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // null elements propagate (x -> floor(x*scale) is elementwise), so the
+  // output is nullable exactly when the input is
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = inputContainsNull)
   override def nullable: Boolean = true
+
+  private def inputContainsNull: Boolean = left.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
 
   private def elementType: DataType = left.dataType match {
     case ArrayType(et, _) => et
@@ -133,15 +140,26 @@ case class VecQuantize(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val scale = r.asInstanceOf[Double]
     val n = a.numElements()
-    val out = new Array[Double](n)
-    var i = 0
-    elementType match {
-      case FloatType =>
-        while (i < n) { out(i) = math.floor(a.getFloat(i) * scale); i += 1 }
-      case _ =>
-        while (i < n) { out(i) = math.floor(a.getDouble(i) * scale); i += 1 }
+    val isFloat = elementType == FloatType
+    if (!inputContainsNull) {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor((if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * scale)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (a.isNullAt(i)) null
+          else math.floor((if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * scale)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -153,18 +171,82 @@ case class VecQuantize(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
-      s"""
-         |int $n = $a.numElements();
-         |double[] $out = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = java.lang.Math.floor(((double) $a.$getter($i)) * $s);
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
+      if (!inputContainsNull) {
+        // primitive fast path: the common containsNull=false input keeps a
+        // boxing-free double[] loop
+        s"""
+           |int $n = $a.numElements();
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = java.lang.Math.floor(((double) $a.$getter($i)) * $s);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      } else {
+        s"""
+           |int $n = $a.numElements();
+           |Object[] $out = new Object[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $a.isNullAt($i) ? null :
+           |    (Object) java.lang.Math.floor(((double) $a.$getter($i)) * $s);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      }
     })
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecQuantize =
+    copy(left = l, right = r)
+}
+
+/** Seeded FNV-1a 32-bit string hash as a native codegen'd expression —
+  * the per-token hash of the simhash pipeline (TextOps.fnv32 semantics:
+  * fold over UTF-16 chars, 32-bit wraparound). A UDF here was the only
+  * interpreted hop in an otherwise codegen'd pipeline; this generates the
+  * ~5-instruction loop inline in whole-stage codegen. `right` is the fold
+  * seed (2166136261 for the plain hash; fnv32 of a prefix for prefixed
+  * variants, since fnv32(p + s) == fnv32From(fnv32(p), s)).
+  */
+case class Fnv32(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_fnv32"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, bigint seed), " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val s = l.toString
+    var h = r.asInstanceOf[Long]
+    var i = 0
+    while (i < s.length) {
+      h = ((h ^ s.charAt(i)) * 16777619L) & 0xffffffffL
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (u, seed) => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |String $s = $u.toString();
+         |long $h = $seed;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $h = (($h ^ $s.charAt($i)) * 16777619L) & 0xffffffffL;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Fnv32 =
     copy(left = l, right = r)
 }
 
@@ -181,7 +263,10 @@ object VectorFunctions {
       (args: Seq[Expression]) => VecSqDist(args(0), args(1))),
     ("graft_quantize",
       new ExpressionInfo(classOf[VecQuantize].getName, "graft_quantize"),
-      (args: Seq[Expression]) => VecQuantize(args(0), args(1))))
+      (args: Seq[Expression]) => VecQuantize(args(0), args(1))),
+    ("graft_fnv32",
+      new ExpressionInfo(classOf[Fnv32].getName, "graft_fnv32"),
+      (args: Seq[Expression]) => Fnv32(args(0), args(1))))
 
   /** Register into a session's function registry (safe to call repeatedly). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -148,13 +148,18 @@ object TsQueries {
     // reference's outlier concern, outlier/mod.rs): moments computed as
     // EXACT integer sums over the fixed-point domain (sum_q, sum_q^2 —
     // associative, map-side combined, engine-identical), then one
-    // broadcast join of the tiny per-signal stats back onto the readings
+    // broadcast join of the tiny per-signal stats back onto the readings.
+    // The squared-moment sum rides DECIMAL(38,0): q^2 sums overflow int64
+    // past ~4e9 rows/signal while decimal stays exact to 1e38, so the
+    // engine-identical claim holds at the 100 TB design point (s1 as int64
+    // is safe to ~9e13 rows/signal at |q| <= 1e5)
     "ts_zscore" -> ((s, d) => {
       val rr = r(s, d)
+      val q18 = col("value_q").cast("decimal(18,0)")
       val stats = rr.groupBy(col("signal_id"))
         .agg(count(lit(1)).as("n"),
           sum(col("value_q")).cast("long").as("s1"),
-          sum(col("value_q") * col("value_q")).cast("long").as("s2"))
+          sum(q18 * q18).cast("decimal(38,0)").as("s2"))
         .withColumn("mean_q", col("s1").cast("double") / col("n").cast("double"))
         .withColumn("var_q",
           col("s2").cast("double") / col("n").cast("double") -
@@ -171,7 +176,12 @@ object TsQueries {
 
     // cross-signal Pearson correlation over seq_no-aligned pairs of the
     // first 5 signals — the moments ride ONE aggregation per pair as exact
-    // integer sums; the tiny pivoted side joins by seq_no (keyed shuffle)
+    // integer sums; the tiny pivoted side joins by seq_no (keyed shuffle).
+    // Second moments and the final moment combination (n*sab - sa*sb etc.)
+    // run in DECIMAL(38,0): the int64 form wraps silently past ~4e9 aligned
+    // rows (q^2 sums) / ~3e4 rows (n*saa products), while decimal is exact
+    // to 1e38 — at tested SFs both agree with the oracle's BIGINT math,
+    // and at 100 TB the decimal stays exact where int64 would wrap
     "ts_corr" -> ((s, d) => {
       val rr = r(s, d).filter(col("signal_id") < 5)
         .select(col("signal_id"), col("seq_no"), col("value_q"))
@@ -179,18 +189,20 @@ object TsQueries {
         col("value_q").as("qa"))
       val b = rr.select(col("signal_id").as("sig_b"), col("seq_no"),
         col("value_q").as("qb"))
+      val (qa, qb) = (col("qa").cast("decimal(18,0)"), col("qb").cast("decimal(18,0)"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       a.join(b, "seq_no").where(col("sig_a") < col("sig_b"))
         .groupBy(col("sig_a"), col("sig_b"))
         .agg(count(lit(1)).as("n"),
-          sum(col("qa")).cast("long").as("sa"),
-          sum(col("qb")).cast("long").as("sb"),
-          sum(col("qa") * col("qa")).cast("long").as("saa"),
-          sum(col("qb") * col("qb")).cast("long").as("sbb"),
-          sum(col("qa") * col("qb")).cast("long").as("sab"))
+          sum(col("qa")).cast("decimal(38,0)").as("sa"),
+          sum(col("qb")).cast("decimal(38,0)").as("sb"),
+          sum(qa * qa).cast("decimal(38,0)").as("saa"),
+          sum(qb * qb).cast("decimal(38,0)").as("sbb"),
+          sum(qa * qb).cast("decimal(38,0)").as("sab"))
         .withColumn("corr_q", round(
-          (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
-            (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")) *
-             sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))), 6))
+          (d38(col("n")) * col("sab") - col("sa") * col("sb")).cast("double") /
+            (sqrt((d38(col("n")) * col("saa") - col("sa") * col("sa")).cast("double")) *
+             sqrt((d38(col("n")) * col("sbb") - col("sb") * col("sb")).cast("double"))), 6))
         .select(col("sig_a"), col("sig_b"), col("n"), col("corr_q"))
     }),
 

@@ -104,10 +104,14 @@ object Ingest {
 
   /** Streaming curation — the incremental flavor of PipelineOps.curate:
     * normalize + token-gate are stateless per-row maps; exact dedup is the
-    * watermark-bounded first-occurrence state (dedupStream). For a stream
-    * arriving in doc_id order the survivors match the batch operator's
-    * min-doc_id keepers (parity asserted in PipelineSpec); duplicates
-    * farther apart than the watermark need the nightly batch pass, as with
+    * watermark-bounded first-occurrence state (dedupStream). Dedup keeps
+    * the FIRST-ARRIVING row per content hash: this matches the batch
+    * operator's min-doc_id keepers only when duplicates arrive in separate,
+    * doc_id-ordered micro-batches (the case PipelineSpec asserts) —
+    * duplicates landing in the SAME micro-batch race across shuffle
+    * partitions and `dropDuplicatesWithinWatermark` keeps whichever is
+    * processed first, not necessarily the min doc_id. Duplicates farther
+    * apart than the watermark need the nightly batch pass, as with
     * dedupStream.
     */
   def curateStream(docs: DataFrame, watermark: String,
