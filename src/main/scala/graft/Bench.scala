@@ -42,13 +42,43 @@ object Bench {
       scratch ::= p
       p.toString
     }
-    val tier0: Option[String] =
+    val tierMgr: Option[graft.operators.TierManager] =
       try {
         val tm = new graft.operators.TierManager(spark, tempDir("graft-bench-tier"))
         tm.landTier0(graft.operators.Readings.of(spark, sfDir))
-        Some(tm.tier0)
+        // walk the full aging ladder once (untimed) so the *_tier entries
+        // measure reads against every persisted tier, tier3 included
+        tm.compactToQuantized(java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+        tm.compactToPaa(w = 4, targetCr = 0.5)
+        tm.compactToPaa2(w = 4, targetCr = 0.6)
+        Some(tm)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] tier0 setup failed (no *_tier rows): $e"); None }
+        System.err.println(s"[bench] tier setup failed (no *_tier rows): $e"); None }
+    val tier0: Option[String] = tierMgr.map(_.tier0)
+
+    // bucketed co-located store (untimed write): the q_bucketed_* entries
+    // then measure the exchange-free fact-fact join / keyed agg read path
+    val bucketed: Boolean =
+      try {
+        val r = graft.operators.Readings.of(spark, sfDir)
+        graft.sources.BucketedStore.writeBucketed(
+          r.select(col("signal_id"), col("seq_no"), col("value")),
+          "bench_readings_b", "signal_id", buckets = 32, sortCol = Some("seq_no"))
+        graft.sources.BucketedStore.writeBucketed(
+          r.groupBy(col("signal_id")).agg(max(col("value")).as("sig_max")),
+          "bench_sigstats_b", "signal_id", buckets = 32)
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bucketed setup failed (no q_bucketed rows): $e"); false }
+
+    // small-input benches broadcast the stats side and skip the bucketed
+    // path entirely; at 100 TB neither side broadcasts, so the co-located
+    // sort-merge IS the production plan — pin it for the measurement
+    def withoutAutoBroadcast(run: => Unit): Unit = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try run finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
 
     // untimed corpus materialization: the *_store variant then measures
     // the trainer's read path (partition-pruned split scan), not the
@@ -78,8 +108,37 @@ object Bench {
         ("o3_range_tier", () => {
           spark.read.parquet(t).filter(col("value") > 150.0)
             .select(col("signal_id"), col("seq_no")).count(); ()
+        }),
+        // the native as-of operator over the PERSISTED tier (stored seq_no,
+        // no derivation window): the read path ingest actually ships
+        ("asof_native_tier", () => {
+          val rr = spark.read.parquet(t)
+          val segStarts = rr.groupBy(col("signal_id"),
+              graft.operators.Readings.segmentId(col("seq_no")).as("seg"))
+            .agg(min(col("ts")).as("seg_ts"))
+          graft.plans.NativeAsOf.asofJoin(
+            rr.select(col("signal_id"), col("seq_no"), col("ts")),
+            segStarts, "signal_id", "ts", "seg_ts", Seq("seg")).count(); ()
+        })) ++
+        // the approx-percentile scale twin of o5_percentile: bounded-memory
+        // sketch vs the exact buffering form (see the o5_percentile comment)
+        Seq(("o5_percentile_approx", () => {
+          graft.operators.Readings.of(spark, sfDir).groupBy(col("signal_id"))
+            .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+                 expr("approx_percentile(value, 0.9, 1000)").as("p90")).count(); ()
         }))
-    }
+    } ++ tierMgr.toSeq.map { tm =>
+      ("tier3_paa_max", () => { tm.maxFromTier3().count(); () })
+    } ++ (if (!bucketed) Seq.empty[(String, () => Unit)] else Seq(
+      ("q_bucketed_join", () => withoutAutoBroadcast {
+        graft.sources.BucketedStore
+          .colocatedJoin(spark, "bench_readings_b", "bench_sigstats_b", "signal_id")
+          .filter(col("value") === col("sig_max")).count(); ()
+      }),
+      ("q_bucketed_agg", () => withoutAutoBroadcast {
+        graft.sources.BucketedStore
+          .colocatedAgg(spark, "bench_readings_b", "signal_id").count(); ()
+      })))
 
     val results = (base ++ tierVariants).sortBy(_._1).map { case (name, run) =>
       val runs = (1 to reps).map { _ =>
@@ -103,6 +162,29 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }
+    // ingestion throughput (reference future_signal.rs:134 prints points/sec
+    // per signal): replay the events table through the streaming
+    // segmentation pipeline (S1 source -> S2 keyed state) and report pts/s
+    val ingestPps: Option[Double] =
+      try {
+        val in = tempDir("graft-bench-ingest")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(in, "events.parquet"),
+          java.nio.file.Paths.get(sfDir, "events.parquet"))
+        val pts = spark.read.parquet(in).count()
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Ingest.segmentStream(
+            spark, in, graft.operators.Readings.SegmentRows.toInt)
+          .writeStream.outputMode("append").format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] ingest: $pts pts in $secs%.2fs")
+        Some(pts / secs)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest throughput failed: $e"); None }
+
     // 3-decimal values keep the line short, and the headline fields ride at
     // BOTH ends of the object: the driver's tail capture has clipped the
     // leading fields of long lines in past rounds, so `value`/`n_ok` repeat
@@ -115,7 +197,13 @@ object Bench {
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
     val nerr = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"value":${f3(total)},"n_ok":${ok.size},"n_err":$nerr}""")
+    val ingestField = ingestPps.map(v => s""""ingest_pts_per_sec":${f3(v)},""").getOrElse("")
+    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,$ingestField"value":${f3(total)},"n_ok":${ok.size},"n_err":$nerr}""")
+    if (bucketed) try {
+      spark.sql("DROP TABLE IF EXISTS bench_readings_b")
+      spark.sql("DROP TABLE IF EXISTS bench_sigstats_b")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bucketed table cleanup failed: $e") }
     scratch.foreach { p =>
       try {
         import scala.jdk.CollectionConverters._

@@ -9,7 +9,8 @@ import graft.plans.{ZoneMap, ZoneMapRegistry}
   * clock/LRU tiers, recoding_daemon.rs aging ladder), expressed as Spark
   * batch jobs over partitioned Parquet:
   *
-  *   tier0 (exact, hot)  --age-->  tier1 (quantized)  --age-->  tier2 (PAA)
+  *   tier0 (exact, hot) --age--> tier1 (quantized) --age--> tier2 (PAA w)
+  *                                       --age--> tier3 (PAA 2w, re-recoded)
   *
   * `compactTo*` moves data older than a cutoff down one tier, guarded
   * per segment by the projected compression ratio (Tiers.recodePlan —
@@ -24,7 +25,8 @@ class TierManager(spark: SparkSession, root: String) {
 
   val tier0 = s"$root/tier0" // exact readings
   val tier1 = s"$root/tier1" // quantized (value dropped, value_q kept)
-  val tier2 = s"$root/tier2" // PAA chunk means
+  val tier2 = s"$root/tier2" // PAA chunk means (+ exact chunk sums)
+  val tier3 = s"$root/tier3" // PAA at doubled width, re-recoded FROM tier2
   private def stats(t: String) = s"$t.stats"
 
   /** Land exact readings into tier0 (ingest output). */
@@ -49,22 +51,63 @@ class TierManager(spark: SparkSession, root: String) {
   /** Age tier1 rows into PAA chunk means, guarded by projected CR:
     * segments whose PAA rewrite wouldn't beat `targetCr` stay quantized.
     */
-  def compactToPaa(w: Int, targetCr: Double): Long = {
+  def compactToPaa(w: Int, targetCr: Double): Long =
+    compactToPaaPlanned(w,
+      t1 => Tiers.recodePlan(t1, w, targetCr)
+        .filter(col("recode")).select(col("signal_id"), col("seg")))
+
+  /** compactToPaa with the CLOSED feedback loop (Tiers
+    * .recodePlanWithFeedback): segments whose measured PAA reconstruction
+    * error exceeds `errBudget` are NOT demoted even when the CR guard
+    * would approve them — the reference's bandit-reward semantics
+    * (buffer_pool.rs:940-1260).
+    */
+  def compactToPaaWithFeedback(w: Int, targetCr: Double, errBudget: Double): Long =
+    compactToPaaPlanned(w,
+      t1 => Tiers.recodePlanWithFeedback(t1, w, targetCr, errBudget)
+        .filter(col("recode")).select(col("signal_id"), col("seg")))
+
+  private def compactToPaaPlanned(w: Int, planOf: DataFrame => DataFrame): Long = {
     val t1 = spark.read.parquet(tier1)
       .withColumn("value", col("value_q").cast("double") / 100.0)
-    val plan = Tiers.recodePlan(t1, w, targetCr)
-      .filter(col("recode"))
-      .select(col("signal_id"), col("seg"))
+    val plan = planOf(t1)
     // per-SEGMENT guard (reference recoding_daemon.rs:283-348): only the
     // exact segments the plan approved are rewritten; a signal's other
     // segments stay quantized
     val eligible = t1.withColumn("seg", Readings.segmentId(col("seq_no")))
       .join(plan, Seq("signal_id", "seg"), "left_semi")
       .drop("seg")
+    // the exact chunk sums (sq) ride along so later ladder passes re-recode
+    // losslessly from the stored tier (rePaaChunks), not from means
     val paa = Tiers.paaChunks(eligible, w)
-      .select(col("signal_id"), col("chunk"), col("chunk_mean"), col("cnt"))
+      .select(col("signal_id"), col("chunk"), col("chunk_mean"), col("cnt"), col("sq"))
     Tiers.writeTier(paa, tier2)
     paa.count()
+  }
+
+  /** The next ladder pass (reference recoding_daemon.rs:351-416 — PAA
+    * window x2 per pass): tier2 chunks merge pairwise into tier3, guarded
+    * per segment by the projected CR of the halving (skip segments the
+    * merge wouldn't shrink below `targetCr` of their tier2 footprint).
+    * Because tier2 carries exact chunk sums, tier3 equals a single PAA
+    * pass at width 2w bit-for-bit.
+    */
+  def compactToPaa2(w: Int, targetCr: Double): Long = {
+    val t2 = spark.read.parquet(tier2)
+    val segOf = floor(col("chunk") * lit(w.toDouble) / lit(Readings.SegmentRows.toDouble))
+      .cast("long").as("seg")
+    val plan = t2.groupBy(col("signal_id"), segOf)
+      .agg(count(lit(1)).as("n_chunks"))
+      .withColumn("cr_step",
+        ceil(col("n_chunks") / 2.0).cast("double") / col("n_chunks").cast("double"))
+      .filter(col("cr_step") < targetCr)
+      .select(col("signal_id"), col("seg"))
+    val eligible = t2.withColumn("seg", segOf)
+      .join(plan, Seq("signal_id", "seg"), "left_semi")
+      .drop("seg")
+    val paa2 = Tiers.rePaaChunks(eligible, 2)
+    Tiers.writeTier(paa2, tier3)
+    paa2.count()
   }
 
   /** Max over the coldest tier that still answers exactly for the range —
@@ -72,5 +115,10 @@ class TierManager(spark: SparkSession, root: String) {
     */
   def maxFromColdTier(): DataFrame =
     spark.read.parquet(tier2)
+      .groupBy(col("signal_id")).agg(max(col("chunk_mean")).as("paa_max"))
+
+  /** Same query answered from the tier3 (doubled-width) ladder step. */
+  def maxFromTier3(): DataFrame =
+    spark.read.parquet(tier3)
       .groupBy(col("signal_id")).agg(max(col("chunk_mean")).as("paa_max"))
 }

@@ -25,6 +25,21 @@ object TierQueries {
 
     "tier_recode_plan" -> ((s, d) => Tiers.recodePlan(r(s, d), 4, 0.5)),
 
+    // the closed feedback loop: measured per-segment PAA error joined into
+    // the recode decision (reference buffer_pool.rs:940-1260 reward flow);
+    // errBudget=80 sits at the sf corpus's median segment error so the
+    // policy genuinely splits (roughly half the segments keep their tier)
+    "tier_policy" -> ((s, d) =>
+      Tiers.recodePlanWithFeedback(r(s, d), 4, 0.5, errBudget = 80.0)),
+
+    // two ladder passes (PAA w=4, then pairwise chunk merge) — proven
+    // bit-identical to one PAA pass at w=8 because the tier carries exact
+    // fixed-point chunk sums (the oracle computes the direct w=8 PAA)
+    "tier_ladder" -> ((s, d) =>
+      Tiers.rePaaChunks(Tiers.paaChunks(r(s, d), 4), 2)
+        .select(col("signal_id"), col("chunk"), col("sq"), col("cnt"),
+          col("chunk_mean"))),
+
     "tier_fft_err" -> ((s, d) =>
       Tiers.fftError(Segments.complete(r(s, d)), keep = 4)
         .select(col("signal_id"), col("seg"), round(col("err"), 6).as("err"))),
@@ -316,6 +331,39 @@ object TierQueries {
          |)
          |SELECT signal_id, seg, CAST(6 AS BIGINT) AS n_pts, first_v, last_v
          |FROM segs WHERE cnt = 16""".stripMargin,
+
+    "tier_policy" ->
+      s"""$OracleCte, c AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), cm AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg, value,
+         |    CAST(sum(value_q) OVER (PARTITION BY signal_id, floor((seq_no - 1) / 4.0)) AS DOUBLE) /
+         |    (100.0 * CAST(count(*) OVER (PARTITION BY signal_id, floor((seq_no - 1) / 4.0)) AS DOUBLE)) AS chunk_mean
+         |  FROM r
+         |), e AS (
+         |  SELECT signal_id, seg, round(max(abs(value - chunk_mean)), 6) AS err
+         |  FROM cm GROUP BY 1, 2
+         |)
+         |SELECT c.signal_id, c.seg, c.cnt, c.cnt * 8 AS bytes_raw,
+         |  CAST(ceil(c.cnt / 4.0) * 8 AS BIGINT) AS bytes_paa,
+         |  CAST(ceil(c.cnt / 4.0) * 8 AS DOUBLE) / CAST(c.cnt * 8 AS DOUBLE) AS cr_paa,
+         |  CAST(ceil(c.cnt / 4.0) * 8 AS DOUBLE) / CAST(c.cnt * 8 AS DOUBLE) < 0.5 AS cr_ok,
+         |  e.err,
+         |  (CAST(ceil(c.cnt / 4.0) * 8 AS DOUBLE) / CAST(c.cnt * 8 AS DOUBLE) < 0.5
+         |   AND e.err <= 80.0) AS recode
+         |FROM c JOIN e USING (signal_id, seg)""".stripMargin,
+
+    "tier_ladder" ->
+      s"""$OracleCte, c AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 8.0) AS BIGINT) AS chunk,
+         |         CAST(sum(value_q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT signal_id, chunk, sq, cnt,
+         |  CAST(sq AS DOUBLE) / (100.0 * CAST(cnt AS DOUBLE)) AS chunk_mean
+         |FROM c""".stripMargin,
 
     "tier_recode_plan" ->
       s"""$OracleCte, c AS (

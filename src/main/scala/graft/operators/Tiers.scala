@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TierTransforms
 
@@ -31,6 +32,54 @@ object Tiers {
   def paaMax(r: DataFrame, w: Int): DataFrame =
     paaChunks(r, w).groupBy(col("signal_id"))
       .agg(max(col("chunk_mean")).as("paa_max"))
+
+  /** One aging step of the lossy ladder applied to an ALREADY-PAA tier
+    * (reference recoding_daemon.rs:351-416 — each pass doubles the PAA
+    * window): adjacent chunks merge pairwise, and because the tier carries
+    * the exact fixed-point chunk sums (`sq`), the merged mean is computed
+    * from sq1+sq2 — BIT-IDENTICAL to a single PAA pass at the doubled
+    * width, not a lossy mean-of-means. One keyed aggregation per pass.
+    */
+  def rePaaChunks(paa: DataFrame, factor: Int = 2): DataFrame =
+    paa.groupBy(col("signal_id"),
+        floor(col("chunk") / lit(factor.toDouble)).cast("long").as("chunk"))
+      .agg(sum(col("sq")).cast("long").as("sq"),
+           sum(col("cnt")).cast("long").as("cnt"))
+      .withColumn("chunk_mean",
+        col("sq").cast("double") / (lit(100.0) * col("cnt").cast("double")))
+
+  /** Measured PAA reconstruction error per segment — the feedback half of
+    * the reference's recoding bandit (buffer_pool.rs:940-1260 rewards a
+    * recode decision with observed post-recode query error): max |value -
+    * chunk_mean| over the segment. Chunk means ride a keyed window (exact
+    * fixed-point sums), then one segment-keyed max — two exchanges total,
+    * both on (signal, position) keys, so the feedback job scales like any
+    * other windowed aggregation.
+    */
+  def paaError(r: DataFrame, w: Int): DataFrame = {
+    val chunk = Readings.posWindow(col("seq_no"), 0L, w.toLong)
+    val cw = Window.partitionBy(col("signal_id"), chunk)
+    r.withColumn("chunk_mean",
+        sum(col("value_q")).over(cw).cast("double") /
+          (lit(100.0) * count(lit(1)).over(cw).cast("double")))
+      .groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+      .agg(round(max(abs(col("value") - col("chunk_mean"))), 6).as("err"))
+  }
+
+  /** The closed policy loop: the static CR projection (recodePlan) joined
+    * with the MEASURED per-segment reconstruction error (paaError), per
+    * the reference's recoding-bandit reward flow (buffer_pool.rs:940-1260,
+    * MABrecoding_daemon.rs:35-339). A segment is recoded only when the
+    * rewrite both shrinks it below `targetCr` AND its observed lossy error
+    * stays within `errBudget` — high-error segments keep their current
+    * tier no matter how well they'd compress.
+    */
+  def recodePlanWithFeedback(r: DataFrame, w: Int, targetCr: Double,
+                             errBudget: Double): DataFrame =
+    recodePlan(r, w, targetCr)
+      .withColumnRenamed("recode", "cr_ok")
+      .join(paaError(r, w), Seq("signal_id", "seg"))
+      .withColumn("recode", col("cr_ok") && col("err") <= errBudget)
 
   /** RRD tier: keep every k-th reading of each signal. */
   def rrdTier(r: DataFrame, k: Int): DataFrame =

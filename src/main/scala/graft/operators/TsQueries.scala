@@ -67,7 +67,11 @@ object TsQueries {
 
     // exact (interpolated) percentiles per signal — the continuous-quantile
     // flavor of O5; both engines use the same linear-interpolation
-    // definition, rounded to 4dp to absorb lerp-formula ulp differences
+    // definition, rounded to 4dp to absorb lerp-formula ulp differences.
+    // SCALE GUARD: Spark's exact percentile buffers every group value in
+    // memory — fine to ~1e7 rows/signal (~100 MB/group), beyond which use
+    // approx_percentile (bounded GK sketch, mergeable map-side; the
+    // o5_percentile_approx bench twin and bonus_approx measure that path)
     "o5_percentile" -> ((s, d) =>
       r(s, d).groupBy(col("signal_id"))
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),

@@ -35,6 +35,53 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     val trueMax = r.filter(col("ts") < lit(cutoff))
       .agg(max(col("value"))).collect()(0).getDouble(0)
     assert(paaMax <= trueMax + 1e-9) // chunk means never exceed the true max
+
+    // the next ladder pass: tier2 chunks merge pairwise into tier3 (CR
+    // guard 0.6 admits full segments, whose halving CR is 0.5)
+    val movedP2 = tm.compactToPaa2(w = 4, targetCr = 0.6)
+    assert(movedP2 > 0 && movedP2 < movedP) // each pass keeps shrinking
+    val t3 = spark.read.parquet(tm.tier3)
+    // re-recode from exact sums == direct PAA at the doubled width: every
+    // tier3 chunk's (sq, cnt) must equal the pairwise sum of its tier2 pair
+    val t2 = spark.read.parquet(tm.tier2)
+    val direct = t2.groupBy(col("signal_id"),
+        floor(col("chunk") / 2.0).cast("long").as("chunk"))
+      .agg(sum(col("sq")).cast("long").as("sq"),
+           sum(col("cnt")).cast("long").as("cnt"))
+    val joined = t3.select(col("signal_id"), col("chunk"), col("sq"), col("cnt"))
+      .join(direct, Seq("signal_id", "chunk", "sq", "cnt"), "left_semi")
+    assert(joined.count() == t3.count(), "tier3 diverges from exact pairwise merge")
+    val paa2Max = tm.maxFromTier3().agg(max(col("paa_max"))).collect()(0).getDouble(0)
+    assert(paa2Max <= paaMax + 1e-9) // coarser means never exceed finer means
+  }
+
+  test("feedback policy: high-error segments are not demoted") {
+    val root = Files.createTempDirectory("graft-tiers-fb").toString
+    val tm = new TierManager(spark, root)
+    val r = Readings.of(spark, "/root/testdata/sf0.001")
+    tm.landTier0(r)
+    tm.compactToQuantized(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+
+    val t1 = spark.read.parquet(tm.tier1)
+      .withColumn("value", col("value_q").cast("double") / 100.0)
+    val plan = graft.operators.Tiers.recodePlanWithFeedback(t1, 4, 0.5, errBudget = 80.0)
+    val vetoed = plan.filter(col("cr_ok") && !col("recode"))
+      .select(col("signal_id"), col("seg"))
+    val approved = plan.filter(col("recode")).select(col("signal_id"), col("seg"))
+    // the budget splits this corpus: both outcomes must occur for the
+    // assertions below to mean anything
+    assert(vetoed.count() > 0 && approved.count() > 0)
+
+    tm.compactToPaaWithFeedback(4, 0.5, errBudget = 80.0)
+    val t2segs = spark.read.parquet(tm.tier2)
+      .select(col("signal_id"),
+        floor(col("chunk") * 4.0 / 16.0).cast("long").as("seg"))
+      .distinct()
+    // no high-error segment was rewritten, every approved one was
+    assert(t2segs.join(vetoed, Seq("signal_id", "seg"), "left_semi").count() == 0,
+      "a high-error segment was demoted despite the feedback veto")
+    assert(approved.join(t2segs, Seq("signal_id", "seg"), "left_semi").count()
+      == approved.count(), "an approved segment is missing from tier2")
   }
 
   test("positional windows read persisted seq_no with scan pushdown (production path)") {
