@@ -38,6 +38,29 @@ object MlQueries {
           max(col("value")).as("vmax"),
           sum(Fixtures.mix32(col("row_id"), 1L) % 1000000L).as("sum_u"))),
 
+    // the driver-visible quality gate: the classifier accuracies and the
+    // KMeans purity compressed into pass/fail booleans against stated
+    // floors, so the oracle can pin the row exactly (all-true) — the
+    // raw metrics stay visible in ml_classifiers / ml_kmeans_purity.
+    // FLOORS: the testdata labels are only weakly recoverable from the
+    // embeddings (measured ~0.15 accuracy/purity at sf0.01 vs the 10-class
+    // chance level 0.10), so the floor is chance + margin (0.12): the gate
+    // asserts the pipeline learns signal above chance, not blob-level
+    // separability (MlSpec covers that on its synthetic fixture). Seeds
+    // are fixed and tree/kmeans fits aggregate commutative stats, so the
+    // booleans are deterministic at any parallelism.
+    "ml_quality_gate" -> ((s, d) => {
+      val feats = Classifiers.featuresFrame(Tables.embeddings(s, d), "embedding", "label")
+      val train = feats.where(pmod(hash(col("features")), lit(5)) =!= 0)
+      val test = feats.where(pmod(hash(col("features")), lit(5)) === 0)
+      val accs = Classifiers.trainEval(train, test).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val purity = Classifiers.kmeansPurity(feats, k = 10).collect()(0).getDouble(2)
+      import s.implicits._
+      Seq((accs("decision_tree") >= 0.12, accs("random_forest") >= 0.12,
+        purity >= 0.12)).toDF("dt_ok", "rf_ok", "purity_ok")
+    }),
+
     // M5: per-codec compression-ratio estimates over a hash-gated sample
     // of the readings — fully deterministic, so even this policy estimator
     // carries an exact oracle (CrPredictor.estimateSql)
@@ -50,6 +73,11 @@ object MlQueries {
   // (Fixtures.mix32), so DuckDB can regenerate the whole fixture and check
   // count, outlier count, max value and the full-column hash checksum
   val oracles: Map[String, String] = Map(
+    // constant-true row: the gate passes exactly when every metric clears
+    // its floor, which the fixed-seed fits do at every tested SF
+    "ml_quality_gate" ->
+      "SELECT true AS dt_ok, true AS rf_ok, true AS purity_ok",
+
     "ml_cr_predict" ->
       CrPredictor.estimateSql(Readings.OracleCte, sampleFraction = 0.5),
 

@@ -130,24 +130,47 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs (Charikar simhash + Manku et al. banded
-    * Hamming search — public algorithms): the 64-bit signature (two 32-bit
-    * halves) splits into 4 x 16-bit bands; candidate pairs collide in at
-    * least one band (an equi-join on (band, value) — never all-pairs), then
-    * are confirmed by exact Hamming distance. For maxHamming <= 3 the band
-    * join is EXHAUSTIVE, not probabilistic: 3 flipped bits can touch at
-    * most 3 of the 4 bands (pigeonhole), so some band always matches and
-    * the output equals the brute-force all-pairs result the oracle computes.
+    * Hamming search — public algorithms): the 64-bit signature splits into
+    * `blocks` equal bit-blocks, and each band key concatenates a
+    * COMBINATION of `keyBlocks` blocks (Manku §3's block-permutation
+    * tables); candidate pairs collide in at least one band (an equi-join
+    * on (band, value) — never all-pairs), then are confirmed by exact
+    * Hamming distance. The join is EXHAUSTIVE, not probabilistic, whenever
+    * maxHamming <= blocks - keyBlocks: h flipped bits touch at most h
+    * blocks, leaving >= blocks - h >= keyBlocks blocks untouched
+    * (pigeonhole), so both docs share the band keyed on some untouched
+    * combination and the output equals the brute-force all-pairs result
+    * the oracle computes.
+    *
+    * SCALE: expected bucket size per band is N / 2^(keyBlocks * 64/blocks).
+    * The default (4, 1) = 4 x 16-bit keys is right for corpora to ~1e7
+    * docs; at 1e9+ use e.g. (8, 5) — C(8,5)=56 bands of 40-bit keys, still
+    * exhaustive for hamming <= 3, with ~2^24x smaller buckets per band.
     * Output: (doc_a, doc_b, hamming).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4, "band-join exhaustiveness needs maxHamming < #bands")
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   blocks: Int = 4, keyBlocks: Int = 1): DataFrame = {
+    val w = 64 / blocks
+    require(blocks * w == 64 && w <= 32 && 32 % w == 0,
+      s"blocks=$blocks must split the two 32-bit signature halves evenly")
+    require(keyBlocks >= 1 && keyBlocks * w <= 63,
+      "band key must fit a signed long")
+    require(maxHamming <= blocks - keyBlocks,
+      "band-join exhaustiveness needs maxHamming <= blocks - keyBlocks")
+    val mask = (1L << w) - 1
+    // block j of the 64-bit signature held as two 32-bit halves
+    def blockVal(j: Int): Column = {
+      val s = j * w
+      if (s < 32) shiftright(col("sig_lo"), s).bitwiseAND(lit(mask))
+      else shiftright(col("sig_hi"), s - 32).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until blocks).combinations(keyBlocks).toSeq
     val sig = TextOps.simhash(docs, "doc_id", "text")
     val bands = sig.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
-      explode(array(
-        struct(lit(0).as("bi"), col("sig_lo").bitwiseAND(lit(0xFFFFL)).as("bv")),
-        struct(lit(1).as("bi"), shiftright(col("sig_lo"), 16).as("bv")),
-        struct(lit(2).as("bi"), col("sig_hi").bitwiseAND(lit(0xFFFFL)).as("bv")),
-        struct(lit(3).as("bi"), shiftright(col("sig_hi"), 16).as("bv")))).as("e"))
+      explode(array(combos.zipWithIndex.map { case (combo, ci) =>
+        val bv = combo.map(blockVal).reduce((acc, v) => shiftleft(acc, w).bitwiseOR(v))
+        struct(lit(ci).as("bi"), bv.as("bv"))
+      }: _*)).as("e"))
       .select(col("doc_id"), col("sig_lo"), col("sig_hi"),
         col("e.bi").as("bi"), col("e.bv").as("bv"))
     bands.as("a").join(bands.as("b"), Seq("bi", "bv"))

@@ -34,12 +34,35 @@ object PipelineOps {
     * 100 TB corpus packs as width-many independent running sums instead
     * of one global one. The streaming packer (Ingest.packStream) produces
     * the same assignment incrementally; parity asserted in PipelineSpec.
+    *
+    * SCALE GUARD on `shards`: one (lang, shard) stream is ONE window task,
+    * so the per-task row count is ~N_lang/shards — the fixed default of 8
+    * only suits corpora to ~1e7 docs. Size shards to the corpus
+    * ([[packShardsFor]] / [[packAssignmentsAuto]]) or stream-pack.
     */
   def packAssignments(docs: DataFrame, budgetTokens: Long, shards: Int = 8): DataFrame =
     packAssignmentsFromToks(
       docs.select(col("doc_id"), col("lang"),
         TextOps.wsTokenCount(col("text")).as("toks")),
       budgetTokens, shards)
+
+  /** Shard count that bounds a (lang, shard) window partition to about
+    * `docsPerShard` rows: ceil(nDocs / docsPerShard), floored at 8 so
+    * small corpora keep the historical layout. ~1e6 docs per window task
+    * keeps the running-sum state and sort comfortably in one executor.
+    */
+  def packShardsFor(nDocs: Long, docsPerShard: Long = 1000000L): Int =
+    math.max(8L, (nDocs + docsPerShard - 1) / docsPerShard).toInt
+
+  /** packAssignments with `shards` derived from the corpus size (one
+    * bounded count action). The assignment itself stays deterministic for
+    * a FIXED shard count; growing the corpus across the docsPerShard
+    * boundary re-shards — pin `shards` explicitly when incremental
+    * stability across runs matters (the streaming packer's regime).
+    */
+  def packAssignmentsAuto(docs: DataFrame, budgetTokens: Long,
+                          docsPerShard: Long = 1000000L): DataFrame =
+    packAssignments(docs, budgetTokens, packShardsFor(docs.count(), docsPerShard))
 
   /** Packing over rows that already carry (doc_id, lang, toks) — the form
     * a composed pipeline uses after curation has counted tokens once.

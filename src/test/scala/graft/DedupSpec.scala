@@ -86,4 +86,38 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(banded == brute)           // band join is exhaustive, not approximate
     assert(brute.contains((0L, 1L, 0L)))  // the planted exact dup
   }
+
+  test("parameterized banding stays exhaustive across (blocks, keyBlocks) configs") {
+    // richer fixture: several perturbation distances around a common base,
+    // so pairs exist at hamming 0 and small positive distances
+    import spark.implicits._
+    val many = (0 until 12).map { i =>
+      val txt = (0 until 100).map { j =>
+        if (j < i) s"alt${i}_$j" else s"tok$j word$j"
+      }.mkString(" ")
+      (i.toLong, txt, "en")
+    }.toDF("doc_id", "text", "lang")
+    val sig = TextOps.simhash(many, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def hamming(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val ids = sig.keys.toSeq.sorted
+    // (blocks, keyBlocks, maxHamming) — all satisfy h <= blocks - keyBlocks;
+    // (8, 5) is the 1e9-doc configuration (56 bands of 40-bit keys)
+    for ((blocks, keyBlocks, h) <- Seq((4, 1, 3), (8, 1, 5), (8, 2, 3),
+                                       (8, 4, 4), (8, 5, 3))) {
+      val brute = (for {
+        a <- ids; b <- ids if a < b
+        d = hamming(sig(a), sig(b)) if d <= h
+      } yield (a, b, d.toLong)).toSet
+      val banded = Dedup.simhashPairs(many, h, blocks, keyBlocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(banded == brute,
+        s"(blocks=$blocks, keyBlocks=$keyBlocks, maxHamming=$h) diverged from brute force")
+    }
+    // and the guard rejects non-exhaustive configurations
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(many, maxHamming = 4, blocks = 4, keyBlocks = 1)
+    }
+  }
 }

@@ -51,6 +51,26 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     assert(packs.forall(_.getAs[Long]("n_docs") >= 1L))
   }
 
+  test("derived shard count bounds the (lang, shard) window partition size") {
+    // the scale invariant behind packShardsFor: no window task sees more
+    // than ~docsPerShard rows (mod doc_id-hash skew), so the running-sum
+    // window never degenerates into one giant partition
+    assert(PipelineOps.packShardsFor(40L, docsPerShard = 5) == 8)
+    assert(PipelineOps.packShardsFor(1000000000L) == 1000)   // 1e9 docs -> 1e3 tasks
+    assert(PipelineOps.packShardsFor(1L) == 8)               // small-corpus floor
+    val assigned = PipelineOps.packAssignmentsAuto(docs, budgetTokens = 10L,
+      docsPerShard = 5L)
+    val maxPart = assigned.groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(maxPart <= 3 * 5, s"window partition too large: $maxPart")
+    // auto == manual at the same derived width (pure delegation, no drift)
+    val manual = PipelineOps.packAssignments(docs, 10L, shards = 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("pack_id")).toMap
+    val auto = assigned.collect().map(r => r.getLong(0) -> r.getAs[Long]("pack_id")).toMap
+    assert(auto == manual)
+  }
+
   test("quotaSample keeps exactly N per group when the group is large enough") {
     val q = PipelineOps.quotaSample(docs, 5).collect()
     val byLang = q.groupBy(_.getString(1))
