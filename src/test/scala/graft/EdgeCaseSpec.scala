@@ -46,6 +46,25 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
     assert(est.forall(_.getDouble(1) > 0.0))
   }
 
+  test("tier feedback policy and ladder passes are empty-safe") {
+    import graft.operators.Tiers
+    val emptyTs = emptyReadings.withColumn("ts",
+      lit(null).cast("timestamp"))
+    assert(Tiers.paaError(emptyTs, 4).count() == 0)
+    assert(Tiers.recodePlanWithFeedback(emptyTs, 4, 0.5, 80.0).count() == 0)
+    assert(Tiers.rePaaChunks(Tiers.paaChunks(emptyTs, 4), 2).count() == 0)
+    // single-reading signal: one chunk, one segment, zero reconstruction
+    // error (a 1-row chunk's mean is the value itself), recode vetoed by
+    // the CR guard (ceil(1/4)*8 / 8 = 1.0), never by the error budget
+    import spark.implicits._
+    val one = Seq((1L, 1L, 42.25, 4225L)).toDF("signal_id", "seq_no", "value", "value_q")
+    val err = Tiers.paaError(one, 4).collect()
+    assert(err.length == 1 && err(0).getDouble(2) == 0.0)
+    val plan = Tiers.recodePlanWithFeedback(one, 4, 0.5, 80.0).collect()
+    assert(plan.length == 1 && !plan(0).getAs[Boolean]("recode")
+      && !plan(0).getAs[Boolean]("cr_ok"))
+  }
+
   test("single-doc corpus: packer emits one pack, dedup finds no pairs") {
     import spark.implicits._
     val one = Seq((0L, "just one tiny document here", "en")).toDF("doc_id", "text", "lang")

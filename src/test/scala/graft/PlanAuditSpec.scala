@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "pipe_split", "pipe_pack", "pipe_quota", "pipe_curate", "pipe_vocab",
     "pipe_decontam", "pipe_corpus",
     "ts_delta", "ts_moving_avg", "ts_zscore", "ts_corr", "ts_gaps",
-    "ts_ewma_seg", "bonus_approx", "e2b_approx_sum")
+    "ts_ewma_seg", "bonus_approx", "e2b_approx_sum",
+    "tier_policy", "tier_ladder")
   // ann_quant is excluded like ann_brute: both rank a bounded broadcast
   // probe set against the corpus by design (the exact/quantized baselines)
   // excluded on purpose: ann_recall / ann_ivf_recall / dedup_emb_recall
