@@ -66,20 +66,36 @@ object Tiers {
       .agg(round(max(abs(col("value") - col("chunk_mean"))), 6).as("err"))
   }
 
-  /** The closed policy loop: the static CR projection (recodePlan) joined
-    * with the MEASURED per-segment reconstruction error (paaError), per
-    * the reference's recoding-bandit reward flow (buffer_pool.rs:940-1260,
-    * MABrecoding_daemon.rs:35-339). A segment is recoded only when the
-    * rewrite both shrinks it below `targetCr` AND its observed lossy error
-    * stays within `errBudget` — high-error segments keep their current
-    * tier no matter how well they'd compress.
+  /** The closed policy loop: the static CR projection (recodePlan's
+    * arithmetic) combined with the MEASURED per-segment reconstruction
+    * error (paaError's), per the reference's recoding-bandit reward flow
+    * (buffer_pool.rs:940-1260, MABrecoding_daemon.rs:35-339). A segment is
+    * recoded only when the rewrite both shrinks it below `targetCr` AND
+    * its observed lossy error stays within `errBudget` — high-error
+    * segments keep their current tier no matter how well they'd compress.
+    *
+    * Computed in ONE pass over the readings (chunk-mean window + one
+    * segment aggregation carrying both the row count and the error max) —
+    * not recodePlan ⋈ paaError, which would scan and window the tier
+    * twice before a join; at 100 TB the policy job costs the same as any
+    * single windowed aggregation.
     */
   def recodePlanWithFeedback(r: DataFrame, w: Int, targetCr: Double,
-                             errBudget: Double): DataFrame =
-    recodePlan(r, w, targetCr)
-      .withColumnRenamed("recode", "cr_ok")
-      .join(paaError(r, w), Seq("signal_id", "seg"))
+                             errBudget: Double): DataFrame = {
+    val chunk = Readings.posWindow(col("seq_no"), 0L, w.toLong)
+    val cw = Window.partitionBy(col("signal_id"), chunk)
+    r.withColumn("chunk_mean",
+        sum(col("value_q")).over(cw).cast("double") /
+          (lit(100.0) * count(lit(1)).over(cw).cast("double")))
+      .groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+      .agg(count(lit(1)).as("cnt"),
+        round(max(abs(col("value") - col("chunk_mean"))), 6).as("err"))
+      .withColumn("bytes_raw", col("cnt") * 8)
+      .withColumn("bytes_paa", (ceil(col("cnt") / lit(w.toDouble)) * 8).cast("long"))
+      .withColumn("cr_paa", col("bytes_paa").cast("double") / col("bytes_raw").cast("double"))
+      .withColumn("cr_ok", col("cr_paa") < targetCr)
       .withColumn("recode", col("cr_ok") && col("err") <= errBudget)
+  }
 
   /** RRD tier: keep every k-th reading of each signal. */
   def rrdTier(r: DataFrame, k: Int): DataFrame =
