@@ -85,6 +85,25 @@ class TierManager(spark: SparkSession, root: String) {
     paa.count()
   }
 
+  /** BUFF-lossy aging pass on the QUANTIZED tier (reference
+    * buff_lossy.rs:265 buff_recode_remove_bits; the recoding daemon drops
+    * 8 low bits per pass, recoding_daemon.rs:351-416): rewrite tier1 with
+    * the low `bits` bits of value_q zeroed. Map-only — a pure partition
+    * rewrite with no shuffle; the absolute error introduced is < 2^bits
+    * fixed-point units (2^bits / 10^scale in value terms), and the zeroed
+    * low bits make Parquet's bit-pack/dictionary encodings strictly
+    * smaller. Returns the rewritten row count.
+    */
+  def compactQuantizedDropBits(bits: Int): Long = {
+    val t1 = spark.read.parquet(tier1)
+    val out = t1.select(col("signal_id"), col("ts"), col("seq_no"),
+      graft.functions.Quantize.approxTruncate(col("value_q"), bits).as("value_q"))
+    Tiers.writeTier(out, tier1Lossy)
+    out.count()
+  }
+
+  val tier1Lossy = s"$root/tier1_lossy" // quantized with low bits dropped
+
   /** The next ladder pass (reference recoding_daemon.rs:351-416 — PAA
     * window x2 per pass): tier2 chunks merge pairwise into tier3, guarded
     * per segment by the projected CR of the halving (skip segments the

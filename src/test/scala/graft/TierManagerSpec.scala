@@ -53,6 +53,19 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     assert(joined.count() == t3.count(), "tier3 diverges from exact pairwise merge")
     val paa2Max = tm.maxFromTier3().agg(max(col("paa_max"))).collect()(0).getDouble(0)
     assert(paa2Max <= paaMax + 1e-9) // coarser means never exceed finer means
+
+    // the BUFF-lossy flavor of aging: drop 8 low fixed-point bits in place
+    val movedL = tm.compactQuantizedDropBits(bits = 8)
+    assert(movedL == movedQ) // map-only rewrite: every tier1 row survives
+    val lossy = spark.read.parquet(tm.tier1Lossy)
+    assert(lossy.filter(col("value_q") % 256 =!= 0).count() == 0,
+      "low bits not zeroed")
+    // error bound: |q - q_dropped| < 2^8 fixed-point units per row
+    val maxErr = t1.select(col("signal_id"), col("seq_no"), col("value_q"))
+      .join(lossy.withColumnRenamed("value_q", "q_lossy"),
+        Seq("signal_id", "seq_no"))
+      .agg(max(abs(col("value_q") - col("q_lossy")))).collect()(0).getLong(0)
+    assert(maxErr < 256, s"drop-bits error $maxErr out of bound")
   }
 
   test("feedback policy: high-error segments are not demoted") {
