@@ -45,6 +45,15 @@ class TierManager(spark: SparkSession, root: String) {
     val aged = spark.read.parquet(tier0).filter(col("ts") < lit(cutoff))
     val out = aged.select(col("signal_id"), col("ts"), col("seq_no"), col("value_q"))
     Tiers.writeTier(out, tier1)
+    // per-tier zone map: stats over the DEQUANTIZED view — exactly the
+    // values a query over tier1 observes, so stats-only answers stay
+    // consistent with data answers at this tier. (tier2/tier3 need no
+    // zone map: chunk tiers ARE pre-aggregates; their stats query is a
+    // plain fold, maxFromColdTier/maxFromTier3.)
+    ZoneMap.segmentStats(
+        out.withColumn("value", col("value_q").cast("double") / 100.0))
+      .write.mode("overwrite").parquet(stats(tier1))
+    ZoneMapRegistry.register(tier1, stats(tier1))
     out.count()
   }
 

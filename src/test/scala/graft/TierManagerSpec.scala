@@ -28,6 +28,13 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     val t1 = spark.read.parquet(tm.tier1)
     assert(t1.columns.contains("value_q") && !t1.columns.contains("value"))
     assert(t1.count() == movedQ)
+    // tier1 zone map registered and consistent: stats-only max equals the
+    // dequantized data max at this tier
+    val t1Stats = spark.read.parquet(s"${tm.tier1}.stats")
+    val statsMax = graft.plans.ZoneMap.maxFromStats(t1Stats).collect()(0).getDouble(0)
+    val dataMax = t1.agg(max(col("value_q").cast("double") / 100.0))
+      .collect()(0).getDouble(0)
+    assert(statsMax == dataMax)
 
     val movedP = tm.compactToPaa(w = 4, targetCr = 0.5)
     assert(movedP > 0 && movedP < movedQ) // PAA shrinks row count ~4x
