@@ -63,7 +63,7 @@ object Bench {
         val r = graft.operators.Readings.of(spark, sfDir)
         graft.sources.BucketedStore.writeBucketed(
           r.select(col("signal_id"), col("seq_no"), col("value")),
-          "bench_readings_b", "signal_id", buckets = 32, sortCol = Some("seq_no"))
+          "bench_readings_b", "signal_id", buckets = 32, sortCols = Seq("seq_no"))
         graft.sources.BucketedStore.writeBucketed(
           r.groupBy(col("signal_id")).agg(max(col("value")).as("sig_max")),
           "bench_sigstats_b", "signal_id", buckets = 32)

@@ -18,17 +18,29 @@ object BucketedStore {
   /** Write `df` as a bucketed, sorted catalog table (overwrites; also
     * clears an orphaned managed-table location left by a crashed writer,
     * which Spark refuses to reuse).
+    *
+    * The pre-write `repartition(buckets, key)` aligns task partitioning
+    * with the bucket spec (both Murmur3 on the key), so each bucket lands
+    * in EXACTLY ONE file — the condition under which Spark's scan reports
+    * the bucket sort order and downstream sort-merge/as-of joins elide
+    * both the exchange AND the sort (AsOfJoinSpec asserts this; the sort
+    * elision additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, default-off
+    * since SPARK-28595 but sound under this single-file layout). Write
+    * parallelism = bucket count, the standard bucketed-write shape.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int, sortCol: Option[String] = None): Unit = {
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.mode("overwrite").bucketBy(buckets, key)
-    sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+    val w = df.repartition(buckets, col(key))
+      .write.mode("overwrite").bucketBy(buckets, key)
+    (if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*))
+      .saveAsTable(table)
   }
 
   /** Join two same-bucketed tables on their bucket key — planner elides

@@ -83,6 +83,49 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTest
     assert(e.left.outputOrdering.nonEmpty && e.right.outputOrdering.nonEmpty)
   }
 
+  test("as-of over bucketed+sorted tiers plans with no exchange and no sort") {
+    // the production read path: both sides persisted bucketed by the key
+    // and sorted by (key, time) with one file per bucket — the scan then
+    // reports hash partitioning AND the sort order, so the as-of operator's
+    // required distribution/ordering are satisfied for free and the whole
+    // join is a pure streaming merge over the scans
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val r = graft.operators.Readings.of(spark, "/root/testdata/sf0.001")
+    graft.sources.BucketedStore.writeBucketed(
+      r.select(col("signal_id"), col("ts"), col("value")),
+      "asof_left_b", "signal_id", buckets = 8, sortCols = Seq("signal_id", "ts"))
+    val markers = r.filter(col("seq_no") % 16 === 1)
+      .select(col("signal_id"), col("ts").as("mts"),
+        graft.operators.Readings.segmentId(col("seq_no")).as("seg"))
+    graft.sources.BucketedStore.writeBucketed(
+      markers, "asof_right_b", "signal_id", buckets = 8,
+      sortCols = Seq("signal_id", "mts"))
+    // since Spark 3.0 a bucketed scan hides its sort order unless this
+    // (functional, default-off since SPARK-28595) conf is on; the
+    // one-file-per-bucket layout writeBucketed guarantees is exactly the
+    // condition under which it is sound
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val j = NativeAsOf.asofJoin(
+        spark.table("asof_left_b"), spark.table("asof_right_b"),
+        "signal_id", "ts", "mts", Seq("seg"))
+      val plan = j.queryExecution.executedPlan
+      assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"as-of over bucketed tiers still shuffles:\n$plan")
+      assert(collect(plan) { case s: SortExec => s }.isEmpty,
+        s"as-of over bucketed+sorted tiers still sorts:\n$plan")
+      // and it is correct: every reading at-or-after its segment's first
+      // row picks up that segment marker
+      val rows = j.filter(col("seg").isNotNull).count()
+      assert(rows == j.count(), "every reading has a preceding segment marker")
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS asof_left_b")
+      spark.sql("DROP TABLE IF EXISTS asof_right_b")
+    }
+  }
+
   test("duplicate right timestamps: last right row at equal (key, time) wins") {
     import spark.implicits._
     val left = Seq((1L, 10L, "e")).toDF("k", "t", "ev")

@@ -14,7 +14,7 @@ class BucketedStoreSpec extends AnyFunSuite with SparkTest {
     val r = Readings.of(spark, "/root/testdata/sf0.001")
     BucketedStore.writeBucketed(
       r.select(col("signal_id"), col("seq_no"), col("value")),
-      "readings_b", "signal_id", buckets = 8, sortCol = Some("seq_no"))
+      "readings_b", "signal_id", buckets = 8, sortCols = Seq("seq_no"))
     BucketedStore.writeBucketed(
       r.groupBy(col("signal_id")).agg(max(col("value")).as("sig_max")),
       "sigstats_b", "signal_id", buckets = 8)
