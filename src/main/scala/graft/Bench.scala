@@ -67,6 +67,18 @@ object Bench {
         graft.sources.BucketedStore.writeBucketed(
           r.groupBy(col("signal_id")).agg(max(col("value")).as("sig_max")),
           "bench_sigstats_b", "signal_id", buckets = 32)
+        // (key, time)-sorted pair for the exchange-free AND sort-free
+        // native as-of (AsOfJoinSpec proves the plan shape)
+        graft.sources.BucketedStore.writeBucketed(
+          r.select(col("signal_id"), col("ts"), col("value")),
+          "bench_asof_l_b", "signal_id", buckets = 32,
+          sortCols = Seq("signal_id", "ts"))
+        graft.sources.BucketedStore.writeBucketed(
+          r.filter(col("seq_no") % 16 === 1)
+            .select(col("signal_id"), col("ts").as("mts"),
+              graft.operators.Readings.segmentId(col("seq_no")).as("seg")),
+          "bench_asof_r_b", "signal_id", buckets = 32,
+          sortCols = Seq("signal_id", "mts"))
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bucketed setup failed (no q_bucketed rows): $e"); false }
@@ -138,6 +150,16 @@ object Bench {
       ("q_bucketed_agg", () => withoutAutoBroadcast {
         graft.sources.BucketedStore
           .colocatedAgg(spark, "bench_readings_b", "signal_id").count(); ()
+      }),
+      // native as-of as a pure streaming merge over two bucketed+sorted
+      // scans: zero exchanges, zero sorts (the 100 TB fact-fact shape)
+      ("q_asof_bucketed", () => {
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        try graft.plans.NativeAsOf.asofJoin(
+          spark.table("bench_asof_l_b"), spark.table("bench_asof_r_b"),
+          "signal_id", "ts", "mts", Seq("seg")).count()
+        finally spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        ()
       })))
 
     val results = (base ++ tierVariants).sortBy(_._1).map { case (name, run) =>
@@ -200,8 +222,8 @@ object Bench {
     val ingestField = ingestPps.map(v => s""""ingest_pts_per_sec":${f3(v)},""").getOrElse("")
     println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,$ingestField"value":${f3(total)},"n_ok":${ok.size},"n_err":$nerr}""")
     if (bucketed) try {
-      spark.sql("DROP TABLE IF EXISTS bench_readings_b")
-      spark.sql("DROP TABLE IF EXISTS bench_sigstats_b")
+      Seq("bench_readings_b", "bench_sigstats_b", "bench_asof_l_b",
+        "bench_asof_r_b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed table cleanup failed: $e") }
     scratch.foreach { p =>

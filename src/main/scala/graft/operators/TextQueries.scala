@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextOps
@@ -71,7 +72,40 @@ object TextQueries {
     // whitespace, trim — the standard pre-tokenization cleaning pass
     "text_clean" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
-        TextOps.cleanText(col("text")).as("cleaned")))
+        TextOps.cleanText(col("text")).as("cleaned"))),
+
+    // repetition quality signals (the Gopher/C4-style filters a training
+    // pipeline gates on): fraction of tokens that are the single most
+    // frequent token, and fraction of duplicate word bigrams. Fully
+    // relational — positional tokens via posexplode, bigrams via a keyed
+    // lead() window, two keyed aggregations; no per-doc array buffering,
+    // so a 1 GB document costs the same per-row work as a 1 KB one
+    "text_repetition" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pos = dd.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("i", "tok")))
+      val w = W.partitionBy(col("doc_id")).orderBy(col("i"))
+      val bgAgg = pos.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"), countDistinct(col("bg")).as("n_bg_d"))
+      val topAgg = pos.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), sum(col("c")).cast("long").as("n_toks"))
+      dd.select(col("doc_id"))
+        .join(topAgg, Seq("doc_id"), "left")
+        .join(bgAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          round(when(coalesce(col("n_toks"), lit(0L)) === 0L, 0.0)
+            .otherwise(col("top_c").cast("double") / col("n_toks").cast("double")), 6)
+            .as("top_tok_frac"),
+          round(when(coalesce(col("n_bg"), lit(0L)) === 0L, 0.0)
+            .otherwise(lit(1.0) - col("n_bg_d").cast("double") / col("n_bg").cast("double")), 6)
+            .as("dup_bigram_frac"))
+    })
   )
 
   private val ShingleCte =
@@ -218,6 +252,35 @@ object TextQueries {
         |FROM documents""".stripMargin,
 
     "text_clean" ->
-      s"SELECT doc_id, ${TextOps.cleanTextSql("text")} AS cleaned FROM documents"
+      s"SELECT doc_id, ${TextOps.cleanTextSql("text")} AS cleaned FROM documents",
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(tl) AS tok FROM t
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM pos GROUP BY 1, 2
+        |), top AS (
+        |  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_toks
+        |  FROM tf GROUP BY 1
+        |), bga AS (
+        |  SELECT doc_id,
+        |    CAST(len(tl) - 1 AS BIGINT) AS n_bg,
+        |    CAST(len(list_distinct([tl[i] || ' ' || tl[i+1]
+        |                            for i in range(1, len(tl))])) AS BIGINT) AS n_bg_d
+        |  FROM t WHERE len(tl) >= 2
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(top.n_toks, 0) AS BIGINT) AS n_toks,
+        |  round(CASE WHEN coalesce(top.n_toks, 0) = 0 THEN 0.0
+        |    ELSE CAST(top.top_c AS DOUBLE) / CAST(top.n_toks AS DOUBLE) END, 6)
+        |    AS top_tok_frac,
+        |  round(CASE WHEN coalesce(bga.n_bg, 0) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(bga.n_bg_d AS DOUBLE) / CAST(bga.n_bg AS DOUBLE) END, 6)
+        |    AS dup_bigram_frac
+        |FROM documents d
+        |LEFT JOIN top USING (doc_id) LEFT JOIN bga USING (doc_id)""".stripMargin
   )
 }

