@@ -211,6 +211,21 @@ object TextOps {
     }
   })
 
+  // PII patterns — deliberately simple and identical in Java-regex (Spark)
+  // and RE2 (DuckDB) semantics, so the scrub is oracle-exact. Real
+  // pipelines extend the pattern set; the operator shape (codegen'd
+  // regexp count + replace, one pass) is what matters at scale.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** PII scrub: URLs first (an email inside a URL is part of the URL),
+    * then emails. Codegen'd regexp_replace — no UDF.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, lit(UrlRe), lit("[URL]")),
+      lit(EmailRe), lit("[EMAIL]"))
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — public
     * algorithm): fnv32 of each positional char 8-gram, min per sliding
     * window of 4, distinct mins = the fingerprint set. One compiled pass

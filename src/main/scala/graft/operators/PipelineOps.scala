@@ -116,6 +116,21 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_shared")) // shingle sets are distinct per doc
   }
 
+  /** Source-weighted mixture construction (the "data mixture" step of a
+    * training pipeline): keep each document independently with its
+    * source's sampling probability, decided by the deterministic mix32
+    * hash gate — no RNG state, so the mixture is reproducible across
+    * cluster sizes and re-runs, and each doc's fate is stable as the
+    * corpus grows (the property reservoir/ bernoulli samplers lack).
+    * `weights` is a tiny (source, weight in [0,1]) table, broadcast onto
+    * the corpus scan; the whole operator is one map-side join + filter.
+    */
+  def mixtureSample(docs: DataFrame, weights: DataFrame, salt: Long = 11L): DataFrame =
+    docs.join(broadcast(weights), "source")
+      .filter(Fixtures.mix32(col("doc_id"), salt) % 10000L <
+        (col("weight") * 10000.0).cast("long"))
+      .select(col("doc_id"), col("source"), col("lang"))
+
   /** Vocabulary construction: the `topK` most frequent word tokens across
     * the corpus (ties broken alphabetically). Two-level aggregation —
     * map-side partial counts, one keyed shuffle on token, then a bounded

@@ -39,6 +39,19 @@ object PipelineQueries {
 
     "pipe_vocab" -> ((s, d) => PipelineOps.vocabTopK(docs(s, d), VocabK)),
 
+    // source-weighted mixture: even-numbered sources sampled at 0.25,
+    // odd at 0.75 (weights would be pipeline config in production —
+    // a tiny broadcast table either way)
+    "pipe_mixture" -> ((s, d) => {
+      val dd = docs(s, d)
+      val w = dd.select(col("source")).distinct()
+        .withColumn("weight",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.substring(col("source"), 4, 10)
+              .cast("int") % 2 === 0, 0.25).otherwise(0.75))
+      PipelineOps.mixtureSample(dd, w)
+    }),
+
     // the composed pipeline end to end: curate -> split -> pack, the exact
     // view CorpusStore materializes partitioned by (split, lang)
     "pipe_corpus" -> ((s, d) =>
@@ -147,6 +160,16 @@ object PipelineQueries {
          |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT $VocabK""".stripMargin,
 
     "pipe_curate" ->
-      s"$curateCteSql SELECT doc_id, lang, toks, cleaned FROM cur"
+      s"$curateCteSql SELECT doc_id, lang, toks, cleaned FROM cur",
+
+    "pipe_mixture" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, source, lang,
+         |    ${Fixtures.mix32Sql("doc_id", 11L)} % 10000 AS hv,
+         |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+         |         THEN 2500 ELSE 7500 END AS bps
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, lang FROM g WHERE hv < bps""".stripMargin
   )
 }

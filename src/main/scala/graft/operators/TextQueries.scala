@@ -74,6 +74,16 @@ object TextQueries {
       docs(s, d).select(col("doc_id"),
         TextOps.cleanText(col("text")).as("cleaned"))),
 
+    // PII scrub: count and mask emails/URLs — codegen'd regexp count +
+    // replace, one map-only pass over the corpus
+    "text_scrub" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TextOps.EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(TextOps.UrlRe), lit(0)))
+          .cast("long").as("n_urls"),
+        TextOps.scrubPii(col("text")).as("scrubbed"))),
+
     // repetition quality signals (the Gopher/C4-style filters a training
     // pipeline gates on): fraction of tokens that are the single most
     // frequent token, and fraction of duplicate word bigrams. Fully
@@ -253,6 +263,14 @@ object TextQueries {
 
     "text_clean" ->
       s"SELECT doc_id, ${TextOps.cleanTextSql("text")} AS cleaned FROM documents",
+
+    "text_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.UrlRe}')) AS BIGINT) AS n_urls,
+         |  regexp_replace(regexp_replace(text, '${TextOps.UrlRe}', '[URL]', 'g'),
+         |                 '${TextOps.EmailRe}', '[EMAIL]', 'g') AS scrubbed
+         |FROM documents""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (

@@ -93,6 +93,38 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
     assert(bg(3L) == (3L, 3L))                        // all distinct
   }
 
+  test("PII scrub masks planted emails and urls, counts them, leaves clean text") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val fixture = Seq(
+      (0L, "contact Me.At+x@some-host.org or https://a.b/c?x=1 today"),
+      (1L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = fixture.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TextOps.EmailRe), lit(0))).as("e"),
+      size(regexp_extract_all(col("text"), lit(TextOps.UrlRe), lit(0))).as("u"),
+      TextOps.scrubPii(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(0L) == ((1, 1, "contact [EMAIL] or [URL] today")))
+    assert(out(1L) == ((0, 0, "no pii here at all")))
+  }
+
+  test("mixture sampling is deterministic and respects per-source weight direction") {
+    import spark.implicits._
+    import graft.operators.PipelineOps
+    val docs = (0 until 400).map(i =>
+      (i.toLong, s"text $i", "en", if (i % 2 == 0) "keep_most" else "keep_few"))
+      .toDF("doc_id", "text", "lang", "source")
+    val w = Seq(("keep_most", 0.9), ("keep_few", 0.1)).toDF("source", "weight")
+    val a = PipelineOps.mixtureSample(docs, w).collect().map(_.getLong(0)).toSet
+    val b = PipelineOps.mixtureSample(docs, w).collect().map(_.getLong(0)).toSet
+    assert(a == b)                                   // no RNG state
+    val most = a.count(_ % 2 == 0) / 200.0
+    val few = a.count(_ % 2 == 1) / 200.0
+    assert(most > 0.8 && most <= 1.0, s"keep_most rate $most")
+    assert(few < 0.2, s"keep_few rate $few")
+  }
+
   test("single-doc corpus: packer emits one pack, dedup finds no pairs") {
     import spark.implicits._
     val one = Seq((0L, "just one tiny document here", "en")).toDF("doc_id", "text", "lang")
