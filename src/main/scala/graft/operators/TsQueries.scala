@@ -210,6 +210,20 @@ object TsQueries {
         .select(col("sig_a"), col("sig_b"), col("n"), col("corr_q"))
     }),
 
+    // counter rate with reset detection (the PromQL/monitoring flavor of
+    // ts_delta): per-signal increase between consecutive readings, where a
+    // DROP is a counter reset and the post-reset value is the increase.
+    // Fixed-point domain so both engines agree exactly; one keyed window
+    "ts_counter_rate" -> ((s, d) => {
+      val w = W.partitionBy(col("signal_id")).orderBy(col("seq_no"))
+      r(s, d).select(col("signal_id"), col("seq_no"),
+          (col("value_q") - lag(col("value_q"), 1).over(w)).as("dq"),
+          col("value_q"))
+        .filter(col("dq").isNotNull)
+        .select(col("signal_id"), col("seq_no"),
+          when(col("dq") < 0, col("value_q")).otherwise(col("dq")).as("increase_q"))
+    }),
+
     // gap detection: consecutive-reading gaps over 6 hours per signal —
     // the diagnostic sibling of ts_session (integer epoch math, exact)
     "ts_gaps" -> ((s, d) => {
@@ -407,6 +421,16 @@ object TsQueries {
          |  round(avg(value) OVER (PARTITION BY signal_id ORDER BY seq_no
          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
          |FROM r""".stripMargin,
+
+    "ts_counter_rate" ->
+      s"""$OracleCte, g AS (
+         |  SELECT signal_id, seq_no, value_q,
+         |    value_q - lag(value_q) OVER (PARTITION BY signal_id ORDER BY seq_no) AS dq
+         |  FROM r
+         |)
+         |SELECT signal_id, seq_no,
+         |  CASE WHEN dq < 0 THEN value_q ELSE dq END AS increase_q
+         |FROM g WHERE dq IS NOT NULL""".stripMargin,
 
     "ts_gaps" ->
       s"""$OracleCte, g AS (

@@ -46,7 +46,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "pipe_decontam", "pipe_corpus",
     "ts_delta", "ts_moving_avg", "ts_zscore", "ts_corr", "ts_gaps",
     "ts_ewma_seg", "bonus_approx", "e2b_approx_sum",
-    "tier_policy", "tier_ladder")
+    "tier_policy", "tier_ladder", "text_repetition", "text_scrub",
+    "pipe_mixture", "ts_counter_rate")
   // ann_quant is excluded like ann_brute: both rank a bounded broadcast
   // probe set against the corpus by design (the exact/quantized baselines)
   // excluded on purpose: ann_recall / ann_ivf_recall / dedup_emb_recall
@@ -68,7 +69,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
   }
 
   test("dimension joins broadcast the small side") {
-    for (name <- Seq("q3_join", "q5_join", "tsbs_last_loc", "tsbs_high_load")) {
+    for (name <- Seq("q3_join", "q5_join", "tsbs_last_loc", "tsbs_high_load",
+                     "pipe_mixture")) {
       val b = collect(plan(name)) { case j: BroadcastHashJoinExec => j }
       assert(b.nonEmpty, s"$name lost its broadcast join")
     }

@@ -106,6 +106,31 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("mixture gate is stateless: streamed sample equals the batch sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val w = Seq(("s0", 0.9), ("s1", 0.1)).toDF("source", "weight")
+    val rows = (0 until 200).map(i =>
+      (i.toLong, s"doc $i", "en", if (i % 2 == 0) "s0" else "s1"))
+    val mem = MemoryStream[(Long, String, String, String)]
+    val streamed = graft.operators.PipelineOps.mixtureSample(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), w)
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("mixture_parity").start()
+    mem.addData(rows.take(100): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(100): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mixture_parity").select(col("doc_id"))
+      .as[Long].collect().toSet
+    val batch = graft.operators.PipelineOps.mixtureSample(
+      rows.toDF("doc_id", "text", "lang", "source"), w)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == batch) // the hash gate has no state: same docs either way
+  }
+
   test("streaming dedup: first occurrence wins, state bounded by watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
