@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -248,6 +248,158 @@ case class Fnv32(left: Expression, right: Expression) extends BinaryExpression {
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Fnv32 =
     copy(left = l, right = r)
+}
+
+/** Product-quantization encode (Jégou et al., TPAMI 2011 — public
+  * algorithm): split the vector into `m` subspaces and emit, per subspace,
+  * the index of the nearest codebook centroid (squared L2, ties -> lowest
+  * index). The codebook rides along as a broadcast-style reference object
+  * (a bounded driver-side dictionary, the same shape as the reference's
+  * kernel dictionaries, kernel.rs:22); output is array<int> of `m` codes —
+  * at k<=256 centroids that is m bytes of state per vector vs 4*dim for
+  * floats, the memory tier that makes 1e9+-vector ANN feasible.
+  * Codegen'd nested loop; the squared-L2 fold is index-ascending, so the
+  * DuckDB oracle reproduces the argmin bit-for-bit.
+  */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_pq_encode"
+  private def m = codebook.length
+  private def subDim = codebook(0)(0).length
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elementType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isFloat = elementType == FloatType
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < codebook(mi).length) {
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = (if (isFloat) a.getFloat(mi * subDim + i).toDouble
+                   else a.getDouble(mi * subDim + i)) - codebook(mi)(j)(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = elementType match {
+      case FloatType => "getFloat"
+      case _ => "getDouble"
+    }
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val codes = ctx.freshName("codes")
+      val mi = ctx.freshName("mi")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $cb[$mi].length; $j++) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $x = ((double) $a.$getter($mi * $subDim + $i)) - $cb[$mi][$j][$i];
+         |      $d += $x * $x;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $j; }
+         |  }
+         |  $codes[$mi] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** PQ decode: codes -> the reconstructed vector (the concatenation of the
+  * coded centroids, subspace-major). Distance against a reconstruction via
+  * the existing graft_sqdist fold IS the ADC lookup sum in the same
+  * accumulation order — no separate ADC kernel needed.
+  */
+case class PqDecode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_pq_decode"
+  private def m = codebook.length
+  private def subDim = codebook(0)(0).length
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int> codes, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * subDim)
+    var mi = 0
+    while (mi < m) {
+      val cent = codebook(mi)(codes.getInt(mi))
+      var i = 0
+      while (i < subDim) { out(mi * subDim + i) = cent(i); i += 1 }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val mi = ctx.freshName("mi")
+      val i = ctx.freshName("i")
+      val cent = ctx.freshName("cent")
+      s"""
+         |double[] $out = new double[${m * subDim}];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double[] $cent = $cb[$mi][$a.getInt($mi)];
+         |  for (int $i = 0; $i < $subDim; $i++) {
+         |    $out[$mi * $subDim + $i] = $cent[$i];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqDecode =
+    copy(child = c)
 }
 
 /** Registration: programmatic (idempotent, per-session) and via

@@ -50,6 +50,22 @@ object AnnQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
 
+  // PQ layout: 8 subspaces x 8 dims, 16 centroids per subspace taken from
+  // the first 16 corpus vectors' subvectors (deterministic sample — k-means
+  // init without the iteration, same trick as the IVF codebook, so the SQL
+  // oracle regenerates the identical codebook). 8 codes/vector = 8 bytes
+  // of search state vs 256 bytes of floats.
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqCells = 16
+
+  private def pqCodebook(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
+    val base = emb(s, d).filter(col("vec_id") < PqCells).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Array.tabulate(PqM)(m => base.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+  }
+
   /** recall = |approx ∩ brute| / |brute| over the given key columns —
     * the one summary row every *_recall query emits.
     */
@@ -122,6 +138,18 @@ object AnnQueries {
           .select(col("vec_a"), col("vec_b")),
         Seq("vec_a", "vec_b"))
     }),
+
+    // product-quantized top-k: 8-byte codes per vector, squared-L2 against
+    // the code reconstruction (= the ADC lookup sum in the same fold order)
+    "ann_pq" -> ((s, d) =>
+      Similarity.pqTopK(probes(s, d), corpus(s, d), TopK, pqCodebook(s, d))),
+
+    "ann_pq_recall" -> ((s, d) => recallSummary(
+      Similarity.bruteTopKL2(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id")),
+      Similarity.pqTopK(probes(s, d), corpus(s, d), TopK, pqCodebook(s, d))
+        .select(col("probe_id"), col("cand_id")),
+      Seq("probe_id", "cand_id"))),
 
     // top-k ranked entirely in the quantized integer domain (no f32 reads)
     "ann_quant" -> ((s, d) =>
@@ -266,6 +294,48 @@ object AnnQueries {
        |  FROM ivs
        |)""".stripMargin
 
+  // PQ oracle: regenerate the subspace codebook from the first PqCells
+  // vectors, assign each candidate's subvectors to their nearest centroids
+  // (ordered squared-L2 comprehension — the same index-ascending fold the
+  // codegen'd PqEncode runs), rebuild the reconstruction by flattening the
+  // coded centroids subspace-major, and rank by the 64-term ordered
+  // squared-L2 sum (= graft_sqdist's fold order)
+  private def pqCte: String = {
+    val dTot = PqM * PqSubDim
+    s"""WITH cb AS (
+       |  SELECT t.m, CAST(vec_id AS BIGINT) AS cell,
+       |    (embedding::DOUBLE[])[(t.m*$PqSubDim+1):(t.m*$PqSubDim+$PqSubDim)] AS cent
+       |  FROM embeddings, range(0, $PqM) t(m) WHERE vec_id < $PqCells
+       |), c AS (
+       |  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce FROM embeddings
+       |), csub AS (
+       |  SELECT cand_id, t.m,
+       |    ce[(t.m*$PqSubDim+1):(t.m*$PqSubDim+$PqSubDim)] AS sub
+       |  FROM c, range(0, $PqM) t(m)
+       |), asg AS (
+       |  SELECT cand_id, csub.m, cell, row_number() OVER (
+       |    PARTITION BY cand_id, csub.m
+       |    ORDER BY list_sum([(sub[i]-cent[i])*(sub[i]-cent[i])
+       |                       for i in range(1, ${PqSubDim + 1})]), cell) AS arnk
+       |  FROM csub JOIN cb ON csub.m = cb.m
+       |), recon AS (
+       |  SELECT a.cand_id, flatten(list(cb.cent ORDER BY a.m)) AS rv
+       |  FROM asg a JOIN cb ON a.m = cb.m AND a.cell = cb.cell
+       |  WHERE a.arnk = 1 GROUP BY a.cand_id
+       |), p AS (
+       |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+       |  FROM embeddings WHERE vec_id < 10
+       |), ps AS (
+       |  SELECT probe_id, cand_id,
+       |    list_sum([(pe[i]-rv[i])*(pe[i]-rv[i]) for i in range(1, ${dTot + 1})]) AS dist
+       |  FROM p, recon WHERE probe_id <> cand_id
+       |), pr AS (
+       |  SELECT probe_id, cand_id, dist, CAST(row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY dist, cand_id) AS BIGINT) AS rnk
+       |  FROM ps
+       |)""".stripMargin
+  }
+
   // quantized-domain CTE: fixed-point vectors + their exact integer-domain
   // ranking (components and dot sums are exactly representable doubles)
   private def quantCte: String =
@@ -289,6 +359,28 @@ object AnnQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_pq" ->
+      s"""$pqCte
+         |SELECT probe_id, cand_id, round(dist, 6) AS dist, rnk
+         |FROM pr WHERE rnk <= $TopK""".stripMargin,
+
+    "ann_pq_recall" ->
+      s"""$pqCte, pq AS (
+         |  SELECT probe_id, cand_id FROM pr WHERE rnk <= $TopK
+         |), bs AS (
+         |  SELECT probe_id, cand_id,
+         |    list_sum([(pe[i]-ce[i])*(pe[i]-ce[i])
+         |              for i in range(1, ${PqM * PqSubDim + 1})]) AS dist
+         |  FROM p, c WHERE probe_id <> cand_id
+         |), br AS (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY dist, cand_id) AS rnk
+         |  FROM bs
+         |), brute AS (
+         |  SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK
+         |)
+         |${recallTailSql("pq", "probe_id", "cand_id")}""".stripMargin,
+
     "ann_quant" ->
       s"$quantCte\nSELECT probe_id, cand_id, sim_q, rnk FROM qr WHERE rnk <= $TopK",
 

@@ -112,6 +112,47 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Product-quantization approximate top-k (Jégou et al.): the corpus is
+    * encoded ONCE into m-byte PQ codes (graft.functions.PqEncode — the
+    * memory tier that holds 1e9+ vectors where floats cannot), and probes
+    * rank candidates by squared L2 against the code RECONSTRUCTION
+    * (PqDecode + the graft_sqdist fold — numerically identical to the
+    * classic per-subspace ADC lookup sum, accumulated in the same order,
+    * so the DuckDB oracle matches bit-for-bit). Encode is map-only with a
+    * broadcast-style codebook reference; no corpus shuffle. Ranking
+    * quality vs exact L2 is measured by `ann_pq_recall`.
+    */
+  def pqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+             codebook: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val coded = corpus.withColumn("recon",
+      column(graft.functions.PqDecode(
+        expression(column(graft.functions.PqEncode(
+          expression(col("ce")), codebook))), codebook)))
+    val joined = coded.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        sqDist(col("pe").cast("array<double>"), col("recon")).as("dist"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist").asc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+  }
+
+  /** Brute-force squared-L2 top-k — the exact baseline the PQ tier is
+    * measured against (cosine is bruteTopK; PQ's natural domain is L2).
+    */
+  def bruteTopKL2(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        sqDist(col("pe").cast("array<double>"), col("ce").cast("array<double>")).as("dist"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist").asc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+  }
+
   /** IVF-style approximate top-k (IVF-Flat with a deterministic sampled
     * codebook): the corpus is partitioned into `centroids.size` Voronoi
     * cells by cosine; each probe searches its `nProbe` nearest cells

