@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Storage-codec matrix — the Spark-native answer to the reference's
@@ -31,9 +32,17 @@ object CodecStore {
     val spark = readings.sparkSession
     import spark.implicits._
     val base = Files.createTempDirectory("graft-codec")
+    // delta_q: per-signal first differences of the fixed-point column —
+    // the Sprintz/Gorilla insight (deltas of slowly-varying signals are
+    // small ints that dictionary/bit-pack encodings crush) expressed as a
+    // representation choice; lossless (first value kept verbatim)
+    val w = Window.partitionBy(col("signal_id")).orderBy(col("seq_no"))
+    val deltas = readings.select(col("signal_id"), col("seq_no"),
+      (col("value_q") - coalesce(lag(col("value_q"), 1).over(w), lit(0L))).as("dq"))
     val reprs = Seq(
       "double" -> readings.select(col("signal_id"), col("seq_no"), col("value")),
-      "fixed_q" -> readings.select(col("signal_id"), col("seq_no"), col("value_q")))
+      "fixed_q" -> readings.select(col("signal_id"), col("seq_no"), col("value_q")),
+      "delta_q" -> deltas)
     val rows = for {
       (repr, df) <- reprs
       codec <- Codecs

@@ -131,6 +131,14 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     assert(m(("uncompressed", "double")) == 1.0)
     assert(m(("zstd", "fixed_q")) < 1.0, s"zstd/fixed_q cr=${m(("zstd", "fixed_q"))}")
     assert(m(("zstd", "double")) < 1.0)
-    assert(m.size == CodecStore.Codecs.size * 2)
+    assert(m.size == CodecStore.Codecs.size * 3)
+    // the Sprintz-delta representation still beats raw doubles, but on
+    // THIS fixture it measures WORSE than plain fixed-point (~0.43 vs
+    // ~0.37 under zstd): the synthetic values are near-independent draws,
+    // so deltas have ~2x the entropy of the values themselves. That
+    // data-dependence is the point of measuring a matrix instead of
+    // assuming a codec ranking — it is exactly why the reference runs a
+    // CR-predicting policy (ml_cr_predict) rather than a fixed choice.
+    assert(m(("zstd", "delta_q")) < 1.0)
   }
 }
