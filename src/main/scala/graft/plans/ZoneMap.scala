@@ -27,6 +27,32 @@ object ZoneMap {
         max(col("value")).as("vmax"),
         sum(col("value_q")).cast("long").as("sum_q"))
 
+  /** Event-time flavor of [[segmentStats]]: stats per (signal, day) — the
+    * key STREAMING ingest can maintain (positional seq_no needs the full
+    * per-signal history; event time does not). Because every stat column
+    * is associative, a stats table built from per-micro-batch PARTIAL rows
+    * (appended by Ingest.tier0Writer) answers the same queries after a
+    * fold — the incremental update_stats path of the reference's stats
+    * tree (avl/btrarr.rs:92).
+    */
+  def timeStats(r: DataFrame): DataFrame =
+    r.groupBy(col("signal_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        sum(col("value_q")).cast("long").as("sum_q"))
+
+  /** Re-fold a stats table containing partial (per-batch) rows into one
+    * row per key — exact, because all four stats are associative.
+    */
+  def foldTimeStats(stats: DataFrame): DataFrame =
+    stats.groupBy(col("signal_id"), col("day"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"),
+        sum(col("sum_q")).cast("long").as("sum_q"))
+
   /** Answer a global max from the stats table alone (no data scan) —
     * the reference's buffer_pool.rs:940-1101 stats-only query path.
     */

@@ -61,9 +61,15 @@ object Ingest {
 
   /** S3 — tier-0 writer: append micro-batches as Parquet partitioned by
     * signal bucket (bounded partition count; pruning key for reads).
+    * When `statsDir` is set, each batch ALSO appends its partial
+    * per-(signal, day) zone-map stats — the incremental stats-tree
+    * maintenance of the reference's ingest (avl/btrarr.rs:92
+    * update_stats); partial rows fold exactly at read time because every
+    * stat is associative (ZoneMap.foldTimeStats). Stats cost one extra
+    * keyed aggregation per micro-batch over that batch only.
     */
   def tier0Writer(readings: DataFrame, tier0Dir: String, checkpointDir: String,
-                  buckets: Int = 32): StreamingQuery =
+                  buckets: Int = 32, statsDir: Option[String] = None): StreamingQuery =
     readings
       .withColumn("sig_bucket", pmod(col("signal_id"), lit(buckets)))
       .writeStream
@@ -72,6 +78,10 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").partitionBy("sig_bucket").parquet(tier0Dir)
+        statsDir.foreach { sd =>
+          graft.plans.ZoneMap.timeStats(batch.drop("sig_bucket"))
+            .write.mode("append").parquet(sd)
+        }
       }
       .start()
 

@@ -41,6 +41,49 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(new java.io.File(tier0).listFiles().exists(_.getName.startsWith("sig_bucket=")))
   }
 
+  test("incremental zone-map stats fold to the batch stats exactly") {
+    // stage the events table as TWO files so the run has two micro-batches
+    // (maxFilesPerTrigger=1) and the stats table genuinely contains
+    // partial rows for the same (signal, day) keys
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val in = Files.createTempDirectory("graft-stream-in2").toString
+    Seq(raw.filter(col("event_id") % 2 === 0), raw.filter(col("event_id") % 2 =!= 0))
+      .zipWithIndex.foreach { case (half, i) =>
+        val tmp = Files.createTempDirectory(s"graft-half$i").toString
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(in, s"half$i.parquet"))
+      }
+    val tier0 = Files.createTempDirectory("graft-tier0s").toString + "/data"
+    val stats = Files.createTempDirectory("graft-tier0s").toString + "/stats"
+    val ckpt = Files.createTempDirectory("graft-ckpt-s").toString
+    val q = Ingest.tier0Writer(
+      Ingest.readingsStream(spark, in), tier0, ckpt,
+      statsDir = Some(stats))
+    q.awaitTermination()
+    // two batches landed partial rows: more stats rows than folded keys
+    val rawStats = spark.read.parquet(stats)
+    assert(rawStats.count() >
+      graft.plans.ZoneMap.foldTimeStats(rawStats).count(),
+      "expected partial per-batch stats rows")
+
+    val folded = graft.plans.ZoneMap.foldTimeStats(spark.read.parquet(stats))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    val batch = graft.plans.ZoneMap.timeStats(Readings.of(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(folded == batch, "partial per-batch stats do not fold to batch stats")
+    // stats-only max equals the data max (the zone-map query path)
+    val statsMax = graft.plans.ZoneMap.maxFromStats(spark.read.parquet(stats))
+      .collect()(0).getDouble(0)
+    val dataMax = spark.read.parquet(tier0).agg(max(col("value")))
+      .collect()(0).getDouble(0)
+    assert(statsMax == dataMax)
+  }
+
   test("stream segmentation matches batch complete segments") {
     val in = stageInput()
     import spark.implicits._
