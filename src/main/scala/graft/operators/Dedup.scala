@@ -32,6 +32,26 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 8
 
+  /** Incremental exact dedup — the "nightly batch pass" the streaming
+    * dedup's watermark-bounded state defers to (streaming/Ingest.scala
+    * dedupStream doc): new documents are kept only if their content hash
+    * appears in NEITHER the landed store NOR an earlier new doc (min
+    * doc_id wins within the batch, matching [[exact]]). One left-anti
+    * join on the hash (store side is a hash-keyed shuffle or broadcast —
+    * never a text comparison) + one keyed keeper window.
+    */
+  def exactIncremental(newDocs: DataFrame, store: DataFrame): DataFrame = {
+    val storeHashes = store.select(sha2(col("text"), 256).as("h")).distinct()
+    val hashed = newDocs.select(col("doc_id"), col("lang"),
+      sha2(col("text"), 256).as("h"))
+    hashed.join(storeHashes, Seq("h"), "left_anti")
+      .withColumn("keeper",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** (doc_id, sh) word-3-shingle sets with non-empty sets. */
   def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.shingles3OfText(col("text")).as("sh"))

@@ -29,6 +29,16 @@ object TextQueries {
     // exhaustive for maxHamming < #bands, so the all-pairs oracle matches
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
 
+    // incremental exact dedup: odd docs arriving against the landed even
+    // half — the nightly batch pass that catches duplicates beyond the
+    // streaming dedup's watermark horizon
+    "dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.exactIncremental(
+        dd.filter(col("doc_id") % 2 === 1),
+        dd.filter(col("doc_id") % 2 === 0))
+    }),
+
     "text_stats" -> ((s, d) =>
       docs(s, d).groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("docs"),
@@ -178,6 +188,18 @@ object TextQueries {
       """SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(min(doc_id) AS BIGINT) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH store AS (
+        |  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0
+        |), nw AS (
+        |  SELECT doc_id, lang, sha256(text) AS h FROM documents WHERE doc_id % 2 = 1
+        |), survivors AS (
+        |  SELECT nw.* FROM nw ANTI JOIN store USING (h)
+        |), keep AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper FROM survivors
+        |)
+        |SELECT doc_id, lang FROM keep WHERE doc_id = keeper""".stripMargin,
 
     "dedup_minhash" ->
       s"""$ShingleCte

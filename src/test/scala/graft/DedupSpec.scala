@@ -87,6 +87,21 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(brute.contains((0L, 1L, 0L)))  // the planted exact dup
   }
 
+  test("incremental exact dedup drops store duplicates and intra-batch duplicates") {
+    import spark.implicits._
+    val store = Seq((100L, "landed one", "en"), (101L, "landed two", "en"))
+      .toDF("doc_id", "text", "lang")
+    val fresh = Seq(
+      (1L, "landed one", "en"),   // dup of store -> dropped
+      (2L, "brand new", "en"),    // survives
+      (3L, "brand new", "en"),    // intra-batch dup of 2 -> dropped (min wins)
+      (4L, "also new", "en")      // survives
+    ).toDF("doc_id", "text", "lang")
+    val kept = Dedup.exactIncremental(fresh, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("parameterized banding stays exhaustive across (blocks, keyBlocks) configs") {
     // richer fixture: several perturbation distances around a common base,
     // so pairs exist at hamming 0 and small positive distances
