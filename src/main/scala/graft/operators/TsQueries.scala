@@ -312,6 +312,13 @@ object TsQueries {
     "o8_zonemap_max" -> ((s, d) =>
       ZoneMap.maxFromStats(ZoneMap.segmentStats(r(s, d)))),
 
+    // event-time zone map — the stats key STREAMING ingest maintains
+    // incrementally (ZoneMap.timeStats; fold parity in StreamingSpec)
+    "o8_zonemap_time" -> ((s, d) =>
+      ZoneMap.timeStats(r(s, d))
+        .select(col("signal_id"), unix_timestamp(col("day")).as("day_s"),
+          col("cnt"), col("vmin"), col("vmax"), col("sum_q"))),
+
     "e1_quantize" -> ((s, d) =>
       r(s, d).select(col("signal_id"), col("seq_no"), col("value_q"),
         Quantize.dequantize(col("value_q"), Readings.Scale).as("value_dq"))),
@@ -604,6 +611,13 @@ object TsQueries {
 
     "o8_zonemap_max" ->
       s"$OracleCte SELECT max(value) AS vmax FROM r",
+
+    "o8_zonemap_time" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+         |  CAST(count(*) AS BIGINT) AS cnt, min(value) AS vmin,
+         |  max(value) AS vmax, CAST(sum(value_q) AS BIGINT) AS sum_q
+         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "e1_quantize" ->
       s"""$OracleCte SELECT signal_id, seq_no, value_q,
