@@ -74,7 +74,13 @@ object MlQueries {
     // carries an exact oracle (CrPredictor.estimateSql)
     "ml_cr_predict" -> ((s, d) =>
       CrPredictor.estimate(Readings.of(s, d), sampleFraction = 0.5,
-        scale = Readings.Scale))
+        scale = Readings.Scale)),
+
+    // M5b: the MAB codec chooser itself (MABcompression_daemon.rs) as a
+    // deterministic e-greedy replay — distributed reward aggregation +
+    // driver-side policy walk over the bounded decision stream
+    "ml_bandit_replay" -> ((s, d) =>
+      Bandit.egreedyReplay(Readings.of(s, d)))
   )
 
   // the outlier fixture's mixer is plain 63-bit-safe integer arithmetic
@@ -88,6 +94,12 @@ object MlQueries {
 
     "ml_cr_predict" ->
       CrPredictor.estimateSql(Readings.OracleCte, sampleFraction = 0.5),
+
+    // the policy walk re-runs in DuckDB as a recursive CTE carrying the
+    // 5-arm Q vector; the readings prefix is upgraded to WITH RECURSIVE
+    "ml_bandit_replay" ->
+      Bandit.egreedyReplaySql(
+        Readings.OracleCte.replaceFirst("WITH", "WITH RECURSIVE")),
 
     "ml_outlier_fixture" ->
       s"""WITH ids AS (SELECT range AS id FROM range(0, 10000)),

@@ -66,4 +66,38 @@ class MlSpec extends AnyFunSuite with SparkTest {
       .collect().map(x => x.getString(0) -> x.getBoolean(2)).toMap
     assert(rec("paa_4") && rec("rrd_4") && !rec("uncompressed"))
   }
+
+  // synthetic readings where the dict arm's reward (64/2 = 32) dominates:
+  // value_q cycles 0..3 (4 distinct per 16-row segment), deltas in {1,3}
+  private lazy val banditReadings = {
+    import spark.implicits._
+    val rows = for (sid <- 0L until 50L; seq <- 1L to 64L)
+      yield (sid, seq, seq % 4)
+    rows.toDF("signal_id", "seq_no", "value_q")
+  }
+
+  test("bandit replay explores at ~eps and converges on the best arm") {
+    val out = graft.ml.Bandit.egreedyReplay(banditReadings).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.length == 200) // 50 signals x 4 segments
+    val explored = out.count(_._3)
+    assert(explored >= 10 && explored <= 30,
+      s"exploration rate ${explored / 200.0} far from eps=0.1")
+    // after burn-in, every EXPLOIT step must pick the dominant-reward arm
+    val exploit = out.filter(s => !s._3 && s._1 > 20)
+    assert(exploit.nonEmpty)
+    assert(exploit.forall(_._2 == "dict"),
+      s"exploit chose ${exploit.filter(_._2 != "dict").take(3).mkString(",")}")
+    // nonstationary Q stays inside the observed reward envelope
+    val qs = graft.ml.Bandit.egreedyReplay(banditReadings)
+      .filter(col("codec") === "dict").agg(max(col("q_after"))).collect()(0).getDouble(0)
+    assert(qs <= 32.0 + 1e-9, s"dict Q $qs exceeds its max reward")
+  }
+
+  test("bandit replay is deterministic across runs") {
+    val a = graft.ml.Bandit.egreedyReplay(banditReadings).collect().toSeq
+    val b = graft.ml.Bandit.egreedyReplay(banditReadings).collect().toSeq
+    assert(a == b)
+  }
 }
