@@ -5,29 +5,29 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Readings
 
-/** The multi-armed-bandit codec chooser — the Spark shape of the
-  * reference's MAB compression daemon (database/src/
-  * MABcompression_daemon.rs:46-58: EGreedy(arms, eps=0.1, q0=4.0,
-  * Nonstationary(0.3)); :125-133 update_mab rewards the chosen arm with
-  * the inverse compression ratio of the batch it just compressed).
+/** The multi-armed-bandit policy daemons, re-expressed deterministically.
   *
-  * Re-expressed deterministically so the whole policy carries a DuckDB
-  * oracle:
-  *  - the per-batch (= per-segment) reward for every arm is a DISTRIBUTED
-  *    keyed aggregation (distinct-count / p95-delta bit widths, the
-  *    CrPredictor estimators) — the part that scales with data;
+  * Two bandits in the reference share one e-greedy engine:
+  *  - the COMPRESSION chooser (database/src/MABcompression_daemon.rs:46-58:
+  *    EGreedy(arms, eps=0.1, q0=4.0, Nonstationary(0.3)); :125-133 rewards
+  *    the chosen arm with the batch's inverse compression ratio);
+  *  - the RECODING chooser (MABrecoding_daemon.rs:110-139 consumes per-band
+  *    best arms whose rewards are the buffer pool's measured post-recode
+  *    query error, buffer_pool.rs:940-1260; the arm set is the lossy
+  *    transform menu of recoding_daemon.rs:351-416).
+  *
+  * The Spark shape of both:
+  *  - per-batch (= per-segment) rewards for every arm are a DISTRIBUTED
+  *    keyed aggregation — the part that scales with data;
   *  - the policy walk itself is a sequential fold over the ordered,
-  *    BOUNDED reward stream (one row per segment batch), exactly the
-  *    reference daemon's single-threaded loop. It runs on the driver over
-  *    a collected policy table — at 100 TB the stream length is the
-  *    number of batch decisions per policy epoch, not the row count;
+  *    BOUNDED reward stream (one row per batch decision), exactly the
+  *    reference daemon's single-threaded loop. It runs on the driver; at
+  *    100 TB the stream length is the number of policy decisions per
+  *    epoch, not the row count;
   *  - exploration is hash-gated (mix32 of the step) instead of RNG, so
-  *    the chosen arm sequence is identical on every run and in DuckDB.
-  *
-  * Arms (codec CR estimators, bytes-per-value relative to raw f64):
-  *   0 uncompressed (cr 1), 1 dict (distinct-ratio bits), 2 delta_bitpack
-  *   (p95-step bits), 3 paa_4 (1/4), 4 rrd_4 (1/4). Reward = 1/cr, the
-  *   reference's 80000/bytes shape.
+  *    the chosen arm sequence is identical on every run and in DuckDB —
+  *    the whole policy carries an exact oracle (a recursive CTE walking
+  *    the same Q vector).
   */
 object Bandit {
 
@@ -36,7 +36,16 @@ object Bandit {
   val Q0 = 4.0           // :57 EGreedy::new(10, e, 4.0, ...)
   val SaltExplore = 21L
   val SaltArm = 22L
-  val Arms = Seq("uncompressed", "dict", "delta_bitpack", "paa_4", "rrd_4")
+
+  /** Compression arms: codec CR estimators (bytes-per-value vs raw f64);
+    * reward = 1/cr, the reference's 80000/bytes shape. */
+  val CompressArms = Seq("uncompressed", "dict", "delta_bitpack", "paa_4", "rrd_4")
+
+  /** Recoding arms: the lossy transform menu (recoding_daemon.rs:351-416 —
+    * PAA window steps, sample-droppers, bit-droppers); reward = CR gain
+    * minus the clamped MEASURED reconstruction error (the query-fidelity
+    * reward of buffer_pool.rs:940-1260). */
+  val RecodeArms = Seq("keep", "paa_2", "paa_4", "rrd_2", "drop3bits")
 
   private def ceilLog2(m: Long): Long =
     java.lang.Long.toBinaryString(math.max(m, 2L) - 1L).length.toLong
@@ -50,8 +59,85 @@ object Bandit {
     c ^ (c >> 16)
   }
 
-  /** Per-segment reward inputs, computed distributed: one keyed
-    * aggregation over (signal, segment) with an intra-segment delta
+  // ---------------------------------------------------------------------
+  // the generic e-greedy walk (driver side + its DuckDB recursive twin)
+  // ---------------------------------------------------------------------
+
+  /** Fold the e-greedy policy over the ordered reward stream: one row per
+    * step with the chosen arm, exploration flag, observed reward and the
+    * chosen arm's post-update value.
+    */
+  def walk(spark: SparkSession, stream: Seq[Array[Double]],
+           arms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val q = Array.fill(arms.length)(Q0)
+    val out = stream.zipWithIndex.map { case (rewards, i) =>
+      val step = i + 1L
+      val explored = mix32L(step, SaltExplore) % 1000000L <
+        math.round(Eps * 1000000L)
+      // greedy argmax with lowest-index tie-break (initial all-equal Q)
+      val greedy = q.zipWithIndex.maxBy { case (v, idx) => (v, -idx) }._2
+      val arm =
+        if (explored) (mix32L(step, SaltArm) % arms.length).toInt else greedy
+      val r = rewards(arm)
+      q(arm) = q(arm) + Step * (r - q(arm))
+      (step, arms(arm), explored, r, q(arm))
+    }
+    out.toDF("step", "codec", "explored", "reward_raw", "q_raw")
+      .select(col("step"), col("codec"), col("explored"),
+        round(col("reward_raw"), 6).as("reward"),
+        round(col("q_raw"), 6).as("q_after"))
+  }
+
+  /** The DuckDB recomputation of [[walk]]: `stepsCte` must end with a CTE
+    * `steps(step, r0 .. r{k-1})` (step 1-based, r_i DOUBLE) and already
+    * start `WITH RECURSIVE`; the walk re-runs as a recursive CTE carrying
+    * the k-arm Q vector.
+    */
+  def walkSql(stepsCte: String, arms: Seq[String]): String = {
+    val k = arms.length
+    val idx = arms.indices
+    val eps = math.round(Eps * 1000000L)
+    val exp = Fixtures.mix32Sql("t.step", SaltExplore) + s" % 1000000 < $eps"
+    val earm = Fixtures.mix32Sql("t.step", SaltArm) + s" % $k"
+    // greedy argmax, lowest index wins ties
+    val greedy = "CASE " + idx.init.map { i =>
+      val geAll = (i + 1 until k).map(j => s"p.q$i >= p.q$j").mkString(" AND ")
+      s"WHEN $geAll THEN $i"
+    }.mkString(" ") + s" ELSE ${k - 1} END"
+    val arm = s"(CASE WHEN $exp THEN $earm ELSE $greedy END)"
+    val rew = "(CASE " + s"$arm" +
+      idx.init.map(i => s" WHEN $i THEN t.r$i").mkString +
+      s" ELSE t.r${k - 1} END)"
+    def qNext(i: Int) =
+      s"CASE WHEN $arm = $i THEN p.q$i + 0.3 * ($rew - p.q$i) ELSE p.q$i END AS q$i"
+    val seedQs = idx.map(i => s"CAST($Q0 AS DOUBLE) AS q$i").mkString(", ")
+    val nameCase = "CASE arm " +
+      idx.init.map(i => s"WHEN $i THEN '${arms(i)}' ").mkString +
+      s"ELSE '${arms(k - 1)}' END"
+    val qCase = "CASE arm " +
+      idx.init.map(i => s"WHEN $i THEN q$i ").mkString + s"ELSE q${k - 1} END"
+    s"""$stepsCte, sim AS (
+       |  -- seed types define the CTE's column types: force DOUBLE (bare
+       |  -- literals are DECIMAL in DuckDB and the Q updates overflow them)
+       |  SELECT CAST(0 AS BIGINT) AS step, $seedQs,
+       |         -1 AS arm, false AS explored, CAST(0.0 AS DOUBLE) AS reward
+       |  UNION ALL
+       |  SELECT t.step, ${idx.map(qNext).mkString(", ")},
+       |         $arm AS arm, $exp AS explored, $rew AS reward
+       |  FROM sim p JOIN steps t ON t.step = p.step + 1
+       |)
+       |SELECT step, $nameCase AS codec, explored, round(reward, 6) AS reward,
+       |       round($qCase, 6) AS q_after
+       |FROM sim WHERE step >= 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // compression bandit (MABcompression_daemon.rs)
+  // ---------------------------------------------------------------------
+
+  /** Per-segment compression-reward inputs, computed distributed: one
+    * keyed aggregation over (signal, segment) with an intra-segment delta
     * window — two keyed exchanges, scales like any windowed agg.
     */
   def rewardInputs(readings: DataFrame): DataFrame = {
@@ -64,63 +150,24 @@ object Bandit {
         coalesce(round(expr("percentile(abs(d), 0.95)"), 6), lit(0.0)).as("p95"))
   }
 
-  /** Replay the e-greedy policy over the ordered reward stream and emit
-    * one row per step: the chosen codec, whether it was an exploration
-    * step, the observed reward and the chosen arm's post-update value.
-    */
+  /** Replay the compression chooser over the ordered segment stream. */
   def egreedyReplay(readings: DataFrame): DataFrame = {
-    val spark = readings.sparkSession
-    import spark.implicits._
-    // bounded policy stream: one row per segment batch (reference batch =
-    // compress_method.get_batch() segments; here 1 segment per decision)
-    val batches = rewardInputs(readings)
+    val stream = rewardInputs(readings)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy { case (sid, seg, _, _) => (sid, seg) }
-
-    val q = Array.fill(Arms.length)(Q0)
-    val out = batches.zipWithIndex.map { case ((_, _, nd, p95), i) =>
-      val step = i + 1L
-      val rDict = 64.0 / ceilLog2(nd)
-      val p95i = math.max(2L, math.ceil(p95).toLong)
-      val rDelta = 64.0 / (ceilLog2(2L * p95i) + 1L)
-      val rewards = Array(1.0, rDict, rDelta, 4.0, 4.0)
-      val explored = mix32L(step, SaltExplore) % 1000000L <
-        math.round(Eps * 1000000L)
-      // greedy argmax with lowest-index tie-break (initial all-equal Q)
-      val greedy = q.zipWithIndex.maxBy { case (v, idx) => (v, -idx) }._2
-      val arm =
-        if (explored) (mix32L(step, SaltArm) % Arms.length).toInt else greedy
-      val r = rewards(arm)
-      q(arm) = q(arm) + Step * (r - q(arm))
-      (step, Arms(arm), explored, r, q(arm))
-    }
-    out.toSeq.toDF("step", "codec", "explored", "reward_raw", "q_raw")
-      .select(col("step"), col("codec"), col("explored"),
-        round(col("reward_raw"), 6).as("reward"),
-        round(col("q_raw"), 6).as("q_after"))
+      .map { case (_, _, nd, p95) =>
+        val rDict = 64.0 / ceilLog2(nd)
+        val p95i = math.max(2L, math.ceil(p95).toLong)
+        val rDelta = 64.0 / (ceilLog2(2L * p95i) + 1L)
+        Array(1.0, rDict, rDelta, 4.0, 4.0)
+      }
+    walk(readings.sparkSession, stream.toSeq, CompressArms)
   }
 
-  /** The DuckDB recomputation of [[egreedyReplay]]: same reward
-    * aggregation in SQL, then the sequential policy walk as a recursive
-    * CTE carrying the 5-arm Q vector. `oracleCte` must already start
-    * `WITH RECURSIVE` (the caller rewrites the readings prefix).
-    */
-  def egreedyReplaySql(oracleCte: String): String = {
-    val eps = math.round(Eps * 1000000L)
-    // hash gates over the candidate step t.step
-    val exp = graft.ml.Fixtures.mix32Sql("t.step", SaltExplore) + s" % 1000000 < $eps"
-    val earm = graft.ml.Fixtures.mix32Sql("t.step", SaltArm) + s" % ${Arms.length}"
-    val greedy =
-      """CASE WHEN p.q0 >= p.q1 AND p.q0 >= p.q2 AND p.q0 >= p.q3 AND p.q0 >= p.q4 THEN 0
-        |     WHEN p.q1 >= p.q2 AND p.q1 >= p.q3 AND p.q1 >= p.q4 THEN 1
-        |     WHEN p.q2 >= p.q3 AND p.q2 >= p.q4 THEN 2
-        |     WHEN p.q3 >= p.q4 THEN 3 ELSE 4 END""".stripMargin
-    val arm = s"(CASE WHEN $exp THEN $earm ELSE $greedy END)"
-    val rew = s"(CASE $arm WHEN 0 THEN 1.0 WHEN 1 THEN t.r_dict " +
-      "WHEN 2 THEN t.r_delta ELSE 4.0 END)"
-    def qNext(i: Int) =
-      s"CASE WHEN $arm = $i THEN p.q$i + 0.3 * ($rew - p.q$i) ELSE p.q$i END AS q$i"
+  /** Oracle for [[egreedyReplay]]. `oracleCte` must already start
+    * `WITH RECURSIVE` (the caller rewrites the readings prefix). */
+  def egreedyReplaySql(oracleCte: String): String = walkSql(
     s"""$oracleCte, segrows AS (
        |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg, value_q,
        |         value_q - lag(value_q) OVER (
@@ -133,29 +180,97 @@ object Bandit {
        |  FROM segrows GROUP BY 1, 2
        |), steps AS (
        |  SELECT CAST(row_number() OVER (ORDER BY signal_id, seg) AS BIGINT) AS step,
-       |         64.0 / length(bin(greatest(nd, 2) - 1)) AS r_dict,
-       |         64.0 / (length(bin(2 * greatest(2, CAST(ceil(p95) AS BIGINT)) - 1)) + 1) AS r_delta
+       |         CAST(1.0 AS DOUBLE) AS r0,
+       |         64.0 / length(bin(greatest(nd, 2) - 1)) AS r1,
+       |         64.0 / (length(bin(2 * greatest(2, CAST(ceil(p95) AS BIGINT)) - 1)) + 1) AS r2,
+       |         CAST(4.0 AS DOUBLE) AS r3, CAST(4.0 AS DOUBLE) AS r4
        |  FROM agg
-       |), sim AS (
-       |  -- seed types define the CTE's column types: force DOUBLE (bare
-       |  -- 4.0 is DECIMAL(2,1) in DuckDB and the Q updates overflow it)
-       |  SELECT CAST(0 AS BIGINT) AS step, CAST(4.0 AS DOUBLE) AS q0,
-       |         CAST(4.0 AS DOUBLE) AS q1, CAST(4.0 AS DOUBLE) AS q2,
-       |         CAST(4.0 AS DOUBLE) AS q3, CAST(4.0 AS DOUBLE) AS q4,
-       |         -1 AS arm, false AS explored, CAST(0.0 AS DOUBLE) AS reward
-       |  UNION ALL
-       |  SELECT t.step,
-       |         ${qNext(0)}, ${qNext(1)}, ${qNext(2)}, ${qNext(3)}, ${qNext(4)},
-       |         $arm AS arm, $exp AS explored, $rew AS reward
-       |  FROM sim p JOIN steps t ON t.step = p.step + 1
-       |)
-       |SELECT step,
-       |       CASE arm WHEN 0 THEN 'uncompressed' WHEN 1 THEN 'dict'
-       |            WHEN 2 THEN 'delta_bitpack' WHEN 3 THEN 'paa_4'
-       |            ELSE 'rrd_4' END AS codec,
-       |       explored, round(reward, 6) AS reward,
-       |       round(CASE arm WHEN 0 THEN q0 WHEN 1 THEN q1 WHEN 2 THEN q2
-       |             WHEN 3 THEN q3 ELSE q4 END, 6) AS q_after
-       |FROM sim WHERE step >= 1""".stripMargin
+       |)""".stripMargin, CompressArms)
+
+  // ---------------------------------------------------------------------
+  // recoding bandit (MABrecoding_daemon.rs + buffer_pool.rs:940-1260)
+  // ---------------------------------------------------------------------
+
+  /** Per-segment recoding rewards, computed distributed: for each lossy
+    * arm, reward = 10·(1 − cr) − min(measured reconstruction error, 10).
+    * PAA means ride intra-segment chunk windows on exact fixed-point
+    * sums; RRD error is the forward-fill gap; drop3bits error is the
+    * discarded low-bit remainder. One window pass + one keyed
+    * aggregation — the same shape as the paaError feedback job.
+    */
+  def recodeRewardInputs(readings: DataFrame): DataFrame = {
+    val seg = Readings.segmentId(col("seq_no"))
+    val c2 = Readings.posWindow(col("seq_no"), 0L, 2L)
+    val c4 = Readings.posWindow(col("seq_no"), 0L, 4L)
+    val w2 = Window.partitionBy(col("signal_id"), c2)
+    val w4 = Window.partitionBy(col("signal_id"), c4)
+    val ws = Window.partitionBy(col("signal_id"), seg).orderBy(col("seq_no"))
+    readings
+      .withColumn("m2", sum(col("value_q")).over(w2).cast("double") /
+        (lit(100.0) * count(lit(1)).over(w2).cast("double")))
+      .withColumn("m4", sum(col("value_q")).over(w4).cast("double") /
+        (lit(100.0) * count(lit(1)).over(w4).cast("double")))
+      .withColumn("prev", lag(col("value"), 1).over(ws))
+      .withColumn("e_rrd", when(pmod(col("seq_no") - 1, lit(2)) === 0, lit(0.0))
+        .otherwise(abs(col("value") - col("prev"))))
+      .withColumn("e_drop", pmod(col("value_q"), lit(8)).cast("double") / lit(100.0))
+      .groupBy(col("signal_id"), seg.as("seg"))
+      .agg(max(abs(col("value") - col("m2"))).as("e2"),
+        max(abs(col("value") - col("m4"))).as("e4"),
+        max(col("e_rrd")).as("er"),
+        max(col("e_drop")).as("ed"))
+      .select(col("signal_id"), col("seg"),
+        lit(0.0).as("r0"), // keep: no CR gain, no error
+        round(lit(5.0) - least(col("e2"), lit(10.0)), 6).as("r1"),
+        round(lit(7.5) - least(col("e4"), lit(10.0)), 6).as("r2"),
+        round(lit(5.0) - least(col("er"), lit(10.0)), 6).as("r3"),
+        round(lit(0.46875) - least(col("ed"), lit(10.0)), 6).as("r4"))
   }
+
+  /** Replay the recoding chooser over the ordered segment stream. */
+  def recodeReplay(readings: DataFrame): DataFrame = {
+    val stream = recodeRewardInputs(readings)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        Array(r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))))
+      .sortBy(_._1)
+      .map(_._2)
+    walk(readings.sparkSession, stream.toSeq, RecodeArms)
+  }
+
+  /** Oracle for [[recodeReplay]]. `oracleCte` must already start
+    * `WITH RECURSIVE`. */
+  def recodeReplaySql(oracleCte: String): String = walkSql(
+    s"""$oracleCte, segrows AS (
+       |  SELECT signal_id, value, value_q, seq_no,
+       |         CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+       |         CAST(floor((seq_no - 1) / 2.0) AS BIGINT) AS c2,
+       |         CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS c4
+       |  FROM r
+       |), wm AS (
+       |  SELECT signal_id, seg, value, value_q, seq_no,
+       |    CAST(sum(value_q) OVER (PARTITION BY signal_id, c2) AS DOUBLE) /
+       |      (100.0 * CAST(count(*) OVER (PARTITION BY signal_id, c2) AS DOUBLE)) AS m2,
+       |    CAST(sum(value_q) OVER (PARTITION BY signal_id, c4) AS DOUBLE) /
+       |      (100.0 * CAST(count(*) OVER (PARTITION BY signal_id, c4) AS DOUBLE)) AS m4,
+       |    lag(value) OVER (PARTITION BY signal_id, seg ORDER BY seq_no) AS prev
+       |  FROM segrows
+       |), er AS (
+       |  SELECT signal_id, seg,
+       |    max(abs(value - m2)) AS e2,
+       |    max(abs(value - m4)) AS e4,
+       |    max(CASE WHEN ((seq_no - 1) % 2 + 2) % 2 = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE abs(value - prev) END) AS er,
+       |    max(CAST((value_q % 8 + 8) % 8 AS DOUBLE) / 100.0) AS ed
+       |  FROM wm GROUP BY 1, 2
+       |), steps AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY signal_id, seg) AS BIGINT) AS step,
+       |    CAST(0.0 AS DOUBLE) AS r0,
+       |    round(5.0 - least(e2, 10.0), 6) AS r1,
+       |    round(7.5 - least(e4, 10.0), 6) AS r2,
+       |    round(5.0 - least(er, 10.0), 6) AS r3,
+       |    round(CAST(0.46875 AS DOUBLE) - least(ed, 10.0), 6) AS r4
+       |  FROM er
+       |)""".stripMargin, RecodeArms)
 }

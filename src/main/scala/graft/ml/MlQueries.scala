@@ -80,7 +80,13 @@ object MlQueries {
     // deterministic e-greedy replay — distributed reward aggregation +
     // driver-side policy walk over the bounded decision stream
     "ml_bandit_replay" -> ((s, d) =>
-      Bandit.egreedyReplay(Readings.of(s, d)))
+      Bandit.egreedyReplay(Readings.of(s, d))),
+
+    // M5c: the RECODING bandit twin (MABrecoding_daemon.rs) — arms are
+    // lossy recode transforms, rewards are CR gain minus the clamped
+    // MEASURED per-segment reconstruction error (buffer_pool.rs:940-1260)
+    "ml_bandit_recode" -> ((s, d) =>
+      Bandit.recodeReplay(Readings.of(s, d)))
   )
 
   // the outlier fixture's mixer is plain 63-bit-safe integer arithmetic
@@ -99,6 +105,10 @@ object MlQueries {
     // 5-arm Q vector; the readings prefix is upgraded to WITH RECURSIVE
     "ml_bandit_replay" ->
       Bandit.egreedyReplaySql(
+        Readings.OracleCte.replaceFirst("WITH", "WITH RECURSIVE")),
+
+    "ml_bandit_recode" ->
+      Bandit.recodeReplaySql(
         Readings.OracleCte.replaceFirst("WITH", "WITH RECURSIVE")),
 
     "ml_outlier_fixture" ->

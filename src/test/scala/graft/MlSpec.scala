@@ -100,4 +100,31 @@ class MlSpec extends AnyFunSuite with SparkTest {
     val b = graft.ml.Bandit.egreedyReplay(banditReadings).collect().toSeq
     assert(a == b)
   }
+
+  test("recoding bandit rewards fidelity: smooth series converge on paa_4, noisy on keep") {
+    import spark.implicits._
+    // smooth: constant within each 4-chunk -> paa errors 0, paa_4 reward 7.5
+    val smooth = (for (sid <- 0L until 50L; seq <- 1L to 64L)
+      yield (sid, seq, (seq - 1) / 4 * 100, ((seq - 1) / 4).toDouble))
+      .toDF("signal_id", "seq_no", "value_q", "value")
+    val s = graft.ml.Bandit.recodeReplay(smooth).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
+    // burn-in: the best arm must first be SAMPLED by an exploration step
+    // (hash-gated, ~1 in 50 steps hits a given arm), so judge the tail
+    val sExploit = s.filter(x => !x._3 && x._1 > 150)
+    assert(sExploit.nonEmpty && sExploit.forall(_._2 == "paa_4"),
+      s"smooth exploit: ${sExploit.filter(_._2 != "paa_4").take(3).mkString(",")}")
+    // noisy: +-2000 alternation -> every aggregating arm's error blows
+    // past the clamp (reward < 0) and the bandit retreats to the minimal
+    // bit-drop (tiny guaranteed gain, bounded error): noisy data is NOT
+    // aggressively recoded
+    val noisy = (for (sid <- 0L until 50L; seq <- 1L to 64L)
+      yield (sid, seq, (seq % 2) * 200000, (seq % 2) * 2000.0))
+      .toDF("signal_id", "seq_no", "value_q", "value")
+    val n = graft.ml.Bandit.recodeReplay(noisy).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
+    val nExploit = n.filter(x => !x._3 && x._1 > 150)
+    assert(nExploit.nonEmpty && nExploit.forall(_._2 == "drop3bits"),
+      s"noisy exploit: ${nExploit.filter(_._2 != "drop3bits").take(3).mkString(",")}")
+  }
 }
