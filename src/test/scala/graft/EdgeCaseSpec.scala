@@ -65,6 +65,18 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
       && !plan(0).getAs[Boolean]("cr_ok"))
   }
 
+  test("bandit replays are empty-safe and single-step-safe") {
+    import graft.ml.Bandit
+    assert(Bandit.egreedyReplay(emptyReadings).count() == 0)
+    assert(Bandit.recodeReplay(emptyReadings).count() == 0)
+    import spark.implicits._
+    val one = Seq((1L, 1L, 42.25, 4225L)).toDF("signal_id", "seq_no", "value", "value_q")
+    // one segment -> exactly one decision step, with a well-formed row
+    val row = Bandit.egreedyReplay(one).collect()
+    assert(row.length == 1 && Bandit.CompressArms.contains(row(0).getString(1)))
+    assert(Bandit.recodeReplay(one).count() == 1)
+  }
+
   test("repetition signals on planted degenerate docs") {
     import spark.implicits._
     import graft.operators.TextQueries

@@ -98,6 +98,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("bandit reward aggregations shuffle keyed only") {
+    // the distributed half of the bandit (per-segment rewards) must stay
+    // a keyed aggregation: hash-partitioned exchanges, no funneling
+    val r = graft.operators.Readings.of(spark, sf)
+    for ((nm, df) <- Seq(
+        "compress" -> graft.ml.Bandit.rewardInputs(r),
+        "recode" -> graft.ml.Bandit.recodeRewardInputs(r))) {
+      val p = df.queryExecution.executedPlan
+      assert(collect(p) { case c: CartesianProductExec => c }.isEmpty,
+        s"bandit $nm plans a CartesianProduct")
+      val exs = collect(p) { case e: ShuffleExchangeExec => e }
+      assert(exs.nonEmpty, s"bandit $nm: expected keyed shuffles")
+      exs.foreach { e =>
+        val part = e.outputPartitioning.getClass.getSimpleName
+        assert(part.contains("HashPartitioning"),
+          s"bandit $nm shuffles with $part instead of hash partitioning")
+      }
+    }
+  }
+
   test("the deterministic split is map-only: zero exchanges") {
     // sampleSplit must stay a pure projection — any shuffle here would
     // mean the per-doc assignment somehow depends on other rows
