@@ -63,15 +63,14 @@ object Bandit {
   // the generic e-greedy walk (driver side + its DuckDB recursive twin)
   // ---------------------------------------------------------------------
 
-  /** Fold the e-greedy policy over the ordered reward stream: one row per
-    * step with the chosen arm, exploration flag, observed reward and the
-    * chosen arm's post-update value.
+  /** Fold the e-greedy policy over one ordered reward stream: per step,
+    * the chosen arm, exploration flag, observed reward and the chosen
+    * arm's post-update value.
     */
-  def walk(spark: SparkSession, stream: Seq[Array[Double]],
-           arms: Seq[String]): DataFrame = {
-    import spark.implicits._
+  private def walkRows(stream: Seq[Array[Double]], arms: Seq[String])
+      : Seq[(Long, String, Boolean, Double, Double)] = {
     val q = Array.fill(arms.length)(Q0)
-    val out = stream.zipWithIndex.map { case (rewards, i) =>
+    stream.zipWithIndex.map { case (rewards, i) =>
       val step = i + 1L
       val explored = mix32L(step, SaltExplore) % 1000000L <
         math.round(Eps * 1000000L)
@@ -83,7 +82,13 @@ object Bandit {
       q(arm) = q(arm) + Step * (r - q(arm))
       (step, arms(arm), explored, r, q(arm))
     }
-    out.toDF("step", "codec", "explored", "reward_raw", "q_raw")
+  }
+
+  def walk(spark: SparkSession, stream: Seq[Array[Double]],
+           arms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    walkRows(stream, arms)
+      .toDF("step", "codec", "explored", "reward_raw", "q_raw")
       .select(col("step"), col("codec"), col("explored"),
         round(col("reward_raw"), 6).as("reward"),
         round(col("q_raw"), 6).as("q_after"))
@@ -130,6 +135,52 @@ object Bandit {
        |SELECT step, $nameCase AS codec, explored, round(reward, 6) AS reward,
        |       round($qCase, 6) AS q_after
        |FROM sim WHERE step >= 1""".stripMargin
+  }
+
+  /** Banded variant of [[walkSql]]: `stepsCte` must end with a CTE
+    * `steps(band, step, r0 .. r{k-1})` where `step` is 1-based WITHIN its
+    * band; one independent recursive walk runs per band (the reference's
+    * per-CR-band best arms, MABrecoding_daemon.rs:48 `bestarms`).
+    */
+  def walkBandedSql(stepsCte: String, arms: Seq[String],
+                    bands: Int): String = {
+    val k = arms.length
+    val idx = arms.indices
+    val eps = math.round(Eps * 1000000L)
+    val exp = Fixtures.mix32Sql("t.step", SaltExplore) + s" % 1000000 < $eps"
+    val earm = Fixtures.mix32Sql("t.step", SaltArm) + s" % $k"
+    val greedy = "CASE " + idx.init.map { i =>
+      val geAll = (i + 1 until k).map(j => s"p.q$i >= p.q$j").mkString(" AND ")
+      s"WHEN $geAll THEN $i"
+    }.mkString(" ") + s" ELSE ${k - 1} END"
+    val arm = s"(CASE WHEN $exp THEN $earm ELSE $greedy END)"
+    val rew = "(CASE " + s"$arm" +
+      idx.init.map(i => s" WHEN $i THEN t.r$i").mkString +
+      s" ELSE t.r${k - 1} END)"
+    def qNext(i: Int) =
+      s"CASE WHEN $arm = $i THEN p.q$i + 0.3 * ($rew - p.q$i) ELSE p.q$i END AS q$i"
+    val seedQs = idx.map(i => s"CAST($Q0 AS DOUBLE) AS q$i").mkString(", ")
+    val nameCase = "CASE arm " +
+      idx.init.map(i => s"WHEN $i THEN '${arms(i)}' ").mkString +
+      s"ELSE '${arms(k - 1)}' END"
+    val qCase = "CASE arm " +
+      idx.init.map(i => s"WHEN $i THEN q$i ").mkString + s"ELSE q${k - 1} END"
+    val sims = (0 until bands).map { b =>
+      s"""sim$b AS (
+         |  SELECT CAST(0 AS BIGINT) AS step, $seedQs,
+         |         -1 AS arm, false AS explored, CAST(0.0 AS DOUBLE) AS reward
+         |  UNION ALL
+         |  SELECT t.step, ${idx.map(qNext).mkString(", ")},
+         |         $arm AS arm, $exp AS explored, $rew AS reward
+         |  FROM sim$b p JOIN steps t ON t.step = p.step + 1 AND t.band = $b
+         |)""".stripMargin
+    }.mkString(", ")
+    val finals = (0 until bands).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS band, step, $nameCase AS codec, explored,
+         |       round(reward, 6) AS reward, round($qCase, 6) AS q_after
+         |FROM sim$b WHERE step >= 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$stepsCte, $sims\n$finals"
   }
 
   // ---------------------------------------------------------------------
@@ -218,13 +269,15 @@ object Bandit {
       .agg(max(abs(col("value") - col("m2"))).as("e2"),
         max(abs(col("value") - col("m4"))).as("e4"),
         max(col("e_rrd")).as("er"),
-        max(col("e_drop")).as("ed"))
+        max(col("e_drop")).as("ed"),
+        countDistinct(col("value_q")).as("nd"))
       .select(col("signal_id"), col("seg"),
         lit(0.0).as("r0"), // keep: no CR gain, no error
         round(lit(5.0) - least(col("e2"), lit(10.0)), 6).as("r1"),
         round(lit(7.5) - least(col("e4"), lit(10.0)), 6).as("r2"),
         round(lit(5.0) - least(col("er"), lit(10.0)), 6).as("r3"),
-        round(lit(0.46875) - least(col("ed"), lit(10.0)), 6).as("r4"))
+        round(lit(0.46875) - least(col("ed"), lit(10.0)), 6).as("r4"),
+        col("nd"))
   }
 
   /** Replay the recoding chooser over the ordered segment stream. */
@@ -237,6 +290,37 @@ object Bandit {
       .sortBy(_._1)
       .map(_._2)
     walk(readings.sparkSession, stream.toSeq, RecodeArms)
+  }
+
+  /** Banded recode replay — the reference keeps one best arm PER
+    * compression-ratio band (MABrecoding_daemon.rs:48,110-139
+    * `bestarms: (usize,usize,usize)` for CR 0.25 / 0.125 / below). The
+    * band here is the segment's current-CR class, proxied by its
+    * dictionary bit width (1 bit / 2 bits / wider); each band runs its
+    * own independent Q walk over its own ordered segment stream.
+    */
+  def recodeBandReplay(readings: DataFrame): DataFrame = {
+    import readings.sparkSession.implicits._
+    val rows = recodeRewardInputs(readings)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        Array(r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)),
+        ceilLog2(r.getLong(7)) match {
+          case 1L => 0L
+          case 2L => 1L
+          case _ => 2L
+        }))
+    val out = (0L until 3L).flatMap { band =>
+      val stream = rows.filter(_._3 == band).sortBy(_._1).map(_._2)
+      walkRows(stream.toSeq, RecodeArms).map {
+        case (step, codec, explored, r, q) => (band, step, codec, explored, r, q)
+      }
+    }
+    out.toDF("band", "step", "codec", "explored", "reward_raw", "q_raw")
+      .select(col("band"), col("step"), col("codec"), col("explored"),
+        round(col("reward_raw"), 6).as("reward"),
+        round(col("q_raw"), 6).as("q_after"))
   }
 
   /** Oracle for [[recodeReplay]]. `oracleCte` must already start
@@ -273,4 +357,45 @@ object Bandit {
        |    round(CAST(0.46875 AS DOUBLE) - least(ed, 10.0), 6) AS r4
        |  FROM er
        |)""".stripMargin, RecodeArms)
+
+  /** Oracle for [[recodeBandReplay]]. `oracleCte` must already start
+    * `WITH RECURSIVE`. */
+  def recodeBandReplaySql(oracleCte: String): String = walkBandedSql(
+    s"""$oracleCte, segrows AS (
+       |  SELECT signal_id, value, value_q, seq_no,
+       |         CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+       |         CAST(floor((seq_no - 1) / 2.0) AS BIGINT) AS c2,
+       |         CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS c4
+       |  FROM r
+       |), wm AS (
+       |  SELECT signal_id, seg, value, value_q, seq_no,
+       |    CAST(sum(value_q) OVER (PARTITION BY signal_id, c2) AS DOUBLE) /
+       |      (100.0 * CAST(count(*) OVER (PARTITION BY signal_id, c2) AS DOUBLE)) AS m2,
+       |    CAST(sum(value_q) OVER (PARTITION BY signal_id, c4) AS DOUBLE) /
+       |      (100.0 * CAST(count(*) OVER (PARTITION BY signal_id, c4) AS DOUBLE)) AS m4,
+       |    lag(value) OVER (PARTITION BY signal_id, seg ORDER BY seq_no) AS prev
+       |  FROM segrows
+       |), er AS (
+       |  SELECT signal_id, seg,
+       |    max(abs(value - m2)) AS e2,
+       |    max(abs(value - m4)) AS e4,
+       |    max(CASE WHEN ((seq_no - 1) % 2 + 2) % 2 = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE abs(value - prev) END) AS er,
+       |    max(CAST((value_q % 8 + 8) % 8 AS DOUBLE) / 100.0) AS ed,
+       |    CAST(count(DISTINCT value_q) AS BIGINT) AS nd
+       |  FROM wm GROUP BY 1, 2
+       |), banded AS (
+       |  SELECT *, CASE length(bin(greatest(nd, 2) - 1))
+       |              WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS band
+       |  FROM er
+       |), steps AS (
+       |  SELECT band,
+       |    CAST(row_number() OVER (PARTITION BY band ORDER BY signal_id, seg) AS BIGINT) AS step,
+       |    CAST(0.0 AS DOUBLE) AS r0,
+       |    round(5.0 - least(e2, 10.0), 6) AS r1,
+       |    round(7.5 - least(e4, 10.0), 6) AS r2,
+       |    round(5.0 - least(er, 10.0), 6) AS r3,
+       |    round(CAST(0.46875 AS DOUBLE) - least(ed, 10.0), 6) AS r4
+       |  FROM banded
+       |)""".stripMargin, RecodeArms, bands = 3)
 }

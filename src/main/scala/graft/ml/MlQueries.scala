@@ -86,7 +86,12 @@ object MlQueries {
     // lossy recode transforms, rewards are CR gain minus the clamped
     // MEASURED per-segment reconstruction error (buffer_pool.rs:940-1260)
     "ml_bandit_recode" -> ((s, d) =>
-      Bandit.recodeReplay(Readings.of(s, d)))
+      Bandit.recodeReplay(Readings.of(s, d))),
+
+    // M5c banded: one independent walk per current-CR band, the
+    // reference's bestarms-(0.25, 0.125, below) shape
+    "ml_bandit_recode_band" -> ((s, d) =>
+      Bandit.recodeBandReplay(Readings.of(s, d)))
   )
 
   // the outlier fixture's mixer is plain 63-bit-safe integer arithmetic
@@ -109,6 +114,10 @@ object MlQueries {
 
     "ml_bandit_recode" ->
       Bandit.recodeReplaySql(
+        Readings.OracleCte.replaceFirst("WITH", "WITH RECURSIVE")),
+
+    "ml_bandit_recode_band" ->
+      Bandit.recodeBandReplaySql(
         Readings.OracleCte.replaceFirst("WITH", "WITH RECURSIVE")),
 
     "ml_outlier_fixture" ->

@@ -127,4 +127,31 @@ class MlSpec extends AnyFunSuite with SparkTest {
     assert(nExploit.nonEmpty && nExploit.forall(_._2 == "drop3bits"),
       s"noisy exploit: ${nExploit.filter(_._2 != "drop3bits").take(3).mkString(",")}")
   }
+
+  test("banded recode replay runs one independent walk per CR band") {
+    import spark.implicits._
+    // interleave low-cardinality (nd=2 -> band 0) and high-cardinality
+    // (nd=16 -> band 2) signals: the bands must walk independently
+    val mixed = (for (sid <- 0L until 100L; seq <- 1L to 64L) yield {
+      if (sid % 2 == 0) (sid, seq, (seq - 1) / 8 % 2 * 100, ((seq - 1) / 8 % 2).toDouble)
+      else (sid, seq, seq * 10001, seq * 100.01)
+    }).toDF("signal_id", "seq_no", "value_q", "value")
+    val out = graft.ml.Bandit.recodeBandReplay(mixed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    val bands = out.map(_._1).distinct.sorted
+    assert(bands.sameElements(Array(0L, 2L)), s"bands ${bands.mkString(",")}")
+    // within each band, steps are contiguous from 1
+    for (b <- bands) {
+      val steps = out.filter(_._1 == b).map(_._2).sorted
+      assert(steps.head == 1L && steps.last == steps.length.toLong)
+    }
+    // and each band's tail exploit converges on its own best arm: band 0's
+    // square wave is constant inside every 4-chunk (error-free PAA x4,
+    // reward 7.5); band 2's ramp defeats every aggregating arm and
+    // retreats to the minimal bit-drop
+    val tail0 = out.filter(x => x._1 == 0L && !x._4 && x._2 > 150).map(_._3).distinct
+    val tail2 = out.filter(x => x._1 == 2L && !x._4 && x._2 > 150).map(_._3).distinct
+    assert(tail0.sameElements(Array("paa_4")), s"band0 tail: ${tail0.mkString(",")}")
+    assert(tail2.sameElements(Array("drop3bits")), s"band2 tail: ${tail2.mkString(",")}")
+  }
 }
