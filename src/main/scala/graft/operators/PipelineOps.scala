@@ -142,6 +142,24 @@ object PipelineOps {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(topK)
 
+  /** Deterministic global corpus shuffle — the trainer-input ordering
+    * pass. Each document gets a hash-derived shuffle key; its shard is
+    * key mod `shards` and its position is its rank within the shard
+    * (key order, doc_id tie-break). One keyed exchange on shard + a
+    * per-shard rank — at 100 TB, size `shards` like [[packShardsFor]] so
+    * a shard's sort fits one task, and trainers stream shards
+    * independently. Reproducible across cluster sizes and re-runs (no
+    * RNG), and STABLE under corpus growth: an existing doc's (shard, key)
+    * never changes, new docs splice into rank order.
+    */
+  def globalShuffle(docs: DataFrame, shards: Int = 8, salt: Long = 13L): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    docs.select(col("doc_id"), Fixtures.mix32(col("doc_id"), salt).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** The composed curation pass: normalize text (lowercase, strip
     * punctuation, collapse whitespace), keep only exact-dedup keepers
     * (min doc_id per sha256 group — one keyed shuffle), and gate on token

@@ -56,7 +56,10 @@ object PipelineQueries {
     // view CorpusStore materializes partitioned by (split, lang)
     "pipe_corpus" -> ((s, d) =>
       graft.sources.CorpusStore.curatedCorpus(docs(s, d),
-        PackBudget, PackShards, MinToks, MaxToks))
+        PackBudget, PackShards, MinToks, MaxToks)),
+
+    // deterministic trainer-input shuffle: hash shard + in-shard rank
+    "pipe_shuffle" -> ((s, d) => PipelineOps.globalShuffle(docs(s, d)))
   )
 
   private val ToksSql = raw"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"
@@ -170,6 +173,16 @@ object PipelineQueries {
          |         THEN 2500 ELSE 7500 END AS bps
          |  FROM documents
          |)
-         |SELECT doc_id, source, lang FROM g WHERE hv < bps""".stripMargin
+         |SELECT doc_id, source, lang FROM g WHERE hv < bps""".stripMargin,
+
+    "pipe_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, ${Fixtures.mix32Sql("doc_id", 13L)} AS skey
+         |  FROM documents
+         |)
+         |SELECT doc_id, skey % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY skey % 8
+         |       ORDER BY skey, doc_id) AS BIGINT) AS pos
+         |FROM k""".stripMargin
   )
 }

@@ -163,6 +163,31 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("global shuffle: contiguous in-shard ranks, stable, roughly balanced") {
+    import spark.implicits._
+    val corpus = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val out = PipelineOps.globalShuffle(corpus, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2000 && out.map(_._1).distinct.length == 2000)
+    // in-shard positions are a contiguous 1..n ranking
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.head == 1L && ps.last == ps.length.toLong, s"shard $shard ranks")
+      // hash balance: no shard is more than 2x the even share
+      assert(rows.length < 2 * 2000 / 8, s"shard $shard holds ${rows.length}")
+    }
+    // deterministic, and an existing doc's (shard, key-order) is stable
+    // under growth: its shard and its relative order never change, only
+    // its numeric rank can shift as new docs splice in
+    val again = PipelineOps.globalShuffle(corpus, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    val grown = PipelineOps.globalShuffle(
+      spark.range(0, 4000).select(col("id").as("doc_id")), shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.forall { case (id, shard, _) => grown(id) == shard })
+  }
+
   test("curate drops exact duplicates and out-of-gate docs, keeps min id") {
     val out = PipelineOps.curate(docs, 2L, 1000L).collect()
     val ids = out.map(_.getLong(0)).toSet
