@@ -129,6 +129,52 @@ object TsQueries {
           col("value"))
     }),
 
+    // regular-grid resample with LINEAR INTERPOLATION — the gap-filling
+    // twin of ts_resample_ffill (the Influx/Timescale `interpolate()`
+    // shape). One union of grid points with readings, then two keyed
+    // windows (last reading at-or-before, first at-or-after) and the
+    // closed-form lerp — no join, two exchanges on signal_id at any
+    // scale. Grid points before the first reading backfill; after the
+    // last reading they carry it forward.
+    "ts_resample_interp" -> ((s, d) => {
+      val rr = r(s, d)
+      val grid = rr.groupBy(col("signal_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("signal_id"),
+          explode(sequence(col("t0"), col("t1"), expr("interval 1 day"))).as("t"))
+        .withColumn("is_grid", lit(1))
+        .withColumn("value", lit(null).cast("double"))
+        .withColumn("seq_no", lit(null).cast("long"))
+      val u = rr.select(col("signal_id"), col("ts").as("t"),
+          lit(0).as("is_grid"), col("value"), col("seq_no"))
+        .unionByName(grid.select(col("signal_id"), col("t"), col("is_grid"),
+          col("value"), col("seq_no")))
+        .withColumn("te", col("t").cast("double")) // fractional epoch secs
+      // readings sort before a same-instant grid point (is_grid), so a
+      // grid point landing ON a reading interpolates to exactly it
+      val ord = Seq(col("t"), col("is_grid"), col("seq_no"))
+      val wp = W.partitionBy(col("signal_id")).orderBy(ord: _*)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wn = W.partitionBy(col("signal_id")).orderBy(ord: _*)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+      u.withColumn("pv", last(col("value"), ignoreNulls = true).over(wp))
+        .withColumn("pt", last(when(col("value").isNotNull, col("te")),
+          ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("value"), ignoreNulls = true).over(wn))
+        .withColumn("nt", first(when(col("value").isNotNull, col("te")),
+          ignoreNulls = true).over(wn))
+        .filter(col("is_grid") === 1)
+        .select(col("signal_id"),
+          unix_timestamp(col("t")).as("g_start"),
+          round(
+            when(col("nv").isNull, col("pv"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nt") === col("pt"), col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("te") - col("pt")) / (col("nt") - col("pt")))), 6)
+            .as("value"))
+    }),
+
     // first difference per signal (rate-of-change stream): keyed window,
     // one shuffle on signal_id; the first row of each signal has no
     // predecessor and is dropped
@@ -567,6 +613,40 @@ object TsQueries {
          |  r.value
          |FROM grid ASOF LEFT JOIN r
          |  ON grid.signal_id = r.signal_id AND grid.gts >= r.ts""".stripMargin,
+
+    "ts_resample_interp" ->
+      s"""$OracleCte, b AS (
+         |  SELECT signal_id, date_trunc('day', min(ts)) AS t0, max(ts) AS t1
+         |  FROM r GROUP BY 1
+         |), grid AS (
+         |  SELECT signal_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS t
+         |  FROM b
+         |), u AS (
+         |  SELECT signal_id, ts AS t, 0 AS is_grid, value, seq_no FROM r
+         |  UNION ALL
+         |  SELECT signal_id, t, 1, NULL, NULL FROM grid
+         |), w AS (
+         |  SELECT signal_id, t, is_grid, epoch(t) AS te,
+         |    last_value(value IGNORE NULLS) OVER (
+         |      PARTITION BY signal_id ORDER BY t, is_grid, seq_no
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN value IS NOT NULL THEN epoch(t) END IGNORE NULLS) OVER (
+         |      PARTITION BY signal_id ORDER BY t, is_grid, seq_no
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |    first_value(value IGNORE NULLS) OVER (
+         |      PARTITION BY signal_id ORDER BY t, is_grid, seq_no
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN value IS NOT NULL THEN epoch(t) END IGNORE NULLS) OVER (
+         |      PARTITION BY signal_id ORDER BY t, is_grid, seq_no
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         |  FROM u
+         |)
+         |SELECT signal_id, CAST(floor(epoch(t)) AS BIGINT) AS g_start,
+         |  round(CASE WHEN nv IS NULL THEN pv
+         |             WHEN pv IS NULL THEN nv
+         |             WHEN nt = pt THEN pv
+         |             ELSE pv + (nv - pv) * ((te - pt) / (nt - pt)) END, 6) AS value
+         |FROM w WHERE is_grid = 1""".stripMargin,
 
     "o5_percentile" ->
       s"""$OracleCte SELECT signal_id,
