@@ -256,6 +256,38 @@ object TsQueries {
         .select(col("sig_a"), col("sig_b"), col("n"), col("corr_q"))
     }),
 
+    // lag-k cross-correlation between signal pairs: the b side is shifted
+    // back by `lag` rows before the positional equi-join, so corr is
+    // computed over the overlapping support (the lagged-similarity kernel
+    // of the reference's kernel methods, kernel.rs — here as exact
+    // fixed-point moments in DECIMAL(38,0), same overflow hardening as
+    // ts_corr). Ordered pairs, since lag breaks the symmetry.
+    "ts_xcorr_lag" -> ((s, d) => {
+      val lag = 4
+      val rr = r(s, d).filter(col("signal_id") < 5)
+        .select(col("signal_id"), col("seq_no"), col("value_q"))
+      val a = rr.select(col("signal_id").as("sig_a"), col("seq_no"),
+        col("value_q").as("qa"))
+      val b = rr.select(col("signal_id").as("sig_b"),
+        (col("seq_no") - lag).as("seq_no"), col("value_q").as("qb"))
+      val (qa, qb) = (col("qa").cast("decimal(18,0)"), col("qb").cast("decimal(18,0)"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      a.join(b, "seq_no").where(col("sig_a") =!= col("sig_b"))
+        .groupBy(col("sig_a"), col("sig_b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qa")).cast("decimal(38,0)").as("sa"),
+          sum(col("qb")).cast("decimal(38,0)").as("sb"),
+          sum(qa * qa).cast("decimal(38,0)").as("saa"),
+          sum(qb * qb).cast("decimal(38,0)").as("sbb"),
+          sum(qa * qb).cast("decimal(38,0)").as("sab"))
+        .withColumn("lag", lit(lag.toLong))
+        .withColumn("xcorr_q", round(
+          (d38(col("n")) * col("sab") - col("sa") * col("sb")).cast("double") /
+            (sqrt((d38(col("n")) * col("saa") - col("sa") * col("sa")).cast("double")) *
+             sqrt((d38(col("n")) * col("sbb") - col("sb") * col("sb")).cast("double"))), 6))
+        .select(col("sig_a"), col("sig_b"), col("lag"), col("n"), col("xcorr_q"))
+    }),
+
     // counter rate with reset detection (the PromQL/monitoring flavor of
     // ts_delta): per-signal increase between consecutive readings, where a
     // DROP is a counter reset and the post-reset value is the increase.
@@ -543,6 +575,27 @@ object TsQueries {
          |  round(CAST(n * sab - sa * sb AS DOUBLE) /
          |        (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
          |         sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS corr_q
+         |FROM p""".stripMargin,
+
+    "ts_xcorr_lag" ->
+      s"""$OracleCte, s5 AS (
+         |  SELECT signal_id, seq_no, value_q FROM r WHERE signal_id < 5
+         |), p AS (
+         |  SELECT a.signal_id AS sig_a, b.signal_id AS sig_b,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a.value_q) AS BIGINT) AS sa,
+         |    CAST(sum(b.value_q) AS BIGINT) AS sb,
+         |    CAST(sum(a.value_q * a.value_q) AS BIGINT) AS saa,
+         |    CAST(sum(b.value_q * b.value_q) AS BIGINT) AS sbb,
+         |    CAST(sum(a.value_q * b.value_q) AS BIGINT) AS sab
+         |  FROM s5 a JOIN s5 b ON a.seq_no = b.seq_no - 4
+         |                     AND a.signal_id <> b.signal_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT sig_a, sig_b, CAST(4 AS BIGINT) AS lag, n,
+         |  round(CAST(n * sab - sa * sb AS DOUBLE) /
+         |        (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+         |         sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS xcorr_q
          |FROM p""".stripMargin,
 
     "influx_max" ->
