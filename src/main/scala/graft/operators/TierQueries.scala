@@ -40,6 +40,10 @@ object TierQueries {
         .select(col("signal_id"), col("chunk"), col("sq"), col("cnt"),
           col("chunk_mean"))),
 
+    // PLA tier (the reference lossy menu's Pla(ratio) arm): per-window
+    // least-squares line from exact integer moments + max residual
+    "tier_pla" -> ((s, d) => Tiers.plaTier(r(s, d), 8)),
+
     "tier_fft_err" -> ((s, d) =>
       Tiers.fftError(Segments.complete(r(s, d)), keep = 4)
         .select(col("signal_id"), col("seg"), round(col("err"), 6).as("err"))),
@@ -364,6 +368,37 @@ object TierQueries {
          |SELECT signal_id, chunk, sq, cnt,
          |  CAST(sq AS DOUBLE) / (100.0 * CAST(cnt AS DOUBLE)) AS chunk_mean
          |FROM c""".stripMargin,
+
+    "tier_pla" ->
+      s"""$OracleCte, g AS (
+         |  SELECT signal_id, value, value_q,
+         |         CAST(floor((seq_no - 1) / 8.0) AS BIGINT) AS win,
+         |         (seq_no - 1) - CAST(floor((seq_no - 1) / 8.0) AS BIGINT) * 8 AS x
+         |  FROM r
+         |), m AS (
+         |  SELECT signal_id, win, value, x,
+         |    count(*) OVER w AS n,
+         |    sum(x) OVER w AS sx, sum(value_q) OVER w AS sy,
+         |    sum(x * value_q) OVER w AS sxy, sum(x * x) OVER w AS sxx
+         |  FROM g WINDOW w AS (PARTITION BY signal_id, win)
+         |), f AS (
+         |  SELECT signal_id, win, value, x, n,
+         |    CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+         |              CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_q,
+         |    sx, sy
+         |  FROM m
+         |), f2 AS (
+         |  SELECT signal_id, win, value, x, n, slope_q,
+         |    (CAST(sy AS DOUBLE) - slope_q * CAST(sx AS DOUBLE)) /
+         |      CAST(n AS DOUBLE) AS icept_q
+         |  FROM f
+         |)
+         |SELECT signal_id, win, CAST(count(*) AS BIGINT) AS n,
+         |  round(min(slope_q), 6) AS slope_q,
+         |  round(min(icept_q), 6) AS icept_q,
+         |  round(max(abs(value - (icept_q + slope_q * CAST(x AS DOUBLE)) / 100.0)), 6) AS err
+         |FROM f2 GROUP BY 1, 2""".stripMargin,
 
     "tier_recode_plan" ->
       s"""$OracleCte, c AS (

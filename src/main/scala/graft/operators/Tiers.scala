@@ -97,6 +97,44 @@ object Tiers {
       .withColumn("recode", col("cr_ok") && col("err") <= errBudget)
   }
 
+  /** PLA tier — the piecewise-linear arm of the reference's lossy menu
+    * (recoding_daemon.rs:400-404 `Methods::Pla(ratio)`, pla_lttb.rs):
+    * per fixed `w`-row window, the least-squares line fit from EXACT
+    * integer moments (x = in-window offset, y = fixed-point value), plus
+    * the max reconstruction residual. Two keyed passes over (signal,
+    * window) — moments ride a window function so residuals need no join —
+    * the same shape as any windowed aggregation at 100 TB. Storage is 2
+    * doubles per window (slope+intercept) vs w raw values: CR = 2/w.
+    */
+  def plaTier(r: DataFrame, w: Int = 8): DataFrame = {
+    val win = Readings.posWindow(col("seq_no"), 0L, w.toLong)
+    val x = (col("seq_no") - 1) - win * w.toLong
+    val W8 = Window.partitionBy(col("signal_id"), win)
+    val moms = r
+      .withColumn("win", win).withColumn("x", x)
+      .withColumn("n", count(lit(1)).over(W8))
+      .withColumn("sx", sum(col("x")).over(W8))
+      .withColumn("sy", sum(col("value_q")).over(W8))
+      .withColumn("sxy", sum(col("x") * col("value_q")).over(W8))
+      .withColumn("sxx", sum(col("x") * col("x")).over(W8))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val fitted = moms
+      .withColumn("slope_q",
+        when(den === 0, lit(0.0))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            den.cast("double")))
+      .withColumn("icept_q",
+        (col("sy").cast("double") - col("slope_q") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .withColumn("resid", abs(col("value") -
+        (col("icept_q") + col("slope_q") * col("x").cast("double")) / lit(100.0)))
+    fitted.groupBy(col("signal_id"), col("win"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("slope_q")), 6).as("slope_q"),
+        round(min(col("icept_q")), 6).as("icept_q"),
+        round(max(col("resid")), 6).as("err"))
+  }
+
   /** RRD tier: keep every k-th reading of each signal. */
   def rrdTier(r: DataFrame, k: Int): DataFrame =
     r.filter((col("seq_no") - 1) % k === 0)

@@ -63,6 +63,14 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
     val plan = Tiers.recodePlanWithFeedback(one, 4, 0.5, 80.0).collect()
     assert(plan.length == 1 && !plan(0).getAs[Boolean]("recode")
       && !plan(0).getAs[Boolean]("cr_ok"))
+    // PLA on a single point: degenerate denominator -> flat line through
+    // the value, zero residual
+    val pla = Tiers.plaTier(one, 8).collect()
+    assert(pla.length == 1)
+    assert(pla(0).getAs[Double]("slope_q") == 0.0)
+    assert(pla(0).getAs[Double]("icept_q") == 4225.0)
+    assert(pla(0).getAs[Double]("err") == 0.0)
+    assert(Tiers.plaTier(emptyTs, 8).count() == 0)
   }
 
   test("bandit replays are empty-safe and single-step-safe") {
