@@ -42,10 +42,13 @@ object Bandit {
   val CompressArms = Seq("uncompressed", "dict", "delta_bitpack", "paa_4", "rrd_4")
 
   /** Recoding arms: the lossy transform menu (recoding_daemon.rs:351-416 —
-    * PAA window steps, sample-droppers, bit-droppers); reward = CR gain
-    * minus the clamped MEASURED reconstruction error (the query-fidelity
-    * reward of buffer_pool.rs:940-1260). */
-  val RecodeArms = Seq("keep", "paa_2", "paa_4", "rrd_2", "drop3bits")
+    * PAA window steps, sample-droppers, bit-droppers, the PLA fit);
+    * reward = CR gain minus the clamped MEASURED reconstruction error
+    * (the query-fidelity reward of buffer_pool.rs:940-1260). The Fourier
+    * arm is omitted from the BANDIT menu only because its per-segment
+    * error is a typed-map job (tier_fft_err), not a window expression —
+    * the transform itself is in the ladder. */
+  val RecodeArms = Seq("keep", "paa_2", "paa_4", "rrd_2", "drop3bits", "pla_8")
 
   private def ceilLog2(m: Long): Long =
     java.lang.Long.toBinaryString(math.max(m, 2L) - 1L).length.toLong
@@ -253,9 +256,12 @@ object Bandit {
     val seg = Readings.segmentId(col("seq_no"))
     val c2 = Readings.posWindow(col("seq_no"), 0L, 2L)
     val c4 = Readings.posWindow(col("seq_no"), 0L, 4L)
+    val c8 = Readings.posWindow(col("seq_no"), 0L, 8L)
     val w2 = Window.partitionBy(col("signal_id"), c2)
     val w4 = Window.partitionBy(col("signal_id"), c4)
+    val w8 = Window.partitionBy(col("signal_id"), c8)
     val ws = Window.partitionBy(col("signal_id"), seg).orderBy(col("seq_no"))
+    val den = col("n8") * col("sxx8") - col("sx8") * col("sx8")
     readings
       .withColumn("m2", sum(col("value_q")).over(w2).cast("double") /
         (lit(100.0) * count(lit(1)).over(w2).cast("double")))
@@ -265,11 +271,27 @@ object Bandit {
       .withColumn("e_rrd", when(pmod(col("seq_no") - 1, lit(2)) === 0, lit(0.0))
         .otherwise(abs(col("value") - col("prev"))))
       .withColumn("e_drop", pmod(col("value_q"), lit(8)).cast("double") / lit(100.0))
+      // PLA(8) arm: least-squares residual from exact in-window moments
+      .withColumn("x8", (col("seq_no") - 1) - c8 * 8L)
+      .withColumn("n8", count(lit(1)).over(w8))
+      .withColumn("sx8", sum(col("x8")).over(w8))
+      .withColumn("sy8", sum(col("value_q")).over(w8))
+      .withColumn("sxy8", sum(col("x8") * col("value_q")).over(w8))
+      .withColumn("sxx8", sum(col("x8") * col("x8")).over(w8))
+      .withColumn("slope8", when(den === 0, lit(0.0))
+        .otherwise((col("n8") * col("sxy8") - col("sx8") * col("sy8")).cast("double") /
+          den.cast("double")))
+      .withColumn("icept8",
+        (col("sy8").cast("double") - col("slope8") * col("sx8").cast("double")) /
+          col("n8").cast("double"))
+      .withColumn("e_pla", abs(col("value") -
+        (col("icept8") + col("slope8") * col("x8").cast("double")) / lit(100.0)))
       .groupBy(col("signal_id"), seg.as("seg"))
       .agg(max(abs(col("value") - col("m2"))).as("e2"),
         max(abs(col("value") - col("m4"))).as("e4"),
         max(col("e_rrd")).as("er"),
         max(col("e_drop")).as("ed"),
+        max(col("e_pla")).as("ep"),
         countDistinct(col("value_q")).as("nd"))
       .select(col("signal_id"), col("seg"),
         lit(0.0).as("r0"), // keep: no CR gain, no error
@@ -277,6 +299,7 @@ object Bandit {
         round(lit(7.5) - least(col("e4"), lit(10.0)), 6).as("r2"),
         round(lit(5.0) - least(col("er"), lit(10.0)), 6).as("r3"),
         round(lit(0.46875) - least(col("ed"), lit(10.0)), 6).as("r4"),
+        round(lit(7.5) - least(col("ep"), lit(10.0)), 6).as("r5"), // cr 2/8
         col("nd"))
   }
 
@@ -286,7 +309,7 @@ object Bandit {
       .collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
         Array(r.getDouble(2), r.getDouble(3), r.getDouble(4),
-          r.getDouble(5), r.getDouble(6))))
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))))
       .sortBy(_._1)
       .map(_._2)
     walk(readings.sparkSession, stream.toSeq, RecodeArms)
@@ -305,8 +328,8 @@ object Bandit {
       .collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
         Array(r.getDouble(2), r.getDouble(3), r.getDouble(4),
-          r.getDouble(5), r.getDouble(6)),
-        ceilLog2(r.getLong(7)) match {
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)),
+        ceilLog2(r.getLong(8)) match {
           case 1L => 0L
           case 2L => 1L
           case _ => 2L
@@ -325,56 +348,55 @@ object Bandit {
 
   /** Oracle for [[recodeReplay]]. `oracleCte` must already start
     * `WITH RECURSIVE`. */
-  def recodeReplaySql(oracleCte: String): String = walkSql(
-    s"""$oracleCte, segrows AS (
-       |  SELECT signal_id, value, value_q, seq_no,
-       |         CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
-       |         CAST(floor((seq_no - 1) / 2.0) AS BIGINT) AS c2,
-       |         CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS c4
-       |  FROM r
-       |), wm AS (
-       |  SELECT signal_id, seg, value, value_q, seq_no,
-       |    CAST(sum(value_q) OVER (PARTITION BY signal_id, c2) AS DOUBLE) /
-       |      (100.0 * CAST(count(*) OVER (PARTITION BY signal_id, c2) AS DOUBLE)) AS m2,
-       |    CAST(sum(value_q) OVER (PARTITION BY signal_id, c4) AS DOUBLE) /
-       |      (100.0 * CAST(count(*) OVER (PARTITION BY signal_id, c4) AS DOUBLE)) AS m4,
-       |    lag(value) OVER (PARTITION BY signal_id, seg ORDER BY seq_no) AS prev
-       |  FROM segrows
-       |), er AS (
-       |  SELECT signal_id, seg,
-       |    max(abs(value - m2)) AS e2,
-       |    max(abs(value - m4)) AS e4,
-       |    max(CASE WHEN ((seq_no - 1) % 2 + 2) % 2 = 0 THEN CAST(0.0 AS DOUBLE)
-       |         ELSE abs(value - prev) END) AS er,
-       |    max(CAST((value_q % 8 + 8) % 8 AS DOUBLE) / 100.0) AS ed
-       |  FROM wm GROUP BY 1, 2
-       |), steps AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY signal_id, seg) AS BIGINT) AS step,
-       |    CAST(0.0 AS DOUBLE) AS r0,
-       |    round(5.0 - least(e2, 10.0), 6) AS r1,
-       |    round(7.5 - least(e4, 10.0), 6) AS r2,
-       |    round(5.0 - least(er, 10.0), 6) AS r3,
-       |    round(CAST(0.46875 AS DOUBLE) - least(ed, 10.0), 6) AS r4
-       |  FROM er
-       |)""".stripMargin, RecodeArms)
+  def recodeReplaySql(oracleCte: String): String =
+    walkSql(recodeStepsCte(oracleCte, banded = false), RecodeArms)
 
-  /** Oracle for [[recodeBandReplay]]. `oracleCte` must already start
-    * `WITH RECURSIVE`. */
-  def recodeBandReplaySql(oracleCte: String): String = walkBandedSql(
+  /** Shared rewards CTE chain for the recode oracles: ends with a CTE
+    * `steps([band,] step, r0..r5)`. */
+  private def recodeStepsCte(oracleCte: String, banded: Boolean): String = {
+    val bandCol =
+      if (banded) "band," else ""
+    val stepNum =
+      if (banded)
+        "CAST(row_number() OVER (PARTITION BY band ORDER BY signal_id, seg) AS BIGINT)"
+      else "CAST(row_number() OVER (ORDER BY signal_id, seg) AS BIGINT)"
+    val bandedSrc =
+      if (banded)
+        """, banded AS (
+          |  SELECT *, CASE length(bin(greatest(nd, 2) - 1))
+          |              WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS band
+          |  FROM er
+          |)""".stripMargin
+      else ""
+    val src = if (banded) "banded" else "er"
     s"""$oracleCte, segrows AS (
        |  SELECT signal_id, value, value_q, seq_no,
        |         CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
        |         CAST(floor((seq_no - 1) / 2.0) AS BIGINT) AS c2,
-       |         CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS c4
+       |         CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS c4,
+       |         CAST(floor((seq_no - 1) / 8.0) AS BIGINT) AS c8,
+       |         (seq_no - 1) - CAST(floor((seq_no - 1) / 8.0) AS BIGINT) * 8 AS x8
        |  FROM r
        |), wm AS (
-       |  SELECT signal_id, seg, value, value_q, seq_no,
+       |  SELECT signal_id, seg, value, value_q, seq_no, x8,
        |    CAST(sum(value_q) OVER (PARTITION BY signal_id, c2) AS DOUBLE) /
        |      (100.0 * CAST(count(*) OVER (PARTITION BY signal_id, c2) AS DOUBLE)) AS m2,
        |    CAST(sum(value_q) OVER (PARTITION BY signal_id, c4) AS DOUBLE) /
        |      (100.0 * CAST(count(*) OVER (PARTITION BY signal_id, c4) AS DOUBLE)) AS m4,
-       |    lag(value) OVER (PARTITION BY signal_id, seg ORDER BY seq_no) AS prev
-       |  FROM segrows
+       |    lag(value) OVER (PARTITION BY signal_id, seg ORDER BY seq_no) AS prev,
+       |    count(*) OVER w8 AS n8, sum(x8) OVER w8 AS sx8,
+       |    sum(value_q) OVER w8 AS sy8, sum(x8 * value_q) OVER w8 AS sxy8,
+       |    sum(x8 * x8) OVER w8 AS sxx8
+       |  FROM segrows WINDOW w8 AS (PARTITION BY signal_id, c8)
+       |), pf AS (
+       |  SELECT *, CASE WHEN n8 * sxx8 - sx8 * sx8 = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(n8 * sxy8 - sx8 * sy8 AS DOUBLE) /
+       |              CAST(n8 * sxx8 - sx8 * sx8 AS DOUBLE) END AS slope8
+       |  FROM wm
+       |), pf2 AS (
+       |  SELECT *, (CAST(sy8 AS DOUBLE) - slope8 * CAST(sx8 AS DOUBLE)) /
+       |            CAST(n8 AS DOUBLE) AS icept8
+       |  FROM pf
        |), er AS (
        |  SELECT signal_id, seg,
        |    max(abs(value - m2)) AS e2,
@@ -382,20 +404,24 @@ object Bandit {
        |    max(CASE WHEN ((seq_no - 1) % 2 + 2) % 2 = 0 THEN CAST(0.0 AS DOUBLE)
        |         ELSE abs(value - prev) END) AS er,
        |    max(CAST((value_q % 8 + 8) % 8 AS DOUBLE) / 100.0) AS ed,
+       |    max(abs(value - (icept8 + slope8 * CAST(x8 AS DOUBLE)) / 100.0)) AS ep,
        |    CAST(count(DISTINCT value_q) AS BIGINT) AS nd
-       |  FROM wm GROUP BY 1, 2
-       |), banded AS (
-       |  SELECT *, CASE length(bin(greatest(nd, 2) - 1))
-       |              WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS band
-       |  FROM er
-       |), steps AS (
-       |  SELECT band,
-       |    CAST(row_number() OVER (PARTITION BY band ORDER BY signal_id, seg) AS BIGINT) AS step,
+       |  FROM pf2 GROUP BY 1, 2
+       |)$bandedSrc, steps AS (
+       |  SELECT $bandCol $stepNum AS step,
        |    CAST(0.0 AS DOUBLE) AS r0,
        |    round(5.0 - least(e2, 10.0), 6) AS r1,
        |    round(7.5 - least(e4, 10.0), 6) AS r2,
        |    round(5.0 - least(er, 10.0), 6) AS r3,
-       |    round(CAST(0.46875 AS DOUBLE) - least(ed, 10.0), 6) AS r4
-       |  FROM banded
-       |)""".stripMargin, RecodeArms, bands = 3)
+       |    round(CAST(0.46875 AS DOUBLE) - least(ed, 10.0), 6) AS r4,
+       |    round(7.5 - least(ep, 10.0), 6) AS r5
+       |  FROM $src
+       |)""".stripMargin
+  }
+
+  /** Oracle for [[recodeBandReplay]]. `oracleCte` must already start
+    * `WITH RECURSIVE`. */
+  def recodeBandReplaySql(oracleCte: String): String =
+    walkBandedSql(recodeStepsCte(oracleCte, banded = true), RecodeArms,
+      bands = 3)
 }

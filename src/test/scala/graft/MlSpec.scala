@@ -103,15 +103,19 @@ class MlSpec extends AnyFunSuite with SparkTest {
 
   test("recoding bandit rewards fidelity: smooth series converge on paa_4, noisy on keep") {
     import spark.implicits._
-    // smooth: constant within each 4-chunk -> paa errors 0, paa_4 reward 7.5
+    // 4-chunk-aligned square wave, amplitude 10: paa_4 error-free (7.5),
+    // every other arm pays a wide error margin (pla fits the step badly)
     val smooth = (for (sid <- 0L until 50L; seq <- 1L to 64L)
-      yield (sid, seq, (seq - 1) / 4 * 100, ((seq - 1) / 4).toDouble))
+      yield (sid, seq, (seq - 1) / 4 % 2 * 1000, ((seq - 1) / 4 % 2 * 10).toDouble))
       .toDF("signal_id", "seq_no", "value_q", "value")
     val s = graft.ml.Bandit.recodeReplay(smooth).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
     // burn-in: the best arm must first be SAMPLED by an exploration step
     // (hash-gated, ~1 in 50 steps hits a given arm), so judge the tail
-    val sExploit = s.filter(x => !x._3 && x._1 > 150)
+    // burn-in length is exploration luck (the best arm must first be
+    // SAMPLED, ~1 in 60 steps with 6 arms), so judge the trailing
+    // exploit window rather than a fixed step cutoff
+    val sExploit = s.filter(!_._3).takeRight(15)
     assert(sExploit.nonEmpty && sExploit.forall(_._2 == "paa_4"),
       s"smooth exploit: ${sExploit.filter(_._2 != "paa_4").take(3).mkString(",")}")
     // noisy: +-2000 alternation -> every aggregating arm's error blows
@@ -123,7 +127,7 @@ class MlSpec extends AnyFunSuite with SparkTest {
       .toDF("signal_id", "seq_no", "value_q", "value")
     val n = graft.ml.Bandit.recodeReplay(noisy).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
-    val nExploit = n.filter(x => !x._3 && x._1 > 150)
+    val nExploit = n.filter(!_._3).takeRight(15)
     assert(nExploit.nonEmpty && nExploit.forall(_._2 == "drop3bits"),
       s"noisy exploit: ${nExploit.filter(_._2 != "drop3bits").take(3).mkString(",")}")
   }
@@ -133,7 +137,7 @@ class MlSpec extends AnyFunSuite with SparkTest {
     // interleave low-cardinality (nd=2 -> band 0) and high-cardinality
     // (nd=16 -> band 2) signals: the bands must walk independently
     val mixed = (for (sid <- 0L until 100L; seq <- 1L to 64L) yield {
-      if (sid % 2 == 0) (sid, seq, (seq - 1) / 8 % 2 * 100, ((seq - 1) / 8 % 2).toDouble)
+      if (sid % 2 == 0) (sid, seq, (seq - 1) / 4 % 2 * 10000, ((seq - 1) / 4 % 2 * 100).toDouble)
       else (sid, seq, seq * 10001, seq * 100.01)
     }).toDF("signal_id", "seq_no", "value_q", "value")
     val out = graft.ml.Bandit.recodeBandReplay(mixed).collect()
@@ -147,11 +151,14 @@ class MlSpec extends AnyFunSuite with SparkTest {
     }
     // and each band's tail exploit converges on its own best arm: band 0's
     // square wave is constant inside every 4-chunk (error-free PAA x4,
-    // reward 7.5); band 2's ramp defeats every aggregating arm and
-    // retreats to the minimal bit-drop
-    val tail0 = out.filter(x => x._1 == 0L && !x._4 && x._2 > 150).map(_._3).distinct
-    val tail2 = out.filter(x => x._1 == 2L && !x._4 && x._2 > 150).map(_._3).distinct
+    // reward 7.5, and the step defeats the linear fit); band 2's ramp is
+    // exactly linear, so the PLA arm is error-free there (reward 7.5)
+    // while every aggregating arm pays the slope
+    val tail0 = out.filter(x => x._1 == 0L && !x._4).sortBy(_._2)
+      .takeRight(15).map(_._3).distinct
+    val tail2 = out.filter(x => x._1 == 2L && !x._4).sortBy(_._2)
+      .takeRight(15).map(_._3).distinct
     assert(tail0.sameElements(Array("paa_4")), s"band0 tail: ${tail0.mkString(",")}")
-    assert(tail2.sameElements(Array("drop3bits")), s"band2 tail: ${tail2.mkString(",")}")
+    assert(tail2.sameElements(Array("pla_8")), s"band2 tail: ${tail2.mkString(",")}")
   }
 }
