@@ -106,14 +106,19 @@ object Bandit {
     val k = arms.length
     val idx = arms.indices
     val eps = math.round(Eps * 1000000L)
-    val exp = Fixtures.mix32Sql("t.step", SaltExplore) + s" % 1000000 < $eps"
-    val earm = Fixtures.mix32Sql("t.step", SaltArm) + s" % $k"
+    // hash gates depend only on the step — compute them ONCE in the
+    // materialized steps table instead of per recursive iteration (the
+    // inlined mix32/CASE tree made each of the N iterations pay the
+    // whole expression; materialization cuts the oracle from minutes
+    // to seconds)
+    val expS = Fixtures.mix32Sql("step", SaltExplore) + s" % 1000000 < $eps"
+    val earmS = Fixtures.mix32Sql("step", SaltArm) + s" % $k"
     // greedy argmax, lowest index wins ties
     val greedy = "CASE " + idx.init.map { i =>
       val geAll = (i + 1 until k).map(j => s"p.q$i >= p.q$j").mkString(" AND ")
       s"WHEN $geAll THEN $i"
     }.mkString(" ") + s" ELSE ${k - 1} END"
-    val arm = s"(CASE WHEN $exp THEN $earm ELSE $greedy END)"
+    val arm = s"(CASE WHEN t.explored THEN t.earm ELSE $greedy END)"
     val rew = "(CASE " + s"$arm" +
       idx.init.map(i => s" WHEN $i THEN t.r$i").mkString +
       s" ELSE t.r${k - 1} END)"
@@ -125,15 +130,17 @@ object Bandit {
       s"ELSE '${arms(k - 1)}' END"
     val qCase = "CASE arm " +
       idx.init.map(i => s"WHEN $i THEN q$i ").mkString + s"ELSE q${k - 1} END"
-    s"""$stepsCte, sim AS (
+    s"""$stepsCte, gated AS MATERIALIZED (
+       |  SELECT *, $expS AS explored, CAST($earmS AS INT) AS earm FROM steps
+       |), sim AS (
        |  -- seed types define the CTE's column types: force DOUBLE (bare
        |  -- literals are DECIMAL in DuckDB and the Q updates overflow them)
        |  SELECT CAST(0 AS BIGINT) AS step, $seedQs,
        |         -1 AS arm, false AS explored, CAST(0.0 AS DOUBLE) AS reward
        |  UNION ALL
        |  SELECT t.step, ${idx.map(qNext).mkString(", ")},
-       |         $arm AS arm, $exp AS explored, $rew AS reward
-       |  FROM sim p JOIN steps t ON t.step = p.step + 1
+       |         $arm AS arm, t.explored AS explored, $rew AS reward
+       |  FROM sim p JOIN gated t ON t.step = p.step + 1
        |)
        |SELECT step, $nameCase AS codec, explored, round(reward, 6) AS reward,
        |       round($qCase, 6) AS q_after
@@ -150,13 +157,14 @@ object Bandit {
     val k = arms.length
     val idx = arms.indices
     val eps = math.round(Eps * 1000000L)
-    val exp = Fixtures.mix32Sql("t.step", SaltExplore) + s" % 1000000 < $eps"
-    val earm = Fixtures.mix32Sql("t.step", SaltArm) + s" % $k"
+    // hash gates precomputed per steps row (see walkSql)
+    val expS = Fixtures.mix32Sql("step", SaltExplore) + s" % 1000000 < $eps"
+    val earmS = Fixtures.mix32Sql("step", SaltArm) + s" % $k"
     val greedy = "CASE " + idx.init.map { i =>
       val geAll = (i + 1 until k).map(j => s"p.q$i >= p.q$j").mkString(" AND ")
       s"WHEN $geAll THEN $i"
     }.mkString(" ") + s" ELSE ${k - 1} END"
-    val arm = s"(CASE WHEN $exp THEN $earm ELSE $greedy END)"
+    val arm = s"(CASE WHEN t.explored THEN t.earm ELSE $greedy END)"
     val rew = "(CASE " + s"$arm" +
       idx.init.map(i => s" WHEN $i THEN t.r$i").mkString +
       s" ELSE t.r${k - 1} END)"
@@ -174,8 +182,8 @@ object Bandit {
          |         -1 AS arm, false AS explored, CAST(0.0 AS DOUBLE) AS reward
          |  UNION ALL
          |  SELECT t.step, ${idx.map(qNext).mkString(", ")},
-         |         $arm AS arm, $exp AS explored, $rew AS reward
-         |  FROM sim$b p JOIN steps t ON t.step = p.step + 1 AND t.band = $b
+         |         $arm AS arm, t.explored AS explored, $rew AS reward
+         |  FROM sim$b p JOIN gated t ON t.step = p.step + 1 AND t.band = $b
          |)""".stripMargin
     }.mkString(", ")
     val finals = (0 until bands).map { b =>
@@ -183,7 +191,10 @@ object Bandit {
          |       round(reward, 6) AS reward, round($qCase, 6) AS q_after
          |FROM sim$b WHERE step >= 1""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"$stepsCte, $sims\n$finals"
+    s"""$stepsCte, gated AS MATERIALIZED (
+       |  SELECT *, $expS AS explored, CAST($earmS AS INT) AS earm FROM steps
+       |), $sims
+       |$finals""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -232,7 +243,7 @@ object Bandit {
        |  SELECT signal_id, seg, CAST(count(DISTINCT value_q) AS BIGINT) AS nd,
        |         round(coalesce(quantile_cont(abs(d), 0.95), 0), 6) AS p95
        |  FROM segrows GROUP BY 1, 2
-       |), steps AS (
+       |), steps AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY signal_id, seg) AS BIGINT) AS step,
        |         CAST(1.0 AS DOUBLE) AS r0,
        |         64.0 / length(bin(greatest(nd, 2) - 1)) AS r1,
@@ -247,60 +258,75 @@ object Bandit {
 
   /** Per-segment recoding rewards, computed distributed: for each lossy
     * arm, reward = 10·(1 − cr) − min(measured reconstruction error, 10).
-    * PAA means ride intra-segment chunk windows on exact fixed-point
-    * sums; RRD error is the forward-fill gap; drop3bits error is the
-    * discarded low-bit remainder. One window pass + one keyed
-    * aggregation — the same shape as the paaError feedback job.
+    * PAA means come from exact fixed-point chunk sums; RRD error is the
+    * forward-fill gap; drop3bits error is the discarded low-bit
+    * remainder; PLA error is the least-squares residual from exact
+    * in-window moments. All five metrics fold in ONE pass per segment
+    * (one keyed exchange) — a window formulation would pay one shuffle
+    * per chunk width.
     */
   def recodeRewardInputs(readings: DataFrame): DataFrame = {
-    val seg = Readings.segmentId(col("seq_no"))
-    val c2 = Readings.posWindow(col("seq_no"), 0L, 2L)
-    val c4 = Readings.posWindow(col("seq_no"), 0L, 4L)
-    val c8 = Readings.posWindow(col("seq_no"), 0L, 8L)
-    val w2 = Window.partitionBy(col("signal_id"), c2)
-    val w4 = Window.partitionBy(col("signal_id"), c4)
-    val w8 = Window.partitionBy(col("signal_id"), c8)
-    val ws = Window.partitionBy(col("signal_id"), seg).orderBy(col("seq_no"))
-    val den = col("n8") * col("sxx8") - col("sx8") * col("sx8")
-    readings
-      .withColumn("m2", sum(col("value_q")).over(w2).cast("double") /
-        (lit(100.0) * count(lit(1)).over(w2).cast("double")))
-      .withColumn("m4", sum(col("value_q")).over(w4).cast("double") /
-        (lit(100.0) * count(lit(1)).over(w4).cast("double")))
-      .withColumn("prev", lag(col("value"), 1).over(ws))
-      .withColumn("e_rrd", when(pmod(col("seq_no") - 1, lit(2)) === 0, lit(0.0))
-        .otherwise(abs(col("value") - col("prev"))))
-      .withColumn("e_drop", pmod(col("value_q"), lit(8)).cast("double") / lit(100.0))
-      // PLA(8) arm: least-squares residual from exact in-window moments
-      .withColumn("x8", (col("seq_no") - 1) - c8 * 8L)
-      .withColumn("n8", count(lit(1)).over(w8))
-      .withColumn("sx8", sum(col("x8")).over(w8))
-      .withColumn("sy8", sum(col("value_q")).over(w8))
-      .withColumn("sxy8", sum(col("x8") * col("value_q")).over(w8))
-      .withColumn("sxx8", sum(col("x8") * col("x8")).over(w8))
-      .withColumn("slope8", when(den === 0, lit(0.0))
-        .otherwise((col("n8") * col("sxy8") - col("sx8") * col("sy8")).cast("double") /
-          den.cast("double")))
-      .withColumn("icept8",
-        (col("sy8").cast("double") - col("slope8") * col("sx8").cast("double")) /
-          col("n8").cast("double"))
-      .withColumn("e_pla", abs(col("value") -
-        (col("icept8") + col("slope8") * col("x8").cast("double")) / lit(100.0)))
-      .groupBy(col("signal_id"), seg.as("seg"))
-      .agg(max(abs(col("value") - col("m2"))).as("e2"),
-        max(abs(col("value") - col("m4"))).as("e4"),
-        max(col("e_rrd")).as("er"),
-        max(col("e_drop")).as("ed"),
-        max(col("e_pla")).as("ep"),
-        countDistinct(col("value_q")).as("nd"))
-      .select(col("signal_id"), col("seg"),
-        lit(0.0).as("r0"), // keep: no CR gain, no error
-        round(lit(5.0) - least(col("e2"), lit(10.0)), 6).as("r1"),
-        round(lit(7.5) - least(col("e4"), lit(10.0)), 6).as("r2"),
-        round(lit(5.0) - least(col("er"), lit(10.0)), 6).as("r3"),
-        round(lit(0.46875) - least(col("ed"), lit(10.0)), 6).as("r4"),
-        round(lit(7.5) - least(col("ep"), lit(10.0)), 6).as("r5"), // cr 2/8
-        col("nd"))
+    val spark = readings.sparkSession
+    import spark.implicits._
+    // every arm's chunk/fit window nests inside the 16-row segment, so
+    // ALL error metrics fold in one pass per segment — ONE keyed
+    // exchange, instead of one window shuffle per chunk width. Chunk
+    // sums are exact longs (order-free) and every double step mirrors
+    // the oracle SQL operation-for-operation, so the fold is
+    // bit-identical to the windowed formulation.
+    val raw = readings
+      .select(col("signal_id"), col("seq_no"), col("value"), col("value_q"))
+      .as[(Long, Long, Double, Long)]
+      .groupByKey { case (sid, seq, _, _) => (sid, (seq - 1) / Readings.SegmentRows) }
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Double, Long)]) =>
+        val (sid, seg) = key
+        val rows = it.toArray.sortBy(_._2)
+        def chunkOf(seq: Long, w: Long): Long = (seq - 1) / w
+        // exact (sum, count) per chunk width
+        def stats(w: Long): collection.Map[Long, (Long, Long)] =
+          rows.groupBy(r => chunkOf(r._2, w))
+            .map { case (c, rs) => (c, (rs.map(_._4).sum, rs.length.toLong)) }
+        val s2 = stats(2L); val s4 = stats(4L)
+        // PLA(8) moments per 8-chunk: x = in-chunk offset
+        val pla = rows.groupBy(r => chunkOf(r._2, 8L)).map { case (c, rs) =>
+          val xs = rs.map(r => (r._2 - 1) - c * 8L)
+          val n = rs.length.toLong
+          val sx = xs.sum
+          val sy = rs.map(_._4).sum
+          val sxy = xs.zip(rs).map { case (x, r) => x * r._4 }.sum
+          val sxx = xs.map(x => x * x).sum
+          val den = n * sxx - sx * sx
+          val slope = if (den == 0) 0.0
+            else (n * sxy - sx * sy).toDouble / den.toDouble
+          val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+          (c, (slope, icept))
+        }
+        var e2 = 0.0; var e4 = 0.0; var er = 0.0; var ed = 0.0; var ep = 0.0
+        var prev = 0.0
+        for ((_, seq, v, q) <- rows) {
+          val (sq2, n2) = s2(chunkOf(seq, 2L))
+          e2 = math.max(e2, math.abs(v - sq2.toDouble / (100.0 * n2.toDouble)))
+          val (sq4, n4) = s4(chunkOf(seq, 4L))
+          e4 = math.max(e4, math.abs(v - sq4.toDouble / (100.0 * n4.toDouble)))
+          if ((seq - 1) % 2 != 0) er = math.max(er, math.abs(v - prev))
+          prev = v
+          ed = math.max(ed, java.lang.Math.floorMod(q, 8L).toDouble / 100.0)
+          val (slope, icept) = pla(chunkOf(seq, 8L))
+          val x = (seq - 1) - chunkOf(seq, 8L) * 8L
+          ep = math.max(ep, math.abs(v - (icept + slope * x.toDouble) / 100.0))
+        }
+        val nd = rows.map(_._4).distinct.length.toLong
+        (sid, seg, e2, e4, er, ed, ep, nd)
+      }
+      .toDF("signal_id", "seg", "e2", "e4", "er", "ed", "ep", "nd")
+    raw.select(col("signal_id"), col("seg"),
+      lit(0.0).as("r0"), // keep: no CR gain, no error
+      round(lit(5.0) - least(col("e2"), lit(10.0)), 6).as("r1"),
+      round(lit(7.5) - least(col("e4"), lit(10.0)), 6).as("r2"),
+      round(lit(5.0) - least(col("er"), lit(10.0)), 6).as("r3"),
+      round(lit(0.46875) - least(col("ed"), lit(10.0)), 6).as("r4"),
+      round(lit(7.5) - least(col("ep"), lit(10.0)), 6).as("r5"), // cr 2/8
+      col("nd"))
   }
 
   /** Replay the recoding chooser over the ordered segment stream. */
@@ -407,7 +433,7 @@ object Bandit {
        |    max(abs(value - (icept8 + slope8 * CAST(x8 AS DOUBLE)) / 100.0)) AS ep,
        |    CAST(count(DISTINCT value_q) AS BIGINT) AS nd
        |  FROM pf2 GROUP BY 1, 2
-       |)$bandedSrc, steps AS (
+       |)$bandedSrc, steps AS MATERIALIZED (
        |  SELECT $bandCol $stepNum AS step,
        |    CAST(0.0 AS DOUBLE) AS r0,
        |    round(5.0 - least(e2, 10.0), 6) AS r1,
