@@ -107,7 +107,7 @@ object MlQueries {
       CrPredictor.estimateSql(Readings.OracleCte, sampleFraction = 0.5),
 
     // the policy walk re-runs in DuckDB as a recursive CTE carrying the
-    // 5-arm Q vector; the readings prefix is upgraded to WITH RECURSIVE
+    // per-arm Q vector; the readings prefix is upgraded to WITH RECURSIVE
     "ml_bandit_replay" ->
       Bandit.egreedyReplaySql(
         Readings.OracleCte.replaceFirst("WITH", "WITH RECURSIVE")),
