@@ -175,6 +175,43 @@ object TsQueries {
             .as("value"))
     }),
 
+    // full lag sweep 0..7 with per-pair best-alignment argmax (the
+    // cross-correlation-function query: which shift aligns two signals
+    // best). The b side explodes once per lag — an 8x fan-out bounded by
+    // the lag budget — then the same exact moment math per (pair, lag),
+    // and a rank on the ROUNDED xcorr (round-then-rank keeps tie-breaks
+    // engine-identical) picks each pair's best lag.
+    "ts_xcorr_best" -> ((s, d) => {
+      val rr = r(s, d).filter(col("signal_id") < 5)
+        .select(col("signal_id"), col("seq_no"), col("value_q"))
+      val a = rr.select(col("signal_id").as("sig_a"), col("seq_no"),
+        col("value_q").as("qa"))
+      val b = rr.select(col("signal_id").as("sig_b"), col("seq_no"),
+          col("value_q").as("qb"))
+        .withColumn("lag", explode(sequence(lit(0L), lit(7L))))
+        .withColumn("seq_no", col("seq_no") - col("lag"))
+      val (qa, qb) = (col("qa").cast("decimal(18,0)"), col("qb").cast("decimal(18,0)"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val scored = a.join(b, "seq_no").where(col("sig_a") =!= col("sig_b"))
+        .groupBy(col("sig_a"), col("sig_b"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qa")).cast("decimal(38,0)").as("sa"),
+          sum(col("qb")).cast("decimal(38,0)").as("sb"),
+          sum(qa * qa).cast("decimal(38,0)").as("saa"),
+          sum(qb * qb).cast("decimal(38,0)").as("sbb"),
+          sum(qa * qb).cast("decimal(38,0)").as("sab"))
+        .withColumn("xcorr_q", round(
+          (d38(col("n")) * col("sab") - col("sa") * col("sb")).cast("double") /
+            (sqrt((d38(col("n")) * col("saa") - col("sa") * col("sa")).cast("double")) *
+             sqrt((d38(col("n")) * col("sbb") - col("sb") * col("sb")).cast("double"))), 6))
+      val wBest = W.partitionBy(col("sig_a"), col("sig_b"))
+        .orderBy(col("xcorr_q").desc, col("lag"))
+      scored.withColumn("rnk", row_number().over(wBest))
+        .filter(col("rnk") === 1)
+        .select(col("sig_a"), col("sig_b"), col("lag").as("best_lag"),
+          col("xcorr_q").as("best_xcorr"))
+    }),
+
     // first difference per signal (rate-of-change stream): keyed window,
     // one shuffle on signal_id; the first row of each signal has no
     // predecessor and is dropped
@@ -597,6 +634,39 @@ object TsQueries {
          |        (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
          |         sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS xcorr_q
          |FROM p""".stripMargin,
+
+    "ts_xcorr_best" ->
+      s"""$OracleCte, s5 AS (
+         |  SELECT signal_id, seq_no, value_q FROM r WHERE signal_id < 5
+         |), lagged AS (
+         |  SELECT b.signal_id AS sig_b, b.seq_no - l.lag AS seq_no,
+         |         b.value_q, l.lag
+         |  FROM s5 b CROSS JOIN (SELECT unnest(range(0, 8)) AS lag) l
+         |), p AS (
+         |  SELECT a.signal_id AS sig_a, b.sig_b, b.lag,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a.value_q) AS BIGINT) AS sa,
+         |    CAST(sum(b.value_q) AS BIGINT) AS sb,
+         |    CAST(sum(a.value_q * a.value_q) AS BIGINT) AS saa,
+         |    CAST(sum(b.value_q * b.value_q) AS BIGINT) AS sbb,
+         |    CAST(sum(a.value_q * b.value_q) AS BIGINT) AS sab
+         |  FROM s5 a JOIN lagged b ON a.seq_no = b.seq_no
+         |                         AND a.signal_id <> b.sig_b
+         |  GROUP BY 1, 2, 3
+         |), sc AS (
+         |  SELECT sig_a, sig_b, lag,
+         |    round(CAST(n * sab - sa * sb AS DOUBLE) /
+         |          (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+         |           sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS xcorr_q,
+         |    row_number() OVER (PARTITION BY sig_a, sig_b
+         |      ORDER BY round(CAST(n * sab - sa * sb AS DOUBLE) /
+         |          (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+         |           sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) DESC, lag) AS rnk
+         |  FROM p
+         |)
+         |SELECT sig_a, sig_b, CAST(lag AS BIGINT) AS best_lag,
+         |       xcorr_q AS best_xcorr
+         |FROM sc WHERE rnk = 1""".stripMargin,
 
     "influx_max" ->
       s"$OracleCte SELECT max(value) AS vmax FROM r",
