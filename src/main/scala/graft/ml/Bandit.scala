@@ -280,45 +280,61 @@ object Bandit {
       .groupByKey { case (sid, seq, _, _) => (sid, (seq - 1) / Readings.SegmentRows) }
       .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Double, Long)]) =>
         val (sid, seg) = key
-        val rows = it.toArray.sortBy(_._2)
-        def chunkOf(seq: Long, w: Long): Long = (seq - 1) / w
-        // exact (sum, count) per chunk width
-        def stats(w: Long): collection.Map[Long, (Long, Long)] =
-          rows.groupBy(r => chunkOf(r._2, w))
-            .map { case (c, rs) => (c, (rs.map(_._4).sum, rs.length.toLong)) }
-        val s2 = stats(2L); val s4 = stats(4L)
-        // PLA(8) moments per 8-chunk: x = in-chunk offset
-        val pla = rows.groupBy(r => chunkOf(r._2, 8L)).map { case (c, rs) =>
-          val xs = rs.map(r => (r._2 - 1) - c * 8L)
-          val n = rs.length.toLong
-          val sx = xs.sum
-          val sy = rs.map(_._4).sum
-          val sxy = xs.zip(rs).map { case (x, r) => x * r._4 }.sum
-          val sxx = xs.map(x => x * x).sum
-          val den = n * sxx - sx * sx
-          val slope = if (den == 0) 0.0
-            else (n * sxy - sx * sy).toDouble / den.toDouble
-          val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
-          (c, (slope, icept))
-        }
-        var e2 = 0.0; var e4 = 0.0; var er = 0.0; var ed = 0.0; var ep = 0.0
-        var prev = 0.0
-        for ((_, seq, v, q) <- rows) {
-          val (sq2, n2) = s2(chunkOf(seq, 2L))
-          e2 = math.max(e2, math.abs(v - sq2.toDouble / (100.0 * n2.toDouble)))
-          val (sq4, n4) = s4(chunkOf(seq, 4L))
-          e4 = math.max(e4, math.abs(v - sq4.toDouble / (100.0 * n4.toDouble)))
-          if ((seq - 1) % 2 != 0) er = math.max(er, math.abs(v - prev))
-          prev = v
-          ed = math.max(ed, java.lang.Math.floorMod(q, 8L).toDouble / 100.0)
-          val (slope, icept) = pla(chunkOf(seq, 8L))
-          val x = (seq - 1) - chunkOf(seq, 8L) * 8L
-          ep = math.max(ep, math.abs(v - (icept + slope * x.toDouble) / 100.0))
-        }
-        val nd = rows.map(_._4).distinct.length.toLong
+        val rows = it.map(r => (r._2, r._3, r._4)).toArray
+        val (e2, e4, er, ed, ep, nd) = segmentErrors(rows)
         (sid, seg, e2, e4, er, ed, ep, nd)
       }
       .toDF("signal_id", "seg", "e2", "e4", "er", "ed", "ep", "nd")
+    rewardSelect(raw)
+  }
+
+  /** Pure per-segment error fold (shared by the batch job and the
+    * streaming twin, Ingest.rewardStream): rows are (seq_no, value,
+    * value_q) of ONE segment, any order.
+    */
+  def segmentErrors(rowsIn: Array[(Long, Double, Long)])
+      : (Double, Double, Double, Double, Double, Long) = {
+    val rows = rowsIn.sortBy(_._1)
+    def chunkOf(seq: Long, w: Long): Long = (seq - 1) / w
+    // exact (sum, count) per chunk width
+    def stats(w: Long): collection.Map[Long, (Long, Long)] =
+      rows.groupBy(r => chunkOf(r._1, w))
+        .map { case (c, rs) => (c, (rs.map(_._3).sum, rs.length.toLong)) }
+    val s2 = stats(2L); val s4 = stats(4L)
+    // PLA(8) moments per 8-chunk: x = in-chunk offset
+    val pla = rows.groupBy(r => chunkOf(r._1, 8L)).map { case (c, rs) =>
+      val xs = rs.map(r => (r._1 - 1) - c * 8L)
+      val n = rs.length.toLong
+      val sx = xs.sum
+      val sy = rs.map(_._3).sum
+      val sxy = xs.zip(rs).map { case (x, r) => x * r._3 }.sum
+      val sxx = xs.map(x => x * x).sum
+      val den = n * sxx - sx * sx
+      val slope = if (den == 0) 0.0
+        else (n * sxy - sx * sy).toDouble / den.toDouble
+      val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      (c, (slope, icept))
+    }
+    var e2 = 0.0; var e4 = 0.0; var er = 0.0; var ed = 0.0; var ep = 0.0
+    var prev = 0.0
+    for ((seq, v, q) <- rows) {
+      val (sq2, n2) = s2(chunkOf(seq, 2L))
+      e2 = math.max(e2, math.abs(v - sq2.toDouble / (100.0 * n2.toDouble)))
+      val (sq4, n4) = s4(chunkOf(seq, 4L))
+      e4 = math.max(e4, math.abs(v - sq4.toDouble / (100.0 * n4.toDouble)))
+      if ((seq - 1) % 2 != 0) er = math.max(er, math.abs(v - prev))
+      prev = v
+      ed = math.max(ed, java.lang.Math.floorMod(q, 8L).toDouble / 100.0)
+      val (slope, icept) = pla(chunkOf(seq, 8L))
+      val x = (seq - 1) - chunkOf(seq, 8L) * 8L
+      ep = math.max(ep, math.abs(v - (icept + slope * x.toDouble) / 100.0))
+    }
+    val nd = rows.map(_._3).distinct.length.toLong
+    (e2, e4, er, ed, ep, nd)
+  }
+
+  /** Raw per-segment errors -> per-arm rewards (shared projection). */
+  def rewardSelect(raw: DataFrame): DataFrame =
     raw.select(col("signal_id"), col("seg"),
       lit(0.0).as("r0"), // keep: no CR gain, no error
       round(lit(5.0) - least(col("e2"), lit(10.0)), 6).as("r1"),
@@ -327,7 +343,6 @@ object Bandit {
       round(lit(0.46875) - least(col("ed"), lit(10.0)), 6).as("r4"),
       round(lit(7.5) - least(col("ep"), lit(10.0)), 6).as("r5"), // cr 2/8
       col("nd"))
-  }
 
   /** Replay the recoding chooser over the ordered segment stream. */
   def recodeReplay(readings: DataFrame): DataFrame = {

@@ -204,4 +204,30 @@ object Ingest {
           out.iterator
       }.toDF()
   }
+
+  /** Streaming twin of the recoding bandit's reward job
+    * (ml.Bandit.recodeRewardInputs): every COMPLETED segment emits its
+    * per-arm reward row as it closes — the shape in which the reference
+    * daemons consume segments (a recoding decision becomes possible the
+    * moment a segment is sealed, not at the next batch pass). Rides
+    * segmentStream's keyed state; the error fold is the same pure
+    * function as the batch job, so stream rows equal the batch rows for
+    * complete segments exactly (parity in StreamingSpec).
+    */
+  def rewardStream(spark: SparkSession, srcDir: String, segRows: Int,
+                   maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    val raw = segmentStream(spark, srcDir, segRows, maxFilesPerTrigger)
+      .as[SegOut]
+      .map { s =>
+        val rows = s.values.toArray.zipWithIndex.map { case (v, i) =>
+          // global seq_no and the Quantize.quantize fixed-point mapping
+          (s.seg * segRows + i + 1L, v, math.floor(v * 100.0).toLong)
+        }
+        val (e2, e4, er, ed, ep, nd) = graft.ml.Bandit.segmentErrors(rows)
+        (s.signal_id, s.seg, e2, e4, er, ed, ep, nd)
+      }
+      .toDF("signal_id", "seg", "e2", "e4", "er", "ed", "ep", "nd")
+    graft.ml.Bandit.rewardSelect(raw)
+  }
 }

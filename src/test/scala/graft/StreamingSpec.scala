@@ -109,6 +109,30 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     streamed.foreach { case (k, v) => assert(v == batch(k), s"segment $k differs") }
   }
 
+  test("streamed bandit rewards equal the batch reward job on complete segments") {
+    val in = stageInput()
+    import spark.implicits._
+    val q = Ingest.rewardStream(spark, in, Readings.SegmentRows.toInt)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("reward_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("reward_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val batch = graft.ml.Bandit.recodeRewardInputs(Readings.of(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    // the stream emits only COMPLETE segments; each must match batch
+    assert(streamed.nonEmpty)
+    assert(streamed.keySet.subsetOf(batch.keySet))
+    streamed.foreach { case (k, v) => assert(v == batch(k), s"rewards differ at $k") }
+    // and completeness: every complete batch segment is present
+    val complete = Segments.complete(Readings.of(spark, sf))
+      .select(col("signal_id"), col("seg"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.keySet == complete)
+  }
+
   test("generator client: rate-micro-batch signals are deterministic and segment cleanly") {
     import spark.implicits._
     val gen = Ingest.generatedSignals(spark, rowsPerBatch = 640, nSignals = 4)
