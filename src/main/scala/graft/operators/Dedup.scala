@@ -213,4 +213,44 @@ object Dedup {
     */
   def ngramNearDup(docs: DataFrame, n: Int, threshold: Double): DataFrame =
     nearDupBySets(ngramSets(docs, n), threshold)
+
+  /** Connected components over duplicate pairs — the dedup capstone:
+    * near-dup PAIRS must become CLUSTERS before one canonical keeper per
+    * cluster can be chosen (A~B and B~C pull A,B,C together even when
+    * A~C was never emitted). Iterative min-label propagation: each pass
+    * is one keyed join + one keyed min-aggregation (hash shuffles only),
+    * and the iteration count is bounded by the component DIAMETER — for
+    * dup clusters, a handful. This is the plain-propagation skeleton of
+    * the large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"); at 1e9+ vertices swap in the
+    * star steps, same join shape. Output: every doc that appears in a
+    * pair, its component id (= min doc_id reachable), and the keeper
+    * flag — deterministic at any parallelism.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("component"))
+      val next = labels.select(col("doc_id"), col("component")).union(prop)
+        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+        .cache()
+      val changed = next.join(
+          labels.select(col("doc_id"), col("component").as("old")), "doc_id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("component"),
+      (col("doc_id") === col("component")).as("keeper"))
+  }
 }

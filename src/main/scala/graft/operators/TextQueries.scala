@@ -20,6 +20,11 @@ object TextQueries {
 
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDup(docs(s, d), 0.5)),
 
+    // the dedup capstone: pairs -> clusters -> canonical keeper per
+    // cluster, via distributed min-label propagation
+    "dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(Dedup.minhashNearDup(docs(s, d), 0.5))),
+
     "dedup_ngram" -> ((s, d) => Dedup.ngramNearDup(docs(s, d), 4, 0.6)),
 
     "dedup_simhash" -> ((s, d) =>
@@ -209,6 +214,26 @@ object TextQueries {
          |FROM f a JOIN f b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5""".stripMargin,
+
+    // transitive closure to the fixpoint (UNION dedups, so the recursion
+    // terminates), then component = min reachable doc id
+    "dedup_components" ->
+      s"""${ShingleCte.replaceFirst("WITH", "WITH RECURSIVE")}, pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+         |), e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION ALL SELECT doc_b, doc_a FROM pr
+         |), reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+         |)
+         |SELECT id AS doc_id, min(r) AS component,
+         |       (id = min(r)) AS keeper
+         |FROM reach GROUP BY id""".stripMargin,
 
     // brute-force all-pairs oracle; the (semantically implied) set-size
     // ratio bound min >= t*max prunes the quadratic work in DuckDB

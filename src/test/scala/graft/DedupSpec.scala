@@ -135,4 +135,20 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       Dedup.simhashPairs(many, maxHamming = 4, blocks = 4, keyBlocks = 1)
     }
   }
+
+  test("connected components: transitive chains cluster, keepers are minima") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 never emitted), disjoint pair 10-11, chain 20-21-22-23
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+        (21L, 20L), (21L, 22L), (23L, 22L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 23L))
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 1L))
+    assert(Seq(10L, 11L).forall(out(_)._1 == 10L))
+    assert(Seq(20L, 21L, 22L, 23L).forall(out(_)._1 == 20L))
+    assert(out.count(_._2._2) == 3) // exactly one keeper per component
+    assert(out(1L)._2 && out(10L)._2 && out(20L)._2)
+  }
 }
