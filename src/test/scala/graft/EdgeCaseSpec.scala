@@ -30,6 +30,9 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
     assert(Dedup.exact(emptyDocs).count() == 0)
     assert(Dedup.minhashNearDup(emptyDocs, 0.5).count() == 0)
     assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    assert(Dedup.connectedComponents(
+      Dedup.minhashNearDup(emptyDocs, 0.5)).count() == 0)
+    assert(PipelineOps.globalShuffle(emptyDocs).count() == 0)
     assert(PipelineOps.sampleSplit(emptyDocs).count() == 0)
     assert(PipelineOps.packSequences(emptyDocs, 512L).count() == 0)
     assert(PipelineOps.quotaSample(emptyDocs, 5).count() == 0)
