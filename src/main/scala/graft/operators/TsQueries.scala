@@ -212,6 +212,34 @@ object TsQueries {
           col("xcorr_q").as("best_xcorr"))
     }),
 
+    // seasonal-baseline anomaly detection: per-(signal, hour-of-day)
+    // mean/stddev from EXACT integer moments (DECIMAL(38,0), the ts_corr
+    // overflow hardening), then readings deviating more than 2 sigma
+    // from their own hour's baseline. The stats side is bounded at
+    // signals x 24 rows — a keyed join Spark auto-broadcasts when small;
+    // the comparison arithmetic is identical in both engines so the
+    // anomaly set is deterministic.
+    "ts_seasonal_anomaly" -> ((s, d) => {
+      val rr = r(s, d).withColumn("hod", hour(col("ts")))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val q18 = col("value_q").cast("decimal(18,0)")
+      val stats = rr.groupBy(col("signal_id"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_q")).cast("decimal(38,0)").as("sq"),
+          sum(q18 * q18).cast("decimal(38,0)").as("sqq"))
+        .withColumn("mean_q", col("sq").cast("double") / col("n").cast("double"))
+        .withColumn("sd_q", sqrt(
+          (d38(col("n")) * col("sqq") - col("sq") * col("sq")).cast("double") /
+            (col("n").cast("double") * col("n").cast("double"))))
+        .select(col("signal_id"), col("hod"), col("mean_q"), col("sd_q"))
+      rr.join(stats, Seq("signal_id", "hod"))
+        .filter(col("sd_q") > 0.0 &&
+          abs(col("value_q").cast("double") - col("mean_q")) > lit(2.0) * col("sd_q"))
+        .select(col("signal_id"), col("seq_no"), col("hod"), col("value"),
+          round((col("value_q").cast("double") - col("mean_q")) / col("sd_q"), 6)
+            .as("z"))
+    }),
+
     // first difference per signal (rate-of-change stream): keyed window,
     // one shuffle on signal_id; the first row of each signal has no
     // predecessor and is dropped
@@ -667,6 +695,29 @@ object TsQueries {
          |SELECT sig_a, sig_b, CAST(lag AS BIGINT) AS best_lag,
          |       xcorr_q AS best_xcorr
          |FROM sc WHERE rnk = 1""".stripMargin,
+
+    "ts_seasonal_anomaly" ->
+      s"""$OracleCte, h AS (
+         |  SELECT signal_id, seq_no, value, value_q,
+         |         CAST(hour(ts) AS INT) AS hod
+         |  FROM r
+         |), st AS (
+         |  SELECT signal_id, hod, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(value_q) AS BIGINT) AS sq,
+         |    CAST(sum(value_q * value_q) AS BIGINT) AS sqq
+         |  FROM h GROUP BY 1, 2
+         |), b AS (
+         |  SELECT signal_id, hod,
+         |    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+         |    sqrt(CAST(n * sqq - sq * sq AS DOUBLE) /
+         |         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd_q
+         |  FROM st
+         |)
+         |SELECT h.signal_id, h.seq_no, h.hod, h.value,
+         |  round((CAST(h.value_q AS DOUBLE) - b.mean_q) / b.sd_q, 6) AS z
+         |FROM h JOIN b USING (signal_id, hod)
+         |WHERE b.sd_q > 0.0
+         |  AND abs(CAST(h.value_q AS DOUBLE) - b.mean_q) > 2.0 * b.sd_q""".stripMargin,
 
     "influx_max" ->
       s"$OracleCte SELECT max(value) AS vmax FROM r",
