@@ -212,6 +212,16 @@ object TsQueries {
           col("xcorr_q").as("best_xcorr"))
     }),
 
+    // per-signal fixed-bin value histogram (the heatmap primitive):
+    // 20 bins over the fixed-point domain [0, 40000), out-of-range
+    // clamped to the edge bins. One keyed aggregation; bin ids are
+    // integer arithmetic so the histogram is engine-exact.
+    "ts_histogram" -> ((s, d) =>
+      r(s, d).groupBy(col("signal_id"),
+          greatest(lit(0L), least(lit(19L),
+            floor(col("value_q") / lit(2000.0)).cast("long"))).as("bin"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // seasonal-baseline anomaly detection: per-(signal, hour-of-day)
     // mean/stddev from EXACT integer moments (DECIMAL(38,0), the ts_corr
     // overflow hardening), then readings deviating more than 2 sigma
@@ -695,6 +705,13 @@ object TsQueries {
          |SELECT sig_a, sig_b, CAST(lag AS BIGINT) AS best_lag,
          |       xcorr_q AS best_xcorr
          |FROM sc WHERE rnk = 1""".stripMargin,
+
+    "ts_histogram" ->
+      s"""$OracleCte
+         |SELECT signal_id,
+         |  greatest(0, least(19, CAST(floor(value_q / 2000.0) AS BIGINT))) AS bin,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "ts_seasonal_anomaly" ->
       s"""$OracleCte, h AS (

@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "ts_ewma_seg", "bonus_approx", "e2b_approx_sum",
     "tier_policy", "tier_ladder", "text_repetition", "text_scrub",
     "pipe_mixture", "ts_counter_rate", "pipe_shuffle", "ts_resample_interp",
-    "ts_xcorr_lag", "ts_xcorr_best", "tier_pla", "ts_seasonal_anomaly")
+    "ts_xcorr_lag", "ts_xcorr_best", "tier_pla", "ts_seasonal_anomaly",
+    "ts_histogram")
   // ann_quant is excluded like ann_brute: both rank a bounded broadcast
   // probe set against the corpus by design (the exact/quantized baselines)
   // excluded on purpose: ann_recall / ann_ivf_recall / dedup_emb_recall
