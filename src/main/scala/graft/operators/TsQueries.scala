@@ -212,6 +212,36 @@ object TsQueries {
           col("xcorr_q").as("best_xcorr"))
     }),
 
+    // rolling correlation over a trailing 16-row window for each ADJACENT
+    // signal pair (sig, sig+1): windowed integer moments (products stay
+    // within int64 for the 16-row frame, exact on both engines), the
+    // same corr formula as ts_corr per frame. Window partitions by the
+    // pair — keyed, no global ordering; rows whose frame has zero
+    // variance on either side are skipped.
+    "ts_rolling_corr" -> ((s, d) => {
+      val rr = r(s, d).filter(col("signal_id") < 10)
+        .select(col("signal_id"), col("seq_no"), col("value_q"))
+      val a = rr.select(col("signal_id").as("sig_a"), col("seq_no"),
+        col("value_q").as("qa"))
+      val b = rr.select((col("signal_id") - 1).as("sig_a"), col("seq_no"),
+        col("value_q").as("qb"))
+      val w = W.partitionBy(col("sig_a")).orderBy(col("seq_no"))
+        .rowsBetween(-15, W.currentRow)
+      val j = a.join(b, Seq("sig_a", "seq_no"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sa", sum(col("qa")).over(w))
+        .withColumn("sb", sum(col("qb")).over(w))
+        .withColumn("saa", sum(col("qa") * col("qa")).over(w))
+        .withColumn("sbb", sum(col("qb") * col("qb")).over(w))
+        .withColumn("sab", sum(col("qa") * col("qb")).over(w))
+      val va = col("n") * col("saa") - col("sa") * col("sa")
+      val vb = col("n") * col("sbb") - col("sb") * col("sb")
+      j.filter(va > 0 && vb > 0)
+        .select(col("sig_a"), col("seq_no"), col("n"),
+          round((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double"))), 6).as("rcorr"))
+    }),
+
     // per-signal fixed-bin value histogram (the heatmap primitive):
     // 20 bins over the fixed-point domain [0, 40000), out-of-range
     // clamped to the edge bins. One keyed aggregation; bin ids are
@@ -705,6 +735,31 @@ object TsQueries {
          |SELECT sig_a, sig_b, CAST(lag AS BIGINT) AS best_lag,
          |       xcorr_q AS best_xcorr
          |FROM sc WHERE rnk = 1""".stripMargin,
+
+    "ts_rolling_corr" ->
+      s"""$OracleCte, s10 AS (
+         |  SELECT signal_id, seq_no, value_q FROM r WHERE signal_id < 10
+         |), j AS (
+         |  SELECT a.signal_id AS sig_a, a.seq_no, a.value_q AS qa, b.value_q AS qb
+         |  FROM s10 a JOIN s10 b
+         |    ON b.signal_id = a.signal_id + 1 AND a.seq_no = b.seq_no
+         |), m AS (
+         |  SELECT sig_a, seq_no,
+         |    CAST(count(*) OVER w AS BIGINT) AS n,
+         |    CAST(sum(qa) OVER w AS BIGINT) AS sa,
+         |    CAST(sum(qb) OVER w AS BIGINT) AS sb,
+         |    CAST(sum(qa * qa) OVER w AS BIGINT) AS saa,
+         |    CAST(sum(qb * qb) OVER w AS BIGINT) AS sbb,
+         |    CAST(sum(qa * qb) OVER w AS BIGINT) AS sab
+         |  FROM j WINDOW w AS (PARTITION BY sig_a ORDER BY seq_no
+         |                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT sig_a, seq_no, n,
+         |  round(CAST(n * sab - sa * sb AS DOUBLE) /
+         |        (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+         |         sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS rcorr
+         |FROM m
+         |WHERE n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0""".stripMargin,
 
     "ts_histogram" ->
       s"""$OracleCte

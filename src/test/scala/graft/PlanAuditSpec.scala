@@ -49,7 +49,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "tier_policy", "tier_ladder", "text_repetition", "text_scrub",
     "pipe_mixture", "ts_counter_rate", "pipe_shuffle", "ts_resample_interp",
     "ts_xcorr_lag", "ts_xcorr_best", "tier_pla", "ts_seasonal_anomaly",
-    "ts_histogram")
+    "ts_histogram", "ts_rolling_corr")
   // ann_quant is excluded like ann_brute: both rank a bounded broadcast
   // probe set against the corpus by design (the exact/quantized baselines)
   // excluded on purpose: ann_recall / ann_ivf_recall / dedup_emb_recall
