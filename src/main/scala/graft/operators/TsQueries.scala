@@ -19,6 +19,25 @@ object TsQueries {
 
   private def r(s: SparkSession, dir: String): DataFrame = Readings.of(s, dir)
 
+  /** Per-(signal, hour-of-day) baseline stats — mean/stddev in the
+    * fixed-point domain from exact DECIMAL(38,0) moments. Shared by the
+    * batch anomaly query and the streaming flagger (Ingest.anomalyStream,
+    * which broadcasts this bounded signals x 24 table).
+    */
+  def seasonalBaseline(rr: DataFrame): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val q18 = col("value_q").cast("decimal(18,0)")
+    rr.groupBy(col("signal_id"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_q")).cast("decimal(38,0)").as("sq"),
+        sum(q18 * q18).cast("decimal(38,0)").as("sqq"))
+      .withColumn("mean_q", col("sq").cast("double") / col("n").cast("double"))
+      .withColumn("sd_q", sqrt(
+        (d38(col("n")) * col("sqq") - col("sq") * col("sq")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))))
+      .select(col("signal_id"), col("hod"), col("mean_q"), col("sd_q"))
+  }
+
   // EWMA recurrence step — written as `0.3 * x + 0.7 * acc` to match the
   // oracle's list_reduce lambda operation-for-operation (IEEE-exact)
   private val EwmaFoldUdf = udf((vals: Seq[Double]) =>
@@ -261,18 +280,7 @@ object TsQueries {
     // anomaly set is deterministic.
     "ts_seasonal_anomaly" -> ((s, d) => {
       val rr = r(s, d).withColumn("hod", hour(col("ts")))
-      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val q18 = col("value_q").cast("decimal(18,0)")
-      val stats = rr.groupBy(col("signal_id"), col("hod"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value_q")).cast("decimal(38,0)").as("sq"),
-          sum(q18 * q18).cast("decimal(38,0)").as("sqq"))
-        .withColumn("mean_q", col("sq").cast("double") / col("n").cast("double"))
-        .withColumn("sd_q", sqrt(
-          (d38(col("n")) * col("sqq") - col("sq") * col("sq")).cast("double") /
-            (col("n").cast("double") * col("n").cast("double"))))
-        .select(col("signal_id"), col("hod"), col("mean_q"), col("sd_q"))
-      rr.join(stats, Seq("signal_id", "hod"))
+      rr.join(seasonalBaseline(rr), Seq("signal_id", "hod"))
         .filter(col("sd_q") > 0.0 &&
           abs(col("value_q").cast("double") - col("mean_q")) > lit(2.0) * col("sd_q"))
         .select(col("signal_id"), col("seq_no"), col("hod"), col("value"),

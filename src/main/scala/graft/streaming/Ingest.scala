@@ -205,6 +205,29 @@ object Ingest {
       }.toDF()
   }
 
+  /** Streaming seasonal-anomaly flagging — a STREAM-STATIC broadcast
+    * join: arriving readings join the batch-computed per-(signal,
+    * hour-of-day) baseline (bounded at signals x 24 rows, so Spark
+    * broadcasts it to every executor; no stream-side shuffle, no state)
+    * and rows deviating more than 2 sigma from their hour's baseline are
+    * emitted immediately. This is the serving shape of
+    * ts_seasonal_anomaly: the baseline refreshes on the batch cadence,
+    * the flagging happens at ingest latency.
+    */
+  def anomalyStream(spark: SparkSession, srcDir: String,
+                    baselines: DataFrame,
+                    maxFilesPerTrigger: Int = 1): DataFrame =
+    readingsStream(spark, srcDir, maxFilesPerTrigger)
+      .withColumn("hod", hour(col("ts")))
+      .join(org.apache.spark.sql.functions.broadcast(baselines),
+        Seq("signal_id", "hod"))
+      .filter(col("sd_q") > 0.0 &&
+        abs(col("value_q").cast("double") - col("mean_q")) >
+          lit(2.0) * col("sd_q"))
+      .select(col("signal_id"), col("hod"), col("value"),
+        round((col("value_q").cast("double") - col("mean_q")) / col("sd_q"), 6)
+          .as("z"))
+
   /** Streaming twin of the recoding bandit's reward job
     * (ml.Bandit.recodeRewardInputs): every COMPLETED segment emits its
     * per-arm reward row as it closes — the shape in which the reference

@@ -133,6 +133,27 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed.keySet == complete)
   }
 
+  test("streamed anomaly flags equal the batch seasonal-anomaly query") {
+    val in = stageInput()
+    import spark.implicits._
+    val batchReadings = Readings.of(spark, sf).withColumn("hod", hour(col("ts")))
+    val baselines = graft.operators.TsQueries.seasonalBaseline(batchReadings)
+    val q = Ingest.anomalyStream(spark, in, baselines)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("signal_id"), r.getAs[Int]("hod"),
+        r.getAs[Double]("value"), r.getAs[Double]("z"))
+    val streamed = spark.table("anomaly_stream").collect().map(key).sorted
+    val batch = graft.SparkEntry.queries("ts_seasonal_anomaly")(spark, sf)
+      .collect().map(key).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch), "stream/batch anomaly sets differ")
+  }
+
   test("generator client: rate-micro-batch signals are deterministic and segment cleanly") {
     import spark.implicits._
     val gen = Ingest.generatedSignals(spark, rowsPerBatch = 640, nSignals = 4)
