@@ -25,6 +25,17 @@ object TextQueries {
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(Dedup.minhashNearDup(docs(s, d), 0.5))),
 
+    // the near-dedup corpus pass a training pipeline actually ships:
+    // every non-keeper cluster member is dropped (anti join on the
+    // component labels), singletons and keepers survive
+    "pipe_near_dedup" -> ((s, d) => {
+      val dd = docs(s, d)
+      val losers = Dedup.connectedComponents(Dedup.minhashNearDup(dd, 0.5))
+        .filter(!col("keeper")).select(col("doc_id"))
+      dd.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     "dedup_ngram" -> ((s, d) => Dedup.ngramNearDup(docs(s, d), 4, 0.6)),
 
     "dedup_simhash" -> ((s, d) =>
@@ -234,6 +245,24 @@ object TextQueries {
          |SELECT id AS doc_id, min(r) AS component,
          |       (id = min(r)) AS keeper
          |FROM reach GROUP BY id""".stripMargin,
+
+    "pipe_near_dedup" ->
+      s"""${ShingleCte.replaceFirst("WITH", "WITH RECURSIVE")}, pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+         |), e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION ALL SELECT doc_b, doc_a FROM pr
+         |), reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+         |), losers AS (
+         |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r)
+         |)
+         |SELECT doc_id, lang FROM documents ANTI JOIN losers USING (doc_id)""".stripMargin,
 
     // brute-force all-pairs oracle; the (semantically implied) set-size
     // ratio bound min >= t*max prunes the quadratic work in DuckDB
