@@ -19,11 +19,13 @@ import graft.operators.Readings
   * The Spark shape of both:
   *  - per-batch (= per-segment) rewards for every arm are a DISTRIBUTED
   *    keyed aggregation — the part that scales with data;
-  *  - the policy walk itself is a sequential fold over the ordered,
-  *    BOUNDED reward stream (one row per batch decision), exactly the
-  *    reference daemon's single-threaded loop. It runs on the driver; at
-  *    100 TB the stream length is the number of policy decisions per
-  *    epoch, not the row count;
+  *  - the policy walk itself is a sequential fold over the ordered
+  *    reward stream (one row per segment decision), exactly the
+  *    reference daemon's single-threaded loop. The driver CONSUMES it
+  *    incrementally — a range-partitioned total sort + `toLocalIterator`
+  *    pulls one partition at a time, and the decision output is spilled
+  *    back chunk-by-chunk — so driver memory is O(partition), never
+  *    O(decisions), even at the 100 TB segment count;
   *  - exploration is hash-gated (mix32 of the step) instead of RNG, so
   *    the chosen arm sequence is identical on every run and in DuckDB —
   *    the whole policy carries an exact oracle (a recursive CTE walking
@@ -66,15 +68,23 @@ object Bandit {
   // the generic e-greedy walk (driver side + its DuckDB recursive twin)
   // ---------------------------------------------------------------------
 
-  /** Fold the e-greedy policy over one ordered reward stream: per step,
-    * the chosen arm, exploration flag, observed reward and the chosen
-    * arm's post-update value.
+  /** Fold the e-greedy policy LAZILY over an ordered reward iterator —
+    * one independent Q walk per band (per-CR-band best arms,
+    * MABrecoding_daemon.rs:48; the unbanded walk is band 0 only). State
+    * is O(bands × arms), never O(stream): this is the reference daemon's
+    * incremental consumption loop (MABrecoding_daemon.rs:110-139), not a
+    * materialized replay. Emits (band, step-within-band, arm, explored,
+    * reward, post-update Q).
     */
-  private def walkRows(stream: Seq[Array[Double]], arms: Seq[String])
-      : Seq[(Long, String, Boolean, Double, Double)] = {
-    val q = Array.fill(arms.length)(Q0)
-    stream.zipWithIndex.map { case (rewards, i) =>
-      val step = i + 1L
+  private def walkIter(stream: Iterator[(Long, Array[Double])],
+                       arms: Seq[String])
+      : Iterator[(Long, Long, String, Boolean, Double, Double)] = {
+    val qs = collection.mutable.Map.empty[Long, Array[Double]]
+    val steps = collection.mutable.Map.empty[Long, Long]
+    stream.map { case (band, rewards) =>
+      val q = qs.getOrElseUpdate(band, Array.fill(arms.length)(Q0))
+      val step = steps.getOrElse(band, 0L) + 1L
+      steps(band) = step
       val explored = mix32L(step, SaltExplore) % 1000000L <
         math.round(Eps * 1000000L)
       // greedy argmax with lowest-index tie-break (initial all-equal Q)
@@ -83,19 +93,66 @@ object Bandit {
         if (explored) (mix32L(step, SaltArm) % arms.length).toInt else greedy
       val r = rewards(arm)
       q(arm) = q(arm) + Step * (r - q(arm))
-      (step, arms(arm), explored, r, q(arm))
+      (band, step, arms(arm), explored, r, q(arm))
     }
   }
 
-  def walk(spark: SparkSession, stream: Seq[Array[Double]],
-           arms: Seq[String]): DataFrame = {
+  /** Rows the driver holds at once while assembling the decision frame:
+    * one chunk, regardless of stream length. */
+  private val ChunkRows = 1 << 20
+
+  /** Materialize the lazy decision stream as a DataFrame with BOUNDED
+    * driver memory: a stream that fits one chunk stays a local relation;
+    * anything longer spills chunk-by-chunk to scratch parquet and is read
+    * back distributed, so the driver footprint is O(ChunkRows) at any
+    * scale (the 100 TB path — ~1e8 policy decisions never co-reside on
+    * the driver).
+    */
+  private def decisionsDf(spark: SparkSession,
+      it: Iterator[(Long, Long, String, Boolean, Double, Double)])
+      : DataFrame = {
     import spark.implicits._
-    walkRows(stream, arms)
-      .toDF("step", "codec", "explored", "reward_raw", "q_raw")
-      .select(col("step"), col("codec"), col("explored"),
-        round(col("reward_raw"), 6).as("reward"),
-        round(col("q_raw"), 6).as("q_after"))
+    def chunkDf(c: Seq[(Long, Long, String, Boolean, Double, Double)]) =
+      c.toDF("band", "step", "codec", "explored", "reward_raw", "q_raw")
+    val chunks = it.grouped(ChunkRows)
+    if (!chunks.hasNext) chunkDf(Nil)
+    else {
+      val first = chunks.next()
+      if (!chunks.hasNext) chunkDf(first)
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bandit-decisions").toString
+        chunkDf(first).write.mode("append").parquet(dir)
+        chunks.foreach(c => chunkDf(c).write.mode("append").parquet(dir))
+        spark.read.parquet(dir)
+      }
+    }
   }
+
+  private def finishPlain(df: DataFrame): DataFrame =
+    df.select(col("step"), col("codec"), col("explored"),
+      round(col("reward_raw"), 6).as("reward"),
+      round(col("q_raw"), 6).as("q_after"))
+
+  private def finishBanded(df: DataFrame): DataFrame =
+    df.select(col("band"), col("step"), col("codec"), col("explored"),
+      round(col("reward_raw"), 6).as("reward"),
+      round(col("q_raw"), 6).as("q_after"))
+
+  /** Ordered constant-memory feed over a per-segment reward frame: the
+    * total sort range-partitions on (signal_id, seg) and
+    * `toLocalIterator` then pulls ONE partition at a time to the driver —
+    * the stream is never materialized whole (vs the pre-r6 full collect).
+    */
+  private def orderedFeed(rewards: DataFrame): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    rewards.orderBy("signal_id", "seg").toLocalIterator().asScala
+  }
+
+  def walk(spark: SparkSession, stream: Seq[Array[Double]],
+           arms: Seq[String]): DataFrame =
+    finishPlain(decisionsDf(spark,
+      walkIter(stream.iterator.map(r => (0L, r)), arms)))
 
   /** The DuckDB recomputation of [[walk]]: `stepsCte` must end with a CTE
     * `steps(step, r0 .. r{k-1})` (step 1-based, r_i DOUBLE) and already
@@ -215,19 +272,19 @@ object Bandit {
         coalesce(round(expr("percentile(abs(d), 0.95)"), 6), lit(0.0)).as("p95"))
   }
 
-  /** Replay the compression chooser over the ordered segment stream. */
+  /** Replay the compression chooser incrementally over the ordered
+    * segment stream (constant driver memory — see [[orderedFeed]]). */
   def egreedyReplay(readings: DataFrame): DataFrame = {
-    val stream = rewardInputs(readings)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .sortBy { case (sid, seg, _, _) => (sid, seg) }
-      .map { case (_, _, nd, p95) =>
-        val rDict = 64.0 / ceilLog2(nd)
-        val p95i = math.max(2L, math.ceil(p95).toLong)
-        val rDelta = 64.0 / (ceilLog2(2L * p95i) + 1L)
-        Array(1.0, rDict, rDelta, 4.0, 4.0)
-      }
-    walk(readings.sparkSession, stream.toSeq, CompressArms)
+    val stream = orderedFeed(rewardInputs(readings)).map { r =>
+      val nd = r.getLong(2)
+      val p95 = r.getDouble(3)
+      val rDict = 64.0 / ceilLog2(nd)
+      val p95i = math.max(2L, math.ceil(p95).toLong)
+      val rDelta = 64.0 / (ceilLog2(2L * p95i) + 1L)
+      (0L, Array(1.0, rDict, rDelta, 4.0, 4.0))
+    }
+    finishPlain(decisionsDf(readings.sparkSession,
+      walkIter(stream, CompressArms)))
   }
 
   /** Oracle for [[egreedyReplay]]. `oracleCte` must already start
@@ -316,14 +373,18 @@ object Bandit {
       (c, (slope, icept))
     }
     var e2 = 0.0; var e4 = 0.0; var er = 0.0; var ed = 0.0; var ep = 0.0
-    var prev = 0.0
+    // prev is Option so a segment whose first present row sits at an odd
+    // in-segment offset (gapped seq_no) contributes NO rrd error — the
+    // oracle's lag() yields NULL there and max() ignores it
+    var prev: Option[Double] = None
     for ((seq, v, q) <- rows) {
       val (sq2, n2) = s2(chunkOf(seq, 2L))
       e2 = math.max(e2, math.abs(v - sq2.toDouble / (100.0 * n2.toDouble)))
       val (sq4, n4) = s4(chunkOf(seq, 4L))
       e4 = math.max(e4, math.abs(v - sq4.toDouble / (100.0 * n4.toDouble)))
-      if ((seq - 1) % 2 != 0) er = math.max(er, math.abs(v - prev))
-      prev = v
+      if ((seq - 1) % 2 != 0)
+        prev.foreach(p => er = math.max(er, math.abs(v - p)))
+      prev = Some(v)
       ed = math.max(ed, java.lang.Math.floorMod(q, 8L).toDouble / 100.0)
       val (slope, icept) = pla(chunkOf(seq, 8L))
       val x = (seq - 1) - chunkOf(seq, 8L) * 8L
@@ -344,47 +405,39 @@ object Bandit {
       round(lit(7.5) - least(col("ep"), lit(10.0)), 6).as("r5"), // cr 2/8
       col("nd"))
 
-  /** Replay the recoding chooser over the ordered segment stream. */
+  /** Replay the recoding chooser incrementally over the ordered segment
+    * stream (constant driver memory — see [[orderedFeed]]). */
   def recodeReplay(readings: DataFrame): DataFrame = {
-    val stream = recodeRewardInputs(readings)
-      .collect()
-      .map(r => ((r.getLong(0), r.getLong(1)),
-        Array(r.getDouble(2), r.getDouble(3), r.getDouble(4),
-          r.getDouble(5), r.getDouble(6), r.getDouble(7))))
-      .sortBy(_._1)
-      .map(_._2)
-    walk(readings.sparkSession, stream.toSeq, RecodeArms)
+    val stream = orderedFeed(recodeRewardInputs(readings)).map { r =>
+      (0L, Array(r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    }
+    finishPlain(decisionsDf(readings.sparkSession,
+      walkIter(stream, RecodeArms)))
   }
 
   /** Banded recode replay — the reference keeps one best arm PER
     * compression-ratio band (MABrecoding_daemon.rs:48,110-139
     * `bestarms: (usize,usize,usize)` for CR 0.25 / 0.125 / below). The
     * band here is the segment's current-CR class, proxied by its
-    * dictionary bit width (1 bit / 2 bits / wider); each band runs its
-    * own independent Q walk over its own ordered segment stream.
+    * dictionary bit width (1 bit / 2 bits / wider). All three bands fold
+    * in ONE pass over the globally-ordered stream — [[walkIter]] carries
+    * an independent Q vector and step counter per band, so each band
+    * sees exactly its own (signal_id, seg)-ordered substream, identical
+    * to three separate sorted walks but with one scan and O(1) state.
     */
   def recodeBandReplay(readings: DataFrame): DataFrame = {
-    import readings.sparkSession.implicits._
-    val rows = recodeRewardInputs(readings)
-      .collect()
-      .map(r => ((r.getLong(0), r.getLong(1)),
-        Array(r.getDouble(2), r.getDouble(3), r.getDouble(4),
-          r.getDouble(5), r.getDouble(6), r.getDouble(7)),
-        ceilLog2(r.getLong(8)) match {
-          case 1L => 0L
-          case 2L => 1L
-          case _ => 2L
-        }))
-    val out = (0L until 3L).flatMap { band =>
-      val stream = rows.filter(_._3 == band).sortBy(_._1).map(_._2)
-      walkRows(stream.toSeq, RecodeArms).map {
-        case (step, codec, explored, r, q) => (band, step, codec, explored, r, q)
+    val stream = orderedFeed(recodeRewardInputs(readings)).map { r =>
+      val band = ceilLog2(r.getLong(8)) match {
+        case 1L => 0L
+        case 2L => 1L
+        case _ => 2L
       }
+      (band, Array(r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
     }
-    out.toDF("band", "step", "codec", "explored", "reward_raw", "q_raw")
-      .select(col("band"), col("step"), col("codec"), col("explored"),
-        round(col("reward_raw"), 6).as("reward"),
-        round(col("q_raw"), 6).as("q_after"))
+    finishBanded(decisionsDf(readings.sparkSession,
+      walkIter(stream, RecodeArms)))
   }
 
   /** Oracle for [[recodeReplay]]. `oracleCte` must already start

@@ -120,6 +120,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("bandit replay never materializes the full reward stream on the driver") {
+    // the r5 verdict's one scale-killer: the policy walk must CONSUME the
+    // ordered reward stream (toLocalIterator, one partition at a time),
+    // never .collect() it whole. Source-level guard: a reintroduced
+    // full-stream collect in the bandit module fails here.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/ml/Bandit.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!src.contains(".collect()"),
+      "Bandit.scala contains a full-stream .collect() — feed the walk via toLocalIterator")
+    assert(src.contains("toLocalIterator"),
+      "Bandit.scala lost its incremental toLocalIterator feed")
+  }
+
   test("the deterministic split is map-only: zero exchanges") {
     // sampleSplit must stay a pure projection — any shuffle here would
     // mean the per-doc assignment somehow depends on other rows
