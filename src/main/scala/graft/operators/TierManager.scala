@@ -149,4 +149,31 @@ class TierManager(spark: SparkSession, root: String) {
   def maxFromTier3(): DataFrame =
     spark.read.parquet(tier3)
       .groupBy(col("signal_id")).agg(max(col("chunk_mean")).as("paa_max"))
+
+  /** EXACT per-signal sum/avg served from the cold chunk tier — no
+    * readings scan: tier2/tier3 carry the exact fixed-point chunk sums
+    * (`sq`) precisely so aggregates survive the lossy mean compaction;
+    * this is the read path that uses them (the reference answers sum
+    * from AggStats the same way, buffer_pool.rs:940-1101). The scan is
+    * 1/w the size of the data and the fold is one keyed aggregation.
+    */
+  def sumFromColdTier(): DataFrame =
+    TierManager.sumFromChunks(spark.read.parquet(tier2))
+
+  /** Same exact-sum serving from the tier3 (doubled-width) step. */
+  def sumFromTier3(): DataFrame =
+    TierManager.sumFromChunks(spark.read.parquet(tier3))
+}
+
+object TierManager {
+  /** Fold a chunk tier (signal_id, chunk, chunk_mean, cnt, sq) into exact
+    * per-signal sum/count/avg: `sq` is the exact fixed-point in-chunk sum,
+    * so the result is bit-equal to aggregating the raw readings.
+    */
+  def sumFromChunks(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("signal_id"))
+      .agg(sum(col("sq")).cast("long").as("sum_q"),
+           sum(col("cnt")).cast("long").as("cnt"))
+      .withColumn("avg_v", round(
+        col("sum_q").cast("double") / (lit(100.0) * col("cnt").cast("double")), 6))
 }

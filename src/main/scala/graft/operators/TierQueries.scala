@@ -44,6 +44,12 @@ object TierQueries {
     // least-squares line from exact integer moments + max residual
     "tier_pla" -> ((s, d) => Tiers.plaTier(r(s, d), 8)),
 
+    // sum/avg SERVED FROM the cold chunk tier: the exact fixed-point
+    // chunk sums make the lossy tier answer sum queries exactly (the
+    // oracle aggregates the same chunk sums; equal to raw-readings sum)
+    "tier_cold_sum" -> ((s, d) =>
+      TierManager.sumFromChunks(Tiers.paaChunks(r(s, d), 4))),
+
     "tier_fft_err" -> ((s, d) =>
       Tiers.fftError(Segments.complete(r(s, d)), keep = 4)
         .select(col("signal_id"), col("seg"), round(col("err"), 6).as("err"))),
@@ -117,6 +123,17 @@ object TierQueries {
     "tier_rrd" ->
       s"""$OracleCte SELECT signal_id, seq_no, value FROM r
          |WHERE (seq_no - 1) % 4 = 0""".stripMargin,
+
+    "tier_cold_sum" ->
+      s"""$OracleCte, c AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS chunk,
+         |         CAST(sum(value_q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT signal_id, CAST(sum(sq) AS BIGINT) AS sum_q,
+         |  CAST(sum(cnt) AS BIGINT) AS cnt,
+         |  round(CAST(sum(sq) AS DOUBLE) / (100.0 * CAST(sum(cnt) AS DOUBLE)), 6) AS avg_v
+         |FROM c GROUP BY 1""".stripMargin,
 
     "seg_knn" ->
       s"""$OracleCte, segs AS (

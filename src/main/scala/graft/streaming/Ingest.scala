@@ -59,14 +59,20 @@ object Ingest {
           .as("value"))
       .withColumn("value_q", Quantize.quantize(col("value"), 2))
 
-  /** S3 — tier-0 writer: append micro-batches as Parquet partitioned by
-    * signal bucket (bounded partition count; pruning key for reads).
-    * When `statsDir` is set, each batch ALSO appends its partial
-    * per-(signal, day) zone-map stats — the incremental stats-tree
-    * maintenance of the reference's ingest (avl/btrarr.rs:92
+  /** S3 — tier-0 writer: land micro-batches as Parquet partitioned by
+    * (batch_id, signal bucket). When `statsDir` is set, each batch ALSO
+    * lands its partial per-(signal, day) zone-map stats — the incremental
+    * stats-tree maintenance of the reference's ingest (avl/btrarr.rs:92
     * update_stats); partial rows fold exactly at read time because every
     * stat is associative (ZoneMap.foldTimeStats). Stats cost one extra
     * keyed aggregation per micro-batch over that batch only.
+    *
+    * Both writes are IDEMPOTENT under foreachBatch's at-least-once
+    * replay: the write is a dynamic-partition OVERWRITE keyed by the
+    * micro-batch id, so a batch replayed after a crash between the data
+    * write and the checkpoint commit replaces its own partitions instead
+    * of appending duplicates (which would double-count cnt/sum in the
+    * folded stats and duplicate tier-0 rows).
     */
   def tier0Writer(readings: DataFrame, tier0Dir: String, checkpointDir: String,
                   buckets: Int = 32, statsDir: Option[String] = None): StreamingQuery =
@@ -76,11 +82,19 @@ object Ingest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("sig_bucket").parquet(tier0Dir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "sig_bucket")
+          .parquet(tier0Dir)
         statsDir.foreach { sd =>
           graft.plans.ZoneMap.timeStats(batch.drop("sig_bucket"))
-            .write.mode("append").parquet(sd)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sd)
         }
       }
       .start()

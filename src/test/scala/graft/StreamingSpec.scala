@@ -37,8 +37,12 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val b = batch.agg(sum(col("value_q")), countDistinct(col("signal_id")))
       .collect()(0)
     assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
-    // partition layout: bucketed by signal for pruning
-    assert(new java.io.File(tier0).listFiles().exists(_.getName.startsWith("sig_bucket=")))
+    // partition layout: batch-id first (the idempotent-replay overwrite
+    // key), signal bucket beneath it (the pruning key for reads)
+    val batchDirs = new java.io.File(tier0).listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+    assert(batchDirs.nonEmpty)
+    assert(batchDirs.head.listFiles().exists(_.getName.startsWith("sig_bucket=")))
   }
 
   test("incremental zone-map stats fold to the batch stats exactly") {

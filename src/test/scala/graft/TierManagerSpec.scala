@@ -75,6 +75,17 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     assert(maxErr < 256, s"drop-bits error $maxErr out of bound")
   }
 
+  test("cold-tier sum serving is exact: chunk sums equal raw fixed-point sums") {
+    val r = Readings.of(spark, "/root/testdata/sf0.001")
+    val served = TierManager.sumFromChunks(graft.operators.Tiers.paaChunks(r, 4))
+      .select(col("signal_id"), col("sum_q"), col("cnt"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val raw = r.groupBy(col("signal_id"))
+      .agg(sum(col("value_q")).cast("long").as("s"), count(lit(1)).as("c"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(served == raw, "cold-tier sum diverges from raw sum")
+  }
+
   test("feedback policy: high-error segments are not demoted") {
     val root = Files.createTempDirectory("graft-tiers-fb").toString
     val tm = new TierManager(spark, root)
