@@ -85,16 +85,28 @@ object Bandit {
       val q = qs.getOrElseUpdate(band, Array.fill(arms.length)(Q0))
       val step = steps.getOrElse(band, 0L) + 1L
       steps(band) = step
-      val explored = mix32L(step, SaltExplore) % 1000000L <
-        math.round(Eps * 1000000L)
-      // greedy argmax with lowest-index tie-break (initial all-equal Q)
-      val greedy = q.zipWithIndex.maxBy { case (v, idx) => (v, -idx) }._2
-      val arm =
-        if (explored) (mix32L(step, SaltArm) % arms.length).toInt else greedy
-      val r = rewards(arm)
-      q(arm) = q(arm) + Step * (r - q(arm))
-      (band, step, arms(arm), explored, r, q(arm))
+      val (arm, explored, r, qAfter) = policyStep(q, step, rewards, arms)
+      (band, step, arm, explored, r, qAfter)
     }
+  }
+
+  /** ONE policy decision over carried state — the unit the streaming
+    * daemon executes per sealed segment (Ingest.policyStream) and the
+    * batch replays fold repeatedly: hash-gated explore, greedy argmax
+    * with lowest-index tie-break, nonstationary Q update IN PLACE.
+    * Returns (chosen arm, explored, observed reward, post-update Q).
+    */
+  def policyStep(q: Array[Double], step: Long, rewards: Array[Double],
+                 arms: Seq[String]): (String, Boolean, Double, Double) = {
+    val explored = mix32L(step, SaltExplore) % 1000000L <
+      math.round(Eps * 1000000L)
+    // greedy argmax with lowest-index tie-break (initial all-equal Q)
+    val greedy = q.zipWithIndex.maxBy { case (v, idx) => (v, -idx) }._2
+    val arm =
+      if (explored) (mix32L(step, SaltArm) % arms.length).toInt else greedy
+    val r = rewards(arm)
+    q(arm) = q(arm) + Step * (r - q(arm))
+    (arms(arm), explored, r, q(arm))
   }
 
   /** Rows the driver holds at once while assembling the decision frame:

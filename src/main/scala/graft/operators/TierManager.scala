@@ -138,6 +138,19 @@ class TierManager(spark: SparkSession, root: String) {
     paa2.count()
   }
 
+  /** Act on streamed bandit decisions (Ingest.policyStream output): the
+    * segments whose chosen arm is `arm` are demoted from tier1 to the
+    * PAA chunk tier at that arm's width — the action half of the
+    * reference's recoding daemon (recoding_daemon.rs:283-348 executes
+    * the chosen transform per segment). One pass per arm; a full
+    * deployment runs one pass per lossy arm into per-width tiers.
+    */
+  def applyPaaDecisions(decisions: DataFrame, arm: String = "paa_4",
+                        w: Int = 4): Long =
+    compactToPaaPlanned(w,
+      _ => decisions.filter(col("codec") === arm)
+        .select(col("signal_id"), col("seg")).distinct())
+
   /** Max over the coldest tier that still answers exactly for the range —
     * here: stats-only for grand totals (zone map), PAA for aged data.
     */

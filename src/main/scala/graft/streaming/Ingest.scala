@@ -267,4 +267,83 @@ object Ingest {
       .toDF("signal_id", "seg", "e2", "e4", "er", "ed", "ep", "nd")
     graft.ml.Bandit.rewardSelect(raw)
   }
+
+  /** The streaming policy daemon, wired END TO END: sealed segments ->
+    * per-arm rewards (rewardStream, distributed) -> one e-greedy
+    * decision per segment with the Q vector carried ACROSS micro-batches
+    * -> decisions landed as parquet for TierManager.applyPaaDecisions to
+    * act on. This is the reference recoding daemon's continuous loop
+    * (MABrecoding_daemon.rs:110-139: consume sealed segments forever,
+    * update the policy, emit recode choices).
+    *
+    * Semantics and bounds:
+    *  - decision order is ARRIVAL order, (signal_id, seg)-sorted within
+    *    each micro-batch — the daemon's own semantics (segments are
+    *    decided as they seal). Parity with the batch replay
+    *    (Bandit.recodeReplay) is exact when segments arrive in global
+    *    (signal_id, seg) order, e.g. a single-batch replay
+    *    (StreamingSpec asserts this);
+    *  - the per-batch fold materializes only the MICRO-BATCH's reward
+    *    rows on the driver (bounded by maxFilesPerTrigger), never the
+    *    stream;
+    *  - crash safety: decisions write first (dynamic-partition overwrite
+    *    keyed by batch_id — replays overwrite, never duplicate), the
+    *    post-batch Q state appends second, keyed by batch_id. A crash
+    *    between the two replays the batch from the pre-batch Q and
+    *    rewrites identical decisions; a crash after both replays the
+    *    batch as a no-op (its state row already exists).
+    */
+  def policyStream(spark: SparkSession, srcDir: String, segRows: Int,
+                   decisionsDir: String, checkpointDir: String,
+                   maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import spark.implicits._
+    val arms = graft.ml.Bandit.RecodeArms
+    val stateDir = s"$decisionsDir.qstate"
+    // restore the newest persisted state (restart continues the walk)
+    var (lastBatch, q, step) =
+      try {
+        val rows = spark.read.parquet(stateDir)
+          .orderBy(col("batch_id").desc).limit(1).collect()
+        if (rows.isEmpty) (-1L, Array.fill(arms.length)(graft.ml.Bandit.Q0), 0L)
+        else (rows(0).getAs[Long]("batch_id"),
+          rows(0).getAs[Seq[Double]]("q").toArray,
+          rows(0).getAs[Long]("step"))
+      } catch { case _: Throwable =>
+        (-1L, Array.fill(arms.length)(graft.ml.Bandit.Q0), 0L)
+      }
+    rewardStream(spark, srcDir, segRows, maxFilesPerTrigger)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastBatch) {
+          // bounded by the micro-batch (trigger-capped), not the stream
+          val rows = batch.orderBy("signal_id", "seg").collect()
+          val decided = rows.map { r =>
+            step += 1
+            val rewards = Array(r.getDouble(2), r.getDouble(3),
+              r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+            val (arm, explored, rew, qAfter) =
+              graft.ml.Bandit.policyStep(q, step, rewards, arms)
+            (r.getLong(0), r.getLong(1), step, arm, explored, rew, qAfter)
+          }
+          decided.toSeq
+            .toDF("signal_id", "seg", "step", "codec", "explored",
+              "reward_raw", "q_raw")
+            .select(col("signal_id"), col("seg"), col("step"), col("codec"),
+              col("explored"), round(col("reward_raw"), 6).as("reward"),
+              round(col("q_raw"), 6).as("q_after"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(decisionsDir)
+          Seq((batchId, q.toSeq, step)).toDF("batch_id", "q", "step")
+            .write.mode("append").parquet(stateDir)
+          lastBatch = batchId
+        }
+      }
+      .start()
+  }
 }

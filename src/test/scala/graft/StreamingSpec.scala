@@ -137,6 +137,78 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed.keySet == complete)
   }
 
+  test("streaming policy daemon: stream-chosen arms equal the batch walk, and decisions drive the tier action") {
+    import spark.implicits._
+    val in = stageInput()
+    val root = Files.createTempDirectory("graft-policy").toString
+    val decisions = s"$root/decisions"
+    val q = Ingest.policyStream(spark, in, Readings.SegmentRows.toInt,
+      decisions, s"$root/ckpt")
+    q.awaitTermination()
+
+    // single-batch replay arrives in global (signal_id, seg) order, so the
+    // streamed decisions must equal the batch replay walk EXACTLY — over
+    // the same decision stream: the stream decides COMPLETE segments only
+    // (a daemon decides a segment when it seals), so the batch side walks
+    // the readings restricted to complete segments
+    val streamed = spark.read.parquet(decisions)
+      .select(col("step"), col("codec"), col("explored"), col("reward"),
+        col("q_after"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    val completeReadings = Readings.of(spark, sf)
+      .withColumn("seg", Readings.segmentId(col("seq_no")))
+      .join(Segments.complete(Readings.of(spark, sf))
+          .select(col("signal_id"), col("seg")),
+        Seq("signal_id", "seg"), "left_semi")
+      .drop("seg")
+    val batch = graft.ml.Bandit.recodeReplay(completeReadings)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "stream-chosen arms diverge from the batch walk")
+    // Q state persisted for restart
+    assert(spark.read.parquet(s"$decisions.qstate").count() == 1)
+
+    // the action half: chosen paa_4 segments are demoted to the chunk tier
+    val tm = new graft.operators.TierManager(spark,
+      Files.createTempDirectory("graft-policy-tiers").toString)
+    tm.landTier0(Readings.of(spark, sf))
+    tm.compactToQuantized(java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+    val dec = spark.read.parquet(decisions)
+    tm.applyPaaDecisions(dec, arm = "paa_4", w = 4)
+    val chosen = dec.filter(col("codec") === "paa_4")
+      .select(col("signal_id"), col("seg")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val demoted = spark.read.parquet(tm.tier2)
+      .select(col("signal_id"),
+        floor(col("chunk") * 4.0 / Readings.SegmentRows.toDouble)
+          .cast("long").as("seg"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(chosen.nonEmpty && demoted == chosen,
+      s"tier2 segments != policy-chosen segments (${demoted.size} vs ${chosen.size})")
+
+    // continuation across micro-batches: a second file arriving later
+    // continues the SAME walk (steps keep increasing, state accrues)
+    val n1 = streamed.length
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val more = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("event_id", col("event_id") + 1000000L)
+    more.coalesce(1).write.mode("overwrite").parquet(s"$root/more")
+    val part = new java.io.File(s"$root/more").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(in, "more.parquet"))
+    val q2 = Ingest.policyStream(spark, in, Readings.SegmentRows.toInt,
+      decisions, s"$root/ckpt")
+    q2.awaitTermination()
+    val all = spark.read.parquet(decisions)
+    assert(all.count() > n1, "second batch produced no decisions")
+    assert(all.select(countDistinct(col("step"))).collect()(0).getLong(0)
+      == all.count(), "steps are not unique across batches")
+    assert(all.agg(max(col("step"))).collect()(0).getLong(0) == all.count(),
+      "the walk did not continue from the persisted state")
+  }
+
   test("streamed anomaly flags equal the batch seasonal-anomaly query") {
     val in = stageInput()
     import spark.implicits._
