@@ -281,8 +281,29 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
       s"$prettyName requires array<float|double>, got ${child.dataType.catalogString}")
   }
 
+  private def containsNull: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  // short vectors and null elements FAIL LOUDLY: ArrayData's primitive
+  // getters would otherwise read a null slot as garbage (0.0) and emit
+  // silently wrong codes (parquet array columns are always
+  // nullable-element, so this must be a runtime check, not a type check
+  // — same policy as VecQuantize)
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector has ${a.numElements()} elements, codebook needs ${m * subDim}")
+    if (containsNull) {
+      var i = 0
+      while (i < m * subDim) {
+        if (a.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i")
+        i += 1
+      }
+    }
     val isFloat = elementType == FloatType
     val codes = new Array[Int](m)
     var mi = 0
@@ -323,7 +344,22 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
       val x = ctx.freshName("x")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      val nullCheck = if (containsNull) {
+        val ni = ctx.freshName("ni")
+        s"""
+           |for (int $ni = 0; $ni < ${m * subDim}; $ni++) {
+           |  if ($a.isNullAt($ni)) throw new IllegalArgumentException(
+           |    "graft_pq_encode: null element at index " + $ni);
+           |}
+         """.stripMargin
+      } else ""
       s"""
+         |if ($a.numElements() < ${m * subDim}) {
+         |  throw new IllegalArgumentException(
+         |    "graft_pq_encode: vector has " + $a.numElements() +
+         |    " elements, codebook needs ${m * subDim}");
+         |}
+         |$nullCheck
          |int[] $codes = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  int $best = 0; double $bestD = Double.MAX_VALUE;
@@ -365,8 +401,27 @@ case class PqDecode(child: Expression, codebook: Array[Array[Array[Double]]])
       s"$prettyName requires array<int> codes, got ${child.dataType.catalogString}")
   }
 
+  private def containsNull: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  // short or null-element code arrays fail loudly (a null slot would read
+  // as centroid 0 — silently wrong reconstruction); runtime check for the
+  // same reason as PqEncode
   override def nullSafeEval(v: Any): Any = {
     val codes = v.asInstanceOf[ArrayData]
+    if (codes.numElements() < m)
+      throw new IllegalArgumentException(
+        s"$prettyName: ${codes.numElements()} codes, codebook has $m subspaces")
+    if (containsNull) {
+      var i = 0
+      while (i < m) {
+        if (codes.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null code at index $i")
+        i += 1
+      }
+    }
     val out = new Array[Double](m * subDim)
     var mi = 0
     while (mi < m) {
@@ -385,7 +440,21 @@ case class PqDecode(child: Expression, codebook: Array[Array[Array[Double]]])
       val mi = ctx.freshName("mi")
       val i = ctx.freshName("i")
       val cent = ctx.freshName("cent")
+      val nullCheck = if (containsNull) {
+        val ni = ctx.freshName("ni")
+        s"""
+           |for (int $ni = 0; $ni < $m; $ni++) {
+           |  if ($a.isNullAt($ni)) throw new IllegalArgumentException(
+           |    "graft_pq_decode: null code at index " + $ni);
+           |}
+         """.stripMargin
+      } else ""
       s"""
+         |if ($a.numElements() < $m) {
+         |  throw new IllegalArgumentException(
+         |    "graft_pq_decode: " + $a.numElements() + " codes, codebook has $m subspaces");
+         |}
+         |$nullCheck
          |double[] $out = new double[${m * subDim}];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  double[] $cent = $cb[$mi][$a.getInt($mi)];

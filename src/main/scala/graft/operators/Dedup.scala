@@ -231,25 +231,41 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var cached = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")).cache()
+    var labels = cached
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("component"))
-      val next = labels.select(col("doc_id"), col("component")).union(prop)
-        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+      // the convergence check FOLDS INTO the propagation aggregation:
+      // each doc's old label rides the union (prop rows carry a sentinel
+      // that min() ignores), so the one cached frame yields both the new
+      // labels and the changed-count — one job per pass, instead of a
+      // separate join-and-count that doubled the per-pass work
+      val next = labels.select(col("doc_id"), col("component"),
+          col("component").as("old"))
+        .unionByName(prop.withColumn("old", lit(Long.MaxValue)))
+        .groupBy(col("doc_id"))
+        .agg(min(col("component")).as("component"), min(col("old")).as("old"))
         .cache()
-      val changed = next.join(
-          labels.select(col("doc_id"), col("component").as("old")), "doc_id")
-        .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("component") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("component"))
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
+    // an unconverged run would silently mis-label long chains (non-minimal
+    // docs flagged keepers, diverging from the transitive-closure oracle):
+    // fail loudly instead — callers raise maxIter, which only long
+    // templated-doc chains beyond the expected dup-cluster diameter need
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter passes; " +
+        "raise maxIter (component diameter exceeds the dup-cluster assumption)")
     labels.select(col("doc_id"), col("component"),
       (col("doc_id") === col("component")).as("keeper"))
   }

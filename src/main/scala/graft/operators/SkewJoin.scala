@@ -49,13 +49,21 @@ object SkewJoin {
 
   /** Heavy-hitter detection: keys whose row count exceeds `threshold`
     * times the mean — the pre-aggregation an operator would maintain as
-    * table statistics at scale.
+    * table statistics at scale. CAPPED at the `maxKeys` largest: under a
+    * flat-ish distribution "above mean x t" can match arbitrarily many
+    * keys, and the result feeds both a driver Seq and an isin()
+    * expression tree — salting the top N heaviest is where all the skew
+    * benefit lives anyway (everything below them is near-mean and fine
+    * on the plain hash path).
     */
-  def heavyHitters(df: DataFrame, key: String, threshold: Double): Seq[Any] = {
+  def heavyHitters(df: DataFrame, key: String, threshold: Double,
+                   maxKeys: Int = 64): Seq[Any] = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).cache()
     try {
       val mean = counts.agg(avg(col("n"))).collect()(0).getDouble(0)
       counts.filter(col("n") > mean * threshold)
+        .orderBy(col("n").desc, col(key))
+        .limit(maxKeys)
         .select(col(key)).collect().map(_.get(0)).toSeq
     } finally counts.unpersist()
   }

@@ -77,6 +77,11 @@ object TsQueries {
 
     "o4_equal" -> ((s, d) =>
       TsQuery.equalFilter(
+        // SEMANTIC COUPLING with the oracle: quantize at scale 0 is
+        // floor(value * 10^0) = floor(value), and the oracle writes it as
+        // CAST(floor(value) AS BIGINT). These agree for ALL reals (floor
+        // semantics on both sides — not truncation, which would differ
+        // below zero); the pairing must change together if either moves.
         r(s, d).withColumn("value_q0", Quantize.quantize(col("value"), 0)),
         col("value_q0"), 42L)),
 
@@ -87,14 +92,13 @@ object TsQueries {
     // exact (interpolated) percentiles per signal — the continuous-quantile
     // flavor of O5; both engines use the same linear-interpolation
     // definition, rounded to 4dp to absorb lerp-formula ulp differences.
-    // SCALE GUARD: Spark's exact percentile buffers every group value in
-    // memory — fine to ~1e7 rows/signal (~100 MB/group), beyond which use
-    // approx_percentile (bounded GK sketch, mergeable map-side; the
-    // o5_percentile_approx bench twin and bonus_approx measure that path)
+    // The scale guard is IN CODE (TsQuery.percentileAuto): groups observed
+    // beyond ~1e7 rows route to the bounded-memory GK sketch instead of
+    // the value-buffering exact form (the o5_percentile_approx bench twin
+    // and bonus_approx measure that path); at oracle scale the probe
+    // always picks exact, so the oracle is the exact definition
     "o5_percentile" -> ((s, d) =>
-      r(s, d).groupBy(col("signal_id"))
-        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-             round(expr("percentile(value, 0.9)"), 4).as("p90"))),
+      TsQuery.percentileAuto(r(s, d), "signal_id", "value", Seq(0.5, 0.9))),
 
     "o6_window_pos" -> ((s, d) =>
       TsQuery.windowMaxPositional(r(s, d), 0L, Long.MaxValue, 16L)),
@@ -455,6 +459,22 @@ object TsQueries {
       TsQuery.tagJoin(r(s, d), tags(s, d, "MACHINERY"))
         .filter(col("value") > 100.0)
         .select(col("signal_id"), col("seq_no"), col("value"))),
+
+    // the SKEW-AWARE form of tsbs_high_load: at 100 TB the dimension side
+    // may not broadcast and one hot signal pins a reducer in the plain
+    // hash join — adaptiveJoin salt-replicates the observed heavy keys
+    // (top-N capped driver list) and leaves the tail on the plain keyed
+    // path. Row multiplicity is preserved exactly, so the oracle is the
+    // same SQL join as tsbs_high_load.
+    "tsbs_high_load_skew" -> ((s, d) => {
+      val rr = r(s, d)
+      val heavy = SkewJoin.heavyHitters(rr, "signal_id",
+        threshold = 1.2, maxKeys = 64)
+      SkewJoin.adaptiveJoin(rr, tags(s, d, "MACHINERY"), "signal_id",
+          struct(col("signal_id"), col("seq_no")), heavy, saltFactor = 8)
+        .filter(col("value") > 100.0)
+        .select(col("signal_id"), col("seq_no"), col("value"))
+    }),
 
     // O7's complement: signals with NO dimension row in the segment —
     // broadcast anti-join (the untagged-stream diagnostic)
@@ -826,6 +846,13 @@ object TsQueries {
          |WHERE rn = 1 AND last_value < 50.0""".stripMargin,
 
     "tsbs_high_load" ->
+      s"""$OracleCte SELECT r.signal_id, r.seq_no, r.value
+         |FROM r JOIN customer c ON c.c_custkey = r.signal_id
+         |WHERE c.c_mktsegment = 'MACHINERY' AND r.value > 100.0""".stripMargin,
+
+    // identical semantics to tsbs_high_load: salting must not change the
+    // join result, only the partitioning
+    "tsbs_high_load_skew" ->
       s"""$OracleCte SELECT r.signal_id, r.seq_no, r.value
          |FROM r JOIN customer c ON c.c_custkey = r.signal_id
          |WHERE c.c_mktsegment = 'MACHINERY' AND r.value > 100.0""".stripMargin,

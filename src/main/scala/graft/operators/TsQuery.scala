@@ -51,6 +51,32 @@ object TsQuery {
       .withColumn("avg_fx",
         col("sum_q").cast("double") / (lit(100.0) * col("cnt").cast("double")))
 
+  /** O5c — per-group percentiles with the scale guard IN CODE, not in a
+    * comment: Spark's exact interpolated `percentile` buffers every group
+    * value on one executor (fine to ~1e7 rows/group, ~100 MB), so groups
+    * observed beyond `exactMaxRows` route to `approx_percentile` — the
+    * bounded-memory, mergeable GK sketch that stays map-side-combinable
+    * at any group size. The routing probe is one two-phase keyed count
+    * (cheap next to the percentile job itself); both paths emit the same
+    * schema, so callers and oracles see one operator.
+    */
+  def percentileAuto(r: DataFrame, groupCol: String, valueCol: String,
+                     ps: Seq[Double],
+                     exactMaxRows: Long = 10L * 1000 * 1000,
+                     accuracy: Int = 10000): DataFrame = {
+    val maxGroup = r.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    val exact = maxGroup <= exactMaxRows
+    val aggs = ps.map { p =>
+      val name = s"p${math.round(p * 100)}"
+      val e =
+        if (exact) expr(s"percentile($valueCol, $p)")
+        else expr(s"approx_percentile($valueCol, $p, $accuracy)")
+      round(e, 4).as(name)
+    }
+    r.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** O5b — argmax position set: all positions attaining the per-signal max
     * (reference buff_simd.rs:2444 byte_fixed_max returns max + bitmap).
     * rank() keeps ties, matching the bitmap semantics.

@@ -37,6 +37,14 @@ class SkewJoinSpec extends AnyFunSuite with SparkTest {
     assert(adaptive.except(plain).isEmpty && plain.except(adaptive).isEmpty)
   }
 
+  test("heavy-hitter list is capped at the N largest keys") {
+    // threshold 0 admits every key; the cap must keep only the heaviest,
+    // ordered by count (the hot key first)
+    val heavy = SkewJoin.heavyHitters(left, "k", threshold = 0.0, maxKeys = 5)
+    assert(heavy.length == 5, s"cap not applied: $heavy")
+    assert(heavy.head == 0L, "hot key must rank first")
+  }
+
   test("right-side duplicates are preserved (multiplicity, not distinct)") {
     import spark.implicits._
     val rDup = Seq((0L, "a"), (0L, "b"), (1L, "c")).toDF("k", "attr")

@@ -76,4 +76,29 @@ class TsQuerySpec extends AnyFunSuite with SparkTest {
       .agg(countDistinct(col("win"))).collect()(0).getLong(0)
     assert(w == 1) // all rows in window 0 at width 16
   }
+
+  test("percentileAuto routes on observed group cardinality") {
+    val r = Readings.of(spark, "/root/testdata/sf0.001")
+    // default bound: every group fits -> exact interpolated path
+    val exact = TsQuery.percentileAuto(r, "signal_id", "value", Seq(0.5))
+    assert(!exact.queryExecution.analyzed.toString.contains("approx_percentile"))
+    // a 1-row bound forces the sketch path on the same data
+    val approx = TsQuery.percentileAuto(r, "signal_id", "value", Seq(0.5),
+      exactMaxRows = 1)
+    assert(approx.queryExecution.analyzed.toString.contains("approx_percentile"))
+    val e = exact.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val a = approx.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(e.keySet == a.keySet)
+    // the high-accuracy sketch must land within 15% of each group's value
+    // range of the exact interpolated answer (it returns a rank-exact
+    // element; the gap to the interpolated value is bounded by adjacent
+    // sample spacing)
+    val rng = r.groupBy(col("signal_id"))
+      .agg((max(col("value")) - min(col("value"))).as("rg"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    e.foreach { case (k, v) =>
+      assert(math.abs(a(k) - v) <= rng(k) * 0.15,
+        s"signal $k: approx ${a(k)} vs exact $v (range ${rng(k)})")
+    }
+  }
 }
