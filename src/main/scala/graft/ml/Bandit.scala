@@ -43,14 +43,20 @@ object Bandit {
     * reward = 1/cr, the reference's 80000/bytes shape. */
   val CompressArms = Seq("uncompressed", "dict", "delta_bitpack", "paa_4", "rrd_4")
 
-  /** Recoding arms: the lossy transform menu (recoding_daemon.rs:351-416 —
-    * PAA window steps, sample-droppers, bit-droppers, the PLA fit);
-    * reward = CR gain minus the clamped MEASURED reconstruction error
-    * (the query-fidelity reward of buffer_pool.rs:940-1260). The Fourier
-    * arm is omitted from the BANDIT menu only because its per-segment
-    * error is a typed-map job (tier_fft_err), not a window expression —
-    * the transform itself is in the ladder. */
-  val RecodeArms = Seq("keep", "paa_2", "paa_4", "rrd_2", "drop3bits", "pla_8")
+  /** Recoding arms: the COMPLETE lossy transform menu
+    * (recoding_daemon.rs:351-416 — PAA window steps, sample-droppers,
+    * bit-droppers, the PLA fit, and the Fourier truncation); reward =
+    * CR gain minus the clamped MEASURED reconstruction error (the
+    * query-fidelity reward of buffer_pool.rs:940-1260). The fourier
+    * arm's error is the keep-4 FFT-truncation reconstruction error
+    * (tier_fft_err's metric), computed in the SAME per-segment fold as
+    * the other arms — its oracle twin is the direct-DFT SQL
+    * recomputation, exact at 6-digit rounding; segments too short for
+    * the 16-point transform (incomplete tails) take the max-clamped
+    * error, so the arm is never chosen for them. CR for keep=4 of 16:
+    * 4 complex low coefficients = 8 reals vs 16 -> gain 5.0. */
+  val RecodeArms =
+    Seq("keep", "paa_2", "paa_4", "rrd_2", "drop3bits", "pla_8", "fourier")
 
   private def ceilLog2(m: Long): Long =
     java.lang.Long.toBinaryString(math.max(m, 2L) - 1L).length.toLong
@@ -350,10 +356,10 @@ object Bandit {
       .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Double, Long)]) =>
         val (sid, seg) = key
         val rows = it.map(r => (r._2, r._3, r._4)).toArray
-        val (e2, e4, er, ed, ep, nd) = segmentErrors(rows)
-        (sid, seg, e2, e4, er, ed, ep, nd)
+        val (e2, e4, er, ed, ep, ef, nd) = segmentErrors(rows)
+        (sid, seg, e2, e4, er, ed, ep, ef, nd)
       }
-      .toDF("signal_id", "seg", "e2", "e4", "er", "ed", "ep", "nd")
+      .toDF("signal_id", "seg", "e2", "e4", "er", "ed", "ep", "ef", "nd")
     rewardSelect(raw)
   }
 
@@ -362,7 +368,7 @@ object Bandit {
     * value_q) of ONE segment, any order.
     */
   def segmentErrors(rowsIn: Array[(Long, Double, Long)])
-      : (Double, Double, Double, Double, Double, Long) = {
+      : (Double, Double, Double, Double, Double, Double, Long) = {
     val rows = rowsIn.sortBy(_._1)
     def chunkOf(seq: Long, w: Long): Long = (seq - 1) / w
     // exact (sum, count) per chunk width
@@ -403,10 +409,24 @@ object Bandit {
       ep = math.max(ep, math.abs(v - (icept + slope * x.toDouble) / 100.0))
     }
     val nd = rows.map(_._3).distinct.length.toLong
-    (e2, e4, er, ed, ep, nd)
+    // fourier arm error: keep-4 FFT-truncation reconstruction (the
+    // tier_fft_err metric, same Breeze path — its 6-digit-rounded value
+    // is oracle-proven equal to the direct-DFT SQL recomputation).
+    // Incomplete segments can't ride the 16-point transform: max-clamped
+    // error, the arm is never preferred for them
+    val ef =
+      if (rows.length == Readings.SegmentRows.toInt) {
+        val vs = rows.map(_._2)
+        graft.functions.TierTransforms.maxAbsError(vs,
+          graft.functions.TierTransforms.fftTruncate(vs, 4))
+      } else 10.0
+    (e2, e4, er, ed, ep, ef, nd)
   }
 
-  /** Raw per-segment errors -> per-arm rewards (shared projection). */
+  /** Raw per-segment errors -> per-arm rewards (shared projection). The
+    * fourier error is 6-digit-rounded BEFORE the reward arithmetic: the
+    * rounded value is what tier_fft_err proves equal across engines, so
+    * every subsequent double op is bit-identical on both sides. */
   def rewardSelect(raw: DataFrame): DataFrame =
     raw.select(col("signal_id"), col("seg"),
       lit(0.0).as("r0"), // keep: no CR gain, no error
@@ -415,6 +435,7 @@ object Bandit {
       round(lit(5.0) - least(col("er"), lit(10.0)), 6).as("r3"),
       round(lit(0.46875) - least(col("ed"), lit(10.0)), 6).as("r4"),
       round(lit(7.5) - least(col("ep"), lit(10.0)), 6).as("r5"), // cr 2/8
+      round(lit(5.0) - least(round(col("ef"), 6), lit(10.0)), 6).as("r6"), // cr 8/16
       col("nd"))
 
   /** Replay the recoding chooser incrementally over the ordered segment
@@ -422,7 +443,7 @@ object Bandit {
   def recodeReplay(readings: DataFrame): DataFrame = {
     val stream = orderedFeed(recodeRewardInputs(readings)).map { r =>
       (0L, Array(r.getDouble(2), r.getDouble(3), r.getDouble(4),
-        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+        r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
     }
     finishPlain(decisionsDf(readings.sparkSession,
       walkIter(stream, RecodeArms)))
@@ -440,13 +461,13 @@ object Bandit {
     */
   def recodeBandReplay(readings: DataFrame): DataFrame = {
     val stream = orderedFeed(recodeRewardInputs(readings)).map { r =>
-      val band = ceilLog2(r.getLong(8)) match {
+      val band = ceilLog2(r.getLong(9)) match {
         case 1L => 0L
         case 2L => 1L
         case _ => 2L
       }
       (band, Array(r.getDouble(2), r.getDouble(3), r.getDouble(4),
-        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+        r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
     }
     finishBanded(decisionsDf(readings.sparkSession,
       walkIter(stream, RecodeArms)))
@@ -471,10 +492,10 @@ object Bandit {
         """, banded AS (
           |  SELECT *, CASE length(bin(greatest(nd, 2) - 1))
           |              WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS band
-          |  FROM er
+          |  FROM erf
           |)""".stripMargin
       else ""
-    val src = if (banded) "banded" else "er"
+    val src = if (banded) "banded" else "erf"
     s"""$oracleCte, segrows AS (
        |  SELECT signal_id, value, value_q, seq_no,
        |         CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
@@ -513,6 +534,35 @@ object Bandit {
        |    max(abs(value - (icept8 + slope8 * CAST(x8 AS DOUBLE)) / 100.0)) AS ep,
        |    CAST(count(DISTINCT value_q) AS BIGINT) AS nd
        |  FROM pf2 GROUP BY 1, 2
+       |), fsegs AS (
+       |  -- fourier arm: keep-4 FFT reconstruction error via direct DFT
+       |  -- sums (7 live coefficients of the 16-pt transform — the
+       |  -- tier_fft_err oracle's formulation), complete segments only
+       |  SELECT signal_id, seg, list(value ORDER BY seq_no) AS vals,
+       |         count(*) AS cnt
+       |  FROM segrows GROUP BY 1, 2
+       |), ff AS (
+       |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM fsegs WHERE cnt = 16
+       |), fks AS (SELECT unnest([0,1,2,3,13,14,15]) AS k),
+       |fsx AS (
+       |  SELECT ff.signal_id, ff.seg, fks.k,
+       |    list_sum([ff.vals[m]*cos(2*pi()*(m-1)*fks.k/16.0) for m in range(1,17)]) AS xr,
+       |    -list_sum([ff.vals[m]*sin(2*pi()*(m-1)*fks.k/16.0) for m in range(1,17)]) AS xi
+       |  FROM ff, fks
+       |), frec AS (
+       |  SELECT fsx.signal_id, fsx.seg, t.m,
+       |    sum(fsx.xr*cos(2*pi()*t.m*fsx.k/16.0) - fsx.xi*sin(2*pi()*t.m*fsx.k/16.0)) / 16.0 AS rv
+       |  FROM fsx, range(0,16) t(m)
+       |  GROUP BY 1, 2, 3
+       |), fe AS (
+       |  SELECT ff.signal_id, ff.seg,
+       |    round(max(abs(ff.vals[frec.m+1] - frec.rv)), 6) AS ef
+       |  FROM ff JOIN frec USING (signal_id, seg)
+       |  GROUP BY 1, 2
+       |), erf AS (
+       |  -- incomplete segments take the max-clamped fourier error
+       |  SELECT er.*, coalesce(fe.ef, CAST(10.0 AS DOUBLE)) AS ef
+       |  FROM er LEFT JOIN fe USING (signal_id, seg)
        |)$bandedSrc, steps AS MATERIALIZED (
        |  SELECT $bandCol $stepNum AS step,
        |    CAST(0.0 AS DOUBLE) AS r0,
@@ -520,7 +570,8 @@ object Bandit {
        |    round(7.5 - least(e4, 10.0), 6) AS r2,
        |    round(5.0 - least(er, 10.0), 6) AS r3,
        |    round(CAST(0.46875 AS DOUBLE) - least(ed, 10.0), 6) AS r4,
-       |    round(7.5 - least(ep, 10.0), 6) AS r5
+       |    round(7.5 - least(ep, 10.0), 6) AS r5,
+       |    round(5.0 - least(ef, 10.0), 6) AS r6
        |  FROM $src
        |)""".stripMargin
   }

@@ -261,10 +261,10 @@ object Ingest {
           // global seq_no and the Quantize.quantize fixed-point mapping
           (s.seg * segRows + i + 1L, v, math.floor(v * 100.0).toLong)
         }
-        val (e2, e4, er, ed, ep, nd) = graft.ml.Bandit.segmentErrors(rows)
-        (s.signal_id, s.seg, e2, e4, er, ed, ep, nd)
+        val (e2, e4, er, ed, ep, ef, nd) = graft.ml.Bandit.segmentErrors(rows)
+        (s.signal_id, s.seg, e2, e4, er, ed, ep, ef, nd)
       }
-      .toDF("signal_id", "seg", "e2", "e4", "er", "ed", "ep", "nd")
+      .toDF("signal_id", "seg", "e2", "e4", "er", "ed", "ep", "ef", "nd")
     graft.ml.Bandit.rewardSelect(raw)
   }
 
@@ -323,7 +323,8 @@ object Ingest {
           val decided = rows.map { r =>
             step += 1
             val rewards = Array(r.getDouble(2), r.getDouble(3),
-              r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+              r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+              r.getDouble(8))
             val (arm, explored, rew, qAfter) =
               graft.ml.Bandit.policyStep(q, step, rewards, arms)
             (r.getLong(0), r.getLong(1), step, arm, explored, rew, qAfter)

@@ -105,7 +105,7 @@ class MlSpec extends AnyFunSuite with SparkTest {
     import spark.implicits._
     // 4-chunk-aligned square wave, amplitude 10: paa_4 error-free (7.5),
     // every other arm pays a wide error margin (pla fits the step badly)
-    val smooth = (for (sid <- 0L until 50L; seq <- 1L to 64L)
+    val smooth = (for (sid <- 0L until 100L; seq <- 1L to 64L)
       yield (sid, seq, (seq - 1) / 4 % 2 * 1000, ((seq - 1) / 4 % 2 * 10).toDouble))
       .toDF("signal_id", "seq_no", "value_q", "value")
     val s = graft.ml.Bandit.recodeReplay(smooth).collect()
@@ -113,7 +113,7 @@ class MlSpec extends AnyFunSuite with SparkTest {
     // burn-in: the best arm must first be SAMPLED by an exploration step
     // (hash-gated, ~1 in 50 steps hits a given arm), so judge the tail
     // burn-in length is exploration luck (the best arm must first be
-    // SAMPLED, ~1 in 60 steps with 6 arms), so judge the trailing
+    // SAMPLED, ~1 in 70 steps with 7 arms), so judge the trailing
     // exploit window rather than a fixed step cutoff
     val sExploit = s.filter(!_._3).takeRight(15)
     assert(sExploit.nonEmpty && sExploit.forall(_._2 == "paa_4"),
@@ -122,7 +122,7 @@ class MlSpec extends AnyFunSuite with SparkTest {
     // past the clamp (reward < 0) and the bandit retreats to the minimal
     // bit-drop (tiny guaranteed gain, bounded error): noisy data is NOT
     // aggressively recoded
-    val noisy = (for (sid <- 0L until 50L; seq <- 1L to 64L)
+    val noisy = (for (sid <- 0L until 100L; seq <- 1L to 64L)
       yield (sid, seq, (seq % 2) * 200000, (seq % 2) * 2000.0))
       .toDF("signal_id", "seq_no", "value_q", "value")
     val n = graft.ml.Bandit.recodeReplay(noisy).collect()
@@ -136,7 +136,7 @@ class MlSpec extends AnyFunSuite with SparkTest {
     import spark.implicits._
     // interleave low-cardinality (nd=2 -> band 0) and high-cardinality
     // (nd=16 -> band 2) signals: the bands must walk independently
-    val mixed = (for (sid <- 0L until 100L; seq <- 1L to 64L) yield {
+    val mixed = (for (sid <- 0L until 200L; seq <- 1L to 64L) yield {
       if (sid % 2 == 0) (sid, seq, (seq - 1) / 4 % 2 * 10000, ((seq - 1) / 4 % 2 * 100).toDouble)
       else (sid, seq, seq * 10001, seq * 100.01)
     }).toDF("signal_id", "seq_no", "value_q", "value")
