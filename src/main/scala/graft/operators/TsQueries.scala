@@ -523,6 +523,13 @@ object TsQueries {
     "o8_zonemap_max" -> ((s, d) =>
       ZoneMap.maxFromStats(ZoneMap.segmentStats(r(s, d)))),
 
+    // exact global sum/count served from the stats table alone — the
+    // other half of the reference's stats-only query path (AggStats sum,
+    // buffer_pool.rs:940-1101): sum_q is the exact fixed-point sum, so
+    // the fold over segment stats equals the raw-data aggregate
+    "o8_zonemap_sum" -> ((s, d) =>
+      ZoneMap.sumFromStats(ZoneMap.segmentStats(r(s, d)))),
+
     // event-time zone map — the stats key STREAMING ingest maintains
     // incrementally (ZoneMap.timeStats; fold parity in StreamingSpec)
     "o8_zonemap_time" -> ((s, d) =>
@@ -972,6 +979,10 @@ object TsQueries {
 
     "o8_zonemap_max" ->
       s"$OracleCte SELECT max(value) AS vmax FROM r",
+
+    "o8_zonemap_sum" ->
+      s"""$OracleCte SELECT CAST(sum(value_q) AS BIGINT) AS sum_q,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM r""".stripMargin,
 
     "o8_zonemap_time" ->
       s"""$OracleCte SELECT signal_id,

@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -94,6 +94,12 @@ case class ZoneMapRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case (Min(a: AttributeReference), None) if a.name == "value" =>
             statsAttr("vmin").map(s =>
               Alias(ae.copy(aggregateFunction = Min(s)), name)(exprId = al.exprId))
+          // sum over the fixed-point column: per-segment sum_q values are
+          // exact longs, so summing them equals summing the data column
+          // (the AggStats sum path, buffer_pool.rs:940-1101)
+          case (Sum(a: AttributeReference, _), None) if a.name == "value_q" =>
+            statsAttr("sum_q").map(s =>
+              Alias(ae.copy(aggregateFunction = Sum(s)), name)(exprId = al.exprId))
           case _ => None
         }
       case _ => None

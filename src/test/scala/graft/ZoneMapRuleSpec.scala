@@ -35,6 +35,20 @@ class ZoneMapRuleSpec extends AnyFunSuite with SparkTest {
     assert(viaRule.getDouble(1) == direct.getDouble(1))
   }
 
+  test("sum over the fixed-point column is rewritten to the stats sums") {
+    ZoneMapRegistry.register(tierPath, statsPath)
+    ZoneMapRewrite.enable(spark)
+    val q = spark.read.parquet(tierPath)
+      .agg(sum(col("value_q")).as("sum_q"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains(statsPath), s"expected stats scan in plan:\n$plan")
+    assert(!plan.contains(tierPath), "data tier should not be scanned")
+    val viaRule = q.collect()(0).getLong(0)
+    val direct = spark.read.parquet(tierPath)
+      .agg(sum(col("value_q"))).collect()(0).getLong(0)
+    assert(viaRule == direct, "stats-served sum diverges from data sum")
+  }
+
   test("filtered or grouped aggregates are NOT rewritten") {
     ZoneMapRegistry.register(tierPath, statsPath)
     ZoneMapRewrite.enable(spark)
