@@ -167,7 +167,13 @@ object Bench {
         ()
       })))
 
-    val results = (base ++ tierVariants).sortBy(_._1).map { case (name, run) =>
+    // SPARK_GRAFT_ONLY=q1,q2 limits the timed loop to named queries —
+    // for isolating one query's regression from whole-suite JVM effects
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = (base ++ tierVariants).sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, run) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val outcome =
