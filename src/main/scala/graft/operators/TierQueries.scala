@@ -106,10 +106,40 @@ object TierQueries {
     "tier_lttb_summary" -> ((s, d) =>
       Tiers.lttbTier(Segments.complete(r(s, d)), npts = 6)
         .select(col("signal_id"), col("seg"), col("n_pts"),
-          col("first_v"), col("last_v")))
+          col("first_v"), col("last_v"))),
+
+    // BUFF byte-plane progressive range filter (split_double.rs /
+    // buff_simd.rs:4507-4681): base-offset plane decomposition, then the
+    // plane-by-plane refinement union — position-list result, exactly the
+    // raw range predicate. Bounds chosen mid-domain so every leg (strict
+    // decide at each level + full-depth tie) is exercised.
+    "buff_range" -> ((s, d) => {
+      val rd = r(s, d)
+      val base = rd.agg(min(col("value_q"))).first().getLong(0)
+      val pl = graft.sources.BuffStore.planes(rd, base, 3)
+      graft.sources.BuffStore.rangeProgressive(pl, base, 3, 12345L, 34567L)
+    }),
+
+    // BUFF plane-wise exact sum (buff_simd.rs:2294-2442): per-plane byte
+    // sums scaled by the plane shift + cnt*base — integer-exact, equal to
+    // sum(value_q) per signal
+    "buff_sum" -> ((s, d) => {
+      val rd = r(s, d)
+      val base = rd.agg(min(col("value_q"))).first().getLong(0)
+      val pl = graft.sources.BuffStore.planes(rd, base, 3)
+      graft.sources.BuffStore.sumFromPlanes(pl, base, 3)
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "buff_range" ->
+      s"""$OracleCte SELECT signal_id, seq_no FROM r
+         |WHERE value_q BETWEEN 12345 AND 34567""".stripMargin,
+
+    "buff_sum" ->
+      s"""$OracleCte SELECT signal_id, CAST(sum(value_q) AS BIGINT) AS sum_q,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY signal_id""".stripMargin,
+
     "tier_paa_max" ->
       s"""$OracleCte, c AS (
          |  SELECT signal_id, CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS chunk,

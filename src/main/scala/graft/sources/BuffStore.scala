@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BUFF-style byte-plane decomposition of the fixed-point column — the
+  * reference's flagship compressed-domain query path re-expressed
+  * Spark-first.
+  *
+  * The reference (database/src/compress/split_double.rs:32-8769 and
+  * buff_simd.rs:313-5433, the ~10k-LoC heart of the engine) splits each
+  * fixed-point value into byte planes stored column-wise, then answers
+  *  - range predicates plane-by-plane: rows decided (qualify/disqualify)
+  *    on a high plane never touch lower planes; only prefix TIES descend
+  *    (buff_simd.rs:4507-4681, progressive filter with early exit);
+  *  - sums plane-wise as unsigned byte sums scaled by the plane shift
+  *    plus `len * base` — exact for fixed-point data, no branch
+  *    (buff_simd.rs:2294-2442);
+  * over a base-offset representation (subtract the dataset min so planes
+  * are unsigned).
+  *
+  * Spark mapping: each byte plane is its own `int` column (`p0` = most
+  * significant). On Parquet this IS the BUFF layout — a columnar store of
+  * byte planes — and the two reference wins map onto the two columnar
+  * wins:
+  *  - *plane pruning*  = column pruning: a filter leg that references
+  *    only `p0..pj` reads only those columns (`ReadSchema` shows it);
+  *  - *early exit*     = predicate pushdown: the tie leg's equality on
+  *    the high planes reaches the scan as `PushedFilters`, so row groups
+  *    with no tie rows are skipped by min/max stats before any low plane
+  *    byte is read.
+  * The progressive filter is a UNION of disjoint legs — one per plane
+  * level, each deciding exactly the rows whose first non-tie level is
+  * that plane — so the whole refinement ladder is visible to Catalyst
+  * and each leg's scan is as narrow as that level needs. Result is a
+  * position list (signal_id, seq_no), the reference's bitmap-of-row-ids
+  * result shape (query/bit_vec_iter.rs:8-49).
+  *
+  * Plane-wise sum folds `sum(p_i) << 8*(n-1-i)` per plane plus
+  * `cnt * base` — all integer math on longs, so it is exactly
+  * `sum(value_q)` (the fixed-point exactness BUFF's plane sum relies on).
+  *
+  * 100 TB shape: decomposition and reconstruction are map-only column
+  * expressions (codegen'd shifts/masks, no UDF); the range filter is
+  * scan+filter+union (no shuffle, no join); the sum is one partial+final
+  * aggregation. Nothing here collects or breaks partition parallelism.
+  */
+object BuffStore {
+
+  /** Planes needed to cover a non-negative adjusted domain of width w. */
+  def planesFor(width: Long): Int = {
+    require(width >= 0, s"negative domain width $width")
+    var n = 1; var cap = 256L
+    while (cap - 1 < width && n < 8) { n += 1; cap = cap * 256L }
+    n
+  }
+
+  private def shiftBits(n: Int, i: Int): Int = 8 * (n - 1 - i)
+
+  /** Byte-plane columns p0..p{n-1} (p0 most significant) of `adjusted`
+    * (= value_q - base, must be in [0, 256^n)).
+    */
+  def planeCols(adjusted: Column, n: Int): Seq[Column] =
+    (0 until n).map(i =>
+      shiftright(adjusted, shiftBits(n, i)).bitwiseAND(lit(255L))
+        .cast("int").as(s"p$i"))
+
+  /** Decompose readings into the plane representation. `base` must be
+    * <= min(value_q) (the reference's base-offset, split_double.rs:425).
+    */
+  def planes(readings: DataFrame, base: Long, n: Int): DataFrame =
+    readings.select(
+      Seq(col("signal_id"), col("seq_no")) ++
+        planeCols(col("value_q") - lit(base), n): _*)
+
+  /** base + Σ p_i << shift_i — the exact inverse of `planes`. */
+  def reconstruct(base: Long, n: Int): Column =
+    (0 until n).map(i => shiftleft(col(s"p$i").cast("long"), shiftBits(n, i)))
+      .reduce(_ + _) + lit(base)
+
+  /** Progressive range filter: positions with value_q in [lo, hi].
+    *
+    * Leg j qualifies rows whose plane-prefix is strictly inside the
+    * bound prefixes at level j after tying at every level above —
+    * referencing only p0..pj. The last leg resolves remaining full-depth
+    * ties with the exact compare. Legs are disjoint by construction
+    * (first non-tie level is unique), so the union is exact.
+    */
+  def rangeProgressive(planesDf: DataFrame, base: Long, n: Int,
+                       lo: Long, hi: Long): DataFrame = {
+    val loA = lo - base
+    val hiA = hi - base
+    // prefix of the adjusted value through plane j, and the bound prefixes
+    def prefix(j: Int): Column =
+      (0 to j).map(i => shiftleft(col(s"p$i").cast("long"), 8 * (j - i)))
+        .reduce(_ + _)
+    def loP(j: Int): Long = loA >> shiftBits(n, j)   // floor-div, negative-safe
+    def hiP(j: Int): Long = hiA >> shiftBits(n, j)
+    def tieAbove(j: Int): Column =
+      (0 until j).map(i => prefix(i) === lit(loP(i)) || prefix(i) === lit(hiP(i)))
+        .foldLeft(lit(true))(_ && _)
+    val keys = Seq(col("signal_id"), col("seq_no"))
+    val decidedLegs = (0 until n - 1).map { j =>
+      planesDf
+        .filter(tieAbove(j) && prefix(j) > lit(loP(j)) && prefix(j) < lit(hiP(j)))
+        .select(keys: _*)
+    }
+    // full-depth leg: rows that tied on every plane above; prefix(n-1) IS
+    // the adjusted value, so this is the exact residual compare the
+    // reference runs on the surviving candidate set
+    val finalLeg = planesDf
+      .filter(tieAbove(n - 1) &&
+        prefix(n - 1) >= lit(loA) && prefix(n - 1) <= lit(hiA))
+      .select(keys: _*)
+    (decidedLegs :+ finalLeg).reduce(_ union _)
+  }
+
+  /** Exact per-signal sum/count of value_q folded plane-wise — the BUFF
+    * plane sum (buff_simd.rs:2294): Σ_i (sum of plane i) << shift_i,
+    * plus cnt * base. Pure integer math, equal to sum(value_q).
+    */
+  def sumFromPlanes(planesDf: DataFrame, base: Long, n: Int): DataFrame = {
+    val planeSums = (0 until n).map(i =>
+      shiftleft(sum(col(s"p$i")).cast("long"), shiftBits(n, i)))
+    planesDf.groupBy(col("signal_id")).agg(
+      (planeSums.reduce(_ + _) + count(lit(1)) * lit(base)).as("sum_q"),
+      count(lit(1)).as("cnt"))
+  }
+
+  /** Persist the plane representation (the on-disk BUFF layout: one
+    * Parquet column per byte plane, dictionary/bit-pack encoded).
+    */
+  def write(planesDf: DataFrame, path: String): Unit =
+    planesDf.write.mode("overwrite").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Readings
+import graft.sources.BuffStore
+
+/** BUFF byte-plane store: roundtrip exactness, progressive-filter
+  * equivalence with the raw predicate, plane pruning (a decided leg's
+  * scan reads only the planes it needs) and pushdown (the tie legs'
+  * high-plane equalities reach the Parquet scan).
+  */
+class BuffStoreSpec extends AnyFunSuite with SparkTest {
+
+  private val N = 3
+
+  private lazy val (storePath, base) = {
+    val dir = Files.createTempDirectory("graft-buff").toString + "/planes"
+    val r = Readings.of(spark, "/root/testdata/sf0.001")
+    val b = r.agg(min(col("value_q"))).first().getLong(0)
+    BuffStore.write(BuffStore.planes(r, b, N), dir)
+    (dir, b)
+  }
+
+  private def readings = Readings.of(spark, "/root/testdata/sf0.001")
+
+  test("plane decomposition roundtrips exactly") {
+    val pl = BuffStore.planes(readings, base, N)
+    val bad = pl.join(readings.select(col("signal_id"), col("seq_no"), col("value_q")),
+        Seq("signal_id", "seq_no"))
+      .filter(BuffStore.reconstruct(base, N) =!= col("value_q"))
+      .count()
+    assert(bad == 0L, s"$bad rows fail plane roundtrip")
+  }
+
+  test("progressive range filter equals the raw range predicate") {
+    val pl = BuffStore.read(spark, storePath)
+    for ((lo, hi) <- Seq((12345L, 34567L), (0L, 255L), (256L, 65535L),
+                         (base, base), (1L, 49000L))) {
+      val prog = BuffStore.rangeProgressive(pl, base, N, lo, hi)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val raw = readings
+        .filter(col("value_q") >= lo && col("value_q") <= hi)
+        .select(col("signal_id"), col("seq_no"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prog == raw, s"range [$lo,$hi]: progressive=${prog.size} raw=${raw.size}")
+    }
+  }
+
+  test("decided legs read only the planes they need (column pruning)") {
+    val pl = BuffStore.read(spark, storePath)
+    // plane-aligned bounds: low bytes at the extremes, so level-0/1 decide
+    val q = BuffStore.rangeProgressive(pl, base, N, base, base + 0x02FFFFL)
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val schemas = scans.map(_.requiredSchema.fieldNames.toSet)
+    // at least one leg must scan WITHOUT the lowest plane (p2): the
+    // strictly-inside rows at level 0/1 never touch it
+    assert(schemas.exists(s => !s.contains("p2")),
+      s"no plane-pruned scan found; leg schemas: $schemas")
+    // and the first leg (level 0) needs p0 only
+    assert(schemas.exists(s => s.intersect(Set("p0", "p1", "p2")) == Set("p0")),
+      s"no p0-only scan found; leg schemas: $schemas")
+  }
+
+  test("tie legs push their high-plane conjuncts into the Parquet scan") {
+    val pl = BuffStore.read(spark, storePath)
+    val q = BuffStore.rangeProgressive(pl, base, N, 12345L, 34567L)
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the full-depth leg filters on p0 equality (tie prefixes) — that
+    // conjunct must appear as a pushed data filter so row groups with no
+    // tie bytes are skipped by stats before low planes are read
+    assert(scans.exists(_.dataFilters.exists(_.references.exists(_.name == "p0"))),
+      "no scan carries a pushed p0 filter")
+  }
+
+  test("plane-wise sum is exactly sum(value_q) per signal") {
+    val pl = BuffStore.read(spark, storePath)
+    val viaPlanes = BuffStore.sumFromPlanes(pl, base, N)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val raw = readings.groupBy(col("signal_id"))
+      .agg(sum(col("value_q")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(viaPlanes == raw)
+  }
+
+  test("planesFor sizes the plane count from the domain width") {
+    assert(BuffStore.planesFor(0L) == 1)
+    assert(BuffStore.planesFor(255L) == 1)
+    assert(BuffStore.planesFor(256L) == 2)
+    assert(BuffStore.planesFor(65535L) == 2)
+    assert(BuffStore.planesFor(65536L) == 3)
+  }
+}
