@@ -13,9 +13,10 @@ import graft.functions.VectorFunctions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    VectorFunctions.functions.foreach { case (name, info, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info, builder))
-    }
+    (VectorFunctions.functions ++ graft.functions.CodecFunctions.functions)
+      .foreach { case (name, info, builder) =>
+        ext.injectFunction((FunctionIdentifier(name), info, builder))
+      }
     ext.injectOptimizerRule(session => graft.plans.ZoneMapRewrite(session))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -492,7 +492,7 @@ object VectorFunctions {
   /** Register into a session's function registry (safe to call repeatedly). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    functions.foreach { case (name, info, builder) =>
+    (functions ++ CodecFunctions.functions).foreach { case (name, info, builder) =>
       val id = FunctionIdentifier(name)
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }

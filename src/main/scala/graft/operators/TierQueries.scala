@@ -128,6 +128,28 @@ object TierQueries {
       val base = rd.agg(min(col("value_q"))).first().getLong(0)
       val pl = graft.sources.BuffStore.planes(rd, base, 3)
       graft.sources.BuffStore.sumFromPlanes(pl, base, 3)
+    }),
+
+    // Gorilla XOR codec (gorilla.rs:19-447, public VLDB'15 scheme): encode
+    // each segment array, answer max FROM THE COMPRESSED FORM, and prove
+    // the roundtrip bit-exact in the same row — all map-only expressions
+    "codec_gorilla" -> ((s, d) => {
+      import graft.functions.CodecFunctions._
+      Segments.of(r(s, d))
+        .select(col("signal_id"), col("seg"), col("cnt"),
+          gorillaMax(gorillaEncode(col("values"))).as("vmax"),
+          (gorillaDecode(gorillaEncode(col("values"))) === col("values"))
+            .as("roundtrip_ok"))
+    }),
+
+    // Sprintz delta-zigzag-bitpack codec (sprintz.rs:14-392) over the
+    // fixed-point domain: exact sum from the compressed form
+    "codec_sprintz" -> ((s, d) => {
+      import graft.functions.CodecFunctions._
+      val q = transform(col("values"), v => floor(v * 100).cast("long"))
+      Segments.of(r(s, d))
+        .select(col("signal_id"), col("seg"), col("cnt"),
+          sprintzSum(sprintzEncode(q)).as("sum_q"))
     })
   )
 
@@ -139,6 +161,20 @@ object TierQueries {
     "buff_sum" ->
       s"""$OracleCte SELECT signal_id, CAST(sum(value_q) AS BIGINT) AS sum_q,
          |  CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY signal_id""".stripMargin,
+
+    "codec_gorilla" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |  CAST(count(*) AS BIGINT) AS cnt, max(value) AS vmax,
+         |  true AS roundtrip_ok
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "codec_sprintz" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(value_q) AS BIGINT) AS sum_q
+         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "tier_paa_max" ->
       s"""$OracleCte, c AS (

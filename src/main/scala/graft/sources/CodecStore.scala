@@ -52,10 +52,25 @@ object CodecStore {
         .option("compression", codec).parquet(out.toString)
       (codec, repr, dirBytes(out))
     }
+    // native per-segment codecs (Gorilla XOR / Sprintz delta-zigzag, see
+    // graft.functions.CodecExpressions): payload bytes = sum of encoded
+    // segment lengths — the reference's own CR accounting
+    // (compress/mod.rs:127-135 compares encoded bytes, not file bytes)
+    val segs = graft.operators.Segments.of(readings)
+    import graft.functions.CodecFunctions._
+    val nativeRows = segs.select(
+        sum(octet_length(gorillaEncode(col("values")))).cast("long").as("g"),
+        sum(octet_length(sprintzEncode(
+          transform(col("values"), v => floor(v * lit(100)).cast("long"))))
+        ).cast("long").as("s"))
+      .collect()(0)
+    val allRows = rows ++ Seq(
+      ("native", "gorilla_seg", nativeRows.getLong(0)),
+      ("native", "sprintz_seg", nativeRows.getLong(1)))
     val baseline = rows.collectFirst {
       case ("uncompressed", "double", b) => b.toDouble
     }.getOrElse(1.0)
-    rows.map { case (c, r, b) => (c, r, b, b / baseline) }
+    allRows.map { case (c, r, b) => (c, r, b, b / baseline) }
       .toDF("codec", "repr", "bytes", "cr")
   }
 }

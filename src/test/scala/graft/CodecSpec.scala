@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{CodecFunctions, GorillaCodec, SprintzCodec}
+
+/** Gorilla / Sprintz codec expressions: bit-exact roundtrips (structured
+  * cases + seeded random sweeps), compressed-domain aggregates,
+  * compression on smooth data, SQL-name resolution, and the dataframe
+  * path over real segments.
+  */
+class CodecSpec extends AnyFunSuite with SparkTest {
+
+  private def gEnc(vs: Seq[Double]) = GorillaCodec.encode(new GenericArrayData(vs.toArray))
+  private def gDec(b: Array[Byte]): Seq[Double] =
+    GorillaCodec.decode(b).toDoubleArray().toSeq
+  private def sEnc(vs: Seq[Long]) = SprintzCodec.encode(new GenericArrayData(vs.toArray))
+  private def sDec(b: Array[Byte]): Seq[Long] =
+    SprintzCodec.decode(b).toLongArray().toSeq
+
+  test("gorilla roundtrips bit-exactly on structured cases") {
+    for (vs <- Seq(
+      Seq.empty[Double],
+      Seq(0.0),
+      Seq(1.5, 1.5, 1.5, 1.5),
+      Seq(100.0, 100.01, 100.02, 100.0, 99.98),
+      Seq(-3.25, 7.0, -0.0, 0.0, Double.MaxValue, Double.MinPositiveValue),
+      (0 until 1000).map(i => math.sin(i / 10.0) * 100.0)))
+      assert(gDec(gEnc(vs)) == vs, s"gorilla roundtrip failed for $vs")
+  }
+
+  test("gorilla roundtrips on random doubles (seeded sweep)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val n = rnd.nextInt(64)
+      val vs = Seq.fill(n)((rnd.nextDouble() - 0.5) * 2e12)
+      assert(gDec(gEnc(vs)) == vs)
+    }
+  }
+
+  test("sprintz roundtrips exactly on structured cases") {
+    for (vs <- Seq(
+      Seq.empty[Long],
+      Seq(0L),
+      Seq(42L, 42L, 42L),
+      Seq(Long.MaxValue, Long.MinValue, 0L, -1L, 1L),
+      (0 until 1000).map(i => 10000L + i * 3L),
+      Seq(-5L, -4L, -3L, 100L, -100L)))
+      assert(sDec(sEnc(vs)) == vs, s"sprintz roundtrip failed for $vs")
+  }
+
+  test("sprintz roundtrips on random longs (seeded sweep)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val n = rnd.nextInt(64)
+      val vs = Seq.fill(n)(rnd.nextLong() / 4)
+      assert(sDec(sEnc(vs)) == vs)
+    }
+  }
+
+  test("compressed-domain aggregates equal the decoded aggregates") {
+    val ds = Seq(3.5, -2.0, 7.25, 7.25, 0.0)
+    assert(GorillaCodec.max(gEnc(ds)) == 7.25)
+    assert(GorillaCodec.max(gEnc(Seq.empty)) == Double.NegativeInfinity)
+    val ls = Seq(10L, -3L, 92L, 1L)
+    assert(SprintzCodec.sum(sEnc(ls)) == 100L)
+    assert(SprintzCodec.sum(sEnc(Seq.empty)) == 0L)
+  }
+
+  test("smooth fixed-point series compress below raw size") {
+    // slowly-varying quantized signal: deltas are tiny -> sprintz crushes it
+    val qs = (0 until 1000).map(i => 10000L + (math.sin(i / 25.0) * 50).toLong)
+    val sprintzBytes = sEnc(qs).length
+    assert(sprintzBytes < 1000 * 8 / 4,
+      s"sprintz: $sprintzBytes bytes for 8000 raw")
+    // gorilla on repeated values: one 64-bit header + ~1 bit per repeat
+    val gs = gEnc(Seq.fill(1000)(123.456))
+    assert(gs.length < 200, s"gorilla constant series: ${gs.length} bytes")
+  }
+
+  test("codec expressions run over real segment arrays in a dataframe") {
+    val segs = graft.operators.Segments.of(
+      graft.operators.Readings.of(spark, "/root/testdata/sf0.001"))
+    val checked = segs.select(
+      col("signal_id"), col("seg"), col("values"),
+      CodecFunctions.gorillaDecode(
+        CodecFunctions.gorillaEncode(col("values"))).as("rt"),
+      CodecFunctions.gorillaMax(
+        CodecFunctions.gorillaEncode(col("values"))).as("cmax"),
+      CodecFunctions.sprintzSum(CodecFunctions.sprintzEncode(
+        transform(col("values"), v => floor(v * 100).cast("long")))).as("csum"))
+    val bad = checked.filter(
+      col("rt") =!= col("values") ||
+        col("cmax") =!= array_max(col("values")) ||
+        col("csum") =!= aggregate(
+          transform(col("values"), v => floor(v * 100).cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .count()
+    assert(bad == 0L)
+    assert(checked.count() > 0)
+  }
+
+  test("codec functions resolve by SQL name through the extensions") {
+    val s2 = spark.newSession()
+    val row = s2.sql(
+      """SELECT graft_sprintz_sum(graft_sprintz_encode(array(1L, 2L, 3L))) AS s,
+        |       graft_gorilla_max(graft_gorilla_encode(array(1.5d, 9.25d, -2.0d))) AS m,
+        |       graft_gorilla_decode(graft_gorilla_encode(array(4.5d, 4.5d))) AS rt
+        |""".stripMargin).collect()(0)
+    assert(row.getLong(0) == 6L)
+    assert(row.getDouble(1) == 9.25)
+    assert(row.getSeq[Double](2) == Seq(4.5, 4.5))
+  }
+}
