@@ -230,10 +230,9 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
-    var cached = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id")).cache()
-    var labels = cached
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -241,23 +240,24 @@ object Dedup {
         .select(col("src").as("doc_id"), col("component"))
       // the convergence check FOLDS INTO the propagation aggregation:
       // each doc's old label rides the union (prop rows carry a sentinel
-      // that min() ignores), so the one cached frame yields both the new
-      // labels and the changed-count — one job per pass, instead of a
-      // separate join-and-count that doubled the per-pass work
+      // that min() ignores), so the one materialized frame yields both
+      // the new labels and the changed-count — one job per pass, instead
+      // of a separate join-and-count that doubled the per-pass work.
+      // localCheckpoint (not cache) because each pass's plan embeds the
+      // previous pass's: lineage grows 2^diameter without truncation,
+      // which overflows the driver on long chains even though the DATA
+      // is tiny — the star variant below shares the same discipline
       val next = labels.select(col("doc_id"), col("component"),
           col("component").as("old"))
         .unionByName(prop.withColumn("old", lit(Long.MaxValue)))
         .groupBy(col("doc_id"))
         .agg(min(col("component")).as("component"), min(col("old")).as("old"))
-        .cache()
+        .localCheckpoint()
       val changed = next.filter(col("component") =!= col("old")).count()
-      cached.unpersist()
-      cached = next
       labels = next.select(col("doc_id"), col("component"))
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
     // an unconverged run would silently mis-label long chains (non-minimal
     // docs flagged keepers, diverging from the transitive-closure oracle):
     // fail loudly instead — callers raise maxIter, which only long
@@ -268,5 +268,96 @@ object Dedup {
         "raise maxIter (component diameter exceeds the dup-cluster assumption)")
     labels.select(col("doc_id"), col("component"),
       (col("doc_id") === col("component")).as("keeper"))
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * 1e9+-vertex path `connectedComponents`' scaladoc promises.
+    *
+    * Plain propagation converges in DIAMETER passes, each shuffling the
+    * full edge set — fine for dup clusters (diameter ~ a few), fatal for
+    * web-scale graphs with long chains. The star steps converge in
+    * O(log² n) rounds REGARDLESS of diameter by rewiring edges toward
+    * component minima:
+    *  - large-star: for each node u, hang every LARGER neighbor off
+    *    min(N(u) ∪ u) — keyed groupBy(u) + min + re-emit;
+    *  - small-star: normalize to (big, small) and hang every smaller
+    *    neighbor (and u itself) off the minimum — same shape.
+    * Both are one hash-partitioned aggregation + one keyed join per
+    * round, no broadcast of anything unbounded, the same shuffle shape
+    * as the propagation loop. Fixpoint = the edge set stops changing
+    * (checked with exceptAll on the cached frames, one extra job per
+    * round — the count-based fold-in trick does not apply because star
+    * rounds rewrite edges, not labels).
+    *
+    * Output contract is identical to `connectedComponents` (doc_id,
+    * component = reachable min, keeper) — `DedupSpec` asserts equality
+    * on chains, stars, and the real LSH pair set.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical undirected edges u>v as (big=src, small=dst), self-free.
+    // Each round REWRITES the edge set through joins, so plan lineage
+    // grows multiplicatively — localCheckpoint (lineage truncation, kept
+    // in executor storage) after every round is what makes the iteration
+    // viable; at cluster scale swap for reliable checkpointing to the
+    // shuffle-tracking store
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: group by u over BOTH directions; m = min(N(u) ∪ u);
+      // emit (v, m) for neighbors v > u
+      val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // small-star on the (big, small) orientation: m = min(N_small(u) ∪ u);
+      // emit (v, m) for v ∈ N_small(u) ∪ {u}, v ≠ m
+      val smins = large.groupBy(col("src"))
+        .agg(min(col("dst")).as("m"))
+      val smallNbrs = large.join(smins, "src")
+        .select(col("src"), col("dst").as("v"), col("m"))
+      val hangSelf = smallNbrs.select(col("src").as("v2"), col("m")).distinct()
+        .filter(col("v2") =!= col("m"))
+        .select(col("v2").as("src"), col("m").as("dst"))
+      val hangNbrs = smallNbrs.filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+      val next = hangNbrs.union(hangSelf)
+        .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxRounds rounds")
+    // at fixpoint every edge is (member, component-min)
+    val members = edges.select(col("src").as("doc_id"), col("dst").as("component"))
+    val roots = edges.select(col("dst").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+    members.unionByName(roots)
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("keeper"))
+  }
+
+  /** Size-routed components: plain propagation below `starThreshold`
+    * edges (diameter-bounded dup clusters — fewer jobs), star steps
+    * above (diameter-independent O(log² n) rounds). The routing count is
+    * a single scalar aggregate over the pair set.
+    */
+  def connectedComponentsAuto(pairs: DataFrame,
+                              starThreshold: Long = 10000000L): DataFrame = {
+    val cached = pairs.cache()
+    val edgeCount = cached.count()
+    if (edgeCount >= starThreshold) connectedComponentsStar(cached)
+    else connectedComponents(cached)
   }
 }

@@ -25,12 +25,20 @@ object TextQueries {
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(Dedup.minhashNearDup(docs(s, d), 0.5))),
 
+    // the same clusters via the large-star/small-star rounds (Kiveris et
+    // al.) — the diameter-independent path for 1e9+-vertex graphs; SAME
+    // oracle as dedup_components because the algorithms must agree
+    "dedup_components_star" -> ((s, d) =>
+      Dedup.connectedComponentsStar(Dedup.minhashNearDup(docs(s, d), 0.5))),
+
     // the near-dedup corpus pass a training pipeline actually ships:
     // every non-keeper cluster member is dropped (anti join on the
-    // component labels), singletons and keepers survive
+    // component labels), singletons and keepers survive. Components run
+    // through the size router (propagation for bounded-diameter dup
+    // clusters, star rounds for huge graphs — one scalar count decides)
     "pipe_near_dedup" -> ((s, d) => {
       val dd = docs(s, d)
-      val losers = Dedup.connectedComponents(Dedup.minhashNearDup(dd, 0.5))
+      val losers = Dedup.connectedComponentsAuto(Dedup.minhashNearDup(dd, 0.5))
         .filter(!col("keeper")).select(col("doc_id"))
       dd.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
@@ -229,6 +237,25 @@ object TextQueries {
     // transitive closure to the fixpoint (UNION dedups, so the recursion
     // terminates), then component = min reachable doc id
     "dedup_components" ->
+      s"""${ShingleCte.replaceFirst("WITH", "WITH RECURSIVE")}, pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+         |), e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION ALL SELECT doc_b, doc_a FROM pr
+         |), reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+         |)
+         |SELECT id AS doc_id, min(r) AS component,
+         |       (id = min(r)) AS keeper
+         |FROM reach GROUP BY id""".stripMargin,
+
+    // identical closure oracle: star rounds and propagation must agree
+    "dedup_components_star" ->
       s"""${ShingleCte.replaceFirst("WITH", "WITH RECURSIVE")}, pr AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM f a JOIN f b ON a.doc_id < b.doc_id

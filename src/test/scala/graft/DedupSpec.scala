@@ -151,4 +151,29 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out.count(_._2._2) == 3) // exactly one keeper per component
     assert(out(1L)._2 && out(10L)._2 && out(20L)._2)
   }
+
+  test("large-star/small-star components equal plain propagation") {
+    import spark.implicits._
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // graph shapes that stress different convergence behavior: a long
+    // chain (diameter 15 — where propagation needs 15 passes but the
+    // star steps stay logarithmic), a star, dense triangles, singleton
+    // pairs, and ids arriving in arbitrary order
+    val chain = (1L to 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = (2L to 9L).map(i => (1L, i)).toDF("doc_a", "doc_b")
+    val mixed = Seq((5L, 3L), (3L, 9L), (9L, 5L), (100L, 90L),
+      (40L, 41L), (90L, 80L)).toDF("doc_a", "doc_b")
+    for (pairs <- Seq(chain, star, mixed))
+      assert(norm(Dedup.connectedComponentsStar(pairs)) ==
+        norm(Dedup.connectedComponents(pairs)))
+    // and on the real LSH candidate pairs from the documents table
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val lsh = Dedup.minhashNearDup(docs, 0.5)
+    assert(norm(Dedup.connectedComponentsStar(lsh)) ==
+      norm(Dedup.connectedComponents(lsh)))
+    // the size router picks propagation below threshold, star above
+    assert(norm(Dedup.connectedComponentsAuto(mixed, starThreshold = 1L)) ==
+      norm(Dedup.connectedComponents(mixed)))
+  }
 }
