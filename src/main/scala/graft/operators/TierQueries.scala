@@ -130,6 +130,27 @@ object TierQueries {
       graft.sources.BuffStore.sumFromPlanes(pl, base, 3)
     }),
 
+    // BUFF progressive max with argmax positions (buff_simd.rs:2444-2862):
+    // lexicographic fold over the plane struct = plane-major refinement;
+    // result is every position attaining the global max, with the value
+    "buff_max_argmax" -> ((s, d) => {
+      val rd = r(s, d)
+      val base = rd.agg(min(col("value_q"))).first().getLong(0)
+      val pl = graft.sources.BuffStore.planes(rd, base, 3)
+      graft.sources.BuffStore.maxWithArgmax(pl, base, 3)
+    }),
+
+    // BUFF precision-progressive sum (split_double.rs:2949): fold only
+    // the top 2 of 3 planes + a count-based hard error bound — the
+    // oracle recomputes the same truncated sum in SQL, so the
+    // approximation CONTRACT (not just the answer) is verified
+    "buff_sum_prefix" -> ((s, d) => {
+      val rd = r(s, d)
+      val base = rd.agg(min(col("value_q"))).first().getLong(0)
+      val pl = graft.sources.BuffStore.planes(rd, base, 3)
+      graft.sources.BuffStore.sumFromPlanesPrefix(pl, base, 3, 2)
+    }),
+
     // Gorilla XOR codec (gorilla.rs:19-447, public VLDB'15 scheme): encode
     // each segment array, answer max FROM THE COMPRESSED FORM, and prove
     // the roundtrip bit-exact in the same row — all map-only expressions
@@ -161,6 +182,19 @@ object TierQueries {
     "buff_sum" ->
       s"""$OracleCte SELECT signal_id, CAST(sum(value_q) AS BIGINT) AS sum_q,
          |  CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY signal_id""".stripMargin,
+
+    "buff_max_argmax" ->
+      s"""$OracleCte SELECT signal_id, seq_no, value_q FROM r
+         |WHERE value_q = (SELECT max(value_q) FROM r)""".stripMargin,
+
+    "buff_sum_prefix" ->
+      s"""$OracleCte, b AS (SELECT min(value_q) AS m FROM r)
+         |SELECT signal_id,
+         |  CAST(sum(((value_q - m) // 256) * 256) + count(*) * min(m) AS BIGINT)
+         |    AS sum_lo,
+         |  CAST(count(*) * 255 AS BIGINT) AS err_bound,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM r, b GROUP BY signal_id""".stripMargin,
 
     "codec_gorilla" ->
       s"""$OracleCte SELECT signal_id,

@@ -127,6 +127,47 @@ object BuffStore {
       count(lit(1)).as("cnt"))
   }
 
+  /** Progressive max with argmax positions (buff_simd.rs:2444-2862: track
+    * the running max byte per plane, keep the bitmap of positions
+    * attaining it, refine on lower planes). Plan-level equivalent: the
+    * max is folded plane-major — max(p0), then max(p1) among p0-maximal
+    * rows, ... — so each refinement level is a scalar aggregate over a
+    * scan that needs ONE more plane than the last, and the final
+    * position list (the argmax "bitmap") is a filter on the per-level
+    * maxima — expressed as a broadcast semi-join against the one-row
+    * maximum, so the whole thing is declarative: no driver loop, no
+    * collect.
+    */
+  def maxWithArgmax(planesDf: DataFrame, base: Long, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{max => fmax}
+    // per-level maxima as a chain of conditional aggregates: m0 = max(p0),
+    // m1 = max(p1 | p0 = m0), ... — computed in ONE aggregation pass by
+    // folding lexicographically: max(struct(p0, p1, ..)) is exactly the
+    // plane-major byte refinement (struct ordering = lexicographic)
+    val packed = struct((0 until n).map(i => col(s"p$i")): _*)
+    val top = planesDf.agg(fmax(packed).as("m"))
+    planesDf.join(broadcast(top), packed === col("m"))
+      .select(col("signal_id"), col("seq_no"),
+        reconstruct(base, n).as("value_q"))
+  }
+
+  /** Precision-progressive sum (split_double.rs:2949 `sum@precision`):
+    * fold only the first `j` planes — the exact sum of the truncated
+    * values — plus a hard error bound: each row contributes at most
+    * (256^(n-j) - 1) unseen low-plane mass. One narrow scan of j plane
+    * columns; the bound is count-based, no low plane touched.
+    */
+  def sumFromPlanesPrefix(planesDf: DataFrame, base: Long, n: Int, j: Int): DataFrame = {
+    require(j >= 1 && j <= n, s"prefix plane count $j out of [1,$n]")
+    val planeSums = (0 until j).map(i =>
+      shiftleft(sum(col(s"p$i")).cast("long"), shiftBits(n, i)))
+    val unseen = (1L << (8 * (n - j))) - 1L
+    planesDf.groupBy(col("signal_id")).agg(
+      (planeSums.reduce(_ + _) + count(lit(1)) * lit(base)).as("sum_lo"),
+      (count(lit(1)) * lit(unseen)).as("err_bound"),
+      count(lit(1)).as("cnt"))
+  }
+
   /** Persist the plane representation (the on-disk BUFF layout: one
     * Parquet column per byte plane, dictionary/bit-pack encoded).
     */

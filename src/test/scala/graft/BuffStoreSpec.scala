@@ -89,6 +89,40 @@ class BuffStoreSpec extends AnyFunSuite with SparkTest {
     assert(viaPlanes == raw)
   }
 
+  test("progressive max returns every argmax position with the max value") {
+    val pl = BuffStore.read(spark, storePath)
+    val got = BuffStore.maxWithArgmax(pl, base, N)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mx = readings.agg(max(col("value_q"))).first().getLong(0)
+    val want = readings.filter(col("value_q") === mx)
+      .select(col("signal_id"), col("seq_no"), col("value_q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.forall(_._3 == mx))
+  }
+
+  test("prefix sum is within its own error bound of the exact sum") {
+    val pl = BuffStore.read(spark, storePath)
+    for (j <- 1 to N) {
+      val approx = BuffStore.sumFromPlanesPrefix(pl, base, N, j)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val exact = readings.groupBy(col("signal_id"))
+        .agg(sum(col("value_q")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      for ((sig, (lo, bound)) <- approx) {
+        assert(lo <= exact(sig), s"signal $sig: truncated sum exceeds exact")
+        assert(exact(sig) - lo <= bound,
+          s"signal $sig: error ${exact(sig) - lo} > bound $bound at j=$j")
+      }
+    }
+    // full-prefix sum (j = N) is exact
+    val full = BuffStore.sumFromPlanesPrefix(pl, base, N, N)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = readings.groupBy(col("signal_id"))
+      .agg(sum(col("value_q")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full == exact)
+  }
+
   test("planesFor sizes the plane count from the domain width") {
     assert(BuffStore.planesFor(0L) == 1)
     assert(BuffStore.planesFor(255L) == 1)
