@@ -76,6 +76,22 @@ object TierQueries {
     "storage_codec_cr" -> ((s, d) =>
       graft.sources.CodecStore.compressionMatrix(r(s, d))),
 
+    // OPTIMIZE-style compaction lifecycle (buffer_pool.rs persistence +
+    // file_handler.rs): land a deliberately fragmented store, compact it
+    // to target-size clustered files, read it BACK and aggregate — the
+    // oracle proves the rewrite is lossless (file counts are asserted in
+    // CompactorSpec; this query verifies the data contract)
+    "storage_compact" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-compact").toString + "/store"
+      r(s, d).repartition(48).write.mode("overwrite").parquet(base)
+      graft.sources.Compactor.compact(s, base, targetBytes = 4L << 20,
+        sortCols = Seq("signal_id", "seq_no"))
+      s.read.parquet(base).groupBy(col("signal_id"))
+        .agg(sum(col("value_q")).cast("long").as("sum_q"),
+          count(lit(1)).as("cnt"))
+    }),
+
     "seg_kernel_sink" -> ((s, d) => {
       val segs = Segments.complete(r(s, d))
       val dict = segs.filter(col("signal_id") < 2 && col("seg") === 0)
@@ -186,6 +202,10 @@ object TierQueries {
     "buff_max_argmax" ->
       s"""$OracleCte SELECT signal_id, seq_no, value_q FROM r
          |WHERE value_q = (SELECT max(value_q) FROM r)""".stripMargin,
+
+    "storage_compact" ->
+      s"""$OracleCte SELECT signal_id, CAST(sum(value_q) AS BIGINT) AS sum_q,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY signal_id""".stripMargin,
 
     "buff_sum_prefix" ->
       s"""$OracleCte, b AS (SELECT min(value_q) AS m FROM r)
