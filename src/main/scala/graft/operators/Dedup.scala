@@ -214,6 +214,40 @@ object Dedup {
   def ngramNearDup(docs: DataFrame, n: Int, threshold: Double): DataFrame =
     nearDupBySets(ngramSets(docs, n), threshold)
 
+  /** Span-level duplication profile (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — substring dedup
+    * re-expressed over word shingles): a 3-token shingle occurring in at
+    * least `minDocs` DISTINCT documents is a duplicated span, and each
+    * document reports how much of it is made of such spans — the signal
+    * that catches boilerplate/templated text which doc-level near-dedup
+    * misses (two docs can be pairwise-dissimilar yet both 80% boilerplate).
+    *
+    * Scale shape: explode to (doc, gram) rows, ONE keyed aggregation on
+    * the gram (map-side combined; shingle sets are distinct per doc so
+    * count(*) = distinct docs), keep only grams over the threshold (the
+    * duplicated-gram table is bounded by corpus redundancy, not corpus
+    * size), then one keyed join back and a per-doc count. No all-pairs
+    * work anywhere; the gram aggregation is the same shuffle the vocab
+    * builder runs. Output: (doc_id, n_spans, n_dup, dup_frac) for every
+    * doc with at least one shingle.
+    */
+  def duplicatedSpans(docs: DataFrame, minDocs: Long): DataFrame = {
+    val sh = shingleSets(docs)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dupGrams = exploded.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("s"))
+    val perDoc = exploded.join(dupGrams, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_spans").cast("double"), 6).as("dup_frac"))
+  }
+
   /** Connected components over duplicate pairs — the dedup capstone:
     * near-dup PAIRS must become CLUSTERS before one canonical keeper per
     * cluster can be chosen (A~B and B~C pull A,B,C together even when

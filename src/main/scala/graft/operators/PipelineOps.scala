@@ -116,6 +116,41 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_shared")) // shingle sets are distinct per doc
   }
 
+  /** Bloom-prefiltered decontamination — [[decontaminate]]'s shape for the
+    * regime where the benchmark shingle set is too large to broadcast-join
+    * raw but its Bloom sketch (~10 bits/element at 1% fpp) still fits on
+    * every executor. A Bloom filter is built over the benchmark shingles
+    * (one bounded aggregation; the sketch, not the set, ships to
+    * executors), the train shingle stream is pre-filtered MAP-SIDE before
+    * any shuffle, and the survivors are confirmed by the exact keyed join.
+    * The result is EXACT regardless of fpp: Bloom filters have no false
+    * negatives, and the confirm join removes the false positives — so this
+    * carries the same oracle as the exact operator, while the shuffle
+    * volume drops from |train shingles| to |matches| + fpp·|train
+    * shingles|. (The probe is a scalar UDF because the sketch is an opaque
+    * driver-built object — the same pattern Spark's internal runtime
+    * bloom-filter join uses; it runs on the pre-exploded stream only.)
+    */
+  def decontaminateBloom(docs: DataFrame, benchPred: Column,
+                         fpp: Double = 0.01): DataFrame = {
+    val sh = Dedup.shingleSets(docs)
+    val bench = sh.filter(benchPred)
+      .select(explode(col("sh")).as("s")).distinct()
+    val expected = math.max(1L, bench.count())
+    val bloom = bench.stat.bloomFilter("s", expected, fpp)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bloomBc.value.mightContainString(s))
+    val candidates = sh.filter(!benchPred)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .filter(mightContain(col("s")))
+    // deliberately NOT a broadcast join: this operator models the
+    // large-benchmark regime, so the confirm is a keyed shuffle join over
+    // the (bloom-thinned) candidate stream
+    candidates.join(bench, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Source-weighted mixture construction (the "data mixture" step of a
     * training pipeline): keep each document independently with its
     * source's sampling probability, decided by the deterministic mix32

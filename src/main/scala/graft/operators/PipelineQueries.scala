@@ -37,6 +37,12 @@ object PipelineQueries {
     "pipe_decontam" -> ((s, d) =>
       PipelineOps.decontaminate(docs(s, d), col("doc_id") % 50 === 0)),
 
+    // the Bloom-prefiltered twin: same result EXACTLY (no false negatives
+    // + exact confirm join), but the shape for a benchmark set whose raw
+    // shingles exceed broadcast size while the sketch fits
+    "pipe_decontam_bloom" -> ((s, d) =>
+      PipelineOps.decontaminateBloom(docs(s, d), col("doc_id") % 50 === 0)),
+
     "pipe_vocab" -> ((s, d) => PipelineOps.vocabTopK(docs(s, d), VocabK)),
 
     // source-weighted mixture: even-numbered sources sampled at 0.25,
@@ -80,6 +86,23 @@ object PipelineQueries {
        |  SELECT doc_id, lang, toks, cleaned FROM k
        |  WHERE doc_id = keeper AND toks BETWEEN $MinToks AND $MaxToks
        |)""".stripMargin
+
+  private val DecontamSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |         list_distinct([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+      |                        for i in range(1, len(tl) - 1)]) AS sh
+      |  FROM toks WHERE len(tl) >= 3
+      |), b AS (
+      |  SELECT DISTINCT unnest(sh) AS s FROM f WHERE doc_id % 50 = 0
+      |), t AS (
+      |  SELECT doc_id, unnest(sh) AS s FROM f WHERE doc_id % 50 <> 0
+      |)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM t JOIN b USING (s) GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pipe_split" ->
@@ -139,22 +162,11 @@ object PipelineQueries {
          |  CAST(pk.start_tok AS BIGINT) AS start_tok, cur.toks, cur.cleaned
          |FROM cur JOIN sp USING (doc_id) JOIN pk USING (doc_id)""".stripMargin,
 
-    "pipe_decontam" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
-        |  FROM documents
-        |), f AS (
-        |  SELECT doc_id,
-        |         list_distinct([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
-        |                        for i in range(1, len(tl) - 1)]) AS sh
-        |  FROM toks WHERE len(tl) >= 3
-        |), b AS (
-        |  SELECT DISTINCT unnest(sh) AS s FROM f WHERE doc_id % 50 = 0
-        |), t AS (
-        |  SELECT doc_id, unnest(sh) AS s FROM f WHERE doc_id % 50 <> 0
-        |)
-        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM t JOIN b USING (s) GROUP BY 1""".stripMargin,
+    "pipe_decontam" -> DecontamSql,
+
+    // the Bloom path is exact (see PipelineOps.decontaminateBloom), so it
+    // shares the exact operator's oracle verbatim
+    "pipe_decontam_bloom" -> DecontamSql,
 
     "pipe_vocab" ->
       s"""SELECT tok, CAST(count(*) AS BIGINT) AS cnt

@@ -46,6 +46,11 @@ object TextQueries {
 
     "dedup_ngram" -> ((s, d) => Dedup.ngramNearDup(docs(s, d), 4, 0.6)),
 
+    // span-level duplication profile (Lee et al. substring dedup over
+    // word shingles): per-doc duplicated-span fraction — catches
+    // boilerplate that doc-level near-dedup misses
+    "dedup_spans" -> ((s, d) => Dedup.duplicatedSpans(docs(s, d), minDocs = 3L)),
+
     "dedup_simhash" -> ((s, d) =>
       TextOps.simhash(docs(s, d), "doc_id", "text")),
 
@@ -290,6 +295,21 @@ object TextQueries {
          |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r)
          |)
          |SELECT doc_id, lang FROM documents ANTI JOIN losers USING (doc_id)""".stripMargin,
+
+    "dedup_spans" ->
+      s"""$ShingleCte, ex AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM f
+         |), d AS (
+         |  SELECT s FROM ex GROUP BY s HAVING count(*) >= 3
+         |), pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |  FROM ex JOIN d USING (s) GROUP BY 1
+         |)
+         |SELECT f.doc_id, CAST(len(f.sh) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup,
+         |  round(CAST(coalesce(pd.n_dup, 0) AS DOUBLE) /
+         |        CAST(len(f.sh) AS DOUBLE), 6) AS dup_frac
+         |FROM f LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // brute-force all-pairs oracle; the (semantically implied) set-size
     // ratio bound min >= t*max prunes the quadratic work in DuckDB

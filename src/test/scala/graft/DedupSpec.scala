@@ -87,6 +87,26 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(brute.contains((0L, 1L, 0L)))  // the planted exact dup
   }
 
+  test("duplicatedSpans counts shingles shared by >= minDocs documents") {
+    import spark.implicits._
+    // "common one two three four" spans appear in docs 0,1,2; doc 3 is
+    // fully unique; doc 4 has no shingles (too short, excluded)
+    val fixture = Seq(
+      (0L, "common one two three four a0 b0", "en"),
+      (1L, "common one two three four a1 b1", "en"),
+      (2L, "common one two three four a2 b2", "en"),
+      (3L, "totally unrelated text with other words here", "en"),
+      (4L, "xy", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.duplicatedSpans(fixture, minDocs = 3L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // each of docs 0-2 has 5 shingles: 3 shared ("common one two",
+    // "one two three", "two three four") + 2 unique tail shingles
+    assert(out(0L) == ((5L, 3L)) && out(1L) == ((5L, 3L)) && out(2L) == ((5L, 3L)))
+    assert(out(3L)._2 == 0L)
+    assert(!out.contains(4L))
+  }
+
   test("incremental exact dedup drops store duplicates and intra-batch duplicates") {
     import spark.implicits._
     val store = Seq((100L, "landed one", "en"), (101L, "landed two", "en"))

@@ -125,6 +125,27 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     assert(out == Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("bloom-prefiltered decontamination equals the exact operator") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "alpha beta gamma delta", "en"),
+      (1L, "alpha beta gamma epsilon", "en"),
+      (2L, "zeta eta theta iota", "en"),
+      (3L, "x alpha beta gamma delta y", "en"),
+      (50L, "kappa lambda mu nu xi", "en")         // second bench doc
+    ).toDF("doc_id", "text", "lang")
+    val pred = col("doc_id") % 50 === 0
+    val exact = PipelineOps.decontaminate(fixture, pred)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactness must not depend on the sketch's precision: a sloppy fpp
+    // only adds candidates that the confirm join then removes
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = PipelineOps.decontaminateBloom(fixture, pred, fpp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+  }
+
   test("vocabTopK returns the K most frequent tokens, ties alphabetical") {
     import spark.implicits._
     val fixture = Seq(
