@@ -289,6 +289,110 @@ object SprintzCodec {
     fold(bytes, 0L)((s, v, _) => s + v)
 }
 
+/** BP — plain block bit-packing WITHOUT the delta step (the reference's
+  * `BP` codec, methods/compress.rs:177-291, there via the `bitpacking`
+  * crate over u32; here zigzag + MSB-first block packing over the
+  * fixed-point long domain so negative values are total). Same wire shape
+  * as Sprintz minus the delta: 4-byte count, then blocks of 8 values with
+  * a 1-byte bit-width header. Against Sprintz this is the codec for
+  * signals whose LEVEL (not increments) is small — no error accumulation
+  * across a corrupt byte, and any block is decodable independently, which
+  * is why the reference keeps both.
+  */
+object BpCodec {
+
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+  private def bitsNeeded(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  def encode(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new java.io.ByteArrayOutputStream(64)
+    out.write(n >>> 24); out.write(n >>> 16); out.write(n >>> 8); out.write(n)
+    val zz = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_bp_encode: null element at index $i")
+      zz(i) = zigzag(a.getLong(i))
+      i += 1
+    }
+    var b = 0
+    while (b < n) {
+      val end = math.min(b + 8, n)
+      var w = 0
+      var j = b
+      while (j < end) { w = math.max(w, bitsNeeded(zz(j))); j += 1 }
+      out.write(w)
+      if (w > 0) {
+        var acc = 0L
+        var accBits = 0
+        j = b
+        while (j < end) {
+          var left = w
+          val d = zz(j)
+          while (left > 0) {
+            val take = math.min(left, 8 - accBits)
+            acc = (acc << take) | ((d >>> (left - take)) & ((1L << take) - 1))
+            accBits += take
+            left -= take
+            if (accBits == 8) { out.write(acc.toInt & 0xff); acc = 0L; accBits = 0 }
+          }
+          j += 1
+        }
+        if (accBits > 0) out.write((acc << (8 - accBits)).toInt & 0xff)
+      }
+      b = end
+    }
+    out.toByteArray
+  }
+
+  private def fold[T](bytes: Array[Byte], init: T)(f: (T, Long, Int) => T): T = {
+    val n = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+      ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+    var acc = init
+    var p = 4
+    var i = 0
+    while (i < n) {
+      val blockLen = math.min(8, n - i)
+      val w = bytes(p) & 0xff; p += 1
+      var bitPos = 0
+      var j = 0
+      while (j < blockLen) {
+        var d = 0L
+        var left = w
+        while (left > 0) {
+          val byteAt = bytes(p + (bitPos >> 3)) & 0xff
+          val avail = 8 - (bitPos & 7)
+          val take = math.min(left, avail)
+          d = (d << take) | ((byteAt >>> (avail - take)) & ((1 << take) - 1))
+          bitPos += take
+          left -= take
+        }
+        acc = f(acc, unzigzag(d), i + j)
+        j += 1
+      }
+      p += (w * blockLen + 7) / 8
+      i += blockLen
+    }
+    acc
+  }
+
+  def decode(bytes: Array[Byte]): ArrayData = {
+    val n = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+      ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+    val out = new Array[Long](n)
+    fold(bytes, ()) { (_, v, i) => out(i) = v }
+    new GenericArrayData(out)
+  }
+
+  /** Exact fixed-point sum over the compressed form (compress.rs:1053). */
+  def sum(bytes: Array[Byte]): Long = fold(bytes, 0L)((s, v, _) => s + v)
+
+  /** Compressed-domain max (compress.rs:1252). Empty input: Long.MinValue. */
+  def max(bytes: Array[Byte]): Long = fold(bytes, Long.MinValue)((m, v, _) => math.max(m, v))
+}
+
 /** Expression plumbing shared by the codec expressions: unary, static
   * helper call in both interpreted and generated paths.
   */
@@ -373,10 +477,55 @@ case class SprintzSum(child: Expression) extends CodecExpression {
   override protected def withNewChildInternal(c: Expression): SprintzSum = copy(child = c)
 }
 
+case class BpEncode(child: Expression) extends CodecExpression {
+  override def prettyName: String = "graft_bp_encode"
+  override def dataType: DataType = BinaryType
+  override protected def acceptsInput(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true; case _ => false }
+  override protected def inputTypeName: String = "array<bigint>"
+  override protected def helperCall: String = "graft.functions.BpCodec.encode"
+  override def nullSafeEval(v: Any): Any = BpCodec.encode(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): BpEncode = copy(child = c)
+}
+
+case class BpDecode(child: Expression) extends CodecExpression {
+  override def prettyName: String = "graft_bp_decode"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def acceptsInput(dt: DataType): Boolean = dt == BinaryType
+  override protected def inputTypeName: String = "binary"
+  override protected def helperCall: String = "graft.functions.BpCodec.decode"
+  override def nullSafeEval(v: Any): Any = BpCodec.decode(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): BpDecode = copy(child = c)
+}
+
+case class BpSum(child: Expression) extends CodecExpression {
+  override def prettyName: String = "graft_bp_sum"
+  override def dataType: DataType = LongType
+  override protected def acceptsInput(dt: DataType): Boolean = dt == BinaryType
+  override protected def inputTypeName: String = "binary"
+  override protected def helperCall: String = "graft.functions.BpCodec.sum"
+  override def nullSafeEval(v: Any): Any = BpCodec.sum(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): BpSum = copy(child = c)
+}
+
+case class BpMax(child: Expression) extends CodecExpression {
+  override def prettyName: String = "graft_bp_max"
+  override def dataType: DataType = LongType
+  override protected def acceptsInput(dt: DataType): Boolean = dt == BinaryType
+  override protected def inputTypeName: String = "binary"
+  override protected def helperCall: String = "graft.functions.BpCodec.max"
+  override def nullSafeEval(v: Any): Any = BpCodec.max(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): BpMax = copy(child = c)
+}
+
 object CodecFunctions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
+  def bpEncode(values: Column): Column = column(BpEncode(expression(values)))
+  def bpDecode(bin: Column): Column = column(BpDecode(expression(bin)))
+  def bpSum(bin: Column): Column = column(BpSum(expression(bin)))
+  def bpMax(bin: Column): Column = column(BpMax(expression(bin)))
   def gorillaEncode(values: Column): Column = column(GorillaEncode(expression(values)))
   def gorillaDecode(bin: Column): Column = column(GorillaDecode(expression(bin)))
   def gorillaMax(bin: Column): Column = column(GorillaMax(expression(bin)))
@@ -385,6 +534,18 @@ object CodecFunctions {
   def sprintzSum(bin: Column): Column = column(SprintzSum(expression(bin)))
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_bp_encode",
+      new ExpressionInfo(classOf[BpEncode].getName, "graft_bp_encode"),
+      (args: Seq[Expression]) => BpEncode(args(0))),
+    ("graft_bp_decode",
+      new ExpressionInfo(classOf[BpDecode].getName, "graft_bp_decode"),
+      (args: Seq[Expression]) => BpDecode(args(0))),
+    ("graft_bp_sum",
+      new ExpressionInfo(classOf[BpSum].getName, "graft_bp_sum"),
+      (args: Seq[Expression]) => BpSum(args(0))),
+    ("graft_bp_max",
+      new ExpressionInfo(classOf[BpMax].getName, "graft_bp_max"),
+      (args: Seq[Expression]) => BpMax(args(0))),
     ("graft_gorilla_encode",
       new ExpressionInfo(classOf[GorillaEncode].getName, "graft_gorilla_encode"),
       (args: Seq[Expression]) => GorillaEncode(args(0))),

@@ -187,6 +187,33 @@ object TierQueries {
       Segments.of(r(s, d))
         .select(col("signal_id"), col("seg"), col("cnt"),
           sprintzSum(sprintzEncode(q)).as("sum_q"))
+    }),
+
+    // GorillaBD (gorilla.rs:450-848): precision-bound the values FIRST
+    // (the reference's PrecisionBound fixed-point pass), then Gorilla —
+    // the quantized doubles XOR to far fewer significant bits, so the
+    // same codec compresses harder. Composition of the existing quantize
+    // + gorilla expressions; roundtrip + compressed-domain max per segment
+    "codec_gorilla_bd" -> ((s, d) => {
+      import graft.functions.CodecFunctions._
+      val bd = transform(col("values"), v => floor(v * 100).cast("double"))
+      Segments.of(r(s, d))
+        .select(col("signal_id"), col("seg"), col("cnt"),
+          gorillaMax(gorillaEncode(bd)).as("max_q"),
+          (gorillaDecode(gorillaEncode(bd)) === bd).as("roundtrip_ok"))
+    }),
+
+    // BP plain block bit-packing (methods/compress.rs:177-291) — no delta:
+    // the codec for small-LEVEL signals; exact sum AND max from the
+    // compressed form (compress.rs:1053/:1252)
+    "codec_bp" -> ((s, d) => {
+      import graft.functions.CodecFunctions._
+      val q = transform(col("values"), v => floor(v * 100).cast("long"))
+      Segments.of(r(s, d))
+        .select(col("signal_id"), col("seg"), col("cnt"),
+          bpSum(bpEncode(q)).as("sum_q"),
+          bpMax(bpEncode(q)).as("max_q"),
+          (bpDecode(bpEncode(q)) === q).as("roundtrip_ok"))
     })
   )
 
@@ -228,6 +255,23 @@ object TierQueries {
          |  CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
          |  CAST(count(*) AS BIGINT) AS cnt,
          |  CAST(sum(value_q) AS BIGINT) AS sum_q
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "codec_gorilla_bd" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  max(CAST(value_q AS DOUBLE)) AS max_q,
+         |  true AS roundtrip_ok
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "codec_bp" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(value_q) AS BIGINT) AS sum_q,
+         |  CAST(max(value_q) AS BIGINT) AS max_q,
+         |  true AS roundtrip_ok
          |FROM r GROUP BY 1, 2""".stripMargin,
 
     "tier_paa_max" ->

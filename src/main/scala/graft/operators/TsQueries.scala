@@ -530,6 +530,42 @@ object TsQueries {
     "o8_zonemap_sum" -> ((s, d) =>
       ZoneMap.sumFromStats(ZoneMap.segmentStats(r(s, d)))),
 
+    // min + avg from stats complete the reference's five buffer-level
+    // stats queries (Count/Min/Max/Sum/Average, query.rs:41-173) — every
+    // one now answered from the zone map without a data scan
+    "o8_zonemap_min" -> ((s, d) =>
+      ZoneMap.minFromStats(ZoneMap.segmentStats(r(s, d)))),
+
+    "o8_zonemap_avg" -> ((s, d) =>
+      ZoneMap.avgFromStats(ZoneMap.segmentStats(r(s, d)), scale = 100.0)),
+
+    // SegmentIter chain walk (segment.rs:115-120 get_prev_key /
+    // :251-291 SegmentIter): consecutive segments of a signal form an
+    // implicit linked list; emit each segment with its predecessor key.
+    // The reference walks the list pointer-by-pointer; relationally it is
+    // one keyed window (lag over the per-signal segment sequence)
+    "seg_chain" -> ((s, d) => {
+      val segs = r(s, d)
+        .groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+        .agg(min(col("seq_no")).as("first_seq"), max(col("seq_no")).as("last_seq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("signal_id")).orderBy(col("seg"))
+      segs.withColumn("prev_seg", coalesce(lag(col("seg"), 1).over(w), lit(-1L)))
+    }),
+
+    // OHLC candle downsampling — the classic TS rollup (open/high/low/
+    // close per signal per day); open/close via min_by/max_by on the
+    // unique per-signal seq_no, one keyed aggregation
+    "ts_ohlc" -> ((s, d) =>
+      r(s, d).groupBy(col("signal_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(min_by(col("value"), col("seq_no")).as("open_v"),
+          max(col("value")).as("high_v"),
+          min(col("value")).as("low_v"),
+          max_by(col("value"), col("seq_no")).as("close_v"),
+          count(lit(1)).as("cnt"))
+        .select(col("signal_id"), unix_timestamp(col("day")).as("day_s"),
+          col("open_v"), col("high_v"), col("low_v"), col("close_v"), col("cnt"))),
+
     // event-time zone map — the stats key STREAMING ingest maintains
     // incrementally (ZoneMap.timeStats; fold parity in StreamingSpec)
     "o8_zonemap_time" -> ((s, d) =>
@@ -983,6 +1019,35 @@ object TsQueries {
     "o8_zonemap_sum" ->
       s"""$OracleCte SELECT CAST(sum(value_q) AS BIGINT) AS sum_q,
          |  CAST(count(*) AS BIGINT) AS cnt FROM r""".stripMargin,
+
+    "o8_zonemap_min" ->
+      s"$OracleCte SELECT min(value) AS vmin FROM r",
+
+    "o8_zonemap_avg" ->
+      s"""$OracleCte SELECT
+         |  round(CAST(sum(value_q) AS DOUBLE) /
+         |        (100.0 * CAST(count(*) AS DOUBLE)), 6) AS avg_v,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM r""".stripMargin,
+
+    "seg_chain" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |    CAST(min(seq_no) AS BIGINT) AS first_seq,
+         |    CAST(max(seq_no) AS BIGINT) AS last_seq
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT signal_id, seg, first_seq, last_seq,
+         |  coalesce(lag(seg) OVER (PARTITION BY signal_id ORDER BY seg), -1)
+         |    AS prev_seg
+         |FROM segs""".stripMargin,
+
+    "ts_ohlc" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+         |  arg_min(value, seq_no) AS open_v, max(value) AS high_v,
+         |  min(value) AS low_v, arg_max(value, seq_no) AS close_v,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "o8_zonemap_time" ->
       s"""$OracleCte SELECT signal_id,

@@ -63,4 +63,22 @@ object ZoneMap {
   def sumFromStats(stats: DataFrame): DataFrame =
     stats.agg(sum(col("sum_q")).cast("long").as("sum_q"),
               sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Global min from stats — with max/sum/count/avg this completes the
+    * reference's five buffer-level stats queries (Count/Min/Max/Sum/
+    * Average, query.rs:41-173), all served without touching data.
+    */
+  def minFromStats(stats: DataFrame): DataFrame =
+    stats.agg(min(col("vmin")).as("vmin"))
+
+  /** Global average from stats: exact fixed-point sum over exact count,
+    * dequantized (query.rs:168 Average). Exact because sum_q is the
+    * integer-domain sum — no FP fold-order drift enters the stats table.
+    */
+  def avgFromStats(stats: DataFrame, scale: Double): DataFrame =
+    stats.agg(sum(col("sum_q")).cast("long").as("sq"),
+              sum(col("cnt")).cast("long").as("cnt"))
+      .select(round(col("sq").cast("double") /
+        (lit(scale) * col("cnt").cast("double")), 6).as("avg_v"),
+        col("cnt"))
 }

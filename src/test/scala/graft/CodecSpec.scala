@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{CodecFunctions, GorillaCodec, SprintzCodec}
+import graft.functions.{BpCodec, CodecFunctions, GorillaCodec, SprintzCodec}
 
 /** Gorilla / Sprintz codec expressions: bit-exact roundtrips (structured
   * cases + seeded random sweeps), compressed-domain aggregates,
@@ -57,6 +57,53 @@ class CodecSpec extends AnyFunSuite with SparkTest {
       val vs = Seq.fill(n)(rnd.nextLong() / 4)
       assert(sDec(sEnc(vs)) == vs)
     }
+  }
+
+  private def bEnc(vs: Seq[Long]) = BpCodec.encode(new GenericArrayData(vs.toArray))
+  private def bDec(b: Array[Byte]): Seq[Long] =
+    BpCodec.decode(b).toLongArray().toSeq
+
+  test("bp roundtrips exactly on structured cases") {
+    for (vs <- Seq(
+      Seq.empty[Long],
+      Seq(0L),
+      Seq(42L, 42L, 42L),
+      Seq(Long.MaxValue / 2, Long.MinValue / 2, 0L, -1L, 1L),
+      (0 until 1000).map(i => (i % 17).toLong),
+      Seq(-5L, -4L, -3L, 100L, -100L)))
+      assert(bDec(bEnc(vs)) == vs, s"bp roundtrip failed for $vs")
+  }
+
+  test("bp roundtrips on random longs and serves sum/max compressed") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val n = rnd.nextInt(64)
+      val vs = Seq.fill(n)(rnd.nextLong() / 4)
+      assert(bDec(bEnc(vs)) == vs)
+      if (n > 0) {
+        assert(BpCodec.sum(bEnc(vs)) == vs.sum)
+        assert(BpCodec.max(bEnc(vs)) == vs.max)
+      }
+    }
+    assert(BpCodec.sum(bEnc(Seq.empty)) == 0L)
+    assert(BpCodec.max(bEnc(Seq.empty)) == Long.MinValue)
+  }
+
+  test("bp beats raw on small-LEVEL (not small-delta) data; blocks independent") {
+    // values bounded by 127 regardless of order: 8 bits/value + headers
+    val vs = (0 until 1000).map(i => ((i * 7919) % 128).toLong)
+    val bytes = bEnc(vs).length
+    assert(bytes < 1000 * 2, s"bp: $bytes bytes for 8000 raw")
+  }
+
+  test("gorilla over precision-bound (quantized) values: the GorillaBD pass") {
+    // the BD trick: floor(v*100) doubles XOR to far fewer significant
+    // bits than the raw values, so the same codec compresses harder
+    val raw = (0 until 1000).map(i => 100.0 + math.sin(i / 25.0) * 0.5 + i * 1e-7)
+    val bd = raw.map(v => math.floor(v * 100))
+    assert(gDec(gEnc(bd)) == bd)
+    assert(gEnc(bd).length < gEnc(raw).length / 2,
+      s"BD ${gEnc(bd).length} vs raw ${gEnc(raw).length}")
   }
 
   test("compressed-domain aggregates equal the decoded aggregates") {
