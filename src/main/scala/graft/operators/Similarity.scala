@@ -163,18 +163,27 @@ object Similarity {
     * can be written as partition keys and probing prunes the scan. Ties:
     * highest cosine, then lowest cell id (struct-max on (cos, -cell)).
     */
-  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
-              centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
-    def bestCell(v: Column): Column = {
-      val scored = array(centroids.map { case (i, c) =>
-        struct(cosine(v.cast("array<double>"), typedLit(c)).as("c"),
-          lit(-i).as("negCell"))
-      }: _*)
-      -array_max(scored).getField("negCell")
-    }
-    val assigned = corpus.withColumn("cn", l2(col("ce")))
-      .withColumn("cell", bestCell(col("ce")))
-    // probes are the small side: rank all cells per probe, keep nProbe
+  /** Best-cell score struct for a vector against a bounded centroid
+    * dictionary: array_max over (cosine, -cell) picks the highest cosine,
+    * lowest cell id on ties — `.c` is the cosine TO the chosen centroid,
+    * `-.negCell` the cell id. Map-only (broadcast literal centroids, no
+    * join, no shuffle), shared by the IVF, IVF+PQ and SemDeDup paths.
+    */
+  def cellScore(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_max(array(centroids.map { case (i, c) =>
+      struct(cosine(v.cast("array<double>"), typedLit(c)).as("c"),
+        lit(-i).as("negCell"))
+    }: _*))
+
+  def bestCell(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    -cellScore(v, centroids).getField("negCell")
+
+  /** Each probe's `nProbe` nearest cells (probes are the small side: the
+    * per-probe cell ranking is a broadcast-size window, never a shuffle
+    * of the corpus).
+    */
+  def probeCells(probes: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                 nProbe: Int): DataFrame = {
     val pc = probes.select(col("probe_id"), col("pe"),
         explode(array(centroids.map { case (i, c) =>
           struct(lit(i).as("cell"),
@@ -182,10 +191,17 @@ object Similarity {
         }: _*)).as("e"))
       .select(col("probe_id"), col("pe"), col("e.cell").as("cell"), col("e.pcos").as("pcos"))
     val wP = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
-    val probeCells = pc.withColumn("prnk", row_number().over(wP))
+    pc.withColumn("prnk", row_number().over(wP))
       .filter(col("prnk") <= nProbe).select(col("probe_id"), col("pe"), col("cell"))
+  }
+
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
+    val assigned = corpus.withColumn("cn", l2(col("ce")))
+      .withColumn("cell", bestCell(col("ce"), centroids))
     val joined = assigned.join(
-        broadcast(probeCells.withColumn("pn", l2(col("pe")))), Seq("cell"))
+        broadcast(probeCells(probes, centroids, nProbe).withColumn("pn", l2(col("pe")))),
+        Seq("cell"))
       .where(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         round(dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6).as("sim"))
