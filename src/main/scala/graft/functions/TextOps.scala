@@ -57,6 +57,24 @@ object TextOps {
   /** Distinct character n-grams of the lowercased text. */
   def charGrams(c: Column, n: Int): Column = charGramsUdf(n)(c)
 
+  private val charPairsUdf = udf((text: String) => {
+    if (text == null) Array.empty[String]
+    else {
+      val words = TokenRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT))
+      val out = Array.newBuilder[String]
+      for (w <- words; if w.length >= 2; i <- 0 until w.length - 1)
+        out += w.substring(i, i + 2)
+      out.result()
+    }
+  })
+
+  /** Adjacent character pairs WITH multiplicity, within each word token —
+    * the merge-candidate stream of BPE's first iteration (Sennrich et al.,
+    * "Neural Machine Translation of Rare Words with Subword Units").
+    * One pass over the raw text (same HOF-avoidance rationale as above).
+    */
+  def charPairsOfText(text: Column): Column = charPairsUdf(text)
+
   /** Standard pre-tokenization normalization: lowercase, strip
     * punctuation, collapse whitespace runs, trim. The SQL twin is
     * [[cleanTextSql]] — keep the two in lockstep.

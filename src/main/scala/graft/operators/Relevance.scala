@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Ranked retrieval and statistical-LM scoring over the document corpus —
+  * the text-search half of a training-data pipeline (query-driven corpus
+  * inspection, decontamination lookups, CCNet-style quality filtering).
+  *
+  * The reference engine has no text surface at all (it is a numeric
+  * time-series store); these operators extend the pipeline family the same
+  * way the dedup/ANN ops do, with classical public algorithms:
+  * BM25 (Robertson/Sparck Jones probabilistic relevance, the Lucene
+  * `k1`/`b` parameterization) and add-alpha-smoothed unigram cross-entropy
+  * (the CCNet/Wenzek-style LM quality signal, reduced to order-0).
+  *
+  * Scale shape: everything is keyed aggregation + one broadcast of the
+  * per-TERM statistics (vocabulary-sized, not corpus-sized). The only
+  * driver-side values are two scalars (N, avgdl). Top-k is
+  * TakeOrderedAndProject — no global sort materialization.
+  */
+object Relevance {
+
+  /** BM25 score of every document against a bag of query `terms`;
+    * returns the `topK` best as (doc_id, score desc, doc_id tiebreak).
+    *
+    * idf uses the +1 "always positive" form:
+    * ln(1 + (N - df + 0.5) / (df + 0.5)).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("tl"))
+      .withColumn("dl", size(col("tl")).cast("double"))
+    // Corpus stats are two bounded scalars (the one acceptable driver fetch).
+    val st = toks.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")).head()
+    val nDocs = st.getDouble(0)
+    val avgdl = st.getDouble(1)
+    // Per-(doc, query-term) frequency: filter BEFORE the shuffle so only
+    // postings of the |terms| query terms ever leave the map side.
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("tl")).as("term"))
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // Document frequency per term: at most |terms| rows -> broadcast.
+    val dft = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(broadcast(dft), Seq("term"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Per-document cross-entropy under the corpus's own add-alpha-smoothed
+    * unigram LM: H(d) = -(1/|d|) * sum_t tf(d,t) * ln p(t), with
+    * p(t) = (cnt(t) + alpha) / (T + alpha * V).
+    *
+    * Self-scoring the training corpus is the standard "how typical is this
+    * document" quality signal; a held-out LM is the same join with `lm`
+    * built from a different DataFrame. The LM side is vocabulary-sized and
+    * broadcast; the doc side is one keyed aggregation.
+    */
+  def unigramCrossEntropy(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    // Two bounded scalars: total token mass and vocabulary size.
+    val st = lm.agg(sum(col("cnt")).as("t"), count(lit(1)).cast("double").as("v")).head()
+    val total = st.getDouble(0)
+    val vocab = st.getDouble(1)
+    tf.join(broadcast(lm), Seq("term"))
+      .withColumn("lp", log((col("cnt") + lit(alpha)) / lit(total + alpha * vocab)))
+      .groupBy(col("doc_id"))
+      .agg((-sum(col("tf") * col("lp")) / sum(col("tf"))).as("h"))
+      .select(col("doc_id"), round(col("h"), 4).as("xent"))
+  }
+}
