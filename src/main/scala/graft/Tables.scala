@@ -14,16 +14,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long and rebuild a micros timestamp with integer
-    * division (the data is microsecond-precision, so this is lossless; a
-    * double-division would lose precision above 2^53 ns).
+  /** events.ts has shipped in two parquet generations: TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects — read nanos as long under
+    * `nanosAsLong` and rebuild a micros timestamp with integer division) and
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=0 (read as TIMESTAMP_NTZ).
+    * Branch on the loaded type so either generation resolves; session TZ is
+    * UTC everywhere so the NTZ→TZ cast is value-preserving.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    normalizeTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize an events-shaped frame's `ts` column to TimestampType
+    * regardless of which physical type the parquet files carried.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>  // nanos read as long
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unsupported type $other — testdata schema drifted; " +
+          "extend Tables.normalizeTs for the new physical type")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -28,13 +28,16 @@ object Ingest {
                      maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir).schema
-    spark.readStream
+    val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
+    // ts arrives as nanos-long or TIMESTAMP_NTZ/TIMESTAMP depending on the
+    // testdata generation — same branch as Tables.normalizeTs
+    graft.Tables.normalizeTs(stream)
       .select(
         col("user_id").as("signal_id"),
-        expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("ts"),
         col("event_id"),
         col("value"),
         Quantize.quantize(col("value"), 2).as("value_q"))
