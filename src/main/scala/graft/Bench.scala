@@ -27,11 +27,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/scan setup should not be billed to the
-    // alphabetically-first query
-    try {
-      SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
-      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    } catch { case _: Throwable => () }
+    // alphabetically-first query. One warm query PER DATA FAMILY, each in
+    // its own try, so a single broken loader (r7: the events ts-type
+    // drift) cannot turn the whole artifact into cold-JVM noise
+    for (wq <- Seq("q1_agg", "text_stats", "ann_lsh", "o5_agg_all"))
+      try { SparkEntry.queries.get(wq).foreach(_(spark, sfDir).count()) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $wq failed: $e") }
+    try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
+    catch { case _: Throwable => () }
     // untimed ingest: land tier0 once; the *_tier variants below then
     // measure the read path the architecture actually ships at 100 TB.
     // Setup failures are logged (a missing bench row must be diagnosable)

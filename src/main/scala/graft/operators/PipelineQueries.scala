@@ -45,6 +45,19 @@ object PipelineQueries {
 
     "pipe_vocab" -> ((s, d) => PipelineOps.vocabTopK(docs(s, d), VocabK)),
 
+    // BPE first-iteration merge candidates (Sennrich et al.): adjacent
+    // char-pair counts with multiplicity within word tokens, top-K — the
+    // subword sequel to pipe_vocab's word-level table. One explode + one
+    // keyed agg + TakeOrderedAndProject; map-side combine keeps the
+    // shuffle at |pair alphabet| * partitions, corpus-size-independent
+    "pipe_bpe_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      docs(s, d)
+        .select(explode(TextOps.charPairsOfText(col("text"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(VocabK)
+    }),
+
     // source-weighted mixture: even-numbered sources sampled at 0.25,
     // odd at 0.75 (weights would be pipeline config in production —
     // a tiny broadcast table either way)
@@ -173,6 +186,20 @@ object PipelineQueries {
          |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
          |      FROM documents)
          |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT $VocabK""".stripMargin,
+
+    // adjacent char pairs WITH multiplicity inside each word token
+    // (range(1, len) is [1, len) -> i = 1..len-1, matching the engine's
+    // 0 until length-1 substring loop)
+    "pipe_bpe_pairs" ->
+      s"""WITH w AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |  FROM documents
+         |), p AS (
+         |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w WHERE len(w) >= 2)
+         |)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+         |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT $VocabK""".stripMargin,
 
     "pipe_curate" ->
       s"$curateCteSql SELECT doc_id, lang, toks, cleaned FROM cur",

@@ -30,16 +30,26 @@ object Relevance {
     */
   def bm25(docs: DataFrame, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    // Queries go through the SAME tokenizer as documents (lowercase,
+    // alphanumeric runs) so "Hello" or "foo-bar" match their document
+    // forms instead of silently matching nothing.
+    val qTerms = terms.flatMap(t =>
+      "[a-z0-9]+".r.findAllIn(Option(t).getOrElse("").toLowerCase(java.util.Locale.ROOT)))
+      .distinct
+    require(qTerms.nonEmpty,
+      s"bm25: no query terms survive tokenization of $terms")
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("tl"))
       .withColumn("dl", size(col("tl")).cast("double"))
     // Corpus stats are two bounded scalars (the one acceptable driver fetch).
     val st = toks.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")).head()
+    if (st.isNullAt(1))  // empty corpus: avg(dl) is null — no docs to rank
+      return docs.select(col("doc_id"), lit(0.0).as("score")).limit(0)
     val nDocs = st.getDouble(0)
     val avgdl = st.getDouble(1)
     // Per-(doc, query-term) frequency: filter BEFORE the shuffle so only
     // postings of the |terms| query terms ever leave the map side.
     val tf = toks.select(col("doc_id"), col("dl"), explode(col("tl")).as("term"))
-      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .filter(col("term").isin(qTerms.map(x => x: Any): _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     // Document frequency per term: at most |terms| rows -> broadcast.
@@ -73,9 +83,15 @@ object Relevance {
     val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     // Two bounded scalars: total token mass and vocabulary size.
     val st = lm.agg(sum(col("cnt")).as("t"), count(lit(1)).cast("double").as("v")).head()
+    if (st.isNullAt(0))  // empty corpus: sum over zero rows is null
+      return docs.select(col("doc_id"), lit(0.0).as("xent")).limit(0)
     val total = st.getDouble(0)
     val vocab = st.getDouble(1)
-    tf.join(broadcast(lm), Seq("term"))
+    // NO broadcast hint on the LM side: it is vocabulary-sized, which a web
+    // corpus can push past driver/broadcast limits. A shuffle join on term
+    // is the safe default; AQE converts it to broadcast when it measures
+    // small (unlike bm25's dft, which is |query terms|-bounded and hinted).
+    tf.join(lm, Seq("term"))
       .withColumn("lp", log((col("cnt") + lit(alpha)) / lit(total + alpha * vocab)))
       .groupBy(col("doc_id"))
       .agg((-sum(col("tf") * col("lp")) / sum(col("tf"))).as("h"))

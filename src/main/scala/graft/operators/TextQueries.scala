@@ -154,8 +154,21 @@ object TextQueries {
           round(when(coalesce(col("n_bg"), lit(0L)) === 0L, 0.0)
             .otherwise(lit(1.0) - col("n_bg_d").cast("double") / col("n_bg").cast("double")), 6)
             .as("dup_bigram_frac"))
-    })
+    }),
+
+    // BM25 ranked retrieval against a fixed probe query — the corpus
+    // inspection / decontamination-lookup path (terms deliberately carry
+    // mixed case + punctuation to exercise query-side normalization)
+    "text_bm25" -> ((s, d) =>
+      Relevance.bm25(docs(s, d), Bm25Terms, topK = 20)),
+
+    // per-document cross-entropy under the corpus's own unigram LM — the
+    // CCNet-style "how typical is this document" quality signal
+    "text_xent" -> ((s, d) => Relevance.unigramCrossEntropy(docs(s, d)))
   )
+
+  /** Probe query for text_bm25 — normalizes to spark/hash/join/window. */
+  val Bm25Terms: Seq[String] = Seq("Spark", "hash", "JOIN!", "window")
 
   private val ShingleCte =
     """WITH toks AS (
@@ -422,6 +435,49 @@ object TextQueries {
         |    ELSE 1.0 - CAST(bga.n_bg_d AS DOUBLE) / CAST(bga.n_bg AS DOUBLE) END, 6)
         |    AS dup_bigram_frac
         |FROM documents d
-        |LEFT JOIN top USING (doc_id) LEFT JOIN bga USING (doc_id)""".stripMargin
+        |LEFT JOIN top USING (doc_id) LEFT JOIN bga USING (doc_id)""".stripMargin,
+
+    // full BM25 recomputation (k1=1.2, b=0.75, +1 idf) — arithmetic written
+    // in the SAME operand order as the engine so doubles round identically
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(tl) AS DOUBLE) AS dl FROM toks
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(tl) AS term FROM toks)
+        |  WHERE term IN ('spark', 'hash', 'join', 'window')
+        |  GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1
+        |)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * (1.2 + 1.0) /
+        |            (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id
+        |LIMIT 20""".stripMargin,
+
+    // add-alpha (0.5) unigram LM self-scored cross-entropy
+    "text_xent" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1
+        |), st AS (
+        |  SELECT sum(cnt) AS t, CAST(count(*) AS DOUBLE) AS v FROM lm
+        |)
+        |SELECT tf.doc_id,
+        |  round((0.0 - sum(tf.tf * ln((lm.cnt + 0.5) / (st.t + 0.5 * st.v)))) / sum(tf.tf), 4)
+        |    AS xent
+        |FROM tf JOIN lm USING (term) CROSS JOIN st
+        |GROUP BY tf.doc_id""".stripMargin
   )
 }

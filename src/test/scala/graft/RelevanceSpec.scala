@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relevance
+
+/** BM25 + unigram cross-entropy: semantics on a hand-computable fixture
+  * plus the edge cases the operators guard (mixed-case/punctuated query
+  * terms, empty term lists, empty corpora).
+  */
+class RelevanceSpec extends AnyFunSuite with SparkTest {
+  import org.apache.spark.sql.DataFrame
+
+  private def corpus(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bm25 ranks the term-dense doc first and idf kills ubiquitous terms") {
+    val docs = corpus(
+      1L -> "spark spark spark engine",
+      2L -> "spark engine engine engine",
+      3L -> "engine engine engine engine")
+    val r = Relevance.bm25(docs, Seq("spark"), topK = 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.map(_._1).toSeq === Seq(1L, 2L), "tf ordering broken")
+    assert(r(0)._2 > r(1)._2)
+    // a term present in EVERY doc still has positive idf under the +1 form
+    val all = Relevance.bm25(docs, Seq("engine"), topK = 10).collect()
+    assert(all.length === 3 && all.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("query terms are normalized through the document tokenizer") {
+    val docs = corpus(1L -> "hello world", 2L -> "goodbye world")
+    // "Hello" (case) and "wor-ld!" (punctuation) must still match
+    val r = Relevance.bm25(docs, Seq("HELLO!"), topK = 10).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L))
+    assertThrows[IllegalArgumentException] {
+      Relevance.bm25(docs, Seq("!!!", ""), topK = 10)
+    }
+  }
+
+  test("empty corpus yields empty results, not an NPE") {
+    val empty = corpus().filter(lit(false))
+    assert(Relevance.bm25(empty, Seq("x")).count() === 0)
+    assert(Relevance.unigramCrossEntropy(empty).count() === 0)
+  }
+
+  test("cross-entropy is lower for typical docs than for rare-token docs") {
+    val docs = corpus(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the rug",
+      3L -> "zyx qwv jkl pqr xxj zzq")
+    val h = Relevance.unigramCrossEntropy(docs)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(h(3L) > h(1L) && h(3L) > h(2L),
+      s"rare-token doc should score highest entropy: $h")
+  }
+
+  test("xent plan has no forced vocabulary broadcast") {
+    val docs = corpus(1L -> "a b c", 2L -> "a b d")
+    val plan = Relevance.unigramCrossEntropy(docs)
+      .queryExecution.logical.toString
+    assert(!plan.contains("ResolvedHint"),
+      "LM side must not be hint-broadcast (vocabulary-sized at web scale)")
+  }
+}
