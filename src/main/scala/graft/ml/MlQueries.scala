@@ -91,7 +91,13 @@ object MlQueries {
     // M5c banded: one independent walk per current-CR band, the
     // reference's bestarms-(0.25, 0.125, below) shape
     "ml_bandit_recode_band" -> ((s, d) =>
-      Bandit.recodeBandReplay(Readings.of(s, d)))
+      Bandit.recodeBandReplay(Readings.of(s, d))),
+
+    // M3: DBSCAN over the deterministic 3-blob + noise fixture — grid-
+    // bucketed candidate join, min-label components; exactly reproducible
+    // in SQL (all-pairs is fine at oracle scale, never on the engine side)
+    "ml_dbscan" -> ((s, _) =>
+      Dbscan.dbscan(Dbscan.fixture(s), eps = 5.0, minPts = 4))
   )
 
   // the outlier fixture's mixer is plain 63-bit-safe integer arithmetic
@@ -133,6 +139,40 @@ object MlQueries {
          |  CAST(sum(is_out::BIGINT) AS BIGINT) AS n_outliers,
          |  max(CASE WHEN is_out THEN 1.0 + u * 1000.0 ELSE 0.0 + u * 1.0 END) AS vmax,
          |  CAST(sum(hu) AS BIGINT) AS sum_u
-         |FROM v""".stripMargin
+         |FROM v""".stripMargin,
+
+    // full DBSCAN recomputation: all-pairs eps-neighbors (fine at fixture
+    // scale), core = |N_eps| >= 4 self included, clusters = recursive
+    // closure over core-core edges labeled by min reachable core id,
+    // border = min adjacent core cluster, noise = -1
+    "ml_dbscan" ->
+      s"""WITH RECURSIVE p AS (
+         |  ${Dbscan.fixtureSql().replace("\n", "\n  ")}
+         |), nb AS (
+         |  SELECT a.id AS a, b.id AS b
+         |  FROM p a JOIN p b ON a.id <> b.id
+         |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25.0
+         |), cores AS (
+         |  SELECT a AS id FROM nb GROUP BY a HAVING count(*) + 1 >= 4
+         |), ce AS (
+         |  SELECT nb.a AS src, nb.b AS dst FROM nb
+         |  JOIN cores ca ON ca.id = nb.a
+         |  JOIN cores cb ON cb.id = nb.b
+         |), reach AS (
+         |  SELECT id, id AS r FROM cores
+         |  UNION
+         |  SELECT ce.src AS id, reach.r FROM ce JOIN reach ON reach.id = ce.dst
+         |), cl AS (
+         |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+         |), border AS (
+         |  SELECT nb.a AS id, min(cl.cluster) AS cluster
+         |  FROM nb JOIN cl ON cl.id = nb.b
+         |  WHERE nb.a NOT IN (SELECT id FROM cores)
+         |  GROUP BY nb.a
+         |)
+         |SELECT p.id,
+         |  CAST(coalesce(cl.cluster, border.cluster, -1) AS BIGINT) AS cluster,
+         |  (cl.id IS NOT NULL) AS is_core
+         |FROM p LEFT JOIN cl USING (id) LEFT JOIN border USING (id)""".stripMargin
   )
 }

@@ -539,6 +539,13 @@ object TsQueries {
     "o8_zonemap_avg" -> ((s, d) =>
       ZoneMap.avgFromStats(ZoneMap.segmentStats(r(s, d)), scale = 100.0)),
 
+    // percentiles served from the persisted fixed-point histogram sketch —
+    // the stats-tier answer to o5_percentile (exact in the quantized
+    // domain, mergeable across segments, no raw-data sort anywhere)
+    "o8_percentile_sketch" -> ((s, d) =>
+      ZoneMap.percentileFromHistogram(
+        ZoneMap.segmentHistogram(r(s, d)), Seq(0.5, 0.9), scale = 100.0)),
+
     // SegmentIter chain walk (segment.rs:115-120 get_prev_key /
     // :251-291 SegmentIter): consecutive segments of a signal form an
     // implicit linked list; emit each segment with its predecessor key.
@@ -1028,6 +1035,36 @@ object TsQueries {
          |  round(CAST(sum(value_q) AS DOUBLE) /
          |        (100.0 * CAST(count(*) AS DOUBLE)), 6) AS avg_v,
          |  CAST(count(*) AS BIGINT) AS cnt FROM r""".stripMargin,
+
+    // the histogram-sketch percentile recomputed cell-by-cell: cumulative
+    // ranges over the per-signal value_q histogram, rank i = (n-1)p,
+    // interpolation in the SAME operand order as the engine
+    "o8_percentile_sketch" ->
+      s"""$OracleCte, h AS (
+         |  SELECT signal_id, value_q, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), c AS (
+         |  SELECT signal_id, value_q, cnt,
+         |    sum(cnt) OVER (PARTITION BY signal_id ORDER BY value_q) AS cume,
+         |    sum(cnt) OVER (PARTITION BY signal_id ORDER BY value_q) - cnt AS strt
+         |  FROM h
+         |), idx AS (
+         |  SELECT signal_id, n, p,
+         |    CAST(n - 1 AS DOUBLE) * p AS i,
+         |    CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS lo,
+         |    CAST(ceil(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS hi
+         |  FROM (SELECT signal_id, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1)
+         |  CROSS JOIN (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS p)
+         |)
+         |SELECT idx.signal_id, idx.p,
+         |  round((CAST(l.value_q AS DOUBLE) +
+         |         CAST(h2.value_q - l.value_q AS DOUBLE) *
+         |           (idx.i - CAST(idx.lo AS DOUBLE))) / 100.0, 6) AS v
+         |FROM idx
+         |JOIN c l ON l.signal_id = idx.signal_id
+         |        AND l.strt <= idx.lo AND idx.lo < l.cume
+         |JOIN c h2 ON h2.signal_id = idx.signal_id
+         |         AND h2.strt <= idx.hi AND idx.hi < h2.cume""".stripMargin,
 
     "seg_chain" ->
       s"""$OracleCte, segs AS (

@@ -81,4 +81,59 @@ object ZoneMap {
       .select(round(col("sq").cast("double") /
         (lit(scale) * col("cnt").cast("double")), 6).as("avg_v"),
         col("cnt"))
+
+  /** Per-(signal, segment) fixed-point value histogram — the percentile
+    * "sketch" tier. In the quantized domain a value_q count table IS an
+    * exact mergeable quantile sketch (the t-digest analogue of the
+    * reference's sketch-serving path, buffer_pool.rs:940-1101, with zero
+    * error in the engine's own fixed-point domain): cells merge by
+    * summing counts (associative — streamable and partially aggregable),
+    * and table size is bounded by value_q cardinality × segments, not by
+    * row count.
+    */
+  def segmentHistogram(r: DataFrame): DataFrame =
+    r.groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"),
+        col("value_q"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold per-segment histogram cells to per-signal cells (exact merge —
+    * the stats-tree fold, avl/btrarr.rs:11-92 analogue).
+    */
+  def foldHistogram(hist: DataFrame): DataFrame =
+    hist.groupBy(col("signal_id"), col("value_q"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Interpolated per-signal percentiles served from the histogram alone —
+    * no data scan. Equals percentile_cont over the dequantized values:
+    * rank index i = (n-1)p; the bracketing cells come from one cumulative
+    * window over the (tiny) per-signal histogram plus two equi-joins on
+    * signal_id with range post-filters — no sort of the raw data anywhere.
+    */
+  def percentileFromHistogram(hist: DataFrame, ps: Seq[Double],
+                              scale: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = foldHistogram(hist)
+    val w = Window.partitionBy(col("signal_id")).orderBy(col("value_q"))
+    val cum = h.select(col("signal_id").as("c_sig"), col("value_q"),
+        sum(col("cnt")).over(w).as("cume"),
+        (sum(col("cnt")).over(w) - col("cnt")).as("strt"))
+    val idx = h.groupBy(col("signal_id")).agg(sum(col("cnt")).cast("long").as("n"))
+      .select(col("signal_id"), col("n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("i", (col("n") - lit(1L)).cast("double") * col("p"))
+      .withColumn("lo", floor(col("i")).cast("long"))
+      .withColumn("hi", ceil(col("i")).cast("long"))
+    val vlo = cum.select(col("c_sig"), col("value_q").as("vlo"),
+      col("strt").as("lo_s"), col("cume").as("lo_c"))
+    val vhi = cum.select(col("c_sig").as("c_sig2"), col("value_q").as("vhi"),
+      col("strt").as("hi_s"), col("cume").as("hi_c"))
+    idx
+      .join(vlo, idx("signal_id") === vlo("c_sig") &&
+        vlo("lo_s") <= idx("lo") && idx("lo") < vlo("lo_c"))
+      .join(vhi, idx("signal_id") === vhi("c_sig2") &&
+        vhi("hi_s") <= idx("hi") && idx("hi") < vhi("hi_c"))
+      .select(col("signal_id"), col("p"),
+        round((col("vlo").cast("double") +
+          (col("vhi") - col("vlo")).cast("double") *
+            (col("i") - col("lo").cast("double"))) / lit(scale), 6).as("v"))
+  }
 }
