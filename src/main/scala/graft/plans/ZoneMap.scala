@@ -96,8 +96,19 @@ object ZoneMap {
         col("value_q"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Fold per-segment histogram cells to per-signal cells (exact merge —
-    * the stats-tree fold, avl/btrarr.rs:11-92 analogue).
+  /** Event-time flavor of [[segmentHistogram]]: cells keyed by
+    * (signal, day, value_q) — the key STREAMING ingest can maintain
+    * per micro-batch (like [[timeStats]]); partial cells from different
+    * batches fold exactly because counts are associative.
+    */
+  def timeHistogram(r: DataFrame): DataFrame =
+    r.groupBy(col("signal_id"), date_trunc("day", col("ts")).as("day"),
+        col("value_q"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold histogram cells (per-segment, per-day or per-batch partials) to
+    * per-signal cells (exact merge — the stats-tree fold,
+    * avl/btrarr.rs:11-92 analogue).
     */
   def foldHistogram(hist: DataFrame): DataFrame =
     hist.groupBy(col("signal_id"), col("value_q"))

@@ -78,7 +78,8 @@ object Ingest {
     * folded stats and duplicate tier-0 rows).
     */
   def tier0Writer(readings: DataFrame, tier0Dir: String, checkpointDir: String,
-                  buckets: Int = 32, statsDir: Option[String] = None): StreamingQuery =
+                  buckets: Int = 32, statsDir: Option[String] = None,
+                  histDir: Option[String] = None): StreamingQuery =
     readings
       .withColumn("sig_bucket", pmod(col("signal_id"), lit(buckets)))
       .writeStream
@@ -98,6 +99,18 @@ object Ingest {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(sd)
+        }
+        // percentile-sketch maintenance: per-batch partial value_q cells
+        // (signal, day, value_q) — same idempotent overwrite discipline;
+        // ZoneMap.foldHistogram merges partials exactly at read time, so
+        // the persisted sketch serves percentiles with no raw-data scan
+        histDir.foreach { hd =>
+          graft.plans.ZoneMap.timeHistogram(batch.drop("sig_bucket"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(hd)
         }
       }
       .start()

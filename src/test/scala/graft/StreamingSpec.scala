@@ -88,6 +88,46 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(statsMax == dataMax)
   }
 
+  test("incremental percentile-sketch cells fold to the batch histogram and serve exact percentiles") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val in = Files.createTempDirectory("graft-stream-inh").toString
+    Seq(raw.filter(col("event_id") % 2 === 0), raw.filter(col("event_id") % 2 =!= 0))
+      .zipWithIndex.foreach { case (half, i) =>
+        val tmp = Files.createTempDirectory(s"graft-hhalf$i").toString
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(in, s"half$i.parquet"))
+      }
+    val base = Files.createTempDirectory("graft-tier0h").toString
+    val q = Ingest.tier0Writer(
+      Ingest.readingsStream(spark, in), s"$base/data", s"$base/ckpt",
+      histDir = Some(s"$base/hist"))
+    q.awaitTermination()
+    val cells = spark.read.parquet(s"$base/hist")
+    // two batches → partial cells for shared (signal, day, value_q) keys
+    assert(cells.count() > graft.plans.ZoneMap.foldHistogram(cells).count(),
+      "expected partial per-batch histogram cells")
+    // fold equals the batch histogram exactly
+    val folded = graft.plans.ZoneMap.foldHistogram(cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.plans.ZoneMap
+      .foldHistogram(graft.plans.ZoneMap.segmentHistogram(Readings.of(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(folded == batch, "streamed cells do not fold to the batch histogram")
+    // and the persisted sketch serves the exact percentile
+    val served = graft.plans.ZoneMap
+      .percentileFromHistogram(cells, Seq(0.5), scale = 100.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val exact = Readings.of(spark, sf).groupBy(col("signal_id"))
+      .agg(expr("percentile(value_q / 100.0, 0.5)").as("p50"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (sig, v) =>
+      assert(math.abs(served(sig) - v) < 1e-6, s"sketch p50 off for signal $sig")
+    }
+  }
+
   test("stream segmentation matches batch complete segments") {
     val in = stageInput()
     import spark.implicits._
