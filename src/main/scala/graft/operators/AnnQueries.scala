@@ -128,6 +128,13 @@ object AnnQueries {
         emb(s, d).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", DupThreshold, NPlanes, Dim, PairFlip)),
 
+    // SemDeDup: cluster-bounded semantic dedup — IVF cell assignment
+    // (map-only), within-cell cosine pairs, component keepers
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(
+        emb(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", ivfCentroids(s, d), DupThreshold)),
+
     "dedup_emb_recall" -> ((s, d) => {
       val vecs = emb(s, d).select(col("vec_id"), col("embedding"))
       recallSummary(
@@ -426,6 +433,45 @@ object AnnQueries {
 
     "dedup_embedding" ->
       s"$pairCte\nSELECT vec_a, vec_b, cos FROM cp WHERE cos >= $DupThreshold",
+
+    // SemDeDup recomputed: same codebook + cell argmax as the IVF oracle,
+    // within-cell pairs at the dup threshold, recursive min-label closure
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE cents AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS cell, embedding::DOUBLE[] AS cent
+         |  FROM embeddings WHERE vec_id < $NCells
+         |), c AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |), asg AS (
+         |  -- UNROUNDED cosine in the argmax (the engine's cellScore does
+         |  -- not round; both engines fold the dot index-ascending, so the
+         |  -- doubles are bitwise identical and the order matches exactly)
+         |  SELECT vec_id, e, cell, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY
+         |      list_dot_product(e, cent) /
+         |      (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cent, cent)))
+         |      DESC, cell) AS arnk
+         |  FROM c CROSS JOIN cents
+         |), a1 AS (
+         |  SELECT vec_id, e, cell FROM asg WHERE arnk = 1
+         |), pr AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.e", "b.e")} >= $DupThreshold
+         |), ed AS (
+         |  SELECT va AS src, vb AS dst FROM pr
+         |  UNION ALL SELECT vb, va FROM pr
+         |), reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM ed
+         |  UNION
+         |  SELECT ed.src AS id, reach.r FROM ed JOIN reach ON reach.id = ed.dst
+         |), comp AS (
+         |  SELECT id, min(r) AS component FROM reach GROUP BY id
+         |)
+         |SELECT a1.vec_id, a1.cell,
+         |  CAST(coalesce(comp.component, a1.vec_id) AS BIGINT) AS component,
+         |  (coalesce(comp.component, a1.vec_id) = a1.vec_id) AS keeper
+         |FROM a1 LEFT JOIN comp ON comp.id = a1.vec_id""".stripMargin,
 
     "dedup_emb_recall" ->
       s"""$pairCte, lshp AS (

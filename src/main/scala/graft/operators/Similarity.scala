@@ -252,6 +252,48 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * 2023): partition the corpus into Voronoi cells against a bounded
+    * centroid dictionary (the SAME map-only assignment as IVF — no
+    * shuffle, no row amplification), find high-cosine pairs WITHIN each
+    * cell only (the join is keyed by cell, so the quadratic term is
+    * bounded by cell size — at 100 TB pick k ~ sqrt(n) cells and cells
+    * stay executor-sized; never all-pairs), then group pairs into
+    * components (the same distributed min-label machinery as text
+    * near-dedup) and keep the minimum id per component. Output: every
+    * vector with its cell, its semantic-duplicate component, and the
+    * keeper flag — deterministic at any parallelism.
+    *
+    * Cross-cell duplicates are missed by construction — that recall
+    * tradeoff is the paper's core bargain, and the cluster count is the
+    * knob that trades recall against the quadratic bound.
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Int, Seq[Double])],
+                    threshold: Double): DataFrame = {
+    val assigned = vecs.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .withColumn("cell", bestCell(col("e"), centroids).cast("long"))
+      .withColumn("nrm", l2(col("e")))
+    val a = assigned.select(col("vec_id").as("doc_a"), col("e").as("ea"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("doc_b"), col("e").as("eb"),
+      col("nrm").as("nb"), col("cell"))
+    val pairs = a.join(b, Seq("cell")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.connectedComponentsAuto(pairs)
+      .select(col("doc_id").as("vec_id"), col("component"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("component"), col("vec_id")).as("component"),
+        (coalesce(col("component"), col("vec_id")) === col("vec_id")).as("keeper"))
+  }
+
   /** E1/E2 for the vector tier — fixed-point vector quantization:
     * floor(v * scale) held as doubles (components and their dot sums stay
     * far inside the exact-integer double range), so quantized dot/cosine
