@@ -58,6 +58,25 @@ object PipelineQueries {
         .orderBy(col("cnt").desc, col("pair")).limit(VocabK)
     }),
 
+    // CCNet-style perplexity gate (Wenzek et al.): keep documents whose
+    // unigram cross-entropy is at or below their LANGUAGE's median (the
+    // "head+middle" kept-half) and that clear the token floor. The LM and
+    // the medians are both corpus-derived — two keyed aggregations; the
+    // per-lang median is a tiny frame joined back (broadcast at any scale)
+    "pipe_quality_filter" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dd = docs(s, d)
+      val x = Relevance.unigramCrossEntropy(dd)
+      val tc = dd.select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val j = tc.join(x, Seq("doc_id"))
+      val med = j.groupBy(col("lang"))
+        .agg(org.apache.spark.sql.functions.expr("percentile(xent, 0.5)").as("med"))
+      j.join(broadcast(med), Seq("lang"))
+        .filter(col("n_toks") >= MinToks && col("xent") <= col("med"))
+        .select(col("doc_id"), col("lang"), col("xent"))
+    }),
+
     // source-weighted mixture: even-numbered sources sampled at 0.25,
     // odd at 0.75 (weights would be pipeline config in production —
     // a tiny broadcast table either way)
@@ -186,6 +205,38 @@ object PipelineQueries {
          |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
          |      FROM documents)
          |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT $VocabK""".stripMargin,
+
+    // the same xent computation as text_xent, gated at the per-lang
+    // quantile_cont median (Spark's exact interpolated percentile over
+    // the identical rounded doubles) + token floor
+    "pipe_quality_filter" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2
+         |), lm AS (
+         |  SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1
+         |), st AS (
+         |  SELECT sum(cnt) AS t, CAST(count(*) AS DOUBLE) AS v FROM lm
+         |), x AS (
+         |  SELECT tf.doc_id,
+         |    round((0.0 - sum(tf.tf * ln((lm.cnt + 0.5) / (st.t + 0.5 * st.v)))) / sum(tf.tf), 4)
+         |      AS xent
+         |  FROM tf JOIN lm USING (term) CROSS JOIN st
+         |  GROUP BY tf.doc_id
+         |), tc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks
+         |  FROM documents
+         |), j AS (
+         |  SELECT tc.doc_id, tc.lang, tc.n_toks, x.xent FROM tc JOIN x USING (doc_id)
+         |), med AS (
+         |  SELECT lang, quantile_cont(xent, 0.5) AS med FROM j GROUP BY 1
+         |)
+         |SELECT j.doc_id, j.lang, j.xent
+         |FROM j JOIN med USING (lang)
+         |WHERE j.n_toks >= $MinToks AND j.xent <= med.med""".stripMargin,
 
     // adjacent char pairs WITH multiplicity inside each word token
     // (range(1, len) is [1, len) -> i = 1..len-1, matching the engine's

@@ -221,4 +221,26 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
       c == c.toLowerCase && !c.contains("  ")
     })
   }
+
+  test("quality filter keeps the low-entropy half per language and floors tokens") {
+    val kept = graft.SparkEntry.queries("pipe_quality_filter")(
+      spark, "/root/testdata/sf0.001").cache()
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val total = all.count()
+    val nKept = kept.count()
+    // the median gate keeps roughly half (>= half can pass on ties, token
+    // floor can drop a few) — sanity-bound the kept fraction
+    assert(nKept > total / 4 && nKept <= total * 3 / 4,
+      s"kept $nKept of $total — gate miscalibrated")
+    // every kept doc's xent is <= its language's median over ALL scored docs
+    val x = graft.operators.Relevance.unigramCrossEntropy(all)
+    val withLang = all.select(col("doc_id"), col("lang")).join(x, Seq("doc_id"))
+    val meds = withLang.groupBy(col("lang"))
+      .agg(expr("percentile(xent, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    kept.collect().foreach { r =>
+      assert(r.getDouble(2) <= meds(r.getString(1)) + 1e-12,
+        s"doc ${r.getLong(0)} above the ${r.getString(1)} median")
+    }
+  }
 }
