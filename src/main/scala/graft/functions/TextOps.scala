@@ -75,6 +75,18 @@ object TextOps {
     */
   def charPairsOfText(text: Column): Column = charPairsUdf(text)
 
+  private val charPairsRawUdf = udf((w: String) => {
+    if (w == null || w.length < 2) Array.empty[String]
+    else Array.tabulate(w.length - 1)(i => w.substring(i, i + 2))
+  })
+
+  /** Adjacent character pairs WITH multiplicity over the RAW string (no
+    * tokenization) — the pair-count step of BPE rounds >= 2, where merged
+    * symbols are placeholder characters outside the token alphabet and
+    * must not be split away.
+    */
+  def charPairsRaw(w: Column): Column = charPairsRawUdf(w)
+
   /** Standard pre-tokenization normalization: lowercase, strip
     * punctuation, collapse whitespace runs, trim. The SQL twin is
     * [[cleanTextSql]] — keep the two in lockstep.

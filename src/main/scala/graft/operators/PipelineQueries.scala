@@ -58,6 +58,29 @@ object PipelineQueries {
         .orderBy(col("cnt").desc, col("pair")).limit(VocabK)
     }),
 
+    // BPE round 2 — the iteration mechanics: fetch the round-1 winning
+    // pair (ONE bounded scalar to the driver, like the bandit policy
+    // walks), merge it everywhere (replace() is leftmost non-overlapping
+    // in both engines — exactly BPE's greedy merge over single-char
+    // symbols; '_' is outside the token alphabet so the merged symbol
+    // survives round-2 pairing), recount pairs. Each further round is the
+    // same map + keyed agg, so the full BPE loop is a driver loop over
+    // bounded scalars with one distributed pass per round
+    "pipe_bpe_round2" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val words = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+      val top1 = words
+        .select(explode(TextOps.charPairsRaw(col("w"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .head().getString(0)
+      words.select(expr(s"replace(w, '$top1', '_')").as("w2"))
+        .select(explode(TextOps.charPairsRaw(col("w2"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(VocabK)
+    }),
+
     // CCNet-style perplexity gate (Wenzek et al.): keep documents whose
     // unigram cross-entropy is at or below their LANGUAGE's median (the
     // "head+middle" kept-half) and that clear the token floor. The LM and
@@ -251,6 +274,27 @@ object PipelineQueries {
          |)
          |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
          |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT $VocabK""".stripMargin,
+
+    // round-1 winner recomputed inline, merged via the same leftmost
+    // non-overlapping replace(), pairs recounted over the raw strings
+    "pipe_bpe_round2" ->
+      s"""WITH w AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |  FROM documents
+         |), p1 AS (
+         |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w WHERE len(w) >= 2)
+         |), top1 AS (
+         |  SELECT pair FROM p1 GROUP BY pair
+         |  ORDER BY count(*) DESC, pair LIMIT 1
+         |), m AS (
+         |  SELECT replace(w.w, top1.pair, '_') AS w2 FROM w CROSS JOIN top1
+         |), p2 AS (
+         |  SELECT substr(w2, CAST(i AS INT), 2) AS pair
+         |  FROM (SELECT w2, unnest(range(1, len(w2))) AS i FROM m WHERE len(w2) >= 2)
+         |)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+         |FROM p2 GROUP BY 1 ORDER BY cnt DESC, pair LIMIT $VocabK""".stripMargin,
 
     "pipe_curate" ->
       s"$curateCteSql SELECT doc_id, lang, toks, cleaned FROM cur",

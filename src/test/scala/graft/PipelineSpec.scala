@@ -222,6 +222,19 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     })
   }
 
+  test("BPE round mechanics: raw pairs keep multiplicity, replace merges leftmost-greedy") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq("aaa").toDF("w")
+      .select(explode(graft.functions.TextOps.charPairsRaw(col("w"))).as("p"))
+      .collect().map(_.getString(0))
+    assert(pairs.toSeq === Seq("aa", "aa"), "multiplicity lost")
+    // leftmost non-overlapping merge: aaa -> _a (BPE greedy), not a_ or __
+    val merged = Seq("aaa").toDF("w")
+      .select(expr("replace(w, 'aa', '_')").as("m")).head().getString(0)
+    assert(merged === "_a")
+  }
+
   test("quality filter keeps the low-entropy half per language and floors tokens") {
     val kept = graft.SparkEntry.queries("pipe_quality_filter")(
       spark, "/root/testdata/sf0.001").cache()

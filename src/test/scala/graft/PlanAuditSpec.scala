@@ -49,7 +49,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "tier_policy", "tier_ladder", "text_repetition", "text_scrub",
     "pipe_mixture", "ts_counter_rate", "pipe_shuffle", "ts_resample_interp",
     "ts_xcorr_lag", "ts_xcorr_best", "tier_pla", "ts_seasonal_anomaly",
-    "ts_histogram", "ts_rolling_corr")
+    "ts_histogram", "ts_rolling_corr", "pipe_bpe_pairs",
+    "o8_percentile_sketch")
+  // round-8 exclusions, same construction-runs-jobs rationale:
+  // text_bm25/text_xent/pipe_quality_filter/pipe_bpe_round2 fetch bounded
+  // corpus scalars at build time, ml_dbscan/dedup_semantic run the CC
+  // loop; their plan invariants are asserted in RelevanceSpec /
+  // DbscanSpec / SemanticDedupSpec instead
   // ann_quant is excluded like ann_brute: both rank a bounded broadcast
   // probe set against the corpus by design (the exact/quantized baselines)
   // excluded on purpose: ann_recall / ann_ivf_recall / dedup_emb_recall
