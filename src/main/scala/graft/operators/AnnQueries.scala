@@ -121,6 +121,17 @@ object AnnQueries {
         .select(col("probe_id"), col("cand_id")),
       Seq("probe_id", "cand_id"))),
 
+    // the persisted IVF index: corpus written partitioned by cell, probes
+    // read ONLY their nProbe cells (static partition pruning at the scan)
+    // — same scoring arithmetic as ann_ivf, so the same oracle checks it
+    "ann_ivf_store" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+      graft.sources.IvfStore.write(emb(s, d), "vec_id", "embedding",
+        ivfCentroids(s, d), path)
+      graft.sources.IvfStore.topK(s, path, probes(s, d), TopK,
+        ivfCentroids(s, d), NProbe)
+    }),
+
     // embedding-cosine near-duplicate pairs (LSH-bucketed candidates,
     // exact cosine confirm) and their measured recall vs brute force
     "dedup_embedding" -> ((s, d) =>
@@ -416,6 +427,11 @@ object AnnQueries {
     "ann_ivf" ->
       s"$ivfCte\nSELECT probe_id, cand_id, sim, rnk FROM ivr WHERE rnk <= $TopK",
 
+    // the store serves the identical result set (same cells, same
+    // scoring, same ties) — one oracle covers both paths
+    "ann_ivf_store" ->
+      s"$ivfCte\nSELECT probe_id, cand_id, sim, rnk FROM ivr WHERE rnk <= $TopK",
+
     "ann_ivf_recall" ->
       s"""$ivfCte, ivf AS (
          |  SELECT probe_id, cand_id FROM ivr WHERE rnk <= $TopK
@@ -443,14 +459,11 @@ object AnnQueries {
          |), c AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
          |), asg AS (
-         |  -- UNROUNDED cosine in the argmax (the engine's cellScore does
-         |  -- not round; both engines fold the dot index-ascending, so the
-         |  -- doubles are bitwise identical and the order matches exactly)
+         |  -- ROUNDED cosine in the argmax: the engine's cellScore ranks by
+         |  -- Similarity.cosine, which rounds to 6 (ties -> lowest cell id
+         |  -- in both engines), so the oracle must round identically
          |  SELECT vec_id, e, cell, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY
-         |      list_dot_product(e, cent) /
-         |      (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cent, cent)))
-         |      DESC, cell) AS arnk
+         |    PARTITION BY vec_id ORDER BY ${cosSql("e", "cent")} DESC, cell) AS arnk
          |  FROM c CROSS JOIN cents
          |), a1 AS (
          |  SELECT vec_id, e, cell FROM asg WHERE arnk = 1

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Similarity
+
+/** Persisted IVF index — the 100 TB serving story for ANN: the corpus is
+  * written ONCE partitioned by Voronoi cell (cell = Parquet partition
+  * directory, the same map-only assignment as `Similarity.ivfTopK`), and
+  * every query afterwards reads ONLY its probes' nProbe cells via static
+  * partition pruning — the scan never touches the other (k - nProbe)/k of
+  * the corpus. This is the storage-layer twin of the reference's
+  * cell-pruned index serving (SURVEY §2.1 candidate-set filtering): the
+  * filter arrives at the scan as a PartitionFilter, not a post-scan
+  * predicate (IvfStoreSpec asserts both the pruning and result parity
+  * with the in-memory ivfTopK).
+  *
+  * At 100 TB: cell count ~ sqrt(n) keeps directories executor-sized; the
+  * write shuffles once on cell (the same price as any partitioned write)
+  * and probe-time I/O drops by the pruning factor.
+  */
+object IvfStore {
+
+  /** Write `vecs` (idCol, vecCol float array) partitioned by best cell. */
+  def write(vecs: DataFrame, idCol: String, vecCol: String,
+            centroids: Seq[(Int, Seq[Double])], path: String): Unit =
+    vecs.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
+      .withColumn("cell", Similarity.bestCell(col("e"), centroids).cast("long"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Exact top-k within the probes' nProbe cells, served from the store.
+    * The probe cell set is bounded (|probes| × nProbe ≤ |cells|), so it
+    * collects to a literal isin — STATIC partition pruning, visible in
+    * the scan's PartitionFilters. Scoring/ranking arithmetic matches
+    * `Similarity.ivfTopK` exactly (same ties, same rounding), so the two
+    * paths share one oracle.
+    */
+  def topK(spark: SparkSession, path: String, probes: DataFrame, k: Int,
+           centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val pc = Similarity.probeCells(probes, centroids, nProbe)
+      .withColumn("cell", col("cell").cast("long"))
+      .withColumn("pn", Similarity.l2(col("pe")))
+    val cells = pc.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val stored = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(x => x: Any): _*))
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("cell"))
+      .withColumn("cn", Similarity.l2(col("ce")))
+    val joined = stored.join(broadcast(pc), Seq("cell"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(Similarity.dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.sources.IvfStore
+
+/** The persisted IVF index: result parity with the in-memory ivfTopK and
+  * REAL partition pruning — the scan must touch only the probes' cells.
+  */
+class IvfStoreSpec extends AnyFunSuite with SparkTest
+    with AdaptiveSparkPlanHelper {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val nCells = 16
+  private val nProbe = 4
+
+  private lazy val (path, centroids, probes) = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val p = Files.createTempDirectory("graft-ivfstore").toString
+    IvfStore.write(emb, "vec_id", "embedding", cents, p)
+    (p, cents,
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
+  }
+
+  test("store-served top-k equals the in-memory IVF result exactly") {
+    val fromStore = IvfStore.topK(spark, path, probes, 10, centroids, nProbe)
+    val inMemory = Similarity.ivfTopK(probes,
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+      10, centroids, nProbe)
+    assert(fromStore.exceptAll(inMemory).count() === 0)
+    assert(inMemory.exceptAll(fromStore).count() === 0)
+  }
+
+  test("the scan is partition-pruned to the probe cells") {
+    val q = IvfStore.topK(spark, path, probes, 10, centroids, nProbe)
+    q.count() // materialize so AQE finalizes the plan
+    val scans = collect(q.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"cell filter did not reach the scan as a PartitionFilter:\n$scan")
+    // the probes' distinct cell set is < the full cell count, and the
+    // scan's selected partitions must match it, not the whole store
+    val probeCells = Similarity.probeCells(probes, centroids, nProbe)
+      .select(col("cell")).distinct().count()
+    assert(probeCells < nCells, "fixture degenerate: probes cover every cell")
+    assert(scan.selectedPartitions.partitionCount.toLong === probeCells,
+      s"scan read ${scan.selectedPartitions.partitionCount} partitions, " +
+      s"expected $probeCells probe cells")
+  }
+}
