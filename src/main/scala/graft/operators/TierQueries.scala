@@ -214,6 +214,20 @@ object TierQueries {
           bpSum(bpEncode(q)).as("sum_q"),
           bpMax(bpEncode(q)).as("max_q"),
           (bpDecode(bpEncode(q)) === q).as("roundtrip_ok"))
+    }),
+
+    // FCM/DFCM hash-predictor XOR codec (methods/compress.rs:83-176,
+    // fcm_encoder.rs; FPC scheme) — the last Methods-enum family: dual
+    // value/delta predictors, XOR residuals, per-segment state reset;
+    // exact sum/max in one sequential compressed-domain pass
+    "codec_fcm" -> ((s, d) => {
+      import graft.functions.CodecFunctions._
+      val q = transform(col("values"), v => floor(v * 100).cast("long"))
+      Segments.of(r(s, d))
+        .select(col("signal_id"), col("seg"), col("cnt"),
+          fcmSum(fcmEncode(q)).as("sum_q"),
+          fcmMax(fcmEncode(q)).as("max_q"),
+          (fcmDecode(fcmEncode(q)) === q).as("roundtrip_ok"))
     })
   )
 
@@ -266,6 +280,15 @@ object TierQueries {
          |FROM r GROUP BY 1, 2""".stripMargin,
 
     "codec_bp" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(value_q) AS BIGINT) AS sum_q,
+         |  CAST(max(value_q) AS BIGINT) AS max_q,
+         |  true AS roundtrip_ok
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "codec_fcm" ->
       s"""$OracleCte SELECT signal_id,
          |  CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
          |  CAST(count(*) AS BIGINT) AS cnt,

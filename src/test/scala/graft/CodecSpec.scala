@@ -89,6 +89,50 @@ class CodecSpec extends AnyFunSuite with SparkTest {
     assert(BpCodec.max(bEnc(Seq.empty)) == Long.MinValue)
   }
 
+  private def fEnc(vs: Seq[Long]) =
+    graft.functions.FcmCodec.encode(new GenericArrayData(vs.toArray))
+  private def fDec(b: Array[Byte]): Seq[Long] =
+    graft.functions.FcmCodec.decode(b).toLongArray().toSeq
+
+  test("fcm roundtrips exactly on structured cases") {
+    for (vs <- Seq(
+      Seq.empty[Long],
+      Seq(0L),
+      Seq(42L, 42L, 42L),
+      Seq(Long.MaxValue / 2, Long.MinValue / 2, 0L, -1L, 1L),
+      (0 until 1000).map(i => (i % 17).toLong),       // periodic: FCM's home turf
+      (0 until 1000).map(i => i * 3L),                // linear: DFCM's home turf
+      Seq(-5L, -4L, -3L, 100L, -100L)))
+      assert(fDec(fEnc(vs)) == vs, s"fcm roundtrip failed for $vs")
+  }
+
+  test("fcm roundtrips on random longs and serves sum/max compressed") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 200) {
+      val n = rnd.nextInt(64)
+      val vs = Seq.fill(n)(rnd.nextLong() / 4)
+      assert(fDec(fEnc(vs)) == vs)
+      if (n > 0) {
+        assert(graft.functions.FcmCodec.sum(fEnc(vs)) == vs.sum)
+        assert(graft.functions.FcmCodec.max(fEnc(vs)) == vs.max)
+      }
+    }
+    assert(graft.functions.FcmCodec.sum(fEnc(Seq.empty)) == 0L)
+    assert(graft.functions.FcmCodec.max(fEnc(Seq.empty)) == Long.MinValue)
+  }
+
+  test("fcm predicts periodic and linear patterns into short residuals") {
+    // after table warmup, a strict period-17 stream predicts exactly ->
+    // 8 header bits per value, no residual bits
+    val periodic = (0 until 1000).map(i => ((i % 17) * 100).toLong)
+    assert(fEnc(periodic).length < 1000 * 2,
+      s"fcm: ${fEnc(periodic).length} bytes for 8000 raw on periodic data")
+    // linear ramps predict through the delta table just as well
+    val ramp = (0 until 1000).map(i => 100000L + i * 250L)
+    assert(fEnc(ramp).length < 1000 * 2,
+      s"fcm: ${fEnc(ramp).length} bytes for 8000 raw on a ramp")
+  }
+
   test("bp beats raw on small-LEVEL (not small-delta) data; blocks independent") {
     // values bounded by 127 regardless of order: 8 bits/value + headers
     val vs = (0 until 1000).map(i => ((i * 7919) % 128).toLong)
