@@ -58,15 +58,16 @@ object CodecStore {
     // (compress/mod.rs:127-135 compares encoded bytes, not file bytes)
     val segs = graft.operators.Segments.of(readings)
     import graft.functions.CodecFunctions._
+    val q = transform(col("values"), v => floor(v * lit(100)).cast("long"))
     val nativeRows = segs.select(
         sum(octet_length(gorillaEncode(col("values")))).cast("long").as("g"),
-        sum(octet_length(sprintzEncode(
-          transform(col("values"), v => floor(v * lit(100)).cast("long"))))
-        ).cast("long").as("s"))
+        sum(octet_length(sprintzEncode(q))).cast("long").as("s"),
+        sum(octet_length(fcmEncode(q))).cast("long").as("f"))
       .collect()(0)
     val allRows = rows ++ Seq(
       ("native", "gorilla_seg", nativeRows.getLong(0)),
-      ("native", "sprintz_seg", nativeRows.getLong(1)))
+      ("native", "sprintz_seg", nativeRows.getLong(1)),
+      ("native", "fcm_seg", nativeRows.getLong(2)))
     val baseline = rows.collectFirst {
       case ("uncompressed", "double", b) => b.toDouble
     }.getOrElse(1.0)

@@ -142,11 +142,12 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     assert(m(("uncompressed", "double")) == 1.0)
     assert(m(("zstd", "fixed_q")) < 1.0, s"zstd/fixed_q cr=${m(("zstd", "fixed_q"))}")
     assert(m(("zstd", "double")) < 1.0)
-    // 4 parquet codecs x 3 representations + the 2 native segment codecs
-    // (gorilla_seg / sprintz_seg) appended by compressionMatrix
-    assert(m.size == CodecStore.Codecs.size * 3 + 2)
+    // 4 parquet codecs x 3 representations + the 3 native segment codecs
+    // (gorilla_seg / sprintz_seg / fcm_seg) appended by compressionMatrix
+    assert(m.size == CodecStore.Codecs.size * 3 + 3)
     assert(m(("native", "gorilla_seg")) < 1.0)
     assert(m(("native", "sprintz_seg")) < 1.0)
+    assert(m(("native", "fcm_seg")) < 1.0)
     // the Sprintz-delta representation still beats raw doubles, but on
     // THIS fixture it measures WORSE than plain fixed-point (~0.43 vs
     // ~0.37 under zstd): the synthetic values are near-independent draws,
