@@ -43,6 +43,30 @@ object TsQueries {
   private val EwmaFoldUdf = udf((vals: Seq[Double]) =>
     vals.tail.foldLeft(vals.head)((acc, x) => 0.3 * x + 0.7 * acc))
 
+  // Holt linear-trend recurrence (Holt 1957 double exponential smoothing;
+  // alpha=0.5, beta=0.3; init l=x0, b=x1-x0). Operand order mirrors the
+  // oracle's recursive-CTE step expression-for-expression, so the doubles
+  // round identically. Returns the one-step-ahead forecast l_n + b_n.
+  private val HoltFoldUdf = udf((vals: Seq[Double]) => {
+    var l = vals(0)
+    var b = vals(1) - vals(0)
+    var i = 1
+    while (i < vals.length) {
+      val l2 = 0.5 * vals(i) + 0.5 * (l + b)
+      b = 0.3 * (l2 - l) + 0.7 * b
+      l = l2
+      i += 1
+    }
+    l + b
+  })
+
+  /** Holt one-step forecast over a complete-segments frame (exposed for
+    * the ramp-exactness spec; the registered query wraps it).
+    */
+  def holtForecastOf(segments: DataFrame): DataFrame =
+    segments.select(col("signal_id"), col("seg"),
+      round(HoltFoldUdf(col("values")), 6).as("forecast"))
+
   /** Tag dimension = customer keyed by c_custkey (signal_id), per SURVEY §1.4
     * "tag columns become a proper dimension table".
     */
@@ -442,6 +466,13 @@ object TsQueries {
         .select(col("signal_id"), col("seg"),
           round(EwmaFoldUdf(col("values")), 6).as("ewma"))),
 
+    // Holt double-exponential one-step forecast per complete segment —
+    // the forecasting sibling of ts_ewma_seg (level + trend state, same
+    // per-segment fold shape; at 100 TB this is one map over the segment
+    // tier, no shuffle beyond the segment grouping)
+    "ts_holt_forecast" -> ((s, d) =>
+      holtForecastOf(Segments.complete(r(s, d)))),
+
     "influx_max" -> ((s, d) => r(s, d).agg(max(col("value")).as("vmax"))),
 
     "influx_max_groupby" -> ((s, d) =>
@@ -719,6 +750,29 @@ object TsQueries {
          |SELECT signal_id, seg,
          |  round(list_reduce(vals::DOUBLE[], (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
          |FROM segs WHERE cnt = 16""".stripMargin,
+
+    // the Holt walk re-run as a recursive CTE (same pattern as the bandit
+    // oracles): base l=x1, b=x2-x1; each step consumes the next element
+    // with the identical operand order as the engine's fold
+    "ts_holt_forecast" ->
+      s"""${OracleCte.replaceFirst("WITH", "WITH RECURSIVE")}, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), fullseg AS (
+         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+         |), hw AS (
+         |  SELECT signal_id, seg, vals, 1 AS i,
+         |         vals[1] AS l, vals[2] - vals[1] AS b
+         |  FROM fullseg
+         |  UNION ALL
+         |  SELECT signal_id, seg, vals, i + 1,
+         |    0.5 * vals[i + 1] + 0.5 * (l + b) AS l,
+         |    0.3 * ((0.5 * vals[i + 1] + 0.5 * (l + b)) - l) + 0.7 * b AS b
+         |  FROM hw WHERE i < 16
+         |)
+         |SELECT signal_id, seg, round(l + b, 6) AS forecast
+         |FROM hw WHERE i = 16""".stripMargin,
 
     "ts_zscore" ->
       s"""$OracleCte, st AS (

@@ -101,4 +101,22 @@ class TsQuerySpec extends AnyFunSuite with SparkTest {
         s"signal $k: approx ${a(k)} vs exact $v (range ${rng(k)})")
     }
   }
+
+  test("Holt forecast continues an exact linear ramp exactly") {
+    // on a ramp x_i = a + i*s with init b = x1 - x0 = s, the level update
+    // reproduces the ramp (l+b = x_t), so the 1-step forecast is a + n*s
+    import spark.implicits._
+    val ramp = (0 until 16).map(i => (9L, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:00:${i}%02d"), 1.0 + i * 2.0))
+      .toDF("signal_id", "ts", "value")
+      .withColumn("value_q", graft.functions.Quantize.quantize(col("value"), 2))
+      .withColumn("seq_no", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("signal_id")).orderBy(col("ts"))).cast("long"))
+    val seg = graft.operators.Segments.complete(ramp)
+    assert(seg.count() === 1)
+    val forecast = graft.operators.TsQueries.holtForecastOf(seg)
+      .collect()(0).getDouble(2)
+    assert(math.abs(forecast - 33.0) < 1e-9, s"forecast $forecast != 33.0")
+  }
 }
