@@ -29,6 +29,33 @@ object IvfStore {
       .withColumn("cell", Similarity.bestCell(col("e"), centroids).cast("long"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Streaming index maintenance: each micro-batch of vectors lands in
+    * the store under (batch_id, cell) — batch_id makes the at-least-once
+    * foreachBatch replay idempotent (dynamic-partition overwrite replaces
+    * the batch's own partitions), cell keeps probe-time partition pruning
+    * (the cell filter prunes inside every batch directory). The serving
+    * path is unchanged: [[topK]] reads the same layout.
+    */
+  def appendStream(vecs: org.apache.spark.sql.DataFrame, idCol: String,
+                   vecCol: String, centroids: Seq[(Int, Seq[Double])],
+                   path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
+          .withColumn("cell",
+            Similarity.bestCell(col("e"), centroids).cast("long"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "cell")
+          .parquet(path)
+      }
+      .start()
+
   /** Exact top-k within the probes' nProbe cells, served from the store.
     * The probe cell set is bounded (|probes| × nProbe ≤ |cells|), so it
     * collects to a literal isin — STATIC partition pruning, visible in

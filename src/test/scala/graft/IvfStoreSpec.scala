@@ -41,6 +41,35 @@ class IvfStoreSpec extends AnyFunSuite with SparkTest
     assert(inMemory.exceptAll(fromStore).count() === 0)
   }
 
+  test("streaming index maintenance serves the identical top-k") {
+    // stage the embeddings as two files -> two micro-batches
+    val emb = Tables.embeddings(spark, sf)
+    val in = Files.createTempDirectory("graft-ivf-in").toString
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$in/half0")
+    emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$in/half1")
+    val staged = Files.createTempDirectory("graft-ivf-staged").toString
+    for ((h, i) <- Seq("half0", "half1").zipWithIndex) {
+      val part = new java.io.File(s"$in/$h").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(staged, s"b$i.parquet"))
+    }
+    val base = Files.createTempDirectory("graft-ivf-streamed").toString
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = IvfStore.appendStream(stream, "vec_id", "embedding", centroids,
+      s"$base/store", s"$base/ckpt")
+    q.awaitTermination()
+    // two batches landed
+    assert(new java.io.File(s"$base/store").listFiles()
+      .count(_.getName.startsWith("batch_id=")) === 2)
+    val streamed = IvfStore.topK(spark, s"$base/store", probes, 10, centroids, nProbe)
+    val batch = IvfStore.topK(spark, path, probes, 10, centroids, nProbe)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("the scan is partition-pruned to the probe cells") {
     val q = IvfStore.topK(spark, path, probes, 10, centroids, nProbe)
     q.count() // materialize so AQE finalizes the plan
