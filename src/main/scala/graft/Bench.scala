@@ -254,7 +254,12 @@ object Bench {
       "q1_agg", "q3_join", "q5_join", "q6_filter_agg", "o1_scan", "o3_range",
       "o6_window_pos", "tsbs_last_loc", "influx_max_groupby", "dedup_minhash",
       "pipe_near_dedup", "pipe_curate", "ts_delta", "tier_ladder", "ann_ivf",
-      "q_asof_bucketed", "q_bucketed_join", "ml_bandit_recode")
+      "q_asof_bucketed", "q_bucketed_join", "ml_bandit_recode",
+      // round-8 additions worth per-round visibility: the partition-pruned
+      // index serve, cluster-bounded semantic dedup, the perplexity gate
+      // and the sketch-served percentile
+      "ann_ivf_store", "dedup_semantic", "pipe_quality_filter",
+      "o8_percentile_sketch")
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
     val nerr = results.count(_._3.nonEmpty)
