@@ -108,6 +108,18 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus setup failed (no pipe_corpus_store row): $e"); None }
 
+    // untimed histogram-sketch materialization for the *_tier percentile
+    val histDir: Option[String] =
+      try {
+        val hd = tempDir("graft-bench-hist") + "/hist"
+        graft.plans.ZoneMap.segmentHistogram(
+            graft.operators.Readings.of(spark, sfDir))
+          .write.mode("overwrite").parquet(hd)
+        Some(hd)
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] hist setup failed (no o8_percentile_sketch_tier row): $e"); None }
+
     val base: Seq[(String, () => Unit)] = SparkEntry.queries.toSeq
       .map { case (n, fn) => (n, () => { fn(spark, sfDir).count(); () }) }
     val corpusVariants: Seq[(String, () => Unit)] = corpusDir.toSeq.map { dir =>
@@ -143,6 +155,14 @@ object Bench {
             .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
                  expr("approx_percentile(value, 0.9, 1000)").as("p90")).count(); ()
         }))
+    } ++ histDir.toSeq.map { hd =>
+      // percentile served from the PERSISTED histogram sketch — the
+      // production path (o8_percentile_sketch rebuilds the histogram
+      // in-query; this variant measures pure sketch-serve)
+      ("o8_percentile_sketch_tier", () => {
+        graft.plans.ZoneMap.percentileFromHistogram(
+          spark.read.parquet(hd), Seq(0.5, 0.9), scale = 100.0).count(); ()
+      })
     } ++ tierMgr.toSeq.flatMap { tm =>
       Seq(
         ("tier3_paa_max", () => { tm.maxFromTier3().count(); () }),
