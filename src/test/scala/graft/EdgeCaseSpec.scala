@@ -148,6 +148,52 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
     assert(few < 0.2, s"keep_few rate $few")
   }
 
+  test("round-8 operators are empty-safe and degenerate-safe") {
+    // DBSCAN on zero points and on a single point
+    val emptyPts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("x", DoubleType),
+        StructField("y", DoubleType))))
+    assert(graft.ml.Dbscan.dbscan(emptyPts, 5.0, 4).count() == 0)
+    val onePt = {
+      val s = spark; import s.implicits._
+      Seq((1L, 0.0, 0.0)).toDF("id", "x", "y")
+    }
+    val one = graft.ml.Dbscan.dbscan(onePt, 5.0, 4).collect()
+    assert(one.length == 1 && one(0).getLong(1) == -1L, "single point must be noise")
+
+    // semantic dedup on an empty corpus
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    assert(graft.operators.Similarity
+      .semanticDedup(emptyVecs, "vec_id", "embedding", cents, 0.9).count() == 0)
+
+    // histogram percentile on empty readings and on a single-value signal
+    assert(graft.plans.ZoneMap.percentileFromHistogram(
+      graft.plans.ZoneMap.segmentHistogram(emptyReadings),
+      Seq(0.5), 100.0).count() == 0)
+    val oneVal = {
+      val s = spark; import s.implicits._
+      Seq((7L, 1L, 2.5, 250L)).toDF("signal_id", "seq_no", "value", "value_q")
+    }
+    val p = graft.plans.ZoneMap.percentileFromHistogram(
+      graft.plans.ZoneMap.segmentHistogram(oneVal), Seq(0.5, 0.9), 100.0)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(p(0.5) == 2.5 && p(0.9) == 2.5,
+      s"single-value signal must serve its value at every percentile: $p")
+
+    // FCM codec single/empty handled in CodecSpec; BPE pair UDFs on
+    // null/short strings
+    val s2 = spark; import s2.implicits._
+    val shortWords = Seq("a", "", "xy").toDF("w")
+      .select(explode(graft.functions.TextOps.charPairsRaw(col("w"))).as("p"))
+      .collect().map(_.getString(0))
+    assert(shortWords.toSeq == Seq("xy"))
+  }
+
   test("single-doc corpus: packer emits one pack, dedup finds no pairs") {
     import spark.implicits._
     val one = Seq((0L, "just one tiny document here", "en")).toDF("doc_id", "text", "lang")
