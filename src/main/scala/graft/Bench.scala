@@ -195,10 +195,24 @@ object Bench {
     // for isolating one query's regression from whole-suite JVM effects
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // UNTIMED between-query cleanup: operators that cache/localCheckpoint
+    // (the CC loops, DBSCAN, SemDeDup, bandit feeds) leave persisted RDDs
+    // behind; over a 150+-query sweep the leaked storage squeezes
+    // execution memory and inflates late-alphabet queries 5-10x (measured:
+    // pipe_bpe_pairs 8.2s in-sweep vs 0.51s isolated, same binary). The
+    // driver-side ContextCleaner only reclaims them on a JVM GC, which a
+    // large heap may never trigger mid-sweep — so drop them explicitly.
+    def dropLeakedStorage(): Unit = {
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      } catch { case _: Throwable => () }
+    }
     val results = (base ++ tierVariants).sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, run) =>
       val runs = (1 to reps).map { _ =>
+        dropLeakedStorage()
         val t0 = System.nanoTime()
         val outcome =
           try { run(); None }
