@@ -56,6 +56,26 @@ object IvfStore {
       }
       .start()
 
+  /** Compact a streamed store: N micro-batches leave (batch_id, cell)
+    * directories whose per-cell files multiply with every trigger (the
+    * classic streaming small-file problem, same as the tier Compactor).
+    * Rewriting to the batch-free (cell)-partitioned layout restores one
+    * directory per cell; serving is unchanged ([[topK]] reads either
+    * layout). Write-then-swap keeps readers consistent: the compacted
+    * copy lands in a fresh directory and replaces the store atomically
+    * at the filesystem-rename level.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = path + ".compacting"
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("e"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
   /** Exact top-k within the probes' nProbe cells, served from the store.
     * The probe cell set is bounded (|probes| × nProbe ≤ |cells|), so it
     * collects to a literal isin — STATIC partition pruning, visible in

@@ -68,6 +68,16 @@ class IvfStoreSpec extends AnyFunSuite with SparkTest
     val batch = IvfStore.topK(spark, path, probes, 10, centroids, nProbe)
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
+
+    // compaction collapses the per-batch layout to one dir per cell and
+    // serves the identical result
+    IvfStore.compact(spark, s"$base/store")
+    val dirs = new java.io.File(s"$base/store").listFiles().map(_.getName)
+    assert(dirs.count(_.startsWith("cell=")) > 0)
+    assert(!dirs.exists(_.startsWith("batch_id=")), s"uncompacted: ${dirs.toSeq}")
+    val compacted = IvfStore.topK(spark, s"$base/store", probes, 10, centroids, nProbe)
+    assert(compacted.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(compacted).count() === 0)
   }
 
   test("the scan is partition-pruned to the probe cells") {
