@@ -66,4 +66,52 @@ object SegmentMl {
       .select(col("test_sig"), col("test_seg"),
         col("train_sig").as("pred_sig"), col("dist"))
   }
+
+  /** Exact DTW 1-NN with LB_Keogh pruning (Keogh & Ratanamahatana KAIS'05
+    * cascade, on the reference's UCR-classification shape knn/mod.rs:310):
+    *
+    *  1. every (test, train) pair gets the O(n) codegen'd LB_Keogh lower
+    *     bound against the train segment's pre-computed band envelope;
+    *  2. the best-LB candidate per test segment is DTW'd, giving an upper
+    *     bound beta on the 1-NN distance;
+    *  3. the O(n*band) DP runs ONLY on pairs with lb <= beta — every pair
+    *     with lb > beta has dtw >= lb > beta and cannot win or tie, so the
+    *     result (including the deterministic (dist, sig, seg) tie-break)
+    *     is identical to the full scan the oracle computes.
+    *
+    * All distances are exact integer DTW in the fixed-point `value_q`
+    * domain (Sakoe-Chiba band, L1 local cost). The test side is a bounded
+    * query set (broadcast); train-side envelopes are computed once per
+    * segment, so at 100 TB the cost is one broadcast-join pass of cheap
+    * lower bounds plus the DP on the tiny surviving fraction.
+    */
+  def dtwKnn(segmentsQ: DataFrame, testSignals: Seq[Long], band: Int): DataFrame = {
+    import graft.functions.DtwFunctions._
+    val test = segmentsQ.filter(col("signal_id").isin(testSignals: _*))
+      .select(col("signal_id").as("test_sig"), col("seg").as("test_seg"),
+        col("qvals").as("tq"))
+    val train = segmentsQ.filter(!col("signal_id").isin(testSignals: _*))
+      .select(col("signal_id").as("train_sig"), col("seg").as("train_seg"),
+        col("qvals").as("rq"))
+      .withColumn("up", dtwEnvUp(col("rq"), band))
+      .withColumn("dn", dtwEnvDn(col("rq"), band))
+    val pairs = train.join(broadcast(test), lit(true))
+      .withColumn("lb", lbKeogh(col("tq"), col("up"), col("dn")))
+    val wLb = Window.partitionBy(col("test_sig"), col("test_seg"))
+      .orderBy(col("lb"), col("train_sig"), col("train_seg"))
+    val beta = pairs.withColumn("r", row_number().over(wLb))
+      .filter(col("r") === 1)
+      .select(col("test_sig"), col("test_seg"),
+        dtwBand(col("tq"), col("rq"), band).as("beta"))
+    val survivors = pairs
+      .join(broadcast(beta), Seq("test_sig", "test_seg"))
+      .filter(col("lb") <= col("beta"))
+      .withColumn("dist_q", dtwBand(col("tq"), col("rq"), band))
+    val w = Window.partitionBy(col("test_sig"), col("test_seg"))
+      .orderBy(col("dist_q"), col("train_sig"), col("train_seg"))
+    survivors.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("test_sig"), col("test_seg"),
+        col("train_sig").as("pred_sig"), col("dist_q"))
+  }
 }

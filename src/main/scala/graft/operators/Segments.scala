@@ -25,4 +25,18 @@ object Segments {
     */
   def complete(r: DataFrame): DataFrame =
     of(r).filter(col("cnt") === Readings.SegmentRows)
+
+  /** Fixed-point segment view: `qvals` is the ordered array<long> of
+    * `value_q` — the PrecisionBound integer domain the codecs and the DTW
+    * distance operate in (exact arithmetic, so oracles compare bit-for-bit).
+    */
+  def ofQuantized(r: DataFrame): DataFrame =
+    r.groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+      .agg(collect_list(struct(col("seq_no"), col("value_q"))).as("pts"))
+      .select(col("signal_id"), col("seg"),
+        transform(array_sort(col("pts")), p => p.getField("value_q")).as("qvals"))
+      .withColumn("cnt", size(col("qvals")).cast("long"))
+
+  def completeQuantized(r: DataFrame): DataFrame =
+    ofQuantized(r).filter(col("cnt") === Readings.SegmentRows)
 }

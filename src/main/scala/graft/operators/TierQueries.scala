@@ -73,6 +73,13 @@ object TierQueries {
     "seg_knn" -> ((s, d) =>
       SegmentMl.knnSegments(Segments.complete(r(s, d)), testSignals = Seq(0L, 1L, 2L))),
 
+    // elastic-distance 1-NN: exact banded DTW in the fixed-point domain,
+    // LB_Keogh-pruned; oracle = the full DP unrolled per band row into
+    // chained list-CTEs (all-integer, so it matches bit-for-bit)
+    "seg_knn_dtw" -> ((s, d) =>
+      SegmentMl.dtwKnn(Segments.completeQuantized(r(s, d)),
+        testSignals = Seq(0L, 1L, 2L), band = DtwBandWidth)),
+
     "storage_codec_cr" -> ((s, d) =>
       graft.sources.CodecStore.compressionMatrix(r(s, d))),
 
@@ -231,7 +238,86 @@ object TierQueries {
     })
   )
 
+  /** Sakoe-Chiba band width for the DTW 1-NN (segments are 16 points; a
+    * quarter-length band is the classic default).
+    */
+  val DtwBandWidth = 4
+
+  /** DuckDB oracle for seg_knn_dtw: the banded DTW DP unrolled row-by-row
+    * into chained CTEs over BIGINT lists — exact integer arithmetic, the
+    * same recurrence as graft.functions.Dtw.distance.
+    *
+    * Per DP row i the standard recurrence cur(j) = c(i,j) + min(prev(j),
+    * prev(j-1), cur(j-1)) is rewritten with prefix sums S to kill the
+    * within-row sequential dependency (cur(j) = S(j) + min_{k<=j}(g(k) -
+    * S(k-1)), g = min of the valid prev-row neighbors) so each row is one
+    * vectorized projection instead of a 9-deep lateral-alias chain.
+    */
+  private def dtwOracleSql: String = {
+    val n = Readings.SegmentRows.toInt
+    val band = DtwBandWidth
+    def bounds(i: Int): (Int, Int) = (math.max(1, i - band), math.min(n, i + band))
+    val ctes = new StringBuilder
+    var prevRel = "p"
+    for (i <- 1 to n) {
+      val (lo, hi) = bounds(i)
+      val w = hi - lo + 1
+      val costs = (lo to hi).map(j => s"abs(tq[$i] - rq[$j])")
+      val cs = (1 to w).map(q => costs.take(q).mkString(" + ")).mkString("[", ", ", "]")
+      if (i == 1) {
+        ctes ++= s"d$i AS (SELECT *, $cs AS dp FROM $prevRel)"
+      } else {
+        val (plo, phi) = bounds(i - 1)
+        val g = (lo to hi).map { j =>
+          val terms = Seq(j, j - 1).filter(k => k >= plo && k <= phi)
+            .map(k => s"dp[${k - plo + 1}]")
+          if (terms.size == 1) terms.head else s"least(${terms.mkString(", ")})"
+        }.mkString("[", ", ", "]")
+        ctes ++= s"e$i AS (SELECT *, $cs AS cs, $g AS g FROM $prevRel),\n"
+        val dp = (1 to w).map { q =>
+          val args = (1 to q).map(k =>
+            if (k == 1) "g[1]" else s"g[$k] - cs[${k - 1}]")
+          val inner = if (args.size == 1) args.head else s"least(${args.mkString(", ")})"
+          s"cs[$q] + $inner"
+        }.mkString("[", ", ", "]")
+        ctes ++= s"d$i AS (SELECT * EXCLUDE (dp, cs, g), $dp AS dp FROM e$i)"
+      }
+      if (i < n) ctes ++= ",\n"
+      prevRel = s"d$i"
+    }
+    val (flo, fhi) = bounds(n)
+    s"""$OracleCte, segs AS (
+       |  SELECT signal_id, CAST(floor((seq_no - 1) / $n.0) AS BIGINT) AS seg,
+       |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+       |  FROM r GROUP BY 1, 2
+       |), f AS (
+       |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = $n
+       |), t AS (
+       |  SELECT signal_id AS test_sig, seg AS test_seg, qv AS tq
+       |  FROM f WHERE signal_id IN (0, 1, 2)
+       |), tr AS (
+       |  SELECT signal_id AS train_sig, seg AS train_seg, qv AS rq
+       |  FROM f WHERE signal_id NOT IN (0, 1, 2)
+       |), p AS (
+       |  SELECT test_sig, test_seg, train_sig, train_seg, tq, rq FROM t, tr
+       |),
+       |${ctes.result()},
+       |sc AS (
+       |  SELECT test_sig, test_seg, train_sig, train_seg,
+       |         CAST(dp[${fhi - flo + 1}] AS BIGINT) AS dist_q
+       |  FROM d$n
+       |), rk AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY test_sig, test_seg
+       |    ORDER BY dist_q, train_sig, train_seg) AS rnk
+       |  FROM sc
+       |)
+       |SELECT test_sig, test_seg, train_sig AS pred_sig, dist_q
+       |FROM rk WHERE rnk = 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "seg_knn_dtw" -> dtwOracleSql,
     "buff_range" ->
       s"""$OracleCte SELECT signal_id, seq_no FROM r
          |WHERE value_q BETWEEN 12345 AND 34567""".stripMargin,
