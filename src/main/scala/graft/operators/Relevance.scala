@@ -97,4 +97,46 @@ object Relevance {
       .agg((-sum(col("tf") * col("lp")) / sum(col("tf"))).as("h"))
       .select(col("doc_id"), round(col("h"), 4).as("xent"))
   }
+
+  /** Order-1 (bigram) extension of [[unigramCrossEntropy]]: per-document
+    * cross-entropy under the corpus's own add-alpha-smoothed bigram LM,
+    * H2(d) = -(1/|bigrams(d)|) * sum ln p(w2|w1), with
+    * p(w2|w1) = (c(w1,w2) + alpha) / (c1(w1) + alpha * V),
+    * c1(w1) = total bigrams starting with w1 and V = corpus vocabulary
+    * size. The CCNet-style quality ladder's next rung: unigram xent flags
+    * out-of-vocabulary junk, bigram xent additionally flags shuffled /
+    * unnatural token order.
+    *
+    * Scale shape: bigrams come from one keyed window (lead over doc
+    * position — the shuffle is on doc_id, the same key the tokenizer
+    * already produced); both LM tables are keyed aggregations joined back
+    * by shuffle join on their natural keys (bigram table is
+    * corpus-sized — never broadcast, same rationale as the unigram LM).
+    * One scalar driver fetch (V). Docs with fewer than 2 tokens drop out
+    * (no bigrams — same contract as the dup_bigram_frac signal).
+    */
+  def bigramCrossEntropy(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = toks
+      .withColumn("nxt", lead(col("term"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("term").as("w1"), col("nxt").as("w2"))
+    val bf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("bf"))
+    val lm2 = bf.groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("c12"))
+    val lm1 = lm2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val st = toks.agg(countDistinct(col("term")).cast("double").as("v")).head()
+    if (st.isNullAt(0) || st.getDouble(0) == 0.0)
+      return docs.select(col("doc_id"), lit(0.0).as("xent2")).limit(0)
+    val vocab = st.getDouble(0)
+    bf.join(lm2, Seq("w1", "w2")).join(lm1, Seq("w1"))
+      .withColumn("lp",
+        log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * lit(vocab))))
+      .groupBy(col("doc_id"))
+      .agg((-sum(col("bf") * col("lp")) / sum(col("bf"))).as("h"))
+      .select(col("doc_id"), round(col("h"), 4).as("xent2"))
+  }
 }

@@ -164,7 +164,9 @@ object TextQueries {
 
     // per-document cross-entropy under the corpus's own unigram LM — the
     // CCNet-style "how typical is this document" quality signal
-    "text_xent" -> ((s, d) => Relevance.unigramCrossEntropy(docs(s, d)))
+    "text_xent" -> ((s, d) => Relevance.unigramCrossEntropy(docs(s, d))),
+
+    "text_xent2" -> ((s, d) => Relevance.bigramCrossEntropy(docs(s, d)))
   )
 
   /** Probe query for text_bm25 — normalizes to spark/hash/join/window. */
@@ -478,6 +480,32 @@ object TextQueries {
         |  round((0.0 - sum(tf.tf * ln((lm.cnt + 0.5) / (st.t + 0.5 * st.v)))) / sum(tf.tf), 4)
         |    AS xent
         |FROM tf JOIN lm USING (term) CROSS JOIN st
-        |GROUP BY tf.doc_id""".stripMargin
+        |GROUP BY tf.doc_id""".stripMargin,
+
+    // add-alpha (0.5) bigram LM self-scored cross-entropy; bigrams from
+    // adjacent token pairs, conditioning mass c1 = bigrams starting w1
+    "text_xent2" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl FROM documents
+        |), bg AS (
+        |  SELECT doc_id, tl[i] AS w1, tl[i+1] AS w2
+        |  FROM t, unnest(range(1, len(tl))) AS u(i)
+        |  WHERE len(tl) >= 2
+        |), bf AS (
+        |  SELECT doc_id, w1, w2, CAST(count(*) AS DOUBLE) AS bf
+        |  FROM bg GROUP BY 1, 2, 3
+        |), lm2 AS (
+        |  SELECT w1, w2, sum(bf) AS c12 FROM bf GROUP BY 1, 2
+        |), lm1 AS (
+        |  SELECT w1, sum(c12) AS c1 FROM lm2 GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(tl) AS term FROM t)
+        |)
+        |SELECT bf.doc_id,
+        |  round((0.0 - sum(bf.bf * ln((lm2.c12 + 0.5) / (lm1.c1 + 0.5 * st.v)))) / sum(bf.bf), 4)
+        |    AS xent2
+        |FROM bf JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1) CROSS JOIN st
+        |GROUP BY bf.doc_id""".stripMargin
   )
 }

@@ -67,6 +67,37 @@ object TsQueries {
     segments.select(col("signal_id"), col("seg"),
       round(HoltFoldUdf(col("values")), 6).as("forecast"))
 
+  /** Classical additive decomposition (period 7, positional): trend =
+    * centered 7-row MA, seasonal = per-(signal, phase) mean of the
+    * detrended series, residual = the rest. Every mean is carried as an
+    * EXACT integer numerator in the fixed-point domain (trend: the 7-row
+    * sum of value_q; detrended: 7*value_q - sum7, still integer;
+    * seasonal: phase-sums of that), so both engines produce identical
+    * doubles from identical integer divisions — no summation-order drift.
+    * One keyed window + one keyed aggregation + one keyed join back: two
+    * shuffles on signal_id total, partition-parallel at any scale.
+    */
+  def decomposeOf(readings: DataFrame): DataFrame = {
+    val p = 7
+    val w = W.partitionBy(col("signal_id")).orderBy(col("seq_no"))
+      .rowsBetween(-(p / 2), p / 2)
+    val t = readings.select(col("signal_id"), col("seq_no"), col("value_q"),
+        sum(col("value_q")).over(w).as("sq7"),
+        count(lit(1)).over(w).as("c7"),
+        ((col("seq_no") - 1) % p).as("phase"))
+      .filter(col("c7") === p)
+      .withColumn("dq", lit(p) * col("value_q") - col("sq7"))
+    val ph = t.groupBy(col("signal_id"), col("phase"))
+      .agg(sum(col("dq")).as("nk"), count(lit(1)).as("ck"))
+    t.join(ph, Seq("signal_id", "phase"))
+      .select(col("signal_id"), col("seq_no"),
+        round(col("sq7").cast("double") / lit(p * 100.0), 6).as("trend"),
+        round(col("nk").cast("double") /
+          (lit(p * 100.0) * col("ck").cast("double")), 6).as("seasonal"),
+        round((col("dq") * col("ck") - col("nk")).cast("double") /
+          (lit(p * 100.0) * col("ck").cast("double")), 6).as("resid"))
+  }
+
   /** Tag dimension = customer keyed by c_custkey (signal_id), per SURVEY §1.4
     * "tag columns become a proper dimension table".
     */
@@ -334,6 +365,18 @@ object TsQueries {
       r(s, d).select(col("signal_id"), col("seq_no"),
         round(avg(col("value")).over(w), 6).as("mavg"))
     }),
+
+    // classical additive decomposition (trend + seasonal + residual), the
+    // period-7 positional flavor: trend = centered 7-row MA, seasonal =
+    // per-(signal, phase) mean of the detrended series, residual = the
+    // rest. Every mean is carried as an EXACT integer numerator in the
+    // fixed-point domain (trend: the 7-row sum of value_q; detrended:
+    // 7*value_q - sum7, still integer; seasonal: phase-sums of that), so
+    // the doubles on both engines come from identical integer divisions —
+    // no summation-order drift anywhere. One keyed window + one keyed
+    // aggregation + one keyed join back: two shuffles on signal_id total,
+    // partition-parallel at any scale.
+    "ts_decompose" -> ((s, d) => decomposeOf(r(s, d))),
 
     // z-score outlier detection per signal (the production flavor of the
     // reference's outlier concern, outlier/mod.rs): moments computed as
@@ -720,6 +763,29 @@ object TsQueries {
          |  round(avg(value) OVER (PARTITION BY signal_id ORDER BY seq_no
          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
          |FROM r""".stripMargin,
+
+    "ts_decompose" ->
+      s"""$OracleCte, t AS (
+         |  SELECT signal_id, seq_no, value_q,
+         |    CAST(sum(value_q) OVER w AS BIGINT) AS sq7,
+         |    CAST(count(*) OVER w AS BIGINT) AS c7,
+         |    CAST((seq_no - 1) % 7 AS BIGINT) AS phase
+         |  FROM r
+         |  WINDOW w AS (PARTITION BY signal_id ORDER BY seq_no
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |), tt AS (
+         |  SELECT *, 7 * value_q - sq7 AS dq FROM t WHERE c7 = 7
+         |), ph AS (
+         |  SELECT signal_id, phase, CAST(sum(dq) AS BIGINT) AS nk,
+         |         CAST(count(*) AS BIGINT) AS ck
+         |  FROM tt GROUP BY 1, 2
+         |)
+         |SELECT signal_id, seq_no,
+         |  round(CAST(sq7 AS DOUBLE) / 700.0, 6) AS trend,
+         |  round(CAST(nk AS DOUBLE) / (700.0 * CAST(ck AS DOUBLE)), 6) AS seasonal,
+         |  round(CAST(dq * ck - nk AS DOUBLE) / (700.0 * CAST(ck AS DOUBLE)), 6)
+         |    AS resid
+         |FROM tt JOIN ph USING (signal_id, phase)""".stripMargin,
 
     "ts_counter_rate" ->
       s"""$OracleCte, g AS (

@@ -65,4 +65,30 @@ class RelevanceSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("ResolvedHint"),
       "LM side must not be hint-broadcast (vocabulary-sized at web scale)")
   }
+
+  test("bigram xent flags shuffled token order that unigram xent cannot see") {
+    // docs 1-3 share the same unigram distribution of "the cat sat"-style
+    // text; doc 4 uses the same TOKENS but scrambled order — unigram xent
+    // ties it with the natural docs, bigram xent must score it higher
+    val docs = corpus(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      3L -> "the cat sat on the mat",
+      4L -> "mat the on sat cat the")
+    val h1 = Relevance.unigramCrossEntropy(docs)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(h1(4L) == h1(1L), "same bag of words must tie under unigrams")
+    val h2 = Relevance.bigramCrossEntropy(docs)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(h2(4L) > h2(1L),
+      s"scrambled doc should score higher bigram entropy: $h2")
+  }
+
+  test("bigram xent drops sub-2-token docs and survives an empty corpus") {
+    val docs = corpus(1L -> "one", 2L -> "two tokens here")
+    val r = Relevance.bigramCrossEntropy(docs).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(2L))
+    val empty = corpus().filter(lit(false))
+    assert(Relevance.bigramCrossEntropy(empty).count() === 0)
+  }
 }
