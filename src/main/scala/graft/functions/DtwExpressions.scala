@@ -89,6 +89,22 @@ object Dtw {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Exact integer squared Euclidean distance between two quantized
+    * segments — the reference's kNN metric (knn/mod.rs:310) carried in
+    * the fixed-point domain so engines agree bit-for-bit.
+    */
+  def sqDistQ(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** LB_Keogh lower bound: sum_j max(0, a_j - up_j, dn_j - a_j) against a
     * pre-computed band envelope. Admissible for the same-band DTW: every
     * warping path matches a_j to some b_k with |k-j| <= band, and
@@ -191,9 +207,37 @@ case class LbKeogh(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** sqdist_q(a, b): exact integer squared L2 over quantized segments. */
+case class VecSqDistQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_sqdist_q"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Dtw.sqDistQ(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Dtw.sqDistQ($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDistQ =
+    copy(left = l, right = r)
+}
+
 object DtwFunctions {
   def dtwBand(a: Column, b: Column, band: Int): Column =
     column(DtwBand(expression(a), expression(b), band))
+  def sqDistQ(a: Column, b: Column): Column =
+    column(VecSqDistQ(expression(a), expression(b)))
   def dtwEnvUp(v: Column, band: Int): Column =
     column(DtwEnvelope(expression(v), band, upper = true))
   def dtwEnvDn(v: Column, band: Int): Column =

@@ -80,6 +80,69 @@ object TierQueries {
       SegmentMl.dtwKnn(Segments.completeQuantized(r(s, d)),
         testSignals = Seq(0L, 1L, 2L), band = DtwBandWidth)),
 
+    // discord discovery (Keogh's anomaly-as-farthest-segment, the batch
+    // flavor of the reference's outlier concern, outlier/mod.rs): per
+    // signal, the complete segment whose nearest-neighbor distance to the
+    // signal's OTHER segments is largest. Distances are exact integer
+    // squared L2 in the fixed-point domain; the self-join is keyed by
+    // signal_id (quadratic only within a signal's own segment list — the
+    // discord definition — never across signals)
+    "seg_discord" -> ((s, d) => {
+      import graft.functions.DtwFunctions.sqDistQ
+      val segs = Segments.completeQuantized(r(s, d))
+      val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
+        col("qvals").as("qa"))
+      val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
+        col("qvals").as("qb"))
+      val nnd = a.join(b, Seq("signal_id"))
+        .where(col("seg_a") =!= col("seg_b"))
+        .groupBy(col("signal_id"), col("seg_a"))
+        .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("signal_id"))
+        .orderBy(col("nnd_q").desc, col("seg_a"))
+      nnd.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+    }),
+
+    // SAX symbolic words (Lin et al., "A Symbolic Representation of Time
+    // Series", DMKD'07): z-normalize per signal from EXACT integer moments
+    // (the ts_zscore decimal pattern), PAA over 4-row chunks from exact
+    // chunk sums, discretize at the N(0,1) quartile breakpoints into
+    // alphabet {a,b,c,d}, concatenate 4 chunks per 16-row segment. Both
+    // engines derive every double from the same integer divisions, so the
+    // breakpoint comparisons agree exactly
+    "tier_sax" -> ((s, d) => {
+      val rr = r(s, d)
+      val q18 = col("value_q").cast("decimal(18,0)")
+      val stats = rr.groupBy(col("signal_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_q")).cast("long").as("s1"),
+          sum(q18 * q18).cast("decimal(38,0)").as("s2"))
+        .withColumn("mean_q", col("s1").cast("double") / col("n").cast("double"))
+        .withColumn("var_q",
+          col("s2").cast("double") / col("n").cast("double") -
+            col("mean_q") * col("mean_q"))
+        .where(col("var_q") > 0.0)
+        .select(col("signal_id"), col("mean_q"), col("var_q"))
+      Tiers.paaChunks(rr, 4)
+        .join(broadcast(stats), "signal_id")
+        .withColumn("z",
+          (col("sq").cast("double") / col("cnt").cast("double") - col("mean_q")) /
+            sqrt(col("var_q")))
+        .withColumn("letter",
+          when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
+            .when(col("z") < 0.6745, "c").otherwise("d"))
+        .groupBy(col("signal_id"), floor(col("chunk") / 4.0).cast("long").as("seg"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk"), col("letter")))),
+            p => p.getField("letter")), "").as("word"),
+          count(lit(1)).as("nch"), min(col("cnt")).as("mc"))
+        .filter(col("nch") === 4 && col("mc") === 4)
+        .select(col("signal_id"), col("seg"), col("word"))
+    }),
+
     "storage_codec_cr" -> ((s, d) =>
       graft.sources.CodecStore.compressionMatrix(r(s, d))),
 
@@ -316,8 +379,70 @@ object TierQueries {
        |FROM rk WHERE rnk = 1""".stripMargin
   }
 
+  /** Explicit integer squared-L2 between 16-point BIGINT lists `qa`/`qb`
+    * (generated term list keeps the oracle free of nested comprehensions).
+    */
+  private def sqDistQSql: String =
+    (1 to Readings.SegmentRows.toInt)
+      .map(i => s"(qa[$i] - qb[$i]) * (qa[$i] - qb[$i])").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
     "seg_knn_dtw" -> dtwOracleSql,
+
+    "seg_discord" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
+         |), nnd AS (
+         |  SELECT a.signal_id, a.seg AS seg_a,
+         |         CAST(min($sqDistQSql) AS BIGINT) AS nnd_q
+         |  FROM (SELECT signal_id, seg, qv AS qa FROM f) a
+         |  JOIN (SELECT signal_id, seg AS seg_b, qv AS qb FROM f) b
+         |    USING (signal_id)
+         |  WHERE a.seg <> b.seg_b
+         |  GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY signal_id ORDER BY nnd_q DESC, seg_a) AS rnk
+         |  FROM nnd
+         |)
+         |SELECT signal_id, seg_a AS seg, nnd_q FROM rk WHERE rnk = 1""".stripMargin,
+
+    "tier_sax" ->
+      s"""$OracleCte, st AS (
+         |  SELECT signal_id, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(value_q) AS BIGINT) AS s1,
+         |         CAST(sum(value_q * value_q) AS BIGINT) AS s2
+         |  FROM r GROUP BY 1
+         |), m AS (
+         |  SELECT signal_id,
+         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+         |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+         |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var_q
+         |  FROM st
+         |), c AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS chunk,
+         |         CAST(sum(value_q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), l AS (
+         |  SELECT c.signal_id, chunk, cnt,
+         |    CASE WHEN (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) - mean_q) / sqrt(var_q) < -0.6745 THEN 'a'
+         |         WHEN (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) - mean_q) / sqrt(var_q) < 0.0 THEN 'b'
+         |         WHEN (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) - mean_q) / sqrt(var_q) < 0.6745 THEN 'c'
+         |         ELSE 'd' END AS letter
+         |  FROM c JOIN m USING (signal_id)
+         |  WHERE var_q > 0.0
+         |), w AS (
+         |  SELECT signal_id, CAST(floor(chunk / 4.0) AS BIGINT) AS seg,
+         |         string_agg(letter, '' ORDER BY chunk) AS word,
+         |         CAST(count(*) AS BIGINT) AS nch, CAST(min(cnt) AS BIGINT) AS mc
+         |  FROM l GROUP BY 1, 2
+         |)
+         |SELECT signal_id, seg, word FROM w WHERE nch = 4 AND mc = 4""".stripMargin,
     "buff_range" ->
       s"""$OracleCte SELECT signal_id, seq_no FROM r
          |WHERE value_q BETWEEN 12345 AND 34567""".stripMargin,

@@ -378,6 +378,34 @@ object TsQueries {
     // partition-parallel at any scale.
     "ts_decompose" -> ((s, d) => decomposeOf(r(s, d))),
 
+    // CUSUM changepoint per signal: the t maximizing |C_t|, where
+    // C_t = sum_{i<=t}(x_i - mean) is the cumulative deviation from the
+    // signal mean. The statistic rides an EXACT integer numerator
+    // num_t = n*S_t - t*S_n (prefix and total sums of value_q) in
+    // DECIMAL(38,0) — int64 wraps at ~1e9-row signals at 100 TB, decimal
+    // stays exact — so argmax and tie-breaks are engine-identical; the
+    // reported score C_t = num_t/(100*n) divides the same integers on
+    // both sides. One keyed window pass + one window argmax: two
+    // shuffles on signal_id
+    "ts_changepoint" -> ((s, d) => {
+      val wP = W.partitionBy(col("signal_id")).orderBy(col("seq_no"))
+      val wA = W.partitionBy(col("signal_id"))
+      val d20 = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,0)")
+      val t = r(s, d).select(col("signal_id"), col("seq_no"),
+          sum(col("value_q")).over(wP).as("st"),
+          count(lit(1)).over(wA).as("n"),
+          sum(col("value_q")).over(wA).as("sn"))
+        .withColumn("num",
+          (d20(col("n")) * d20(col("st")) - d20(col("seq_no")) * d20(col("sn")))
+            .cast("decimal(38,0)"))
+      val wMax = W.partitionBy(col("signal_id"))
+        .orderBy(abs(col("num")).desc, col("seq_no"))
+      t.withColumn("rnk", row_number().over(wMax)).filter(col("rnk") === 1)
+        .select(col("signal_id"), col("seq_no").as("cp_seq"),
+          round(abs(col("num")).cast("double") /
+            (lit(100.0) * col("n").cast("double")), 6).as("cp_score"))
+    }),
+
     // z-score outlier detection per signal (the production flavor of the
     // reference's outlier concern, outlier/mod.rs): moments computed as
     // EXACT integer sums over the fixed-point domain (sum_q, sum_q^2 —
@@ -786,6 +814,25 @@ object TsQueries {
          |  round(CAST(dq * ck - nk AS DOUBLE) / (700.0 * CAST(ck AS DOUBLE)), 6)
          |    AS resid
          |FROM tt JOIN ph USING (signal_id, phase)""".stripMargin,
+
+    "ts_changepoint" ->
+      s"""$OracleCte, t AS (
+         |  SELECT signal_id, seq_no,
+         |    CAST(sum(value_q) OVER (PARTITION BY signal_id ORDER BY seq_no) AS HUGEINT) AS st,
+         |    CAST(count(*) OVER (PARTITION BY signal_id) AS HUGEINT) AS n,
+         |    CAST(sum(value_q) OVER (PARTITION BY signal_id) AS HUGEINT) AS sn
+         |  FROM r
+         |), c AS (
+         |  SELECT signal_id, seq_no, n, n * st - seq_no * sn AS num FROM t
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY signal_id ORDER BY abs(num) DESC, seq_no) AS rnk
+         |  FROM c
+         |)
+         |SELECT signal_id, seq_no AS cp_seq,
+         |  round(CAST(abs(num) AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6)
+         |    AS cp_score
+         |FROM rk WHERE rnk = 1""".stripMargin,
 
     "ts_counter_rate" ->
       s"""$OracleCte, g AS (
