@@ -701,8 +701,110 @@ object TsQueries {
         .withColumn("rel_err",
           when(col("sum_q") === 0L, lit(0.0))
             .otherwise(round(abs(col("sum_q") - col("sum_q4")).cast("double") /
-              abs(col("sum_q")).cast("double"), 6))))
+              abs(col("sum_q")).cast("double"), 6)))),
+
+    // time-weighted average per (signal, day) — the irregular-sampling
+    // aggregate (InfluxDB TWA / TimescaleDB time_weight('Linear')):
+    // trapezoidal integral over consecutive readings, each interval
+    // assigned to its left endpoint's day. The integral numerator is an
+    // EXACT integer — (q_i + q_{i+1}) * dt_us summed in DECIMAL(38,0) —
+    // so both engines divide identical integers; one keyed window + one
+    // keyed aggregation (two shuffles on signal_id), no buffering.
+    "ts_twa" -> ((s, d) => twaOf(r(s, d))),
+
+    // M4 visualization downsampling (Jugel et al., VLDB'14): per
+    // (signal, 16-row window) keep min/max/first/last plus the positions
+    // attaining min/max — the 4-point-per-pixel rollup chart frontends
+    // query. first/last are deterministic via the unique seq_no
+    // (min_by/max_by); min/max positions take the LOWEST attaining
+    // seq_no (window min over the same keys, then a conditional min —
+    // the window exchange is reused by the aggregation, one shuffle).
+    "ts_m4" -> ((s, d) => m4Of(r(s, d))),
+
+    // autocorrelation function at lags 1..5 per signal — the classic
+    // seasonality/memory diagnostic. The estimator is computed entirely
+    // from integer moments scaled by n (num_L = Σ(n·q_i − S)(n·q_{i+L} −
+    // S), den = Σ(n·q_i − S)² expanded into n²·Σxy / n·S / S² terms, all
+    // DECIMAL(38,0)), so both engines produce the double from one
+    // identical integer division. One keyed window (5 leads share it) +
+    // one keyed aggregation: two shuffles on signal_id.
+    "ts_acf" -> ((s, d) => acfOf(r(s, d)))
   )
+
+  /** Time-weighted average per (signal, day) over a readings frame —
+    * see the `ts_twa` registration for the semantics/shuffle notes.
+    */
+  def twaOf(readings: DataFrame): DataFrame = {
+    val w = W.partitionBy(col("signal_id")).orderBy(col("seq_no"))
+    val iv = readings
+      .select(col("signal_id"), col("ts"), col("value_q"), col("seq_no"))
+      .withColumn("nq", lead(col("value_q"), 1).over(w))
+      .withColumn("nts", lead(col("ts"), 1).over(w))
+      .filter(col("nq").isNotNull)
+      .withColumn("dt_us", unix_micros(col("nts")) - unix_micros(col("ts")))
+    iv.groupBy(col("signal_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n_iv"),
+        sum(((col("value_q") + col("nq")).cast("decimal(18,0)") *
+          col("dt_us").cast("decimal(18,0)")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("num"),
+        sum(col("dt_us")).cast("long").as("den"))
+      .filter(col("den") > 0L)
+      .select(col("signal_id"), unix_timestamp(col("day")).as("day_s"),
+        col("n_iv"),
+        round(col("num").cast("double") /
+          (lit(200.0) * col("den").cast("double")), 6).as("twa"))
+  }
+
+  /** M4 downsample per (signal, `width`-row window) — see `ts_m4`. */
+  def m4Of(readings: DataFrame, width: Long = 16L): DataFrame = {
+    val rr = readings.select(col("signal_id"), col("seq_no"), col("value"),
+      col("value_q"), Readings.posWindow(col("seq_no"), 0L, width).as("win"))
+    val wp = W.partitionBy(col("signal_id"), col("win"))
+    rr.withColumn("wmin", min(col("value_q")).over(wp))
+      .withColumn("wmax", max(col("value_q")).over(wp))
+      .groupBy(col("signal_id"), col("win"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        min_by(col("value"), col("seq_no")).as("first_v"),
+        max_by(col("value"), col("seq_no")).as("last_v"),
+        min(col("value_q")).as("vmin_q"),
+        max(col("value_q")).as("vmax_q"),
+        min(when(col("value_q") === col("wmin"), col("seq_no"))).as("min_seq"),
+        min(when(col("value_q") === col("wmax"), col("seq_no"))).as("max_seq"))
+  }
+
+  /** ACF at lags 1..`maxLag` per signal — see `ts_acf`. */
+  def acfOf(readings: DataFrame, maxLag: Int = 5): DataFrame = {
+    val w = W.partitionBy(col("signal_id")).orderBy(col("seq_no"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val q18 = col("value_q").cast("decimal(18,0)")
+    val lags = 1 to maxLag
+    val led = lags.foldLeft(
+      readings.select(col("signal_id"), col("seq_no"), col("value_q"))) {
+      (df, l) => df.withColumn(s"q$l", lead(col("value_q"), l).over(w))
+    }
+    val aggs = Seq(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("value_q")).cast("decimal(38,0)").as("sv"),
+      sum(q18 * q18).cast("decimal(38,0)").as("qq")) ++ lags.flatMap { l =>
+      val ql = col(s"q$l").cast("decimal(18,0)")
+      Seq(sum(q18 * ql).cast("decimal(38,0)").as(s"xy$l"),
+        sum(when(col(s"q$l").isNotNull, col("value_q")))
+          .cast("decimal(38,0)").as(s"h$l"),
+        sum(col(s"q$l")).cast("decimal(38,0)").as(s"t$l"))
+    }
+    val g = led.groupBy(col("signal_id")).agg(aggs.head, aggs.tail: _*)
+    val nD = d38(col("n"))
+    val den = nD * nD * col("qq") - nD * col("sv") * col("sv")
+    val acfCols = lags.map { l =>
+      val num = nD * nD * col(s"xy$l") -
+        nD * col("sv") * (col(s"h$l") + col(s"t$l")) +
+        (nD - lit(l).cast("decimal(38,0)")) * col("sv") * col("sv")
+      when(den === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .as(s"acf_$l")
+    }
+    g.select(col("signal_id") +: col("n") +: acfCols: _*)
+  }
 
   val oracles: Map[String, String] = Map(
     "o1_scan" ->
@@ -1279,6 +1381,90 @@ object TsQueries {
          |  CASE WHEN sum_q = 0 THEN 0.0
          |       ELSE round(CAST(abs(sum_q - sum_q4) AS DOUBLE) /
          |                  CAST(abs(sum_q) AS DOUBLE), 6) END AS rel_err
-         |FROM a""".stripMargin
+         |FROM a""".stripMargin,
+
+    "ts_twa" ->
+      s"""$OracleCte, iv AS (
+         |  SELECT signal_id, ts, value_q,
+         |    lead(value_q) OVER w AS nq, lead(ts) OVER w AS nts
+         |  FROM r WINDOW w AS (PARTITION BY signal_id ORDER BY seq_no)
+         |), ivd AS (
+         |  SELECT signal_id, date_trunc('day', ts) AS day, value_q, nq,
+         |    epoch_us(nts) - epoch_us(ts) AS dt_us
+         |  FROM iv WHERE nq IS NOT NULL
+         |), g AS (
+         |  SELECT signal_id, CAST(epoch(day) AS BIGINT) AS day_s,
+         |    CAST(count(*) AS BIGINT) AS n_iv,
+         |    CAST(sum((value_q + nq) * dt_us) AS BIGINT) AS num,
+         |    CAST(sum(dt_us) AS BIGINT) AS den
+         |  FROM ivd GROUP BY 1, 2
+         |)
+         |SELECT signal_id, day_s, n_iv,
+         |  round(CAST(num AS DOUBLE) / (200.0 * CAST(den AS DOUBLE)), 6) AS twa
+         |FROM g WHERE den > 0""".stripMargin,
+
+    "ts_m4" ->
+      s"""$OracleCte, t AS (
+         |  SELECT signal_id, seq_no, value, value_q,
+         |    CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS win,
+         |    min(value_q) OVER (PARTITION BY signal_id,
+         |      CAST(floor((seq_no - 1) / 16.0) AS BIGINT)) AS wmin,
+         |    max(value_q) OVER (PARTITION BY signal_id,
+         |      CAST(floor((seq_no - 1) / 16.0) AS BIGINT)) AS wmax
+         |  FROM r
+         |)
+         |SELECT signal_id, win, CAST(count(*) AS BIGINT) AS cnt,
+         |  arg_min(value, seq_no) AS first_v, arg_max(value, seq_no) AS last_v,
+         |  CAST(min(value_q) AS BIGINT) AS vmin_q,
+         |  CAST(max(value_q) AS BIGINT) AS vmax_q,
+         |  CAST(min(CASE WHEN value_q = wmin THEN seq_no END) AS BIGINT) AS min_seq,
+         |  CAST(min(CASE WHEN value_q = wmax THEN seq_no END) AS BIGINT) AS max_seq
+         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "ts_acf" ->
+      s"""$OracleCte, lg AS (
+         |  SELECT signal_id, value_q,
+         |    lead(value_q, 1) OVER w AS q1, lead(value_q, 2) OVER w AS q2,
+         |    lead(value_q, 3) OVER w AS q3, lead(value_q, 4) OVER w AS q4,
+         |    lead(value_q, 5) OVER w AS q5
+         |  FROM r WINDOW w AS (PARTITION BY signal_id ORDER BY seq_no)
+         |), g AS (
+         |  SELECT signal_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(value_q) AS BIGINT) AS sv,
+         |    CAST(sum(value_q * value_q) AS BIGINT) AS qq,
+         |    CAST(sum(value_q * q1) AS BIGINT) AS xy1,
+         |    CAST(sum(CASE WHEN q1 IS NOT NULL THEN value_q END) AS BIGINT) AS h1,
+         |    CAST(sum(q1) AS BIGINT) AS t1,
+         |    CAST(sum(value_q * q2) AS BIGINT) AS xy2,
+         |    CAST(sum(CASE WHEN q2 IS NOT NULL THEN value_q END) AS BIGINT) AS h2,
+         |    CAST(sum(q2) AS BIGINT) AS t2,
+         |    CAST(sum(value_q * q3) AS BIGINT) AS xy3,
+         |    CAST(sum(CASE WHEN q3 IS NOT NULL THEN value_q END) AS BIGINT) AS h3,
+         |    CAST(sum(q3) AS BIGINT) AS t3,
+         |    CAST(sum(value_q * q4) AS BIGINT) AS xy4,
+         |    CAST(sum(CASE WHEN q4 IS NOT NULL THEN value_q END) AS BIGINT) AS h4,
+         |    CAST(sum(q4) AS BIGINT) AS t4,
+         |    CAST(sum(value_q * q5) AS BIGINT) AS xy5,
+         |    CAST(sum(CASE WHEN q5 IS NOT NULL THEN value_q END) AS BIGINT) AS h5,
+         |    CAST(sum(q5) AS BIGINT) AS t5
+         |  FROM lg GROUP BY 1
+         |)
+         |SELECT signal_id, n,
+         |  CASE WHEN n*n*qq - n*sv*sv = 0 THEN NULL
+         |       ELSE round(CAST(n*n*xy1 - n*sv*(h1+t1) + (n-1)*sv*sv AS DOUBLE) /
+         |                  CAST(n*n*qq - n*sv*sv AS DOUBLE), 6) END AS acf_1,
+         |  CASE WHEN n*n*qq - n*sv*sv = 0 THEN NULL
+         |       ELSE round(CAST(n*n*xy2 - n*sv*(h2+t2) + (n-2)*sv*sv AS DOUBLE) /
+         |                  CAST(n*n*qq - n*sv*sv AS DOUBLE), 6) END AS acf_2,
+         |  CASE WHEN n*n*qq - n*sv*sv = 0 THEN NULL
+         |       ELSE round(CAST(n*n*xy3 - n*sv*(h3+t3) + (n-3)*sv*sv AS DOUBLE) /
+         |                  CAST(n*n*qq - n*sv*sv AS DOUBLE), 6) END AS acf_3,
+         |  CASE WHEN n*n*qq - n*sv*sv = 0 THEN NULL
+         |       ELSE round(CAST(n*n*xy4 - n*sv*(h4+t4) + (n-4)*sv*sv AS DOUBLE) /
+         |                  CAST(n*n*qq - n*sv*sv AS DOUBLE), 6) END AS acf_4,
+         |  CASE WHEN n*n*qq - n*sv*sv = 0 THEN NULL
+         |       ELSE round(CAST(n*n*xy5 - n*sv*(h5+t5) + (n-5)*sv*sv AS DOUBLE) /
+         |                  CAST(n*n*qq - n*sv*sv AS DOUBLE), 6) END AS acf_5
+         |FROM g""".stripMargin
   )
 }
