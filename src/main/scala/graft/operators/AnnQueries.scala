@@ -66,6 +66,27 @@ object AnnQueries {
     Array.tabulate(PqM)(m => base.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim)))
   }
 
+  /** IVF-PQ residual codebook: the RESIDUALS of vectors [NCells,
+    * NCells+PqCells) w.r.t. their own best coarse cell, sliced into
+    * subspaces. Derived through the very same cellScore/zip_with
+    * expressions the query path runs (a 16-row bounded collect), so the
+    * codebook the oracle regenerates in SQL is double-identical.
+    */
+  private def ivfPqCodebook(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
+    val cents = ivfCentroids(s, d)
+    val centArr = array(cents.sortBy(_._1).map { case (_, c) => typedLit(c) }: _*)
+    val base = emb(s, d)
+      .filter(col("vec_id") >= NCells && col("vec_id") < NCells + PqCells)
+      .withColumn("cell", Similarity.bestCell(col("embedding"), cents))
+      .withColumn("cent", element_at(centArr, col("cell").cast("int") + lit(1)))
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), col("cent"),
+          (a, b) => a - b).as("resid"))
+      .orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    Array.tabulate(PqM)(m => base.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+  }
+
   /** recall = |approx ∩ brute| / |brute| over the given key columns —
     * the one summary row every *_recall query emits.
     */
@@ -166,6 +187,20 @@ object AnnQueries {
       Similarity.bruteTopKL2(probes(s, d), corpus(s, d), TopK)
         .select(col("probe_id"), col("cand_id")),
       Similarity.pqTopK(probes(s, d), corpus(s, d), TopK, pqCodebook(s, d))
+        .select(col("probe_id"), col("cand_id")),
+      Seq("probe_id", "cand_id"))),
+
+    // IVF-PQ (Faiss IVFADC): coarse cells prune the search, PQ codes on
+    // the residuals compress the scan payload to cell + 8 ints/vector
+    "ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(probes(s, d), corpus(s, d), TopK,
+        ivfCentroids(s, d), NProbe, ivfPqCodebook(s, d))),
+
+    "ann_ivfpq_recall" -> ((s, d) => recallSummary(
+      Similarity.bruteTopKL2(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id")),
+      Similarity.ivfPqTopK(probes(s, d), corpus(s, d), TopK,
+          ivfCentroids(s, d), NProbe, ivfPqCodebook(s, d))
         .select(col("probe_id"), col("cand_id")),
       Seq("probe_id", "cand_id"))),
 
@@ -312,6 +347,65 @@ object AnnQueries {
        |  FROM ivs
        |)""".stripMargin
 
+  // IVF-PQ oracle: extends the IVF CTE (coarse cells for candidates `a1`
+  // and probes `pq`) with the residual codebook — the residuals of
+  // vectors [NCells, NCells+PqCells) against their own best cell — then
+  // PQ-assigns each candidate's residual subvectors, reconstructs
+  // centroid + decoded residual element-wise, and ranks by rounded
+  // squared-L2 inside the probed cells (the same rounding-then-rank the
+  // Spark path applies)
+  private def ivfPqCte: String = {
+    val dTot = PqM * PqSubDim
+    s"""$ivfCte, rc AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+       |  WHERE vec_id >= $NCells AND vec_id < ${NCells + PqCells}
+       |), rasg AS (
+       |  SELECT vec_id, ve, cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ${cosSql("ve", "cent")} DESC, cell) AS rrnk
+       |  FROM rc CROSS JOIN cents
+       |), rb AS (
+       |  SELECT CAST(r1.vec_id - $NCells AS BIGINT) AS rcell,
+       |    [r1.ve[i] - cents.cent[i] for i in range(1, ${dTot + 1})] AS resid
+       |  FROM (SELECT vec_id, ve, cell FROM rasg WHERE rrnk = 1) r1
+       |  JOIN cents USING (cell)
+       |), rcb AS (
+       |  SELECT t.m, rcell,
+       |    resid[(t.m*$PqSubDim+1):(t.m*$PqSubDim+$PqSubDim)] AS rcent
+       |  FROM rb, range(0, $PqM) t(m)
+       |), cres AS (
+       |  SELECT a1.cand_id, a1.cell, cents.cent AS ccent,
+       |    [a1.ce[i] - cents.cent[i] for i in range(1, ${dTot + 1})] AS resid
+       |  FROM a1 JOIN cents USING (cell)
+       |), csub AS (
+       |  SELECT cand_id, t.m,
+       |    resid[(t.m*$PqSubDim+1):(t.m*$PqSubDim+$PqSubDim)] AS sub
+       |  FROM cres, range(0, $PqM) t(m)
+       |), casg AS (
+       |  SELECT cand_id, csub.m, rcell, row_number() OVER (
+       |    PARTITION BY cand_id, csub.m
+       |    ORDER BY list_sum([(sub[i]-rcent[i])*(sub[i]-rcent[i])
+       |                       for i in range(1, ${PqSubDim + 1})]), rcell) AS crnk
+       |  FROM csub JOIN rcb ON csub.m = rcb.m
+       |), crec AS (
+       |  SELECT a.cand_id, flatten(list(rcb.rcent ORDER BY a.m)) AS rres
+       |  FROM casg a JOIN rcb ON a.m = rcb.m AND a.rcell = rcb.rcell
+       |  WHERE a.crnk = 1 GROUP BY a.cand_id
+       |), rvv AS (
+       |  SELECT cres.cand_id, cres.cell,
+       |    [cres.ccent[i] + crec.rres[i] for i in range(1, ${dTot + 1})] AS rv
+       |  FROM cres JOIN crec USING (cand_id)
+       |), ds AS (
+       |  SELECT probe_id, cand_id,
+       |    round(list_sum([(pe[i]-rv[i])*(pe[i]-rv[i])
+       |                    for i in range(1, ${dTot + 1})]), 6) AS dist
+       |  FROM rvv JOIN pq USING (cell) WHERE probe_id <> cand_id
+       |), dr AS (
+       |  SELECT probe_id, cand_id, dist, CAST(row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY dist, cand_id) AS BIGINT) AS rnk
+       |  FROM ds
+       |)""".stripMargin
+  }
+
   // PQ oracle: regenerate the subspace codebook from the first PqCells
   // vectors, assign each candidate's subvectors to their nearest centroids
   // (ordered squared-L2 comprehension — the same index-ascending fold the
@@ -426,6 +520,26 @@ object AnnQueries {
 
     "ann_ivf" ->
       s"$ivfCte\nSELECT probe_id, cand_id, sim, rnk FROM ivr WHERE rnk <= $TopK",
+
+    "ann_ivfpq" ->
+      s"$ivfPqCte\nSELECT probe_id, cand_id, dist, rnk FROM dr WHERE rnk <= $TopK",
+
+    "ann_ivfpq_recall" ->
+      s"""$ivfPqCte, ivfpq AS (
+         |  SELECT probe_id, cand_id FROM dr WHERE rnk <= $TopK
+         |), bs AS (
+         |  SELECT probe_id, cand_id,
+         |    list_sum([(pe[i]-ce[i])*(pe[i]-ce[i])
+         |              for i in range(1, ${PqM * PqSubDim + 1})]) AS dist
+         |  FROM p, c WHERE probe_id <> cand_id
+         |), br AS (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY dist, cand_id) AS rnk
+         |  FROM bs
+         |), brute AS (
+         |  SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK
+         |)
+         |${recallTailSql("ivfpq", "probe_id", "cand_id")}""".stripMargin,
 
     // the store serves the identical result set (same cells, same
     // scoring, same ties) — one oracle covers both paths

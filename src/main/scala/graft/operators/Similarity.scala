@@ -195,6 +195,40 @@ object Similarity {
       .filter(col("prnk") <= nProbe).select(col("probe_id"), col("pe"), col("cell"))
   }
 
+  /** IVF-PQ (Jégou et al., IVFADC): coarse cell assignment (map-only, as
+    * ivfTopK) + product-quantized RESIDUALS (vector minus its cell
+    * centroid), searched by reconstructed squared-L2 inside the probed
+    * cells only. The 100 TB shape of Faiss's workhorse index: corpus
+    * carries cell + 8 int codes per vector (the residual codebook is a
+    * bounded broadcast literal), probing prunes cells, ADC never touches
+    * raw floats. Reconstruction order is centroid + decoded residual,
+    * element-wise, so the DuckDB oracle reproduces the doubles exactly.
+    */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                centroids: Seq[(Int, Seq[Double])], nProbe: Int,
+                codebook: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val centArr = array(centroids.sortBy(_._1).map { case (_, c) => typedLit(c) }: _*)
+    val assigned = corpus
+      .withColumn("cell", bestCell(col("ce"), centroids))
+      .withColumn("cent", element_at(centArr, col("cell").cast("int") + lit(1)))
+      .withColumn("resid", zip_with(col("ce").cast("array<double>"), col("cent"),
+        (a, b) => a - b))
+    val recon = assigned
+      .withColumn("rres", column(graft.functions.PqDecode(
+        expression(column(graft.functions.PqEncode(
+          expression(col("resid")), codebook))), codebook)))
+      .withColumn("rv", zip_with(col("cent"), col("rres"), (a, b) => a + b))
+    val joined = recon.join(
+        broadcast(probeCells(probes, centroids, nProbe)), Seq("cell"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(sqDist(col("pe").cast("array<double>"), col("rv")), 6).as("dist"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("dist").asc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
     val assigned = corpus.withColumn("cn", l2(col("ce")))

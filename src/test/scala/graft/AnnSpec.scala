@@ -56,6 +56,20 @@ class AnnSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("ann_ivfpq recall@10 vs exact L2 meets the 0.3 floor") {
+    // IVF-PQ on the same isotropic worst case: coarse-cell pruning plus
+    // residual coding lifts recall over flat PQ (~0.41 vs ~0.28 at
+    // sf0.01) while carrying 1/32 of the scan payload — the expected
+    // IVFADC ordering. Floor at 0.3 documents the structure-free bound;
+    // trained codebooks on clustered corpora push this far higher.
+    assume(sfDirs.nonEmpty, "no testdata present")
+    for (d <- sfDirs) {
+      val row = AnnQueries.queries("ann_ivfpq_recall")(spark, d).collect()(0)
+      val recall = row.getAs[Double]("recall")
+      assert(recall >= 0.3, s"IVF-PQ recall $recall < 0.3 at $d")
+    }
+  }
+
   test("dedup_embedding pair capture vs brute force meets the 0.8 floor") {
     assume(sfDirs.nonEmpty, "no testdata present")
     for (d <- sfDirs) {
