@@ -105,6 +105,29 @@ object TierQueries {
         .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
     }),
 
+    // motif discovery (Lin/Keogh, the discord's dual): per signal, the
+    // CLOSEST pair of complete segments — the recurring pattern. Same
+    // exact integer squared-L2, same signal-keyed self-join (quadratic
+    // only within one signal's segment list, never across signals);
+    // seg_a < seg_b halves the pair space and fixes the orientation.
+    "seg_motif" -> ((s, d) => {
+      import graft.functions.DtwFunctions.sqDistQ
+      val segs = Segments.completeQuantized(r(s, d))
+      val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
+        col("qvals").as("qa"))
+      val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
+        col("qvals").as("qb"))
+      val pairs = a.join(b, Seq("signal_id"))
+        .where(col("seg_a") < col("seg_b"))
+        .select(col("signal_id"), col("seg_a"), col("seg_b"),
+          sqDistQ(col("qa"), col("qb")).as("dist_q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("signal_id"))
+        .orderBy(col("dist_q").asc, col("seg_a"), col("seg_b"))
+      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .select(col("signal_id"), col("seg_a"), col("seg_b"), col("dist_q"))
+    }),
+
     // SAX symbolic words (Lin et al., "A Symbolic Representation of Time
     // Series", DMKD'07): z-normalize per signal from EXACT integer moments
     // (the ts_zscore decimal pattern), PAA over 4-row chunks from exact
@@ -410,6 +433,27 @@ object TierQueries {
          |  FROM nnd
          |)
          |SELECT signal_id, seg_a AS seg, nnd_q FROM rk WHERE rnk = 1""".stripMargin,
+
+    "seg_motif" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
+         |), pr AS (
+         |  SELECT a.signal_id, a.seg AS seg_a, b.seg_b,
+         |         CAST($sqDistQSql AS BIGINT) AS dist_q
+         |  FROM (SELECT signal_id, seg, qv AS qa FROM f) a
+         |  JOIN (SELECT signal_id, seg AS seg_b, qv AS qb FROM f) b
+         |    USING (signal_id)
+         |  WHERE a.seg < b.seg_b
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY signal_id ORDER BY dist_q, seg_a, seg_b) AS rnk
+         |  FROM pr
+         |)
+         |SELECT signal_id, seg_a, seg_b, dist_q FROM rk WHERE rnk = 1""".stripMargin,
 
     "tier_sax" ->
       s"""$OracleCte, st AS (

@@ -64,6 +64,22 @@ class TsAnalyticsSpec extends AnyFunSuite with SparkTest {
     assert(top.getLong(1) == 2L, s"discord seg ${top.getLong(1)}, want 2")
   }
 
+  test("motif discovery finds the planted repeating pair") {
+    // segments: A, B, A' (A shifted by 0.01 -> distance 16), C — the
+    // closest pair is (0, 2); B and C are far from everything
+    val segA = (0 until 16).map(i => 10.0 + (i % 4) * 2.0)
+    val segB = (0 until 16).map(i => 40.0 - (i % 3) * 5.0)
+    val segA2 = segA.map(_ + 0.01)
+    val segC = (0 until 16).map(i => -20.0 + i * 1.5)
+    val rs = readings((segA ++ segB ++ segA2 ++ segC).map(v => (5L, v)))
+    val out = graft.operators.TierQueries.queries("seg_motif")(spark, writeTmp(rs))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 2L,
+      s"motif pair (${out(0).getLong(1)}, ${out(0).getLong(2)}), want (0, 2)")
+    assert(out(0).getLong(3) == 16L) // 16 coords each off by exactly 1 q-unit
+  }
+
   test("sqDistQ is the exact integer squared L2") {
     import graft.functions.Dtw
     import org.apache.spark.sql.catalyst.util.GenericArrayData
