@@ -196,6 +196,18 @@ object AnnQueries {
       Similarity.ivfPqTopK(probes(s, d), corpus(s, d), TopK,
         ivfCentroids(s, d), NProbe, ivfPqCodebook(s, d))),
 
+    // the persisted IVF-PQ index: cell-partitioned codes on disk (no
+    // floats), probes read only their cells — same arithmetic as
+    // ann_ivfpq, so the same oracle checks it
+    "ann_ivfpq_store" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-store").toString
+      val cb = ivfPqCodebook(s, d)
+      graft.sources.IvfStore.writePq(emb(s, d), "vec_id", "embedding",
+        ivfCentroids(s, d), cb, path)
+      graft.sources.IvfStore.topKPq(s, path, probes(s, d), TopK,
+        ivfCentroids(s, d), cb, NProbe)
+    }),
+
     "ann_ivfpq_recall" -> ((s, d) => recallSummary(
       Similarity.bruteTopKL2(probes(s, d), corpus(s, d), TopK)
         .select(col("probe_id"), col("cand_id")),
@@ -522,6 +534,11 @@ object AnnQueries {
       s"$ivfCte\nSELECT probe_id, cand_id, sim, rnk FROM ivr WHERE rnk <= $TopK",
 
     "ann_ivfpq" ->
+      s"$ivfPqCte\nSELECT probe_id, cand_id, dist, rnk FROM dr WHERE rnk <= $TopK",
+
+    // the PQ store serves the identical result set (same cells, same
+    // codes, same reconstruction and ties) — one oracle covers both
+    "ann_ivfpq_store" ->
       s"$ivfPqCte\nSELECT probe_id, cand_id, dist, rnk FROM dr WHERE rnk <= $TopK",
 
     "ann_ivfpq_recall" ->

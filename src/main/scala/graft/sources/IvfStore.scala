@@ -76,6 +76,62 @@ object IvfStore {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
 
+  /** Write the IVF-PQ layout: cell partition + the 8 int residual codes
+    * per vector — NO raw floats are stored. This is the Faiss-IVFADC
+    * on-disk shape at 100 TB: 8 bytes of codes against 256 bytes of
+    * floats (32×), with the same partition-pruned serving as the flat
+    * store. The codes are exactly `PqEncode(vec - centroid(cell))`, so
+    * [[topKPq]] reproduces `Similarity.ivfPqTopK` bit-for-bit and the
+    * two paths share one oracle.
+    */
+  def writePq(vecs: DataFrame, idCol: String, vecCol: String,
+              centroids: Seq[(Int, Seq[Double])],
+              codebook: Array[Array[Array[Double]]], path: String): Unit = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val centArr = array(centroids.sortBy(_._1).map { case (_, c) => typedLit(c) }: _*)
+    vecs.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
+      .withColumn("cell", Similarity.bestCell(col("e"), centroids).cast("long"))
+      .withColumn("cent", element_at(centArr, col("cell").cast("int") + lit(1)))
+      .withColumn("resid", zip_with(col("e").cast("array<double>"), col("cent"),
+        (a, b) => a - b))
+      .withColumn("codes", column(graft.functions.PqEncode(
+        expression(col("resid")), codebook)))
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** ADC top-k served from the PQ store: read ONLY the probed cells
+    * (static partition pruning, as [[topK]]), decode codes to the
+    * reconstruction centroid + decoded residual, rank by rounded
+    * squared-L2 — the same arithmetic as `Similarity.ivfPqTopK`.
+    */
+  def topKPq(spark: SparkSession, path: String, probes: DataFrame, k: Int,
+             centroids: Seq[(Int, Seq[Double])],
+             codebook: Array[Array[Array[Double]]], nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val centArr = array(centroids.sortBy(_._1).map { case (_, c) => typedLit(c) }: _*)
+    val pc = Similarity.probeCells(probes, centroids, nProbe)
+      .withColumn("cell", col("cell").cast("long"))
+    val cells = pc.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val stored = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(x => x: Any): _*))
+      .select(col("vec_id").as("cand_id"), col("codes"), col("cell"))
+      .withColumn("cent", element_at(centArr, col("cell").cast("int") + lit(1)))
+      .withColumn("rres", column(graft.functions.PqDecode(
+        expression(col("codes")), codebook)))
+      .withColumn("rv", zip_with(col("cent"), col("rres"), (a, b) => a + b))
+    val joined = stored.join(broadcast(pc), Seq("cell"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(Similarity.sqDist(col("pe").cast("array<double>"), col("rv")), 6)
+          .as("dist"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("dist").asc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Exact top-k within the probes' nProbe cells, served from the store.
     * The probe cell set is bounded (|probes| × nProbe ≤ |cells|), so it
     * collects to a literal isin — STATIC partition pruning, visible in

@@ -80,6 +80,34 @@ class IvfStoreSpec extends AnyFunSuite with SparkTest
     assert(batch.exceptAll(compacted).count() === 0)
   }
 
+  test("PQ store serves the in-memory IVF-PQ result exactly, storing no floats") {
+    val emb = Tables.embeddings(spark, sf)
+    // residual codebook the same way AnnQueries derives it (vectors
+    // [nCells, 2*nCells) against their own best cell)
+    val centArr = array(centroids.sortBy(_._1).map { case (_, c) => typedLit(c) }: _*)
+    val base = emb.filter(col("vec_id") >= nCells && col("vec_id") < 2 * nCells)
+      .withColumn("cell", Similarity.bestCell(col("embedding"), centroids))
+      .withColumn("cent", element_at(centArr, col("cell").cast("int") + lit(1)))
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), col("cent"),
+          (a, b) => a - b).as("resid"))
+      .orderBy(col("vec_id")).collect().map(_.getSeq[Double](1).toArray)
+    val cb = Array.tabulate(8)(m => base.map(v => v.slice(m * 8, (m + 1) * 8)))
+    val p = Files.createTempDirectory("graft-ivfpqstore").toString
+    IvfStore.writePq(emb, "vec_id", "embedding", centroids, cb, p)
+    // on-disk payload is codes only — no float/double array column
+    val stored = spark.read.parquet(p)
+    val types = stored.schema.map(_.dataType.simpleString)
+    assert(!types.exists(t => t.contains("float") || t.contains("double")),
+      s"PQ store leaked a float payload: ${stored.schema.treeString}")
+    val fromStore = IvfStore.topKPq(spark, p, probes, 10, centroids, cb, nProbe)
+    val inMemory = Similarity.ivfPqTopK(probes,
+      emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+      10, centroids, nProbe, cb)
+    assert(fromStore.exceptAll(inMemory).count() === 0)
+    assert(inMemory.exceptAll(fromStore).count() === 0)
+  }
+
   test("the scan is partition-pruned to the probe cells") {
     val q = IvfStore.topK(spark, path, probes, 10, centroids, nProbe)
     q.count() // materialize so AQE finalizes the plan
