@@ -44,6 +44,29 @@ object TextQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // quality-aware near-dedup: instead of the min-doc_id canonical
+    // keeper, each duplicate cluster keeps its HIGHEST-VALUE member
+    // (here: most whitespace tokens — the "keep the longest variant"
+    // heuristic; ties break to the lowest doc_id). The component label
+    // is only a GROUPING key, so the same CC machinery serves both
+    // policies; the selection is one keyed window over cluster members
+    // (cluster-sized partitions, never corpus-wide). Singletons keep
+    // themselves via the left join + coalesce.
+    "pipe_dedup_quality" -> ((s, d) => {
+      val dd = docs(s, d)
+      val comp = Dedup.connectedComponentsAuto(Dedup.minhashNearDup(dd, 0.5))
+        .select(col("doc_id"), col("component"))
+      val scored = dd.select(col("doc_id"), col("lang"),
+        TextOps.wsTokenCount(col("text")).as("n_tokens"))
+      val labeled = scored.join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val w = W.partitionBy(col("component"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      labeled.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
+
     "dedup_ngram" -> ((s, d) => Dedup.ngramNearDup(docs(s, d), 4, 0.6)),
 
     // span-level duplication profile (Lee et al. substring dedup over
@@ -310,6 +333,33 @@ object TextQueries {
          |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r)
          |)
          |SELECT doc_id, lang FROM documents ANTI JOIN losers USING (doc_id)""".stripMargin,
+
+    "pipe_dedup_quality" ->
+      s"""${ShingleCte.replaceFirst("WITH", "WITH RECURSIVE")}, pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+         |), e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION ALL SELECT doc_b, doc_a FROM pr
+         |), reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+         |), comp AS (
+         |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+         |), scored AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens,
+         |    coalesce(comp.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp USING (doc_id)
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY component ORDER BY n_tokens DESC, doc_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT doc_id, lang, n_tokens FROM rk WHERE rnk = 1""".stripMargin,
 
     "dedup_spans" ->
       s"""$ShingleCte, ex AS (

@@ -196,4 +196,25 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(norm(Dedup.connectedComponentsAuto(mixed, starThreshold = 1L)) ==
       norm(Dedup.connectedComponents(mixed)))
   }
+
+  test("quality-aware dedup keeps the longest cluster member, not the min id") {
+    import spark.implicits._
+    // near-dup cluster {0, 1, 2}: doc 2 is the LONGEST (base + extra
+    // tokens appended keeps shingle jaccard high) -> quality policy must
+    // keep 2 where the canonical policy keeps 0. Docs 3 and 4 are
+    // singletons and survive under both.
+    val longer = base + " extra0 extra1 extra2"
+    val dd = Seq(
+      (0L, base, "en"), (1L, base, "en"), (2L, longer, "en"),
+      (3L, "completely different text about spark sql engines and columnar storage formats", "en"),
+      (4L, "xy", "en")
+    ).toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdq").toString
+    dd.withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kept = graft.operators.TextQueries.queries("pipe_dedup_quality")(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L), s"kept $kept, want {2, 3, 4}")
+  }
 }
