@@ -67,6 +67,39 @@ object TsQueries {
     segments.select(col("signal_id"), col("seg"),
       round(HoltFoldUdf(col("values")), 6).as("forecast"))
 
+  // Holt-Winters additive seasonal recurrence (Winters 1960; alpha=0.5,
+  // beta=0.3, gamma=0.2, period 4). Init: l = mean of season 1, b =
+  // (mean season 2 - mean season 1) / p, s_i = x_i - l. Every operand
+  // order mirrors the oracle's recursive-CTE step expression-for-
+  // expression so the doubles round identically. Returns the one-step
+  // forecast l + b + s[next phase].
+  private val HwFoldUdf = udf((vals: Seq[Double]) => {
+    val p = 4
+    val m1 = (((vals(0) + vals(1)) + vals(2)) + vals(3)) / 4.0
+    val m2 = (((vals(4) + vals(5)) + vals(6)) + vals(7)) / 4.0
+    var l = m1
+    var b = (m2 - m1) / 4.0
+    val s = Array.tabulate(p)(i => vals(i) - m1)
+    var i = p
+    while (i < vals.length) {
+      val idx = i % p
+      val lnew = 0.5 * (vals(i) - s(idx)) + 0.5 * (l + b)
+      b = 0.3 * (lnew - l) + 0.7 * b
+      s(idx) = 0.2 * (vals(i) - lnew) + 0.8 * s(idx)
+      l = lnew
+      i += 1
+    }
+    (l + b) + s(vals.length % p)
+  })
+
+  /** Holt-Winters one-step forecast over a complete-segments frame —
+    * the seasonal rung above [[holtForecastOf]] (exposed for the
+    * steady-state spec; the registered query wraps it).
+    */
+  def hwForecastOf(segments: DataFrame): DataFrame =
+    segments.select(col("signal_id"), col("seg"),
+      round(HwFoldUdf(col("values")), 6).as("forecast"))
+
   /** Classical additive decomposition (period 7, positional): trend =
     * centered 7-row MA, seasonal = per-(signal, phase) mean of the
     * detrended series, residual = the rest. Every mean is carried as an
@@ -544,6 +577,13 @@ object TsQueries {
     "ts_holt_forecast" -> ((s, d) =>
       holtForecastOf(Segments.complete(r(s, d)))),
 
+    // Holt-Winters additive seasonal one-step forecast per complete
+    // segment (period 4 inside the 16-row segment = 4 full seasons) —
+    // the seasonal rung of the forecasting ladder. Same shuffle shape
+    // as Holt: one keyed segment aggregation, then a per-row fold.
+    "ts_hw_forecast" -> ((s, d) =>
+      hwForecastOf(Segments.complete(r(s, d)))),
+
     "influx_max" -> ((s, d) => r(s, d).agg(max(col("value")).as("vmax"))),
 
     "influx_max_groupby" -> ((s, d) =>
@@ -987,6 +1027,32 @@ object TsQueries {
          |  FROM hw WHERE i < 16
          |)
          |SELECT signal_id, seg, round(l + b, 6) AS forecast
+         |FROM hw WHERE i = 16""".stripMargin,
+
+    "ts_hw_forecast" ->
+      s"""${OracleCte.replaceFirst("WITH", "WITH RECURSIVE")}, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), fullseg AS (
+         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+         |), hw AS (
+         |  SELECT signal_id, seg, vals, 4 AS i, m1 AS l, (m2 - m1) / 4.0 AS b,
+         |         [vals[j] - m1 for j in range(1, 5)] AS s
+         |  FROM (SELECT signal_id, seg, vals,
+         |          (((vals[1] + vals[2]) + vals[3]) + vals[4]) / 4.0 AS m1,
+         |          (((vals[5] + vals[6]) + vals[7]) + vals[8]) / 4.0 AS m2
+         |        FROM fullseg)
+         |  UNION ALL
+         |  SELECT signal_id, seg, vals, i + 1,
+         |    0.5 * (vals[i + 1] - s[(i % 4) + 1]) + 0.5 * (l + b) AS lnew,
+         |    0.3 * (lnew - l) + 0.7 * b AS bnew,
+         |    [CASE WHEN j = (i % 4) + 1
+         |          THEN 0.2 * (vals[i + 1] - lnew) + 0.8 * s[(i % 4) + 1]
+         |          ELSE s[j] END for j in range(1, 5)] AS snew
+         |  FROM hw WHERE i < 16
+         |)
+         |SELECT signal_id, seg, round((l + b) + s[(16 % 4) + 1], 6) AS forecast
          |FROM hw WHERE i = 16""".stripMargin,
 
     "ts_zscore" ->

@@ -120,6 +120,24 @@ class TsQuerySpec extends AnyFunSuite with SparkTest {
     assert(math.abs(forecast - 33.0) < 1e-9, s"forecast $forecast != 33.0")
   }
 
+  test("Holt-Winters forecast is exact on a steady seasonal square wave") {
+    // x = 10,20,10,20,... : init l=15, b=0, s=[-5,5,-5,5]; every update
+    // is a fixpoint (l stays 15, b stays 0, s unchanged), so the 1-step
+    // forecast is l + b + s[next phase] = 10 — the next value, exactly
+    import spark.implicits._
+    val wave = (0 until 16).map(i => (7L, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:00:${i}%02d"), if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("signal_id", "ts", "value")
+      .withColumn("value_q", graft.functions.Quantize.quantize(col("value"), 2))
+      .withColumn("seq_no", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("signal_id")).orderBy(col("ts"))).cast("long"))
+    val seg = graft.operators.Segments.complete(wave)
+    val forecast = graft.operators.TsQueries.hwForecastOf(seg)
+      .collect()(0).getDouble(2)
+    assert(math.abs(forecast - 10.0) < 1e-9, s"hw forecast $forecast != 10.0")
+  }
+
   test("ts_decompose reconstructs the series and zeroes out a pure period-7 wave") {
     // value = phase pattern repeated: trend is flat, seasonal captures the
     // whole signal, residual ~ 0 (exactly 0 in the fixed-point domain)
