@@ -115,6 +115,23 @@ object TextQueries {
       docs(s, d).select(col("doc_id"),
         TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"))),
 
+    // character-level Shannon entropy per document (nats) — the cheap
+    // gibberish/boilerplate signal (low = repeated chars, high = noise):
+    // H = ln(n) - (sum c*ln c)/n from exact integer char counts. Two
+    // keyed aggregations ((doc, char) then doc), no per-doc buffering.
+    // Newlines are excluded on both engines ('.' excludes \n in Java
+    // regex and RE2 alike).
+    "text_entropy" -> ((s, d) => {
+      val ch = docs(s, d).select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      ch.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), sum(col("c") * log(col("c"))).as("clc"))
+        .select(col("doc_id"), col("n").cast("long").as("n_printable"),
+          round(log(col("n")) - col("clc") / col("n"), 4).as("entropy"))
+    }),
+
     "text_token_count" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextOps.wsTokenCount(col("text")).as("ws_tokens"),
@@ -333,6 +350,21 @@ object TextQueries {
          |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r)
          |)
          |SELECT doc_id, lang FROM documents ANTI JOIN losers USING (doc_id)""".stripMargin,
+
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  FROM documents
+        |), cc AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        |  FROM ch GROUP BY 1, 2
+        |), g AS (
+        |  SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS clc
+        |  FROM cc GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_printable,
+        |  round(ln(n) - clc / n, 4) AS entropy
+        |FROM g""".stripMargin,
 
     "pipe_dedup_quality" ->
       s"""${ShingleCte.replaceFirst("WITH", "WITH RECURSIVE")}, pr AS (

@@ -73,6 +73,24 @@ object TierQueries {
     "seg_knn" -> ((s, d) =>
       SegmentMl.knnSegments(Segments.complete(r(s, d)), testSignals = Seq(0L, 1L, 2L))),
 
+    // 1-NN on PAA-REDUCED segments (the reference's reduced-input kNN
+    // flavor, knn/mod.rs:85-308): each 16-row segment becomes 4 chunk
+    // means derived from the EXACT fixed-point chunk sums, then the same
+    // deterministic ranking as seg_knn — 4x less distance arithmetic and
+    // a 4x smaller broadcast, the classic accuracy/cost dial
+    "seg_knn_paa" -> ((s, d) => {
+      val red = Tiers.paaChunks(r(s, d), 4)
+        .filter(col("cnt") === 4)
+        .withColumn("seg", floor(col("chunk") / 4.0).cast("long"))
+        .groupBy(col("signal_id"), col("seg"))
+        .agg(count(lit(1)).as("nch"),
+          array_sort(collect_list(struct(col("chunk"), col("chunk_mean")))).as("ms"))
+        .filter(col("nch") === 4)
+        .select(col("signal_id"), col("seg"),
+          transform(col("ms"), m => m.getField("chunk_mean")).as("values"))
+      SegmentMl.knnSegments(red, testSignals = Seq(0L, 1L, 2L))
+    }),
+
     // elastic-distance 1-NN: exact banded DTW in the fixed-point domain,
     // LB_Keogh-pruned; oracle = the full DP unrolled per band row into
     // chained list-CTEs (all-integer, so it matches bit-for-bit)
@@ -590,6 +608,38 @@ object TierQueries {
          |), tr AS (
          |  SELECT signal_id AS train_sig, seg AS train_seg, vals AS rv
          |  FROM f WHERE signal_id NOT IN (0, 1, 2)
+         |), s AS (
+         |  SELECT test_sig, test_seg, train_sig, train_seg,
+         |         round(list_distance(tv, rv), 6) AS dist
+         |  FROM t, tr
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY test_sig, test_seg
+         |    ORDER BY dist, train_sig, train_seg) AS rnk
+         |  FROM s
+         |)
+         |SELECT test_sig, test_seg, train_sig AS pred_sig, dist
+         |FROM rk WHERE rnk = 1""".stripMargin,
+
+    "seg_knn_paa" ->
+      s"""$OracleCte, ch AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS chunk,
+         |         CAST(sum(value_q) AS BIGINT) AS sq,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), cm AS (
+         |  SELECT signal_id, chunk, CAST(floor(chunk / 4.0) AS BIGINT) AS seg,
+         |         CAST(sq AS DOUBLE) / (100.0 * CAST(cnt AS DOUBLE)) AS m
+         |  FROM ch WHERE cnt = 4
+         |), segv AS (
+         |  SELECT signal_id, seg, list(m ORDER BY chunk) AS vals
+         |  FROM cm GROUP BY 1, 2 HAVING count(*) = 4
+         |), t AS (
+         |  SELECT signal_id AS test_sig, seg AS test_seg, vals AS tv
+         |  FROM segv WHERE signal_id IN (0, 1, 2)
+         |), tr AS (
+         |  SELECT signal_id AS train_sig, seg AS train_seg, vals AS rv
+         |  FROM segv WHERE signal_id NOT IN (0, 1, 2)
          |), s AS (
          |  SELECT test_sig, test_seg, train_sig, train_seg,
          |         round(list_distance(tv, rv), 6) AS dist

@@ -256,4 +256,19 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
         s"doc ${r.getLong(0)} above the ${r.getString(1)} median")
     }
   }
+
+  test("char entropy: zero for a constant string, ln 2 for a 50/50 mix") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    Seq((0L, "aaaaaaaa", "en"), (1L, "abababab", "en"), (2L, "ab\ncd", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextQueries.queries("text_entropy")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L) == (8L, 0.0))
+    assert(out(1L)._1 == 8L && math.abs(out(1L)._2 - math.log(2.0)) < 1e-3)
+    assert(out(2L)._1 == 4L, "newline must not count as a character")
+  }
 }
