@@ -81,6 +81,30 @@ object PipelineQueries {
         .orderBy(col("cnt").desc, col("pair")).limit(VocabK)
     }),
 
+    // BPE ENCODE — the loop's payoff: apply the learned merges (round-1
+    // and round-2 winners, each ONE bounded scalar to the driver) to
+    // every word and report per-document symbol counts before/after.
+    // This is the tokenizer-application pass a trainer runs over the
+    // whole corpus: two map-only replace() sweeps + one keyed agg; the
+    // merge table stays a driver-side literal at any corpus size (real
+    // BPE vocabularies are a few 10k merges — still a broadcast literal).
+    "pipe_bpe_encode" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val words = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      def topPair(df: org.apache.spark.sql.DataFrame, c: String): String =
+        df.select(explode(TextOps.charPairsRaw(col(c))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1).head().getString(0)
+      val t1 = topPair(words, "w")
+      val w2 = words.withColumn("w2", expr(s"replace(w, '$t1', '_')"))
+      val t2 = topPair(w2, "w2")
+      w2.withColumn("w3", expr(s"replace(w2, '$t2', '+')"))
+        .groupBy(col("doc_id"))
+        .agg(sum(length(col("w"))).cast("long").as("n_chars_tok"),
+             sum(length(col("w3"))).cast("long").as("n_bpe2"))
+    }),
+
     // CCNet-style perplexity gate (Wenzek et al.): keep documents whose
     // unigram cross-entropy is at or below their LANGUAGE's median (the
     // "head+middle" kept-half) and that clear the token floor. The LM and
@@ -295,6 +319,33 @@ object PipelineQueries {
          |)
          |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
          |FROM p2 GROUP BY 1 ORDER BY cnt DESC, pair LIMIT $VocabK""".stripMargin,
+
+    "pipe_bpe_encode" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |  FROM documents
+         |), p1 AS (
+         |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w WHERE len(w) >= 2)
+         |), top1 AS (
+         |  SELECT pair FROM p1 GROUP BY pair
+         |  ORDER BY count(*) DESC, pair LIMIT 1
+         |), m AS (
+         |  SELECT doc_id, w, replace(w.w, top1.pair, '_') AS w2
+         |  FROM w CROSS JOIN top1
+         |), p2 AS (
+         |  SELECT substr(w2, CAST(i AS INT), 2) AS pair
+         |  FROM (SELECT w2, unnest(range(1, len(w2))) AS i FROM m WHERE len(w2) >= 2)
+         |), top2 AS (
+         |  SELECT pair FROM p2 GROUP BY pair
+         |  ORDER BY count(*) DESC, pair LIMIT 1
+         |), m2 AS (
+         |  SELECT doc_id, w, replace(m.w2, top2.pair, '+') AS w3
+         |  FROM m CROSS JOIN top2
+         |)
+         |SELECT doc_id, CAST(sum(len(w)) AS BIGINT) AS n_chars_tok,
+         |  CAST(sum(len(w3)) AS BIGINT) AS n_bpe2
+         |FROM m2 GROUP BY 1""".stripMargin,
 
     "pipe_curate" ->
       s"$curateCteSql SELECT doc_id, lang, toks, cleaned FROM cur",

@@ -257,6 +257,22 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("BPE encode applies both learned merges and shrinks symbol counts") {
+    import spark.implicits._
+    // top1 = "aa" (6 raw pairs beats "bb"'s 3); merged "aaaa" -> "__";
+    // round-2 top = "bb" (3 beats "__"'s 2) -> "bbbb" becomes "++"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpeenc").toString
+    Seq((0L, "aaaa aaaa", "en"), (1L, "bbbb", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.PipelineQueries.queries("pipe_bpe_encode")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (8L, 4L), s"doc0 ${out(0L)}")
+    assert(out(1L) == (4L, 2L), s"doc1 ${out(1L)}")
+  }
+
   test("char entropy: zero for a constant string, ln 2 for a 50/50 mix") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ent").toString
