@@ -115,6 +115,25 @@ object TextQueries {
       docs(s, d).select(col("doc_id"),
         TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"))),
 
+    // duplicate-line fraction (the Gopher repetition filter's line-level
+    // rung): fraction of a document's non-empty lines whose text occurs
+    // more than once WITHIN the document — boilerplate headers/footers
+    // light this up. posexplode keeps the per-doc line keys; two keyed
+    // aggregations, shuffle on doc_id only.
+    "text_dup_lines" -> ((s, d) => {
+      val lines = docs(s, d).select(col("doc_id"),
+          explode(split(col("text"), "\n")).as("line"))
+        .filter(trim(col("line")) =!= "")
+      val perLine = lines.groupBy(col("doc_id"), col("line"))
+        .agg(count(lit(1)).as("c"))
+      perLine.groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_lines"),
+          sum(when(col("c") > 1L, col("c")).otherwise(lit(0L)))
+            .cast("long").as("n_dup"))
+        .withColumn("dup_frac",
+          round(col("n_dup").cast("double") / col("n_lines").cast("double"), 6))
+    }),
+
     // character-level Shannon entropy per document (nats) — the cheap
     // gibberish/boilerplate signal (low = repeated chars, high = noise):
     // H = ln(n) - (sum c*ln c)/n from exact integer char counts. Two
@@ -350,6 +369,24 @@ object TextQueries {
          |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r)
          |)
          |SELECT doc_id, lang FROM documents ANTI JOIN losers USING (doc_id)""".stripMargin,
+
+    "text_dup_lines" ->
+      """WITH l AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM documents
+        |), nz AS (
+        |  SELECT doc_id, line FROM l WHERE trim(line) <> ''
+        |), pl AS (
+        |  SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c
+        |  FROM nz GROUP BY 1, 2
+        |), g AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM pl GROUP BY 1
+        |)
+        |SELECT doc_id, n_lines, n_dup,
+        |  round(CAST(n_dup AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS dup_frac
+        |FROM g""".stripMargin,
 
     "text_entropy" ->
       """WITH ch AS (

@@ -752,6 +752,14 @@ object TsQueries {
     // keyed aggregation (two shuffles on signal_id), no buffering.
     "ts_twa" -> ((s, d) => twaOf(r(s, d))),
 
+    // Bollinger bands over a trailing 8-row window: mean ± 2·stddev from
+    // EXACT integer rolling moments (sum and sum-of-squares of value_q
+    // over the rows frame), so both engines derive the bands from the
+    // same integer divisions — population variance, the ts_zscore
+    // convention. One keyed window, shuffle on signal_id only. Rows with
+    // a full 8-row history only (partial warm-up frames drop out).
+    "ts_bollinger" -> ((s, d) => bollingerOf(r(s, d))),
+
     // M4 visualization downsampling (Jugel et al., VLDB'14): per
     // (signal, 16-row window) keep min/max/first/last plus the positions
     // attaining min/max — the 4-point-per-pixel rollup chart frontends
@@ -793,6 +801,25 @@ object TsQueries {
         col("n_iv"),
         round(col("num").cast("double") /
           (lit(200.0) * col("den").cast("double")), 6).as("twa"))
+  }
+
+  /** Bollinger bands over a trailing 8-row window — see `ts_bollinger`. */
+  def bollingerOf(readings: DataFrame): DataFrame = {
+    val w = W.partitionBy(col("signal_id")).orderBy(col("seq_no"))
+      .rowsBetween(-7, 0)
+    val q18 = col("value_q").cast("decimal(18,0)")
+    readings.select(col("signal_id"), col("seq_no"),
+        count(lit(1)).over(w).as("wn"),
+        sum(col("value_q")).over(w).cast("long").as("s1"),
+        sum(q18 * q18).over(w).cast("decimal(38,0)").as("s2"))
+      .filter(col("wn") === 8L)
+      .withColumn("mean_q", col("s1").cast("double") / lit(8.0))
+      .withColumn("sd_q", sqrt(
+        col("s2").cast("double") / lit(8.0) - col("mean_q") * col("mean_q")))
+      .select(col("signal_id"), col("seq_no"),
+        round(col("mean_q") / 100.0, 6).as("mid"),
+        round((col("mean_q") + lit(2.0) * col("sd_q")) / 100.0, 6).as("upper"),
+        round((col("mean_q") - lit(2.0) * col("sd_q")) / 100.0, 6).as("lower"))
   }
 
   /** M4 downsample per (signal, `width`-row window) — see `ts_m4`. */
@@ -1448,6 +1475,28 @@ object TsQueries {
          |       ELSE round(CAST(abs(sum_q - sum_q4) AS DOUBLE) /
          |                  CAST(abs(sum_q) AS DOUBLE), 6) END AS rel_err
          |FROM a""".stripMargin,
+
+    "ts_bollinger" ->
+      s"""$OracleCte, t AS (
+         |  SELECT signal_id, seq_no,
+         |    CAST(count(*) OVER w AS BIGINT) AS wn,
+         |    CAST(sum(value_q) OVER w AS BIGINT) AS s1,
+         |    CAST(sum(value_q * value_q) OVER w AS BIGINT) AS s2
+         |  FROM r
+         |  WINDOW w AS (PARTITION BY signal_id ORDER BY seq_no
+         |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+         |), m AS (
+         |  SELECT signal_id, seq_no,
+         |    CAST(s1 AS DOUBLE) / 8.0 AS mean_q,
+         |    sqrt(CAST(s2 AS DOUBLE) / 8.0 -
+         |         (CAST(s1 AS DOUBLE) / 8.0) * (CAST(s1 AS DOUBLE) / 8.0)) AS sd_q
+         |  FROM t WHERE wn = 8
+         |)
+         |SELECT signal_id, seq_no,
+         |  round(mean_q / 100.0, 6) AS mid,
+         |  round((mean_q + 2.0 * sd_q) / 100.0, 6) AS upper,
+         |  round((mean_q - 2.0 * sd_q) / 100.0, 6) AS lower
+         |FROM m""".stripMargin,
 
     "ts_twa" ->
       s"""$OracleCte, iv AS (

@@ -273,6 +273,24 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     assert(out(1L) == (4L, 2L), s"doc1 ${out(1L)}")
   }
 
+  test("duplicate-line fraction counts repeated non-empty lines") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dl").toString
+    Seq(
+      (0L, "header\nbody one\nheader\nbody two", "en"),  // 2 of 4 duplicated
+      (1L, "a\n\n \nb", "en"),                           // blanks don't count
+      (2L, "x\nx\nx", "en")                              // all duplicated
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextQueries.queries("text_dup_lines")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (4L, 2L))
+    assert(out(1L) == (2L, 0L))
+    assert(out(2L) == (3L, 3L))
+  }
+
   test("char entropy: zero for a constant string, ln 2 for a 50/50 mix") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ent").toString

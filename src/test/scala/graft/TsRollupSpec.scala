@@ -87,6 +87,21 @@ class TsRollupSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(row.getAs[Double]("acf_3") - (-0.625)) < 1e-9)
   }
 
+  test("ts_bollinger collapses to the level on a constant series") {
+    // constant 4.5 (q = 450): sd is exactly 0, all three bands equal the
+    // level; only rows with a full 8-row history survive (seq 8..10)
+    val rs = frame((0 until 10).map { i =>
+      (6L, f"2024-01-01 00:00:${i}%02d", 4.5)
+    })
+    val out = graft.operators.TsQueries.bollingerOf(rs).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mid") == 4.5)
+      assert(r.getAs[Double]("upper") == 4.5)
+      assert(r.getAs[Double]("lower") == 4.5)
+    }
+  }
+
   test("ts_acf is null on a constant signal (zero variance)") {
     val rs = frame((0 until 6).map { i =>
       (5L, f"2024-01-01 00:00:${i}%02d", 2.0)
