@@ -50,12 +50,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "pipe_mixture", "ts_counter_rate", "pipe_shuffle", "ts_resample_interp",
     "ts_xcorr_lag", "ts_xcorr_best", "tier_pla", "ts_seasonal_anomaly",
     "ts_histogram", "ts_rolling_corr", "pipe_bpe_pairs",
-    "o8_percentile_sketch")
+    "o8_percentile_sketch",
+    "ts_twa", "ts_m4", "ts_acf", "ts_bollinger", "ts_hw_forecast",
+    "seg_motif", "text_entropy", "text_dup_lines")
   // round-8 exclusions, same construction-runs-jobs rationale:
   // text_bm25/text_xent/pipe_quality_filter/pipe_bpe_round2 fetch bounded
   // corpus scalars at build time, ml_dbscan/dedup_semantic run the CC
   // loop; their plan invariants are asserted in RelevanceSpec /
   // DbscanSpec / SemanticDedupSpec instead
+  // second-wave exclusions: ann_ivfpq*/pipe_bpe_encode fetch the bounded
+  // codebook/merge scalars at build time; pipe_dedup_quality runs the CC
+  // loop; seg_knn_paa ranks the bounded broadcast probe set like seg_knn
   // ann_quant is excluded like ann_brute: both rank a bounded broadcast
   // probe set against the corpus by design (the exact/quantized baselines)
   // excluded on purpose: ann_recall / ann_ivf_recall / dedup_emb_recall
