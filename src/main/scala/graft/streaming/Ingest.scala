@@ -127,6 +127,21 @@ object Ingest {
       .select(unix_timestamp(col("window.start")).as("wstart"),
         col("wmax"), col("cnt"))
 
+  /** Event-time SESSION windows with watermark over the stream — the
+    * streaming flavor of ts_session (same `session_window` semantics as
+    * the batch query, so the parity spec compares them directly). State
+    * per open session is bounded by the watermark: a session closes —
+    * and its state drops — once the watermark passes its gap.
+    */
+  def sessionStream(readings: DataFrame, gap: String, watermark: String): DataFrame =
+    readings
+      .withWatermark("ts", watermark)
+      .groupBy(col("signal_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("cnt"), max(col("value")).as("vmax"))
+      .select(col("signal_id"),
+        unix_timestamp(col("session_window.start")).as("s_start"),
+        col("cnt"), col("vmax"))
+
   /** Streaming exact deduplication of a document stream — the streaming
     * flavor of Dedup.exact (first occurrence of each content hash wins).
     * `dropDuplicatesWithinWatermark` bounds the dedup state by event

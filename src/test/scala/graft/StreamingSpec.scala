@@ -310,6 +310,25 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("streaming session windows match the batch ts_session aggregation") {
+    val in = stageInput()
+    val q = Ingest.sessionStream(
+      Ingest.readingsStream(spark, in), "12 hours", "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("session_parity")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("session_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = graft.operators.TsQueries.queries("ts_session")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("mixture gate is stateless: streamed sample equals the batch sample") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
