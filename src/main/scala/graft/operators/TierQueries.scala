@@ -98,6 +98,31 @@ object TierQueries {
       SegmentMl.dtwKnn(Segments.completeQuantized(r(s, d)),
         testSignals = Seq(0L, 1L, 2L), band = DtwBandWidth)),
 
+    // how much accuracy does the 4x-cheaper PAA tier give up? fraction
+    // of test segments whose PAA 1-NN prediction agrees with the
+    // full-resolution 1-NN — the lossyML accuracy sweep's summary row
+    // (reference lossyML/src/main.rs), same pattern as the ann_*_recall
+    // gates: the approximation ships WITH its measured quality.
+    // On the i.i.d.-noise testdata the measured agreement is ~0 — in
+    // structureless data the nearest neighbor among ~550 candidates is
+    // decided by noise the 4x smoothing removes, so the metric correctly
+    // reports "don't serve 1-NN from the PAA tier here"; on real shaped
+    // series (UCR-style) PAA-kNN is the standard accuracy/cost point.
+    // The VALUE is oracle-checked either way.
+    "seg_knn_paa_agree" -> ((s, d) => {
+      val full = queries("seg_knn")(s, d)
+        .select(col("test_sig"), col("test_seg"), col("pred_sig"))
+      val paa = queries("seg_knn_paa")(s, d)
+        .select(col("test_sig"), col("test_seg"),
+          col("pred_sig").as("paa_pred"))
+      full.join(paa, Seq("test_sig", "test_seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_sig") === col("paa_pred"), 1L).otherwise(0L))
+            .cast("long").as("n_agree"))
+        .withColumn("agree",
+          round(col("n_agree").cast("double") / col("n").cast("double"), 4))
+    }),
+
     // discord discovery (Keogh's anomaly-as-farthest-segment, the batch
     // flavor of the reference's outlier concern, outlier/mod.rs): per
     // signal, the complete segment whose nearest-neighbor distance to the
@@ -620,6 +645,71 @@ object TierQueries {
          |)
          |SELECT test_sig, test_seg, train_sig AS pred_sig, dist
          |FROM rk WHERE rnk = 1""".stripMargin,
+
+    "seg_knn_paa_agree" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), ff AS (
+         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+         |), ft AS (
+         |  SELECT signal_id AS test_sig, seg AS test_seg, vals AS tv
+         |  FROM ff WHERE signal_id IN (0, 1, 2)
+         |), ftr AS (
+         |  SELECT signal_id AS train_sig, seg AS train_seg, vals AS rv
+         |  FROM ff WHERE signal_id NOT IN (0, 1, 2)
+         |), fs AS (
+         |  SELECT test_sig, test_seg, train_sig, train_seg,
+         |         round(list_distance(tv, rv), 6) AS dist
+         |  FROM ft, ftr
+         |), frk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY test_sig, test_seg
+         |    ORDER BY dist, train_sig, train_seg) AS rnk
+         |  FROM fs
+         |), fw AS (
+         |  SELECT test_sig, test_seg, train_sig AS pred FROM frk WHERE rnk = 1
+         |), ch AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS chunk,
+         |         CAST(sum(value_q) AS BIGINT) AS sq,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), cm AS (
+         |  SELECT signal_id, chunk, CAST(floor(chunk / 4.0) AS BIGINT) AS seg,
+         |         CAST(sq AS DOUBLE) / (100.0 * CAST(cnt AS DOUBLE)) AS m
+         |  FROM ch WHERE cnt = 4
+         |), segv AS (
+         |  SELECT signal_id, seg, list(m ORDER BY chunk) AS vals
+         |  FROM cm GROUP BY 1, 2 HAVING count(*) = 4
+         |), pt AS (
+         |  SELECT signal_id AS test_sig, seg AS test_seg, vals AS tv
+         |  FROM segv WHERE signal_id IN (0, 1, 2)
+         |), ptr AS (
+         |  SELECT signal_id AS train_sig, seg AS train_seg, vals AS rv
+         |  FROM segv WHERE signal_id NOT IN (0, 1, 2)
+         |), ps AS (
+         |  SELECT test_sig, test_seg, train_sig, train_seg,
+         |         round(list_distance(tv, rv), 6) AS dist
+         |  FROM pt, ptr
+         |), prk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY test_sig, test_seg
+         |    ORDER BY dist, train_sig, train_seg) AS rnk
+         |  FROM ps
+         |), pw AS (
+         |  SELECT test_sig, test_seg, train_sig AS paa_pred
+         |  FROM prk WHERE rnk = 1
+         |), j AS (
+         |  SELECT fw.test_sig, fw.test_seg, pred, paa_pred
+         |  FROM fw JOIN pw USING (test_sig, test_seg)
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN pred = paa_pred THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  round(CAST(sum(CASE WHEN pred = paa_pred THEN 1 ELSE 0 END) AS DOUBLE) /
+         |        CAST(count(*) AS DOUBLE), 4) AS agree
+         |FROM j""".stripMargin,
 
     "seg_knn_paa" ->
       s"""$OracleCte, ch AS (
