@@ -48,6 +48,26 @@ object IntervalOps {
       (Seq("_kind", "_ats") ++ rightCols.flatMap(c => Seq(s"_r_$c", s"_c_$c"))): _*)
   }
 
+  /** As-of join with a STALENESS TOLERANCE: like [[asofJoin]], but a
+    * match older than `toleranceSec` at the left row's timestamp is
+    * treated as no match (payloads null) — the "state expires" flavor of
+    * latest-state joins (sensor offline, quote stale). Same single keyed
+    * shuffle; the matched right timestamp rides the window pass as one
+    * extra carried column and the staleness test is a map-side filter.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String,
+                        rightCols: Seq[String], toleranceSec: Long): DataFrame = {
+    val rr = right.withColumn("_mts", col(rightTs))
+    val joined = asofJoin(left, rr, key, leftTs, rightTs, rightCols :+ "_mts")
+    val fresh = col("_mts").isNotNull &&
+      (unix_micros(col(leftTs)) - unix_micros(col("_mts"))) <=
+        lit(toleranceSec * 1000000L)
+    rightCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c)))
+    }.drop("_mts")
+  }
+
   /** Range (interval-containment) join: left rows with a point column
     * joined to right interval rows [lo, hi) that contain it.
     *

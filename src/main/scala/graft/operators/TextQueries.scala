@@ -115,6 +115,17 @@ object TextQueries {
       docs(s, d).select(col("doc_id"),
         TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"))),
 
+    // type-token ratio — the lexical-diversity quality signal (low TTR =
+    // templated/repetitive text). Map-only: tokenize, distinct within
+    // the row's own array, one ratio; docs with no tokens drop out.
+    "text_ttr" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("tl"))
+        .select(col("doc_id"), size(col("tl")).cast("long").as("n_toks"),
+          size(array_distinct(col("tl"))).cast("long").as("n_types"))
+        .filter(col("n_toks") > 0L)
+        .withColumn("ttr",
+          round(col("n_types").cast("double") / col("n_toks").cast("double"), 6))),
+
     // duplicate-line fraction (the Gopher repetition filter's line-level
     // rung): fraction of a document's non-empty lines whose text occurs
     // more than once WITHIN the document — boilerplate headers/footers
@@ -369,6 +380,17 @@ object TextQueries {
          |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r)
          |)
          |SELECT doc_id, lang FROM documents ANTI JOIN losers USING (doc_id)""".stripMargin,
+
+    "text_ttr" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_toks,
+        |  CAST(len(list_distinct(tl)) AS BIGINT) AS n_types,
+        |  round(CAST(len(list_distinct(tl)) AS DOUBLE) /
+        |        CAST(len(tl) AS DOUBLE), 6) AS ttr
+        |FROM t WHERE len(tl) > 0""".stripMargin,
 
     "text_dup_lines" ->
       """WITH l AS (

@@ -636,6 +636,19 @@ object TsQueries {
         .select(col("signal_id"), col("seq_no"), col("seg"))
     }),
 
+    // as-of with a 2-hour staleness tolerance: readings farther than the
+    // tolerance from their segment start lose the match (NULL seg) — the
+    // "state expires" join (stale quote / offline sensor semantics)
+    "asof_tolerance" -> ((s, d) => {
+      val rr = r(s, d)
+      val segStarts = rr
+        .groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+        .agg(min(col("ts")).as("seg_ts"))
+      IntervalOps.asofJoinTolerance(rr, segStarts, "signal_id", "ts", "seg_ts",
+          Seq("seg"), toleranceSec = 7200L)
+        .select(col("signal_id"), col("seq_no"), col("seg"))
+    }),
+
     // the same as-of join through the NATIVE operator (custom LogicalPlan
     // + Strategy + SparkPlan, plans/AsOfJoin.scala): one streaming merge
     // pass per co-partitioned partition instead of the union+window form
@@ -705,6 +718,21 @@ object TsQueries {
     // OHLC candle downsampling — the classic TS rollup (open/high/low/
     // close per signal per day); open/close via min_by/max_by on the
     // unique per-signal seq_no, one keyed aggregation
+    // weekly candles REAGGREGATED FROM the daily ones (open = first
+    // day's open, close = last day's close, high/low/cnt fold) — the
+    // hierarchical-rollup property pre-aggregated tiers rely on: the
+    // coarser candle is exactly derivable from the finer tier, never
+    // from raw data (reference btr-tree stats fold, avl/btrarr.rs)
+    "ts_ohlc_weekly" -> ((s, d) =>
+      queries("ts_ohlc")(s, d)
+        .groupBy(col("signal_id"),
+          (floor(col("day_s") / 604800.0) * 604800).cast("long").as("week_s"))
+        .agg(min_by(col("open_v"), col("day_s")).as("open_v"),
+          max(col("high_v")).as("high_v"),
+          min(col("low_v")).as("low_v"),
+          max_by(col("close_v"), col("day_s")).as("close_v"),
+          sum(col("cnt")).cast("long").as("cnt"))),
+
     "ts_ohlc" -> ((s, d) =>
       r(s, d).groupBy(col("signal_id"), date_trunc("day", col("ts")).as("day"))
         .agg(min_by(col("value"), col("seq_no")).as("open_v"),
@@ -1366,6 +1394,35 @@ object TsQueries {
          |SELECT r.signal_id, r.seq_no, ss.seg
          |FROM r ASOF JOIN ss
          |  ON r.signal_id = ss.signal_id AND r.ts >= ss.seg_ts""".stripMargin,
+
+    "asof_tolerance" ->
+      s"""$OracleCte, ss AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         min(ts) AS seg_ts
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT r.signal_id, r.seq_no,
+         |  CASE WHEN ss.seg_ts IS NOT NULL
+         |        AND epoch_us(r.ts) - epoch_us(ss.seg_ts) <= 7200000000
+         |       THEN ss.seg END AS seg
+         |FROM r ASOF LEFT JOIN ss
+         |  ON r.signal_id = ss.signal_id AND r.ts >= ss.seg_ts""".stripMargin,
+
+    "ts_ohlc_weekly" ->
+      s"""$OracleCte, dayc AS (
+         |  SELECT signal_id,
+         |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+         |    arg_min(value, seq_no) AS open_v, max(value) AS high_v,
+         |    min(value) AS low_v, arg_max(value, seq_no) AS close_v,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT signal_id,
+         |  CAST(floor(day_s / 604800.0) * 604800 AS BIGINT) AS week_s,
+         |  arg_min(open_v, day_s) AS open_v, max(high_v) AS high_v,
+         |  min(low_v) AS low_v, arg_max(close_v, day_s) AS close_v,
+         |  CAST(sum(cnt) AS BIGINT) AS cnt
+         |FROM dayc GROUP BY 1, 2""".stripMargin,
 
     "range_bands" ->
       s"""$OracleCte, b AS (

@@ -30,6 +30,24 @@ class IntervalOpsSpec extends AnyFunSuite with SparkTest {
       "e3" -> "s2", "e4" -> null))
   }
 
+  test("asofJoinTolerance nulls matches older than the tolerance") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 00:10:00"), "e1"),  // 0s stale -> s1
+      (1L, ts("2024-01-01 00:14:59"), "e2"),  // 299s -> s1 (within 300s)
+      (1L, ts("2024-01-01 00:15:00"), "e3"),  // exactly 300s -> s1 (inclusive)
+      (1L, ts("2024-01-01 00:15:01"), "e4"),  // 301s -> stale, null
+      (1L, ts("2024-01-01 00:05:00"), "e5")   // before any state -> null
+    ).toDF("k", "t", "ev")
+    val right = Seq((1L, ts("2024-01-01 00:10:00"), "s1")).toDF("k", "rt", "state")
+    val out = IntervalOps.asofJoinTolerance(
+        left, right, "k", "t", "rt", Seq("state"), toleranceSec = 300L)
+      .select(col("ev"), col("state")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("e1" -> "s1", "e2" -> "s1", "e3" -> "s1",
+      "e4" -> null, "e5" -> null))
+  }
+
   test("rangeJoinByBins: containment exact at boundaries, bins don't leak") {
     import spark.implicits._
     val pts = Seq((1L, 0.0), (2L, 49.999), (3L, 50.0), (4L, 100.0), (5L, -1.0))

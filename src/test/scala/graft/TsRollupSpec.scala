@@ -102,6 +102,26 @@ class TsRollupSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("weekly OHLC rolled up from daily equals weekly computed from raw") {
+    // the hierarchical-rollup property: candles fold losslessly — the
+    // weekly candle derived from the daily TIER must equal the weekly
+    // candle computed straight from the raw readings
+    val d = "/root/testdata/sf0.001"
+    val fromDaily = graft.operators.TsQueries.queries("ts_ohlc_weekly")(spark, d)
+    val rr = graft.operators.Readings.of(spark, d)
+    val fromRaw = rr
+      .withColumn("week_s",
+        (floor(unix_timestamp(date_trunc("day", col("ts"))) / 604800.0) * 604800)
+          .cast("long"))
+      .groupBy(col("signal_id"), col("week_s"))
+      .agg(min_by(col("value"), col("seq_no")).as("open_v"),
+        max(col("value")).as("high_v"), min(col("value")).as("low_v"),
+        max_by(col("value"), col("seq_no")).as("close_v"),
+        count(lit(1)).as("cnt"))
+    assert(fromDaily.exceptAll(fromRaw).count() == 0)
+    assert(fromRaw.exceptAll(fromDaily).count() == 0)
+  }
+
   test("ts_acf is null on a constant signal (zero variance)") {
     val rs = frame((0 until 6).map { i =>
       (5L, f"2024-01-01 00:00:${i}%02d", 2.0)
