@@ -194,6 +194,41 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
     assert(shortWords.toSeq == Seq("xy"))
   }
 
+  test("second-wave rollups are empty-safe and degenerate-safe") {
+    val s = spark; import s.implicits._
+    def rd(rows: Seq[(Long, String, Double)]) =
+      rows.map { case (sig, t, v) => (sig, java.sql.Timestamp.valueOf(t), v) }
+        .toDF("signal_id", "ts", "value")
+        .withColumn("value_q", graft.functions.Quantize.quantize(col("value"), 2))
+        .withColumn("seq_no", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("signal_id")).orderBy(col("ts"))).cast("long"))
+
+    // a single reading has no interval -> twa emits nothing
+    assert(graft.operators.TsQueries.twaOf(
+      rd(Seq((1L, "2024-01-01 00:00:00", 1.0)))).count() == 0)
+    // fewer rows than the bollinger window -> nothing
+    assert(graft.operators.TsQueries.bollingerOf(
+      rd((0 until 5).map(i => (1L, f"2024-01-01 00:00:${i}%02d", 1.0)))).count() == 0)
+    // 3 rows: lags 1-2 defined, lags >= 3 have no pairs -> null
+    val acf = graft.operators.TsQueries.acfOf(
+      rd(Seq((1L, "2024-01-01 00:00:00", 1.0),
+        (1L, "2024-01-01 00:00:01", 3.0),
+        (1L, "2024-01-01 00:00:02", 1.0)))).collect()(0)
+    assert(!acf.isNullAt(acf.fieldIndex("acf_1")))
+    assert(acf.isNullAt(acf.fieldIndex("acf_4")))
+    // a partial trailing window still yields an m4 row with its count
+    val m4 = graft.operators.TsQueries.m4Of(
+      rd((0 until 20).map(i => (1L, f"2024-01-01 00:00:${i}%02d", i.toDouble))))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m4 == Map(0L -> 16L, 1L -> 4L))
+    // incomplete segments never reach the HW fold (16 rows required)
+    assert(graft.operators.TsQueries.hwForecastOf(
+      graft.operators.Segments.complete(
+        rd((0 until 10).map(i => (1L, f"2024-01-01 00:00:${i}%02d", 1.0)))))
+      .count() == 0)
+  }
+
   test("single-doc corpus: packer emits one pack, dedup finds no pairs") {
     import spark.implicits._
     val one = Seq((0L, "just one tiny document here", "en")).toDF("doc_id", "text", "lang")
