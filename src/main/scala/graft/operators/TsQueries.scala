@@ -584,6 +584,28 @@ object TsQueries {
     "ts_hw_forecast" -> ((s, d) =>
       hwForecastOf(Segments.complete(r(s, d)))),
 
+    // forecast BACKTEST: each segment's Holt and Holt-Winters one-step
+    // forecasts scored against the realized value (the next segment's
+    // first reading) — the model-selection evidence a serving tier needs
+    // before picking a forecaster per signal. Per-row errors only (no
+    // cross-row double summation), so the comparison is order-exact.
+    "ts_forecast_backtest" -> ((s, d) => {
+      val segs = Segments.complete(r(s, d))
+      val holt = holtForecastOf(segs).withColumnRenamed("forecast", "f_holt")
+      val hw = hwForecastOf(segs).withColumnRenamed("forecast", "f_hw")
+      val actuals = r(s, d).filter((col("seq_no") - 1) % 16 === 0)
+        .select(col("signal_id"),
+          (Readings.segmentId(col("seq_no")) - 1).as("seg"),
+          col("value").as("actual"))
+        .filter(col("seg") >= 0)
+      holt.join(hw, Seq("signal_id", "seg"))
+        .join(actuals, Seq("signal_id", "seg"))
+        .select(col("signal_id"), col("seg"), col("f_holt"), col("f_hw"),
+          col("actual"),
+          round(abs(col("f_holt") - col("actual")), 6).as("err_holt"),
+          round(abs(col("f_hw") - col("actual")), 6).as("err_hw"))
+    }),
+
     "influx_max" -> ((s, d) => r(s, d).agg(max(col("value")).as("vmax"))),
 
     "influx_max_groupby" -> ((s, d) =>
@@ -1109,6 +1131,56 @@ object TsQueries {
          |)
          |SELECT signal_id, seg, round((l + b) + s[(16 % 4) + 1], 6) AS forecast
          |FROM hw WHERE i = 16""".stripMargin,
+
+    "ts_forecast_backtest" ->
+      s"""${OracleCte.replaceFirst("WITH", "WITH RECURSIVE")}, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), fullseg AS (
+         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+         |), hol AS (
+         |  SELECT signal_id, seg, vals, 1 AS i,
+         |         vals[1] AS l, vals[2] - vals[1] AS b
+         |  FROM fullseg
+         |  UNION ALL
+         |  SELECT signal_id, seg, vals, i + 1,
+         |    0.5 * vals[i + 1] + 0.5 * (l + b) AS l,
+         |    0.3 * ((0.5 * vals[i + 1] + 0.5 * (l + b)) - l) + 0.7 * b AS b
+         |  FROM hol WHERE i < 16
+         |), fholt AS (
+         |  SELECT signal_id, seg, round(l + b, 6) AS f_holt
+         |  FROM hol WHERE i = 16
+         |), hws AS (
+         |  SELECT signal_id, seg, vals, 4 AS i, m1 AS l, (m2 - m1) / 4.0 AS b,
+         |         [vals[j] - m1 for j in range(1, 5)] AS s
+         |  FROM (SELECT signal_id, seg, vals,
+         |          (((vals[1] + vals[2]) + vals[3]) + vals[4]) / 4.0 AS m1,
+         |          (((vals[5] + vals[6]) + vals[7]) + vals[8]) / 4.0 AS m2
+         |        FROM fullseg)
+         |  UNION ALL
+         |  SELECT signal_id, seg, vals, i + 1,
+         |    0.5 * (vals[i + 1] - s[(i % 4) + 1]) + 0.5 * (l + b) AS lnew,
+         |    0.3 * (lnew - l) + 0.7 * b AS bnew,
+         |    [CASE WHEN j = (i % 4) + 1
+         |          THEN 0.2 * (vals[i + 1] - lnew) + 0.8 * s[(i % 4) + 1]
+         |          ELSE s[j] END for j in range(1, 5)] AS snew
+         |  FROM hws WHERE i < 16
+         |), fhw AS (
+         |  SELECT signal_id, seg, round((l + b) + s[(16 % 4) + 1], 6) AS f_hw
+         |  FROM hws WHERE i = 16
+         |), act AS (
+         |  SELECT signal_id,
+         |    CAST(floor((seq_no - 1) / 16.0) AS BIGINT) - 1 AS seg,
+         |    value AS actual
+         |  FROM r WHERE (seq_no - 1) % 16 = 0
+         |    AND CAST(floor((seq_no - 1) / 16.0) AS BIGINT) >= 1
+         |)
+         |SELECT signal_id, seg, f_holt, f_hw, actual,
+         |  round(abs(f_holt - actual), 6) AS err_holt,
+         |  round(abs(f_hw - actual), 6) AS err_hw
+         |FROM fholt JOIN fhw USING (signal_id, seg)
+         |JOIN act USING (signal_id, seg)""".stripMargin,
 
     "ts_zscore" ->
       s"""$OracleCte, st AS (
