@@ -100,6 +100,53 @@ object IvfStore {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
+  /** Streaming maintenance of the PQ layout: micro-batches land as
+    * (batch_id, cell)-partitioned CODES (idempotent under replay via
+    * dynamic-partition overwrite, as [[appendStream]]); [[topKPq]] reads
+    * either layout, and [[compactPq]] collapses to (cell) partitions.
+    */
+  def appendStreamPq(vecs: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[(Int, Seq[Double])],
+                     codebook: Array[Array[Array[Double]]],
+                     path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val centArr = array(centroids.sortBy(_._1).map { case (_, c) => typedLit(c) }: _*)
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
+          .withColumn("cell",
+            Similarity.bestCell(col("e"), centroids).cast("long"))
+          .withColumn("cent", element_at(centArr, col("cell").cast("int") + lit(1)))
+          .withColumn("resid", zip_with(col("e").cast("array<double>"),
+            col("cent"), (a, b) => a - b))
+          .withColumn("codes", column(graft.functions.PqEncode(
+            expression(col("resid")), codebook)))
+          .withColumn("batch_id", lit(batchId))
+          .select(col("vec_id"), col("codes"), col("batch_id"), col("cell"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "cell")
+          .parquet(path)
+      }
+      .start()
+  }
+
+  /** Compact a streamed PQ store to the batch (cell)-partitioned layout. */
+  def compactPq(spark: SparkSession, path: String): Unit = {
+    val tmp = path + ".compacting"
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
   /** ADC top-k served from the PQ store: read ONLY the probed cells
     * (static partition pruning, as [[topK]]), decode codes to the
     * reconstruction centroid + decoded residual, rank by rounded

@@ -80,10 +80,10 @@ class IvfStoreSpec extends AnyFunSuite with SparkTest
     assert(batch.exceptAll(compacted).count() === 0)
   }
 
-  test("PQ store serves the in-memory IVF-PQ result exactly, storing no floats") {
+  // residual codebook the same way AnnQueries derives it (vectors
+  // [nCells, 2*nCells) against their own best cell)
+  private lazy val cb: Array[Array[Array[Double]]] = {
     val emb = Tables.embeddings(spark, sf)
-    // residual codebook the same way AnnQueries derives it (vectors
-    // [nCells, 2*nCells) against their own best cell)
     val centArr = array(centroids.sortBy(_._1).map { case (_, c) => typedLit(c) }: _*)
     val base = emb.filter(col("vec_id") >= nCells && col("vec_id") < 2 * nCells)
       .withColumn("cell", Similarity.bestCell(col("embedding"), centroids))
@@ -92,7 +92,11 @@ class IvfStoreSpec extends AnyFunSuite with SparkTest
         zip_with(col("embedding").cast("array<double>"), col("cent"),
           (a, b) => a - b).as("resid"))
       .orderBy(col("vec_id")).collect().map(_.getSeq[Double](1).toArray)
-    val cb = Array.tabulate(8)(m => base.map(v => v.slice(m * 8, (m + 1) * 8)))
+    Array.tabulate(8)(m => base.map(v => v.slice(m * 8, (m + 1) * 8)))
+  }
+
+  test("PQ store serves the in-memory IVF-PQ result exactly, storing no floats") {
+    val emb = Tables.embeddings(spark, sf)
     val p = Files.createTempDirectory("graft-ivfpqstore").toString
     IvfStore.writePq(emb, "vec_id", "embedding", centroids, cb, p)
     // on-disk payload is codes only — no float/double array column
@@ -106,6 +110,41 @@ class IvfStoreSpec extends AnyFunSuite with SparkTest
       10, centroids, nProbe, cb)
     assert(fromStore.exceptAll(inMemory).count() === 0)
     assert(inMemory.exceptAll(fromStore).count() === 0)
+  }
+
+  test("streamed PQ maintenance + compaction serve the batch PQ result") {
+    val emb = Tables.embeddings(spark, sf)
+    val in = Files.createTempDirectory("graft-ivfpq-in").toString
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$in/half0")
+    emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$in/half1")
+    val staged = Files.createTempDirectory("graft-ivfpq-staged").toString
+    for ((h, i) <- Seq("half0", "half1").zipWithIndex) {
+      val part = new java.io.File(s"$in/$h").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(staged, s"b$i.parquet"))
+    }
+    val base = Files.createTempDirectory("graft-ivfpq-streamed").toString
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = IvfStore.appendStreamPq(stream, "vec_id", "embedding", centroids,
+      cb, s"$base/store", s"$base/ckpt")
+    q.awaitTermination()
+    val batchDir = Files.createTempDirectory("graft-ivfpq-batch").toString
+    IvfStore.writePq(emb, "vec_id", "embedding", centroids, cb, batchDir)
+    val batch = IvfStore.topKPq(spark, batchDir, probes, 10, centroids, cb, nProbe)
+    val streamed = IvfStore.topKPq(spark, s"$base/store", probes, 10,
+      centroids, cb, nProbe)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    IvfStore.compactPq(spark, s"$base/store")
+    val dirs = new java.io.File(s"$base/store").listFiles().map(_.getName)
+    assert(!dirs.exists(_.startsWith("batch_id=")), s"uncompacted: ${dirs.toSeq}")
+    val compacted = IvfStore.topKPq(spark, s"$base/store", probes, 10,
+      centroids, cb, nProbe)
+    assert(compacted.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(compacted).count() === 0)
   }
 
   test("the scan is partition-pruned to the probe cells") {
