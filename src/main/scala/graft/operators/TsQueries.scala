@@ -826,7 +826,28 @@ object TsQueries {
     // DECIMAL(38,0)), so both engines produce the double from one
     // identical integer division. One keyed window (5 leads share it) +
     // one keyed aggregation: two shuffles on signal_id.
-    "ts_acf" -> ((s, d) => acfOf(r(s, d)))
+    "ts_acf" -> ((s, d) => acfOf(r(s, d))),
+
+    // robust location/spread per signal: median + MAD (median absolute
+    // deviation) in the fixed-point domain — the outlier-resistant
+    // alternative to mean/stddev (ts_zscore's robust twin). Exact
+    // continuous-quantile on integers (interpolated midpoints are
+    // .0/.5, exactly representable), so both engines agree bitwise.
+    // Two keyed aggregations + one keyed join; the medians frame is
+    // signals-sized (auto-broadcast).
+    "ts_mad" -> ((s, d) => {
+      val med = r(s, d).groupBy(col("signal_id"))
+        .agg(expr("percentile(value_q, 0.5)").as("med_q"))
+      r(s, d).join(med, "signal_id")
+        .select(col("signal_id"), col("med_q"),
+          abs(col("value_q").cast("double") - col("med_q")).as("dev"))
+        .groupBy(col("signal_id"))
+        .agg(first(col("med_q")).as("med_q"),
+          expr("percentile(dev, 0.5)").as("mad_q"))
+        .select(col("signal_id"),
+          round(col("med_q") / 100.0, 6).as("median_v"),
+          round(col("mad_q") / 100.0, 6).as("mad_v"))
+    })
   )
 
   /** Time-weighted average per (signal, day) over a readings frame —
@@ -1604,6 +1625,23 @@ object TsQueries {
          |       ELSE round(CAST(abs(sum_q - sum_q4) AS DOUBLE) /
          |                  CAST(abs(sum_q) AS DOUBLE), 6) END AS rel_err
          |FROM a""".stripMargin,
+
+    "ts_mad" ->
+      s"""$OracleCte, m AS (
+         |  SELECT signal_id, quantile_cont(value_q, 0.5) AS med_q
+         |  FROM r GROUP BY 1
+         |), d AS (
+         |  SELECT r.signal_id, med_q,
+         |    abs(CAST(value_q AS DOUBLE) - med_q) AS dev
+         |  FROM r JOIN m USING (signal_id)
+         |), g AS (
+         |  SELECT signal_id, any_value(med_q) AS med_q,
+         |    quantile_cont(dev, 0.5) AS mad_q
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT signal_id, round(med_q / 100.0, 6) AS median_v,
+         |  round(mad_q / 100.0, 6) AS mad_v
+         |FROM g""".stripMargin,
 
     "ts_bollinger" ->
       s"""$OracleCte, t AS (
