@@ -243,6 +243,14 @@ object AnnQueries {
       Similarity.knn1(test, train)
     }),
 
+    // classifier evaluation: the 1-NN confusion matrix (true x predicted
+    // label counts) — the summary the lossyML accuracy sweeps report;
+    // one keyed aggregation over the knn result
+    "emb_knn_confusion" -> ((s, d) =>
+      queries("emb_knn_1nn")(s, d)
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("cnt"))),
+
     "emb_kmeans" -> ((s, d) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -691,6 +699,28 @@ object AnnQueries {
         |    row_number() OVER (PARTITION BY test_id ORDER BY dist, train_id) AS rnk
         |  FROM s
         |)
-        |SELECT test_id, train_label AS pred_label, true_label FROM r WHERE rnk = 1""".stripMargin
+        |SELECT test_id, train_label AS pred_label, true_label FROM r WHERE rnk = 1""".stripMargin,
+
+    "emb_knn_confusion" ->
+      """WITH t AS (
+        |  SELECT vec_id AS test_id, embedding::DOUBLE[] AS te,
+        |         CAST(label AS BIGINT) AS true_label
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |), tr AS (
+        |  SELECT vec_id AS train_id, embedding::DOUBLE[] AS tre,
+        |         CAST(label AS BIGINT) AS train_label
+        |  FROM embeddings WHERE vec_id % 5 <> 0
+        |), s AS (
+        |  SELECT test_id, true_label, train_id, train_label,
+        |    round(list_distance(te, tre), 6) AS dist
+        |  FROM t JOIN tr ON test_id <> train_id
+        |), r AS (
+        |  SELECT test_id, train_label, true_label,
+        |    row_number() OVER (PARTITION BY test_id ORDER BY dist, train_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT true_label, train_label AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM r WHERE rnk = 1 GROUP BY 1, 2""".stripMargin
   )
 }

@@ -45,6 +45,29 @@ object PipelineQueries {
 
     "pipe_vocab" -> ((s, d) => PipelineOps.vocabTopK(docs(s, d), VocabK)),
 
+    // sorted-greedy packing: within each (lang, shard), documents are
+    // packed LONGEST-FIRST (toks desc, doc_id tie-break) instead of
+    // arrival order — the classic bin-packing improvement that cuts the
+    // pad fraction when long documents straddle pack boundaries. Same
+    // one-window one-aggregation shape as pipe_pack; the sort is inside
+    // the keyed window, never global.
+    "pipe_pack_sorted" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, d).select(col("doc_id"), col("lang"),
+          graft.functions.TextOps.wsTokenCount(col("text")).as("toks"))
+        .withColumn("shard", (col("doc_id") % PackShards).cast("long"))
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("toks").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("start_tok", sum(col("toks")).over(w) - col("toks"))
+        .groupBy(col("lang"), col("shard"),
+          floor(col("start_tok") / PackBudget.toDouble).cast("long").as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("pack_toks"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
     // BPE first-iteration merge candidates (Sennrich et al.): adjacent
     // char-pair counts with multiplicity within word tokens, top-K — the
     // subword sequel to pipe_vocab's word-level table. One explode + one
@@ -201,6 +224,24 @@ object PipelineQueries {
          |  FROM documents
          |), c AS (
          |  SELECT *, sum(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |                            ROWS UNBOUNDED PRECEDING) - toks AS start_tok
+         |  FROM t
+         |)
+         |SELECT lang, shard,
+         |  CAST(floor(start_tok / $PackBudget.0) AS BIGINT) AS pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS pack_toks,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    "pipe_pack_sorted" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $ToksSql AS toks,
+         |         CAST(doc_id % $PackShards AS BIGINT) AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT *, sum(toks) OVER (PARTITION BY lang, shard
+         |                            ORDER BY toks DESC, doc_id
          |                            ROWS UNBOUNDED PRECEDING) - toks AS start_tok
          |  FROM t
          |)
