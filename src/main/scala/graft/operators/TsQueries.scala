@@ -835,6 +835,20 @@ object TsQueries {
     // .0/.5, exactly representable), so both engines agree bitwise.
     // Two keyed aggregations + one keyed join; the medians frame is
     // signals-sized (auto-broadcast).
+    // semi-structured payloads: the events table's JSON `props` column
+    // aggregated per event_type — JSON path extraction is codegen'd
+    // (get_json_object) and the aggregate is exact integer; the schema-
+    // on-read shape for sparse per-event attributes at scale (extract
+    // only the paths queried, never materialize the whole document)
+    "ts_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
     "ts_mad" -> ((s, d) => {
       val med = r(s, d).groupBy(col("signal_id"))
         .agg(expr("percentile(value_q, 0.5)").as("med_q"))
@@ -1625,6 +1639,16 @@ object TsQueries {
          |       ELSE round(CAST(abs(sum_q - sum_q4) AS DOUBLE) /
          |                  CAST(abs(sum_q) AS DOUBLE), 6) END AS rel_err
          |FROM a""".stripMargin,
+
+    "ts_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "ts_mad" ->
       s"""$OracleCte, m AS (
