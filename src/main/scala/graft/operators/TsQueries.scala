@@ -849,6 +849,29 @@ object TsQueries {
           sum(col("k")).cast("long").as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
+    // strict-order conversion funnel over the event stream: per user the
+    // FIRST occurrence of each step, a user reaches step k only if the
+    // first-occurrence timestamps strictly increase through step k
+    // (view < click < signup < purchase). One keyed aggregation + one
+    // global fold of four indicator sums — the classic product-analytics
+    // query, exact integers end to end.
+    "ts_event_funnel" -> ((s, d) => {
+      val f = Tables.events(s, d).groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      val s1 = col("t_view").isNotNull
+      val s2 = s1 && col("t_click") > col("t_view")
+      val s3 = s2 && col("t_signup") > col("t_click")
+      val s4 = s3 && col("t_purchase") > col("t_signup")
+      f.agg(
+        sum(when(s1, 1L).otherwise(0L)).cast("long").as("view_users"),
+        sum(when(s2, 1L).otherwise(0L)).cast("long").as("click_users"),
+        sum(when(s3, 1L).otherwise(0L)).cast("long").as("signup_users"),
+        sum(when(s4, 1L).otherwise(0L)).cast("long").as("purchase_users"))
+    }),
+
     "ts_mad" -> ((s, d) => {
       val med = r(s, d).groupBy(col("signal_id"))
         .agg(expr("percentile(value_q, 0.5)").as("med_q"))
@@ -1649,6 +1672,28 @@ object TsQueries {
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
         |    AS max_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    "ts_event_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS view_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS click_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |                AND t_signup > t_click THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS signup_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |                AND t_signup > t_click AND t_purchase > t_signup
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS purchase_users
+        |FROM f""".stripMargin,
 
     "ts_mad" ->
       s"""$OracleCte, m AS (
