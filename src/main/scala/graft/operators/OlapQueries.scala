@@ -111,6 +111,31 @@ object OlapQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("n_chars")).cast("long").as("chars"))),
 
+    // full CUBE (all 2^k grouping sets) — rollup's sibling; Catalyst
+    // expands both into one Expand + aggregation, no per-set rescan
+    "bonus_cube" -> ((s, d) =>
+      Tables.documents(s, d)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("chars"))),
+
+    // cohort retention: users bucketed by FIRST-activity day, tracked by
+    // distinct weekly activity afterwards — the canonical engagement
+    // rollup. Two keyed aggregations (first-day per user, then distinct
+    // users per (cohort, week offset)); exact integers throughout.
+    "bonus_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(unix_timestamp(date_trunc("day", min(col("ts")))).as("cohort_s"))
+      ev.select(col("user_id"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_s"),
+          floor((col("day_s") - col("cohort_s")) / 604800.0).cast("long")
+            .as("week_off"))
+        .agg(countDistinct(col("user_id")).cast("long").as("users"))
+    }),
+
     // sketch aggregates — the 100 TB answer for distinct counts and
     // quantiles (HLL++ / quantile summaries: mergeable, bounded-memory,
     // one pass, no global sort). Sketch internals are engine-specific, so
@@ -168,6 +193,26 @@ object OlapQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    "bonus_cube" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
+
+    "bonus_retention" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('day', min(ts))) AS BIGINT) AS cohort_s
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT e.user_id, c.cohort_s,
+        |    CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) AS day_s
+        |  FROM events e JOIN c USING (user_id)
+        |)
+        |SELECT cohort_s,
+        |  CAST(floor((day_s - cohort_s) / 604800.0) AS BIGINT) AS week_off,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     "q5_join" ->
       """SELECT n.n_name,
