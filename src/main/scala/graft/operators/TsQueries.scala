@@ -73,7 +73,8 @@ object TsQueries {
   // order mirrors the oracle's recursive-CTE step expression-for-
   // expression so the doubles round identically. Returns the one-step
   // forecast l + b + s[next phase].
-  private val HwFoldUdf = udf((vals: Seq[Double]) => {
+  /** The pure Holt-Winters fold (exposed for the property suite). */
+  def hwForecast(vals: Seq[Double]): Double = {
     val p = 4
     val m1 = (((vals(0) + vals(1)) + vals(2)) + vals(3)) / 4.0
     val m2 = (((vals(4) + vals(5)) + vals(6)) + vals(7)) / 4.0
@@ -90,7 +91,9 @@ object TsQueries {
       i += 1
     }
     (l + b) + s(vals.length % p)
-  })
+  }
+
+  private val HwFoldUdf = udf(hwForecast _)
 
   /** Holt-Winters one-step forecast over a complete-segments frame —
     * the seasonal rung above [[holtForecastOf]] (exposed for the

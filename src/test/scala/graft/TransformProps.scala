@@ -91,4 +91,30 @@ object TransformProps extends Properties("graft.transforms") {
       val h = TextOps.fnv32(s)
       h >= 0L && h < (1L << 32) && (s.isEmpty || TextOps.fnv32(s + "x") != h)
     }
+
+  // Holt-Winters fold: the additive model's two defining symmetries.
+  private val segment16: Gen[Seq[Double]] =
+    Gen.containerOfN[Seq, Double](16, Gen.chooseNum(-1e3, 1e3))
+
+  property("holt-winters: level-shift equivariance (forecast(x+c) = forecast(x)+c)") =
+    forAll(segment16, Gen.chooseNum(-1e3, 1e3)) { (xs, c) =>
+      val f0 = graft.operators.TsQueries.hwForecast(xs)
+      val f1 = graft.operators.TsQueries.hwForecast(xs.map(_ + c))
+      math.abs(f1 - (f0 + c)) <= 1e-6 * math.max(1.0, math.abs(f0) + math.abs(c))
+    }
+
+  property("holt-winters: scale equivariance (forecast(a*x) = a*forecast(x))") =
+    forAll(segment16, Gen.chooseNum(-8.0, 8.0)) { (xs, a) =>
+      val f0 = graft.operators.TsQueries.hwForecast(xs)
+      val f1 = graft.operators.TsQueries.hwForecast(xs.map(_ * a))
+      math.abs(f1 - a * f0) <= 1e-6 * math.max(1.0, math.abs(a * f0))
+    }
+
+  property("holt-winters: steady period-4 pattern forecasts its own next value") =
+    forAll(Gen.containerOfN[Seq, Double](4, Gen.chooseNum(-1e3, 1e3))) { pat =>
+      val xs = Seq.fill(4)(pat).flatten // 16 rows, exactly periodic
+      val f = graft.operators.TsQueries.hwForecast(xs)
+      // next value is pat(0): level/trend/seasonal are all at fixpoint
+      math.abs(f - pat.head) <= 1e-6 * math.max(1.0, pat.map(math.abs).max)
+    }
 }
