@@ -329,6 +329,36 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("late data beyond the watermark is dropped from windowed aggregation") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(hm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val readings = mem.toDF().toDF("signal_id", "ts", "value")
+    val q = Ingest.windowedMax(readings, "10 minutes", "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_wm").start()
+    try {
+      mem.addData((1L, t("00:02"), 5.0))
+      q.processAllAvailable()
+      // watermark advances to 00:25 -> window [00:00, 00:10) closes+emits
+      mem.addData((1L, t("00:30"), 1.0))
+      q.processAllAvailable()
+      // a LATE row for the closed window with a higher value: dropped
+      mem.addData((1L, t("00:03"), 99.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("00:50"), 1.0))
+      q.processAllAvailable()
+      val w0 = t("00:00").getTime / 1000
+      val emitted = spark.table("late_wm").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(emitted.contains(w0), s"window at $w0 never emitted: $emitted")
+      assert(emitted(w0) == (5.0, 1L),
+        s"late 99.0 leaked into the closed window: ${emitted(w0)}")
+    } finally q.stop()
+  }
+
   test("mixture gate is stateless: streamed sample equals the batch sample") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
