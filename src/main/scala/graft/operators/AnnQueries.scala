@@ -142,6 +142,12 @@ object AnnQueries {
         .select(col("probe_id"), col("cand_id")),
       Seq("probe_id", "cand_id"))),
 
+    // size-aware adaptive probing: each probe reads cells until 25% of
+    // the corpus is covered — fixed-I/O-per-query under skewed cells
+    "ann_ivf_adaptive" -> ((s, d) =>
+      Similarity.ivfTopKAdaptive(probes(s, d), corpus(s, d), TopK,
+        ivfCentroids(s, d), targetFrac = 0.25)),
+
     // the persisted IVF index: corpus written partitioned by cell, probes
     // read ONLY their nProbe cells (static partition pruning at the scan)
     // — same scoring arithmetic as ann_ivf, so the same oracle checks it
@@ -540,6 +546,31 @@ object AnnQueries {
 
     "ann_ivf" ->
       s"$ivfCte\nSELECT probe_id, cand_id, sim, rnk FROM ivr WHERE rnk <= $TopK",
+
+    "ann_ivf_adaptive" ->
+      s"""$ivfCte, cszs AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS csz FROM a1 GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM c
+         |), pcs AS (
+         |  SELECT probe_id, pe, pcell.cell, prnk, coalesce(cszs.csz, 0) AS csz
+         |  FROM pcell LEFT JOIN cszs USING (cell)
+         |), pcum AS (
+         |  SELECT *, coalesce(sum(csz) OVER (
+         |    PARTITION BY probe_id ORDER BY prnk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+         |  FROM pcs
+         |), pq2 AS (
+         |  SELECT probe_id, pe, cell FROM pcum, tot WHERE prev_cum < 0.25 * n
+         |), avs AS (
+         |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+         |  FROM a1 JOIN pq2 USING (cell) WHERE probe_id <> cand_id
+         |), avr AS (
+         |  SELECT probe_id, cand_id, sim, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM avs
+         |)
+         |SELECT probe_id, cand_id, sim, rnk FROM avr WHERE rnk <= $TopK""".stripMargin,
 
     "ann_ivfpq" ->
       s"$ivfPqCte\nSELECT probe_id, cand_id, dist, rnk FROM dr WHERE rnk <= $TopK",

@@ -229,6 +229,48 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** ADAPTIVE IVF probing: instead of a fixed nProbe, each probe visits
+    * its best cells (cosine-ranked) until the CUMULATIVE corpus fraction
+    * covered reaches `targetFrac` — probes whose neighborhoods fall in
+    * large cells read fewer cells, probes near sparse cells read more,
+    * equalizing per-query candidate I/O under skewed cell occupancy (the
+    * recall/cost dial Faiss tunes with nprobe, made size-aware). Cell
+    * sizes are a |cells|-row frame (broadcast); the total is one bounded
+    * scalar. Same scoring/ranking as ivfTopK.
+    */
+  def ivfTopKAdaptive(probes: DataFrame, corpus: DataFrame, k: Int,
+                      centroids: Seq[(Int, Seq[Double])],
+                      targetFrac: Double): DataFrame = {
+    val assigned = corpus.withColumn("cn", l2(col("ce")))
+      .withColumn("cell", bestCell(col("ce"), centroids))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+    val total = sizes.agg(sum(col("csz"))).head().getLong(0)
+    val pc = probes.select(col("probe_id"), col("pe"),
+        explode(array(centroids.map { case (i, c) =>
+          struct(lit(i).as("cell"),
+            cosine(col("pe").cast("array<double>"), typedLit(c)).as("pcos"))
+        }: _*)).as("e"))
+      .select(col("probe_id"), col("pe"),
+        col("e.cell").as("cell"), col("e.pcos").as("pcos"))
+      .join(broadcast(sizes), Seq("cell"), "left")
+      .withColumn("csz", coalesce(col("csz"), lit(0L)))
+    val wCum = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chosen = pc
+      .withColumn("prev_cum", coalesce(sum(col("csz")).over(wCum), lit(0L)))
+      .filter(col("prev_cum") < lit(targetFrac) * lit(total.toDouble))
+      .select(col("probe_id"), col("pe"), col("cell"))
+      .withColumn("pn", l2(col("pe")))
+    val joined = assigned.join(broadcast(chosen), Seq("cell"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
     val assigned = corpus.withColumn("cn", l2(col("ce")))

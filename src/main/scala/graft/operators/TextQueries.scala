@@ -115,6 +115,16 @@ object TextQueries {
       docs(s, d).select(col("doc_id"),
         TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"))),
 
+    // language-ID evaluation: predicted vs labeled language counts (the
+    // confusion matrix) — the accuracy summary a routing pipeline needs
+    // before trusting the heuristic; one keyed aggregation over the
+    // prediction join
+    "text_langid_confusion" -> ((s, d) =>
+      queries("text_lang_id")(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // type-token ratio — the lexical-diversity quality signal (low TTR =
     // templated/repetitive text). Map-only: tokenize, distinct within
     // the row's own array, one ratio; docs with no tokens drop out.
@@ -528,6 +538,28 @@ object TextQueries {
         |       WHEN s_es >= s_fr THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM s""".stripMargin,
+
+    "text_langid_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tl, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+        |    len(list_filter(tl, x -> x IN ('the','a','of','is'))) AS s_en,
+        |    len(list_filter(tl, x -> x IN ('el','la','los','que'))) AS s_es,
+        |    len(list_filter(tl, x -> x IN ('le','les','et','une'))) AS s_fr
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |         WHEN s_es >= s_fr THEN 'es'
+        |         ELSE 'fr' END AS pred_lang
+        |  FROM s
+        |)
+        |SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,
