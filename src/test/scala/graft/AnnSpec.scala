@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.AnnQueries
 
@@ -53,6 +54,26 @@ class AnnSpec extends AnyFunSuite with SparkTest {
       val row = AnnQueries.queries("ann_pq_recall")(spark, d).collect()(0)
       val recall = row.getAs[Double]("recall")
       assert(recall >= 0.2, s"PQ recall $recall < 0.2 at $d")
+    }
+  }
+
+  test("adaptive IVF at 25% target fraction matches fixed nProbe=4 recall") {
+    // on near-uniform cells, covering 25% of the corpus adaptively must
+    // not lose recall vs the fixed 4-of-16-cell probe (same I/O budget)
+    assume(sfDirs.nonEmpty, "no testdata present")
+    for (d <- sfDirs) {
+      val brute = AnnQueries.queries("ann_brute")(spark, d)
+        .select(col("probe_id"), col("cand_id"))
+      val fixed = AnnQueries.queries("ann_ivf")(spark, d)
+        .select(col("probe_id"), col("cand_id"))
+      val adaptive = AnnQueries.queries("ann_ivf_adaptive")(spark, d)
+        .select(col("probe_id"), col("cand_id"))
+      def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+        val hit = brute.join(approx, Seq("probe_id", "cand_id")).count()
+        hit.toDouble / brute.count()
+      }
+      val (rf, ra) = (recall(fixed), recall(adaptive))
+      assert(ra >= rf - 0.05, s"adaptive recall $ra << fixed $rf at $d")
     }
   }
 
