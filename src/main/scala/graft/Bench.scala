@@ -137,6 +137,14 @@ object Bench {
           spark.read.parquet(t).filter(col("value") > 150.0)
             .select(col("signal_id"), col("seq_no")).count(); ()
         }),
+        // rollups over the PERSISTED tier (stored seq_no/value_q — no
+        // in-query derivation window): the read path ingest ships
+        ("ts_m4_tier", () => {
+          graft.operators.TsQueries.m4Of(spark.read.parquet(t)).count(); ()
+        }),
+        ("ts_twa_tier", () => {
+          graft.operators.TsQueries.twaOf(spark.read.parquet(t)).count(); ()
+        }),
         // the native as-of operator over the PERSISTED tier (stored seq_no,
         // no derivation window): the read path ingest actually ships
         ("asof_native_tier", () => {
