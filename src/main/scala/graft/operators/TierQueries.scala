@@ -209,6 +209,18 @@ object TierQueries {
         .select(col("signal_id"), col("seg"), col("word"))
     }),
 
+    // the iSAX-index use of the words (Shieh & Keogh, KDD'08): bucket
+    // segments by SAX word ACROSS signals — words holding >= 2 segments
+    // are the motif-candidate buckets an iSAX index serves without any
+    // distance computation. One keyed aggregation over the word tier.
+    "tier_sax_lookup" -> ((s, d) =>
+      queries("tier_sax")(s, d)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_segs"),
+          countDistinct(col("signal_id")).cast("long").as("n_signals"),
+          min(col("signal_id")).as("first_sig"))
+        .filter(col("n_segs") >= 2L)),
+
     "storage_codec_cr" -> ((s, d) =>
       graft.sources.CodecStore.compressionMatrix(r(s, d))),
 
@@ -452,6 +464,39 @@ object TierQueries {
     (1 to Readings.SegmentRows.toInt)
       .map(i => s"(qa[$i] - qb[$i]) * (qa[$i] - qb[$i])").mkString(" + ")
 
+  private def saxSql: String =
+    s"""$OracleCte, st AS (
+         |  SELECT signal_id, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(value_q) AS BIGINT) AS s1,
+         |         CAST(sum(value_q * value_q) AS BIGINT) AS s2
+         |  FROM r GROUP BY 1
+         |), m AS (
+         |  SELECT signal_id,
+         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+         |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+         |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var_q
+         |  FROM st
+         |), c AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS chunk,
+         |         CAST(sum(value_q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), l AS (
+         |  SELECT c.signal_id, chunk, cnt,
+         |    CASE WHEN (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) - mean_q) / sqrt(var_q) < -0.6745 THEN 'a'
+         |         WHEN (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) - mean_q) / sqrt(var_q) < 0.0 THEN 'b'
+         |         WHEN (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) - mean_q) / sqrt(var_q) < 0.6745 THEN 'c'
+         |         ELSE 'd' END AS letter
+         |  FROM c JOIN m USING (signal_id)
+         |  WHERE var_q > 0.0
+         |), w AS (
+         |  SELECT signal_id, CAST(floor(chunk / 4.0) AS BIGINT) AS seg,
+         |         string_agg(letter, '' ORDER BY chunk) AS word,
+         |         CAST(count(*) AS BIGINT) AS nch, CAST(min(cnt) AS BIGINT) AS mc
+         |  FROM l GROUP BY 1, 2
+         |)
+         |SELECT signal_id, seg, word FROM w WHERE nch = 4 AND mc = 4""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "seg_knn_dtw" -> dtwOracleSql,
 
@@ -498,38 +543,16 @@ object TierQueries {
          |)
          |SELECT signal_id, seg_a, seg_b, dist_q FROM rk WHERE rnk = 1""".stripMargin,
 
-    "tier_sax" ->
-      s"""$OracleCte, st AS (
-         |  SELECT signal_id, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(value_q) AS BIGINT) AS s1,
-         |         CAST(sum(value_q * value_q) AS BIGINT) AS s2
-         |  FROM r GROUP BY 1
-         |), m AS (
-         |  SELECT signal_id,
-         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
-         |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
-         |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
-         |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var_q
-         |  FROM st
-         |), c AS (
-         |  SELECT signal_id, CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS chunk,
-         |         CAST(sum(value_q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM r GROUP BY 1, 2
-         |), l AS (
-         |  SELECT c.signal_id, chunk, cnt,
-         |    CASE WHEN (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) - mean_q) / sqrt(var_q) < -0.6745 THEN 'a'
-         |         WHEN (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) - mean_q) / sqrt(var_q) < 0.0 THEN 'b'
-         |         WHEN (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) - mean_q) / sqrt(var_q) < 0.6745 THEN 'c'
-         |         ELSE 'd' END AS letter
-         |  FROM c JOIN m USING (signal_id)
-         |  WHERE var_q > 0.0
-         |), w AS (
-         |  SELECT signal_id, CAST(floor(chunk / 4.0) AS BIGINT) AS seg,
-         |         string_agg(letter, '' ORDER BY chunk) AS word,
-         |         CAST(count(*) AS BIGINT) AS nch, CAST(min(cnt) AS BIGINT) AS mc
-         |  FROM l GROUP BY 1, 2
+    "tier_sax" -> saxSql,
+
+    "tier_sax_lookup" ->
+      s"""WITH sax AS (
+         |$saxSql
          |)
-         |SELECT signal_id, seg, word FROM w WHERE nch = 4 AND mc = 4""".stripMargin,
+         |SELECT word, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(count(DISTINCT signal_id) AS BIGINT) AS n_signals,
+         |  CAST(min(signal_id) AS BIGINT) AS first_sig
+         |FROM sax GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     "buff_range" ->
       s"""$OracleCte SELECT signal_id, seq_no FROM r
          |WHERE value_q BETWEEN 12345 AND 34567""".stripMargin,
