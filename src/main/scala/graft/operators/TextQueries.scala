@@ -115,6 +115,30 @@ object TextQueries {
       docs(s, d).select(col("doc_id"),
         TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"))),
 
+    // TF-IDF keyword extraction: each document's top-3 terms by
+    // tf·ln(N/df) — the classic summarization/labeling signal. The df
+    // table is vocabulary-sized (shuffle join on term, AQE decides — the
+    // unigram-LM rationale); N is one bounded scalar; per-doc ranking is
+    // a keyed window, WindowGroupLimit keeps only the top rows per doc.
+    "text_keywords" -> ((s, d) => {
+      val dd = docs(s, d)
+      val nDocs = dd.count().toDouble
+      val toks = dd.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dft = tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val w = W.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(dft, Seq("term"))
+        .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("tfidf"),
+          col("rnk"))
+    }),
+
     // language-ID evaluation: predicted vs labeled language counts (the
     // confusion matrix) — the accuracy summary a routing pipeline needs
     // before trusting the heuristic; one keyed aggregation over the
@@ -538,6 +562,27 @@ object TextQueries {
         |       WHEN s_es >= s_fr THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM s""".stripMargin,
+
+    "text_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT doc_id, tf.term,
+        |    tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) AS tfidf
+        |  FROM tf JOIN dft USING (term)
+        |), rk AS (
+        |  SELECT doc_id, term, tfidf, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+        |  FROM sc
+        |)
+        |SELECT doc_id, term, round(tfidf, 6) AS tfidf, rnk
+        |FROM rk WHERE rnk <= 3""".stripMargin,
 
     "text_langid_confusion" ->
       """WITH t AS (

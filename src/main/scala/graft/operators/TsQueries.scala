@@ -852,6 +852,23 @@ object TsQueries {
           sum(col("k")).cast("long").as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
+    // strict local extrema per signal (peak/trough census — the shape
+    // signal feeding peak detection and alert thresholds): a row is a
+    // peak iff strictly above BOTH neighbors, in the exact integer
+    // domain. One keyed window, two lag/lead reads, one aggregation.
+    "ts_peaks" -> ((s, d) => {
+      val w = W.partitionBy(col("signal_id")).orderBy(col("seq_no"))
+      r(s, d).select(col("signal_id"), col("value_q"),
+          lag(col("value_q"), 1).over(w).as("pv"),
+          lead(col("value_q"), 1).over(w).as("nv"))
+        .groupBy(col("signal_id"))
+        .agg(
+          sum(when(col("value_q") > col("pv") && col("value_q") > col("nv"),
+            1L).otherwise(0L)).cast("long").as("n_peaks"),
+          sum(when(col("value_q") < col("pv") && col("value_q") < col("nv"),
+            1L).otherwise(0L)).cast("long").as("n_troughs"))
+    }),
+
     // strict-order conversion funnel over the event stream: per user the
     // FIRST occurrence of each step, a user reaches step k only if the
     // first-occurrence timestamps strictly increase through step k
@@ -1675,6 +1692,19 @@ object TsQueries {
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
         |    AS max_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    "ts_peaks" ->
+      s"""$OracleCte, t AS (
+         |  SELECT signal_id, value_q,
+         |    lag(value_q) OVER w AS pv, lead(value_q) OVER w AS nv
+         |  FROM r WINDOW w AS (PARTITION BY signal_id ORDER BY seq_no)
+         |)
+         |SELECT signal_id,
+         |  CAST(sum(CASE WHEN value_q > pv AND value_q > nv
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+         |  CAST(sum(CASE WHEN value_q < pv AND value_q < nv
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_troughs
+         |FROM t GROUP BY 1""".stripMargin,
 
     "ts_event_funnel" ->
       """WITH f AS (
