@@ -229,6 +229,43 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
       .count() == 0)
   }
 
+  test("third-wave analytics are degenerate-safe") {
+    val s = spark; import s.implicits._
+    // monotone series: zero peaks, zero troughs
+    def rd(vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), v)
+      }.toDF("signal_id", "ts", "value")
+        .withColumn("value_q", graft.functions.Quantize.quantize(col("value"), 2))
+        .withColumn("seq_no", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("signal_id")).orderBy(col("ts"))).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e3").toString
+    rd((1 to 8).map(_.toDouble))
+      .select(col("signal_id").as("user_id"), col("ts"), col("value"),
+        monotonically_increasing_id().as("event_id"), lit("e").as("event_type"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val pk = graft.operators.TsQueries.queries("ts_peaks")(spark, tmp).collect()(0)
+    assert(pk.getLong(1) == 0L && pk.getLong(2) == 0L,
+      s"monotone ramp produced extrema: $pk")
+    // funnel: a user who only purchases reaches no step
+    val f = graft.operators.TsQueries.queries("ts_event_funnel")(spark, tmp)
+      .collect()(0)
+    assert(f.getLong(0) == 0L && f.getLong(3) == 0L) // no 'view' events at all
+    // MAD of a constant signal is exactly 0
+    val mad = graft.operators.TsQueries.queries("ts_mad")(spark, {
+      val t2 = java.nio.file.Files.createTempDirectory("graft-e3b").toString
+      rd(Seq.fill(6)(3.0))
+        .select(col("signal_id").as("user_id"), col("ts"), col("value"),
+          monotonically_increasing_id().as("event_id"), lit("e").as("event_type"),
+          lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$t2/events.parquet")
+      t2
+    }).collect()(0)
+    assert(mad.getDouble(1) == 3.0 && mad.getDouble(2) == 0.0)
+  }
+
   test("single-doc corpus: packer emits one pack, dedup finds no pairs") {
     import spark.implicits._
     val one = Seq((0L, "just one tiny document here", "en")).toDF("doc_id", "text", "lang")
