@@ -142,6 +142,23 @@ object AnnQueries {
         .select(col("probe_id"), col("cand_id")),
       Seq("probe_id", "cand_id"))),
 
+    // the recall/cost CURVE: recall@10 vs the exact baseline at nProbe
+    // in {1, 2, 4, 8} — the operating-point table an ANN deployment is
+    // tuned from (recall rises with probed fraction; the curve makes the
+    // cost of each recall point explicit)
+    "ann_ivf_curve" -> ((s, d) => {
+      val brute = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id"))
+      Seq(1, 2, 4, 8).map { np =>
+        recallSummary(brute,
+          Similarity.ivfTopK(probes(s, d), corpus(s, d), TopK,
+              ivfCentroids(s, d), np)
+            .select(col("probe_id"), col("cand_id")),
+          Seq("probe_id", "cand_id"))
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+    }),
+
     // size-aware adaptive probing: each probe reads cells until 25% of
     // the corpus is covered — fixed-I/O-per-query under skewed cells
     "ann_ivf_adaptive" -> ((s, d) =>
@@ -546,6 +563,40 @@ object AnnQueries {
 
     "ann_ivf" ->
       s"$ivfCte\nSELECT probe_id, cand_id, sim, rnk FROM ivr WHERE rnk <= $TopK",
+
+    "ann_ivf_curve" -> {
+      val perN = Seq(1, 2, 4, 8).map { n =>
+        s"""q$n AS (
+           |  SELECT probe_id, pe, cell FROM pcell WHERE prnk <= $n
+           |), s$n AS (
+           |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+           |  FROM a1 JOIN q$n USING (cell) WHERE probe_id <> cand_id
+           |), r$n AS (
+           |  SELECT probe_id, cand_id, row_number() OVER (
+           |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+           |  FROM s$n
+           |), t$n AS (SELECT probe_id, cand_id FROM r$n WHERE rnk <= $TopK)""".stripMargin
+      }.mkString(", ")
+      val rows = Seq(1, 2, 4, 8).map { n =>
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_brute,
+           |  CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  round(CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 4) AS recall,
+           |  CAST($n AS BIGINT) AS nprobe
+           |FROM brute b LEFT JOIN t$n l
+           |  ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$ivfCte, bs AS (
+         |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+         |  FROM p JOIN c ON probe_id <> cand_id
+         |), br AS (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM bs
+         |), brute AS (SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK),
+         |$perN
+         |$rows""".stripMargin
+    },
 
     "ann_ivf_adaptive" ->
       s"""$ivfCte, cszs AS (
