@@ -86,6 +86,45 @@ object OlapQueries {
           .cast("long").as("revenue_q"),
           count(lit(1)).as("cnt"))),
 
+    // TPC-H Q10 shape (returned-item reporting): customers ranked by
+    // fixed-point revenue from 'R'-flag lineitems in one quarter. The
+    // dims broadcast; the fact-fact orders⋈lineitem shuffles on the
+    // order key; top-20 is TakeOrderedAndProject.
+    "q10_returns" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1995-01-01") &&
+              col("o_orderdate") < lit("1995-07-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(Quantize.quantize(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2))
+          .cast("long").as("revenue_q"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("revenue_q").desc, col("c_custkey"))
+        .limit(20)),
+
+    // TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    // exceeds the threshold, with the customer attached. The HAVING side
+    // is one keyed aggregation; quantities fold in the fixed-point
+    // domain so both engines agree exactly.
+    "q18_bigorders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Quantize.quantize(col("l_quantity"), 2))
+          .cast("long").as("tot_qty_q"))
+        .filter(col("tot_qty_q") > 18000L)
+      Tables.orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("odate_s"),
+          col("tot_qty_q"))
+    }),
+
     "bonus_topk" -> ((s, d) =>
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -193,6 +232,32 @@ object OlapQueries {
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_q,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_q DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q18_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS tot_qty_q
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(floor(l_quantity * 100) AS BIGINT)) > 18000
+        |)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS odate_s, tot_qty_q
+        |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "bonus_cube" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
