@@ -274,6 +274,36 @@ object AnnQueries {
         .groupBy(col("true_label"), col("pred_label"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // distribution monitoring: cosine of each label's centroid against
+    // the global centroid, computed ENTIRELY from integer component sums
+    // in the quantized domain (cosine is scale-invariant, so the /n
+    // normalizations cancel and no double summation ever happens —
+    // Σ sq·gq / (√Σ sq² · √Σ gq²) over exact DECIMAL(38,0) moments).
+    // The per-(label, dim) sums are one keyed aggregation; the final
+    // fold is labels × dims rows. The drift alarm for embedding
+    // pipelines: a label whose centroid turns from the corpus mean.
+    "emb_label_drift" -> ((s, d) => {
+      val q = emb(s, d).select(col("label").cast("long").as("label"),
+        posexplode(Similarity.quantizeVec(col("embedding"), 64.0))
+          .as(Seq("pos", "qv")))
+      val per = q.groupBy(col("label"), col("pos"))
+        .agg(sum(col("qv")).cast("long").as("sq"),
+          count(lit(1)).cast("long").as("n"))
+      val glob = q.groupBy(col("pos"))
+        .agg(sum(col("qv")).cast("long").as("gq"))
+      def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+      per.join(broadcast(glob), Seq("pos"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n"),
+          sum(d18(col("sq")) * d18(col("gq"))).cast("decimal(38,0)").as("dxy"),
+          sum(d18(col("sq")) * d18(col("sq"))).cast("decimal(38,0)").as("dxx"),
+          sum(d18(col("gq")) * d18(col("gq"))).cast("decimal(38,0)").as("dyy"))
+        .select(col("label"), col("n"),
+          round(col("dxy").cast("double") /
+            (sqrt(col("dxx").cast("double")) * sqrt(col("dyy").cast("double"))), 6)
+            .as("drift_cos"))
+    }),
+
     "emb_kmeans" -> ((s, d) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -782,6 +812,33 @@ object AnnQueries {
         |  FROM s
         |)
         |SELECT test_id, train_label AS pred_label, true_label FROM r WHERE rnk = 1""".stripMargin,
+
+    "emb_label_drift" ->
+      """WITH qe AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    [floor(x * 64) for x in embedding::DOUBLE[]] AS qv
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT label, t.i AS pos, CAST(qv[CAST(t.i AS INT) + 1] AS BIGINT) AS q
+        |  FROM qe, range(0, 64) t(i)
+        |), per AS (
+        |  SELECT label, pos, CAST(sum(q) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2
+        |), gl AS (
+        |  SELECT pos, CAST(sum(q) AS BIGINT) AS gq FROM ex GROUP BY 1
+        |), j AS (
+        |  SELECT label, max(n) AS n,
+        |    CAST(sum(sq * gq) AS BIGINT) AS dxy,
+        |    CAST(sum(sq * sq) AS BIGINT) AS dxx,
+        |    CAST(sum(gq * gq) AS BIGINT) AS dyy
+        |  FROM per JOIN gl USING (pos) GROUP BY 1
+        |)
+        |SELECT label, CAST(n AS BIGINT) AS n,
+        |  round(CAST(dxy AS DOUBLE) /
+        |        (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE))), 6)
+        |    AS drift_cos
+        |FROM j""".stripMargin,
 
     "emb_knn_confusion" ->
       """WITH t AS (
