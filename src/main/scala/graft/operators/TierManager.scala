@@ -176,6 +176,46 @@ class TierManager(spark: SparkSession, root: String) {
   /** Same exact-sum serving from the tier3 (doubled-width) step. */
   def sumFromTier3(): DataFrame =
     TierManager.sumFromChunks(spark.read.parquet(tier3))
+
+  /** MERGE-style upsert of LATE CORRECTIONS into tier0 — the parquet
+    * analogue of Delta's MERGE, the lifecycle step the reference's
+    * buffer rewrite covers with in-place RocksDB puts. Corrections win
+    * by (signal_id, seq_no); new keys append. Only the sig_bucket
+    * partitions the corrections touch are rewritten (dynamic partition
+    * overwrite — bounded per-job I/O at any tier size), and the zone-map
+    * stats are PATCHED the same way: affected signals' rows recomputed,
+    * the rest carried over untouched. localCheckpoint breaks the
+    * read-own-path cycle both rewrites would otherwise hit.
+    * Idempotent: re-applying the same corrections is a no-op.
+    * Returns the number of correction rows applied.
+    */
+  def upsertCorrections(corrections: DataFrame, buckets: Int = 32): Long = {
+    val keyed = corrections
+      .withColumn("sig_bucket", pmod(col("signal_id"), lit(buckets)))
+    val nCorr = keyed.count()
+    val touched = keyed.select(col("sig_bucket")).distinct()
+      .collect().map(_.getAs[Any]("sig_bucket")) // bounded by `buckets`
+    val existing = spark.read.parquet(tier0)
+      .filter(col("sig_bucket").isin(touched: _*))
+    val merged = existing
+      .join(keyed.select(col("signal_id"), col("seq_no")),
+        Seq("signal_id", "seq_no"), "left_anti")
+      .unionByName(keyed)
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sig_bucket").parquet(tier0)
+    // patch the zone map: recompute only the affected signals' rows
+    val affected = keyed.select(col("signal_id")).distinct()
+    val fresh = ZoneMap.segmentStats(
+      spark.read.parquet(tier0).join(affected, Seq("signal_id")))
+    val patched = spark.read.parquet(stats(tier0))
+      .join(affected, Seq("signal_id"), "left_anti")
+      .unionByName(fresh)
+      .localCheckpoint()
+    patched.write.mode("overwrite").parquet(stats(tier0))
+    nCorr
+  }
 }
 
 object TierManager {

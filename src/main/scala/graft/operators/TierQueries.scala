@@ -240,6 +240,28 @@ object TierQueries {
           count(lit(1)).as("cnt"))
     }),
 
+    // MERGE-style correction upsert end to end: land tier0, apply a
+    // deterministic correction batch (each low signal's first reading
+    // bumped by +1000 fixed-point units), and emit the post-upsert
+    // per-signal sums — the oracle recomputes the same sums from the raw
+    // table with the correction expressed as a CASE. Only the touched
+    // sig_bucket partitions rewrite; TierManagerSpec asserts the
+    // bounded-rewrite, stats-patch, and idempotence invariants.
+    "storage_upsert" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-upsert-q").toString
+      val tm = new TierManager(s, root)
+      val rr = r(s, d)
+      tm.landTier0(rr)
+      val corr = rr.filter(col("signal_id") < 3 && col("seq_no") === 1L)
+        .withColumn("value", col("value") + 1000.0)
+        .withColumn("value_q", col("value_q") + 100000L)
+      tm.upsertCorrections(corr)
+      s.read.parquet(tm.tier0).groupBy(col("signal_id"))
+        .agg(sum(col("value_q")).cast("long").as("sum_q"),
+          count(lit(1)).as("cnt"))
+    }),
+
     "seg_kernel_sink" -> ((s, d) => {
       val segs = Segments.complete(r(s, d))
       val dict = segs.filter(col("signal_id") < 2 && col("seg") === 0)
@@ -568,6 +590,14 @@ object TierQueries {
     "storage_compact" ->
       s"""$OracleCte SELECT signal_id, CAST(sum(value_q) AS BIGINT) AS sum_q,
          |  CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY signal_id""".stripMargin,
+
+    "storage_upsert" ->
+      s"""$OracleCte SELECT signal_id,
+         |  CAST(sum(CASE WHEN signal_id < 3 AND seq_no = 1
+         |                THEN value_q + 100000 ELSE value_q END) AS BIGINT)
+         |    AS sum_q,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM r GROUP BY signal_id""".stripMargin,
 
     "buff_sum_prefix" ->
       s"""$OracleCte, b AS (SELECT min(value_q) AS m FROM r)

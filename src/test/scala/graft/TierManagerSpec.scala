@@ -75,6 +75,46 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     assert(maxErr < 256, s"drop-bits error $maxErr out of bound")
   }
 
+  test("correction upsert: merge wins, bounded rewrite, stats patched, idempotent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-upsert").toString
+    val tm = new TierManager(spark, root)
+    val r = Readings.of(spark, "/root/testdata/sf0.001")
+    tm.landTier0(r)
+    val untouchedBucket = new java.io.File(s"${tm.tier0}/sig_bucket=5")
+    val before = untouchedBucket.listFiles().map(f => f.getName -> f.lastModified).toMap
+
+    // one UPDATE (signal 1, seq 1 -> value 999.99) and one late INSERT
+    // (signal 33, far-future seq) — both land in sig_bucket=1
+    val ts0 = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val corr = Seq(
+      (1L, ts0, 999.99, 99999L, 1L),
+      (33L, ts0, 123.45, 12345L, 1000L)
+    ).toDF("signal_id", "ts", "value", "value_q", "seq_no")
+    val n = tm.upsertCorrections(corr)
+    assert(n == 2L)
+
+    val t0 = spark.read.parquet(tm.tier0)
+    assert(t0.filter(col("signal_id") === 1L && col("seq_no") === 1L)
+      .select(col("value")).collect()(0).getDouble(0) == 999.99)
+    assert(t0.filter(col("signal_id") === 33L && col("seq_no") === 1000L).count() == 1L)
+    assert(t0.count() == r.count() + 1) // one insert, no dup for the update
+
+    // untouched partition not rewritten
+    val after = untouchedBucket.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == before, "untouched sig_bucket=5 was rewritten")
+
+    // zone map patched: signal 1's segment-0 max reflects the correction
+    val st = spark.read.parquet(s"${tm.tier0}.stats")
+    val s1max = st.filter(col("signal_id") === 1L && col("seg") === 0L)
+      .select(col("vmax")).collect()(0).getDouble(0)
+    assert(s1max == 999.99, s"stats not patched: vmax $s1max")
+
+    // idempotent: re-applying the same corrections changes nothing
+    tm.upsertCorrections(corr)
+    assert(spark.read.parquet(tm.tier0).count() == r.count() + 1)
+  }
+
   test("cold-tier sum serving is exact: chunk sums equal raw fixed-point sums") {
     val r = Readings.of(spark, "/root/testdata/sf0.001")
     val served = TierManager.sumFromChunks(graft.operators.Tiers.paaChunks(r, 4))
