@@ -69,6 +69,15 @@ object TextQueries {
 
     "dedup_ngram" -> ((s, d) => Dedup.ngramNearDup(docs(s, d), 4, 0.6)),
 
+    // corpus duplication PROFILE: the similarity distribution of the
+    // confirmed near-dup pairs, binned by jaccard decile — the summary a
+    // curation run reports ("how duplicated, and how strongly") before
+    // choosing a dedup threshold. One aggregation over the pair stream.
+    "dedup_jaccard_hist" -> ((s, d) =>
+      Dedup.minhashNearDup(docs(s, d), 0.5)
+        .groupBy(least(lit(9L), floor(col("jac") * 10.0).cast("long")).as("bin"))
+        .agg(count(lit(1)).as("pairs"))),
+
     // span-level duplication profile (Lee et al. substring dedup over
     // word shingles): per-doc duplicated-span fraction — catches
     // boilerplate that doc-level near-dedup misses
@@ -357,6 +366,18 @@ object TextQueries {
          |FROM f a JOIN f b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5""".stripMargin,
+
+    "dedup_jaccard_hist" ->
+      s"""$ShingleCte, pr AS (
+         |  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+         |)
+         |SELECT least(9, CAST(floor(jac * 10.0) AS BIGINT)) AS bin,
+         |  CAST(count(*) AS BIGINT) AS pairs
+         |FROM pr GROUP BY 1""".stripMargin,
 
     // transitive closure to the fixpoint (UNION dedups, so the recursion
     // terminates), then component = min reachable doc id

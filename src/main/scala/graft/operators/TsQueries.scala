@@ -838,6 +838,26 @@ object TsQueries {
     // .0/.5, exactly representable), so both engines agree bitwise.
     // Two keyed aggregations + one keyed join; the medians frame is
     // signals-sized (auto-broadcast).
+    // robust outlier flags: the modified z-score (Iglewicz-Hoaglin,
+    // 0.6745·|x − med|/MAD > 3.5) — immune to the outliers themselves
+    // inflating the spread, unlike ts_zscore's mean/stddev. med/MAD come
+    // from exact continuous quantiles on integers (the ts_mad pattern);
+    // the flag comparison is computed identically on both engines.
+    "ts_outlier_mad" -> ((s, d) => {
+      val med = r(s, d).groupBy(col("signal_id"))
+        .agg(expr("percentile(value_q, 0.5)").as("med_q"))
+      val dev = r(s, d).join(med, "signal_id")
+        .select(col("signal_id"), col("seq_no"), col("value_q"), col("med_q"),
+          abs(col("value_q").cast("double") - col("med_q")).as("dev"))
+      val mad = dev.groupBy(col("signal_id"))
+        .agg(expr("percentile(dev, 0.5)").as("mad_q"))
+      dev.join(mad, "signal_id")
+        .filter(col("mad_q") > 0.0 &&
+          lit(0.6745) * col("dev") / col("mad_q") > lit(3.5))
+        .select(col("signal_id"), col("seq_no"), col("value_q"),
+          round(lit(0.6745) * col("dev") / col("mad_q"), 6).as("mz"))
+    }),
+
     // semi-structured payloads: the events table's JSON `props` column
     // aggregated per event_type — JSON path extraction is codegen'd
     // (get_json_object) and the aggregate is exact integer; the schema-
@@ -1682,6 +1702,23 @@ object TsQueries {
          |       ELSE round(CAST(abs(sum_q - sum_q4) AS DOUBLE) /
          |                  CAST(abs(sum_q) AS DOUBLE), 6) END AS rel_err
          |FROM a""".stripMargin,
+
+    "ts_outlier_mad" ->
+      s"""$OracleCte, m AS (
+         |  SELECT signal_id, quantile_cont(value_q, 0.5) AS med_q
+         |  FROM r GROUP BY 1
+         |), d AS (
+         |  SELECT r.signal_id, seq_no, value_q, med_q,
+         |    abs(CAST(value_q AS DOUBLE) - med_q) AS dev
+         |  FROM r JOIN m USING (signal_id)
+         |), md AS (
+         |  SELECT signal_id, quantile_cont(dev, 0.5) AS mad_q
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT d.signal_id, seq_no, value_q,
+         |  round(0.6745 * dev / mad_q, 6) AS mz
+         |FROM d JOIN md USING (signal_id)
+         |WHERE mad_q > 0.0 AND 0.6745 * dev / mad_q > 3.5""".stripMargin,
 
     "ts_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
