@@ -45,6 +45,21 @@ object PipelineQueries {
 
     "pipe_vocab" -> ((s, d) => PipelineOps.vocabTopK(docs(s, d), VocabK)),
 
+    // the contamination-rate headline: how much of the train split shares
+    // benchmark shingles — the one-row summary the decontam pass reports.
+    // Flagged docs come from the exact operator; the denominator counts
+    // every non-benchmark doc (including shingle-less short ones).
+    "pipe_contamination_rate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dd = docs(s, d)
+      val nTrain = dd.filter(col("doc_id") % 50 =!= 0).count()
+      PipelineOps.decontaminate(dd, col("doc_id") % 50 === 0)
+        .agg(count(lit(1)).cast("long").as("n_flagged"))
+        .withColumn("n_train", lit(nTrain))
+        .withColumn("rate",
+          round(col("n_flagged").cast("double") / col("n_train").cast("double"), 6))
+    }),
+
     // sorted-greedy packing: within each (lang, shard), documents are
     // packed LONGEST-FIRST (toks desc, doc_id tie-break) instead of
     // arrival order — the classic bin-packing improvement that cuts the
@@ -283,6 +298,17 @@ object PipelineQueries {
          |FROM cur JOIN sp USING (doc_id) JOIN pk USING (doc_id)""".stripMargin,
 
     "pipe_decontam" -> DecontamSql,
+
+    "pipe_contamination_rate" ->
+      s"""WITH flagged AS (
+         |$DecontamSql
+         |), tr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_train FROM documents
+         |  WHERE doc_id % 50 <> 0
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_flagged, tr.n_train,
+         |  round(CAST(count(*) AS DOUBLE) / CAST(tr.n_train AS DOUBLE), 6) AS rate
+         |FROM flagged, tr GROUP BY tr.n_train""".stripMargin,
 
     // the Bloom path is exact (see PipelineOps.decontaminateBloom), so it
     // shares the exact operator's oracle verbatim

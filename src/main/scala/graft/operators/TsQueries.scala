@@ -838,6 +838,17 @@ object TsQueries {
     // .0/.5, exactly representable), so both engines agree bitwise.
     // Two keyed aggregations + one keyed join; the medians frame is
     // signals-sized (auto-broadcast).
+    // the corpus-wide hour-of-day load profile: exact per-hour counts
+    // and fixed-point means per event_type — the capacity-planning view
+    // of the event stream (one keyed aggregation)
+    "ts_hod_profile" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(Quantize.quantize(col("value"), 2)).cast("long").as("sum_q"))
+        .withColumn("avg_v", round(
+          col("sum_q").cast("double") / (lit(100.0) * col("n").cast("double")), 6))),
+
     // robust outlier flags: the modified z-score (Iglewicz-Hoaglin,
     // 0.6745·|x − med|/MAD > 3.5) — immune to the outliers themselves
     // inflating the spread, unlike ts_zscore's mean/stddev. med/MAD come
@@ -1702,6 +1713,14 @@ object TsQueries {
          |       ELSE round(CAST(abs(sum_q - sum_q4) AS DOUBLE) /
          |                  CAST(abs(sum_q) AS DOUBLE), 6) END AS rel_err
          |FROM a""".stripMargin,
+
+    "ts_hod_profile" ->
+      """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  round(CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) /
+        |        (100.0 * CAST(count(*) AS DOUBLE)), 6) AS avg_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ts_outlier_mad" ->
       s"""$OracleCte, m AS (
