@@ -52,7 +52,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "ts_histogram", "ts_rolling_corr", "pipe_bpe_pairs",
     "o8_percentile_sketch",
     "ts_twa", "ts_m4", "ts_acf", "ts_bollinger", "ts_hw_forecast",
-    "seg_motif", "text_entropy", "text_dup_lines")
+    "seg_motif", "text_entropy", "text_dup_lines",
+    "asof_tolerance", "ts_hod_profile", "ts_outlier_mad", "ts_mad",
+    "ts_peaks", "ts_event_funnel", "ts_json_props", "dedup_jaccard_hist",
+    "q10_returns", "q18_bigorders", "bonus_cube", "bonus_retention",
+    "ts_ohlc_weekly", "text_ttr", "pipe_pack_sorted",
+    // emb_knn_confusion wraps emb_knn_1nn's bounded broadcast probe set
+    // (the by-design nested-loop baseline) — excluded like seg_knn
+    "text_langid_confusion", "ts_forecast_backtest")
   // round-8 exclusions, same construction-runs-jobs rationale:
   // text_bm25/text_xent/pipe_quality_filter/pipe_bpe_round2 fetch bounded
   // corpus scalars at build time, ml_dbscan/dedup_semantic run the CC
