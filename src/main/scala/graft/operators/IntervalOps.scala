@@ -28,6 +28,15 @@ object IntervalOps {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightCols: Seq[String]): DataFrame = {
+    // the window pass owns the _kind/_ats/_r_*/_c_* namespace; a caller
+    // column with one of those names would be silently shadowed and
+    // corrupt the carry — fail loudly instead
+    val reserved = Seq("_kind", "_ats") ++
+      rightCols.flatMap(c => Seq(s"_r_$c", s"_c_$c"))
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"asofJoin: input columns ${clash.mkString(", ")} collide with " +
+        "internal temporaries (_kind/_ats/_r_*/_c_*); rename them first")
     val lTagged = left.withColumn("_kind", lit(1))
       .withColumn("_ats", col(leftTs))
     val rTagged = rightCols.foldLeft(
@@ -58,14 +67,19 @@ object IntervalOps {
   def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
                         leftTs: String, rightTs: String,
                         rightCols: Seq[String], toleranceSec: Long): DataFrame = {
-    val rr = right.withColumn("_mts", col(rightTs))
-    val joined = asofJoin(left, rr, key, leftTs, rightTs, rightCols :+ "_mts")
-    val fresh = col("_mts").isNotNull &&
-      (unix_micros(col(leftTs)) - unix_micros(col("_mts"))) <=
+    // the matched-timestamp carrier must not shadow a caller column —
+    // pick a name no input uses (asofJoin guards its own temporaries)
+    val taken = (left.columns ++ right.columns).toSet
+    val mts = Iterator.from(0).map(i => if (i == 0) "_mts" else s"_mts$i")
+      .find(n => !taken.contains(n)).get
+    val rr = right.withColumn(mts, col(rightTs))
+    val joined = asofJoin(left, rr, key, leftTs, rightTs, rightCols :+ mts)
+    val fresh = col(mts).isNotNull &&
+      (unix_micros(col(leftTs)) - unix_micros(col(mts))) <=
         lit(toleranceSec * 1000000L)
     rightCols.foldLeft(joined) { (df, c) =>
       df.withColumn(c, when(fresh, col(c)))
-    }.drop("_mts")
+    }.drop(mts)
   }
 
   /** Range (interval-containment) join: left rows with a point column

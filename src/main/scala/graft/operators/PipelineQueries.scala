@@ -299,6 +299,9 @@ object PipelineQueries {
 
     "pipe_decontam" -> DecontamSql,
 
+    // scalar subqueries (not an aggregate over the cross join) so the
+    // oracle still emits its one row when `flagged` is empty — a clean
+    // corpus must yield (0, n_train, 0.0), matching the Spark global agg
     "pipe_contamination_rate" ->
       s"""WITH flagged AS (
          |$DecontamSql
@@ -306,9 +309,11 @@ object PipelineQueries {
          |  SELECT CAST(count(*) AS BIGINT) AS n_train FROM documents
          |  WHERE doc_id % 50 <> 0
          |)
-         |SELECT CAST(count(*) AS BIGINT) AS n_flagged, tr.n_train,
-         |  round(CAST(count(*) AS DOUBLE) / CAST(tr.n_train AS DOUBLE), 6) AS rate
-         |FROM flagged, tr GROUP BY tr.n_train""".stripMargin,
+         |SELECT CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_flagged,
+         |  tr.n_train,
+         |  round(CAST((SELECT count(*) FROM flagged) AS DOUBLE) /
+         |        CAST(tr.n_train AS DOUBLE), 6) AS rate
+         |FROM tr""".stripMargin,
 
     // the Bloom path is exact (see PipelineOps.decontaminateBloom), so it
     // shares the exact operator's oracle verbatim

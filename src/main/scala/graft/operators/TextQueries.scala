@@ -192,11 +192,13 @@ object TextQueries {
     // gibberish/boilerplate signal (low = repeated chars, high = noise):
     // H = ln(n) - (sum c*ln c)/n from exact integer char counts. Two
     // keyed aggregations ((doc, char) then doc), no per-doc buffering.
-    // Newlines are excluded on both engines ('.' excludes \n in Java
-    // regex and RE2 alike).
+    // The explicit class [^\n] (not '.') pins the excluded set to
+    // exactly {\n} on both engines — Java '.' also excludes \r/\u0085/
+    // \u2028/\u2029 while RE2 '.' excludes only \n, so '.' diverges on
+    // CRLF or Unicode line-separator input.
     "text_entropy" -> ((s, d) => {
       val ch = docs(s, d).select(col("doc_id"),
-          explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+          explode(regexp_extract_all(col("text"), lit("[^\\n]"), lit(0))).as("ch"))
         .groupBy(col("doc_id"), col("ch"))
         .agg(count(lit(1)).cast("double").as("c"))
       ch.groupBy(col("doc_id"))
@@ -467,7 +469,7 @@ object TextQueries {
 
     "text_entropy" ->
       """WITH ch AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]')) AS ch
         |  FROM documents
         |), cc AS (
         |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c

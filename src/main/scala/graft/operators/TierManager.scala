@@ -190,7 +190,18 @@ class TierManager(spark: SparkSession, root: String) {
     * Returns the number of correction rows applied.
     */
   def upsertCorrections(corrections: DataFrame, buckets: Int = 32): Long = {
-    val keyed = corrections
+    // the 'corrections win by (signal_id, seq_no)' contract must also hold
+    // WITHIN a batch: byte-identical resends collapse silently; two
+    // CONFLICTING rows for one key have no defined winner (the batch
+    // carries no ordering column), so fail loudly rather than land both
+    val deduped = corrections.dropDuplicates()
+    val dupKeys = deduped.groupBy(col("signal_id"), col("seq_no"))
+      .count().filter(col("count") > 1L).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"upsertCorrections: conflicting correction rows for key " +
+        s"(signal_id=${dupKeys.headOption.map(_.get(0)).orNull}, " +
+        s"seq_no=${dupKeys.headOption.map(_.get(1)).orNull}) within one batch")
+    val keyed = deduped
       .withColumn("sig_bucket", pmod(col("signal_id"), lit(buckets)))
     val nCorr = keyed.count()
     val touched = keyed.select(col("sig_bucket")).distinct()

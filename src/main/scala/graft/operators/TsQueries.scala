@@ -1805,8 +1805,8 @@ object TsQueries {
       s"""$OracleCte, t AS (
          |  SELECT signal_id, seq_no,
          |    CAST(count(*) OVER w AS BIGINT) AS wn,
-         |    CAST(sum(value_q) OVER w AS BIGINT) AS s1,
-         |    CAST(sum(value_q * value_q) OVER w AS BIGINT) AS s2
+         |    CAST(sum(CAST(value_q AS HUGEINT)) OVER w AS HUGEINT) AS s1,
+         |    CAST(sum(CAST(value_q AS HUGEINT) * value_q) OVER w AS HUGEINT) AS s2
          |  FROM r
          |  WINDOW w AS (PARTITION BY signal_id ORDER BY seq_no
          |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
@@ -1835,7 +1835,7 @@ object TsQueries {
          |), g AS (
          |  SELECT signal_id, CAST(epoch(day) AS BIGINT) AS day_s,
          |    CAST(count(*) AS BIGINT) AS n_iv,
-         |    CAST(sum((value_q + nq) * dt_us) AS BIGINT) AS num,
+         |    CAST(sum(CAST(value_q + nq AS HUGEINT) * dt_us) AS HUGEINT) AS num,
          |    CAST(sum(dt_us) AS BIGINT) AS den
          |  FROM ivd GROUP BY 1, 2
          |)
@@ -1870,23 +1870,23 @@ object TsQueries {
          |  FROM r WINDOW w AS (PARTITION BY signal_id ORDER BY seq_no)
          |), g AS (
          |  SELECT signal_id, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(value_q) AS BIGINT) AS sv,
-         |    CAST(sum(value_q * value_q) AS BIGINT) AS qq,
-         |    CAST(sum(value_q * q1) AS BIGINT) AS xy1,
-         |    CAST(sum(CASE WHEN q1 IS NOT NULL THEN value_q END) AS BIGINT) AS h1,
-         |    CAST(sum(q1) AS BIGINT) AS t1,
-         |    CAST(sum(value_q * q2) AS BIGINT) AS xy2,
-         |    CAST(sum(CASE WHEN q2 IS NOT NULL THEN value_q END) AS BIGINT) AS h2,
-         |    CAST(sum(q2) AS BIGINT) AS t2,
-         |    CAST(sum(value_q * q3) AS BIGINT) AS xy3,
-         |    CAST(sum(CASE WHEN q3 IS NOT NULL THEN value_q END) AS BIGINT) AS h3,
-         |    CAST(sum(q3) AS BIGINT) AS t3,
-         |    CAST(sum(value_q * q4) AS BIGINT) AS xy4,
-         |    CAST(sum(CASE WHEN q4 IS NOT NULL THEN value_q END) AS BIGINT) AS h4,
-         |    CAST(sum(q4) AS BIGINT) AS t4,
-         |    CAST(sum(value_q * q5) AS BIGINT) AS xy5,
-         |    CAST(sum(CASE WHEN q5 IS NOT NULL THEN value_q END) AS BIGINT) AS h5,
-         |    CAST(sum(q5) AS BIGINT) AS t5
+         |    CAST(sum(value_q) AS HUGEINT) AS sv,
+         |    CAST(sum(CAST(value_q AS HUGEINT) * value_q) AS HUGEINT) AS qq,
+         |    CAST(sum(CAST(value_q AS HUGEINT) * q1) AS HUGEINT) AS xy1,
+         |    CAST(sum(CASE WHEN q1 IS NOT NULL THEN value_q END) AS HUGEINT) AS h1,
+         |    CAST(sum(q1) AS HUGEINT) AS t1,
+         |    CAST(sum(CAST(value_q AS HUGEINT) * q2) AS HUGEINT) AS xy2,
+         |    CAST(sum(CASE WHEN q2 IS NOT NULL THEN value_q END) AS HUGEINT) AS h2,
+         |    CAST(sum(q2) AS HUGEINT) AS t2,
+         |    CAST(sum(CAST(value_q AS HUGEINT) * q3) AS HUGEINT) AS xy3,
+         |    CAST(sum(CASE WHEN q3 IS NOT NULL THEN value_q END) AS HUGEINT) AS h3,
+         |    CAST(sum(q3) AS HUGEINT) AS t3,
+         |    CAST(sum(CAST(value_q AS HUGEINT) * q4) AS HUGEINT) AS xy4,
+         |    CAST(sum(CASE WHEN q4 IS NOT NULL THEN value_q END) AS HUGEINT) AS h4,
+         |    CAST(sum(q4) AS HUGEINT) AS t4,
+         |    CAST(sum(CAST(value_q AS HUGEINT) * q5) AS HUGEINT) AS xy5,
+         |    CAST(sum(CASE WHEN q5 IS NOT NULL THEN value_q END) AS HUGEINT) AS h5,
+         |    CAST(sum(q5) AS HUGEINT) AS t5
          |  FROM lg GROUP BY 1
          |)
          |SELECT signal_id, n,

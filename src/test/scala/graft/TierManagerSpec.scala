@@ -113,6 +113,21 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     // idempotent: re-applying the same corrections changes nothing
     tm.upsertCorrections(corr)
     assert(spark.read.parquet(tm.tier0).count() == r.count() + 1)
+
+    // within-batch contract: byte-identical resends collapse to one row;
+    // CONFLICTING rows for one (signal_id, seq_no) have no defined winner
+    // and must fail loudly, not land both
+    val resend = corr.unionByName(corr)
+    tm.upsertCorrections(resend) // no error, still no dup
+    assert(spark.read.parquet(tm.tier0).count() == r.count() + 1)
+    val conflict = Seq(
+      (1L, ts0, 111.11, 11111L, 1L),
+      (1L, ts0, 222.22, 22222L, 1L)
+    ).toDF("signal_id", "ts", "value", "value_q", "seq_no")
+    val err = intercept[IllegalArgumentException] {
+      tm.upsertCorrections(conflict)
+    }
+    assert(err.getMessage.contains("conflicting correction rows"))
   }
 
   test("cold-tier sum serving is exact: chunk sums equal raw fixed-point sums") {
