@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DtwFunctions.sqDistQ
+
+/** Pruned exact discord/motif discovery over complete quantized segments
+  * (Keogh HOT-SAX / matrix-profile family, the batch flavor of the
+  * reference's outlier concern, outlier/mod.rs) — same results as the
+  * naive per-signal all-pairs self-join, but the pair space is bounded by
+  * a per-signal distance threshold instead of m²/2.
+  *
+  * The exactness argument (every step integer arithmetic):
+  *
+  *  1. Adjacent complete segments (consecutive by per-signal rank) give a
+  *     cheap O(m) upper-bound structure: for every segment a, its
+  *     nearest-neighbor distance nnd(a) <= d(a, adjacent(a)).
+  *  2. Per signal, T_discord = max over adjacent pairs of d — so
+  *     nnd(a) <= T for EVERY a; and T_motif = min over adjacent pairs —
+  *     so the closest pair has d <= T.
+  *  3. Cauchy-Schwarz per 4-point chunk lower-bounds the exact squared L2
+  *     by the chunk-sum squared L2: d²(a,b) >= Σ_i (sa_i - sb_i)² / 4
+  *     (the PAA lower-bound of Keogh's indexing paper, in integer
+  *     chunk-sum form). A pair with LB > T therefore can never decide a
+  *     min (discord nnd) or win (motif) — pruning it changes nothing.
+  *  4. Pairs with LB <= T satisfy |sa_1 - sb_1| <= 2·sqrt(T), so bucketing
+  *     segments by cell = floorDiv(s1, W) with W = floor(2·sqrt(T)) + 1
+  *     and joining same-or-adjacent cells enumerates a SUPERSET of all
+  *     unpruned pairs as an equi-join — never the full cross product.
+  *
+  * Candidate count is data-dependent: O(m) when first-chunk sums spread
+  * (typical drifting signals), degrading toward m² only when a signal's
+  * segments are mutually near-identical — in which case the threshold T
+  * is itself tiny and the exact distances being computed are the answer.
+  * MotifDiscordSpec asserts the sub-quadratic count on a spread fixture.
+  */
+object MotifDiscord {
+
+  private val ChunkRows = 4
+  private def nChunks: Int = (Readings.SegmentRows / ChunkRows).toInt
+
+  /** Segment rows + integer chunk sums s_0..s_{k-1} of qvals. */
+  private[graft] def withChunkSums(segs: DataFrame): DataFrame =
+    (0 until nChunks).foldLeft(segs) { (df, i) =>
+      df.withColumn(s"s_$i",
+        aggregate(slice(col("qvals"), i * ChunkRows + 1, ChunkRows),
+          lit(0L), (acc, x) => acc + x))
+    }
+
+  /** Exact distances of per-signal ADJACENT complete segments (consecutive
+    * by rank, so seg-index gaps don't break coverage): one window pass +
+    * one keyed equi-join, O(m) pairs. Columns: signal_id, seg_a, seg_b,
+    * adj_d.
+    */
+  private[graft] def adjacentPairs(segs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("signal_id")).orderBy(col("seg"))
+    val ranked = segs.withColumn("rk", row_number().over(w))
+    val a = ranked.select(col("signal_id"), col("seg").as("seg_a"),
+      col("qvals").as("qa"), (col("rk") + 1).as("rk"))
+    val b = ranked.select(col("signal_id"), col("seg").as("seg_b"),
+      col("qvals").as("qb"), col("rk"))
+    a.join(b, Seq("signal_id", "rk"))
+      .select(col("signal_id"), col("seg_a"), col("seg_b"),
+        sqDistQ(col("qa"), col("qb")).as("adj_d"))
+  }
+
+  /** Exact-distance candidate pairs under a per-signal threshold
+    * (`thresh`: signal_id, t). Both orientations of each pair are emitted
+    * (seg_a != seg_b); grid cells are first-chunk-sum buckets of width
+    * floor(2*sqrt(t)) + 1, the a-side exploded to its 3 neighboring cells.
+    * Output: signal_id, seg_a, seg_b, d.
+    */
+  private[graft] def candidatePairs(segs: DataFrame,
+                                        thresh: DataFrame): DataFrame = {
+    val withW = thresh.withColumn("w",
+      (floor(lit(2.0) * sqrt(col("t").cast("double"))) + 1).cast("long"))
+    val sums = withChunkSums(segs).join(broadcast(withW), "signal_id")
+      .withColumn("cell",
+        ((col("s_0") - pmod(col("s_0"), col("w"))) / col("w")).cast("long"))
+    val aCols = Seq(col("signal_id"), col("seg").as("seg_a"),
+      col("qvals").as("qa"), col("t")) ++
+      (0 until nChunks).map(i => col(s"s_$i").as(s"sa_$i")) :+
+      explode(array(col("cell") - 1, col("cell"), col("cell") + 1)).as("cell")
+    val a = sums.select(aCols: _*)
+    val bCols = Seq(col("signal_id"), col("seg").as("seg_b"),
+      col("qvals").as("qb"), col("cell")) ++
+      (0 until nChunks).map(i => col(s"s_$i").as(s"sb_$i"))
+    val b = sums.select(bCols: _*)
+    val lb = (0 until nChunks)
+      .map(i => (col(s"sa_$i") - col(s"sb_$i")) * (col(s"sa_$i") - col(s"sb_$i")))
+      .reduce(_ + _)
+    a.join(b, Seq("signal_id", "cell"))
+      .where(col("seg_a") =!= col("seg_b") && lb <= lit(4L) * col("t"))
+      .select(col("signal_id"), col("seg_a"), col("seg_b"),
+        sqDistQ(col("qa"), col("qb")).as("d"))
+  }
+
+  /** Per signal, the complete segment whose exact nearest-neighbor
+    * distance (integer squared L2 over qvals) is largest.
+    * Output: signal_id, seg, nnd_q — identical to the all-pairs join.
+    */
+  def discord(segs: DataFrame): DataFrame = {
+    val sc = segs.localCheckpoint()
+    val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
+      .agg(max(col("adj_d")).as("t"))
+    val nnd = candidatePairs(sc, thresh)
+      .groupBy(col("signal_id"), col("seg_a"))
+      .agg(min(col("d")).as("nnd_q"))
+    val w = Window.partitionBy(col("signal_id"))
+      .orderBy(col("nnd_q").desc, col("seg_a"))
+    nnd.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+  }
+
+  /** Per signal, the exactly-closest pair of complete segments (ties
+    * broken by (seg_a, seg_b)). Output: signal_id, seg_a, seg_b, dist_q —
+    * identical to the all-pairs join.
+    */
+  def motif(segs: DataFrame): DataFrame = {
+    val sc = segs.localCheckpoint()
+    val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
+      .agg(min(col("adj_d")).as("t"))
+    val pairs = candidatePairs(sc, thresh)
+      .where(col("seg_a") < col("seg_b"))
+    val w = Window.partitionBy(col("signal_id"))
+      .orderBy(col("d").asc, col("seg_a"), col("seg_b"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("signal_id"), col("seg_a"), col("seg_b"),
+        col("d").as("dist_q"))
+  }
+}

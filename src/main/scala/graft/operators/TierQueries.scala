@@ -126,50 +126,21 @@ object TierQueries {
     // discord discovery (Keogh's anomaly-as-farthest-segment, the batch
     // flavor of the reference's outlier concern, outlier/mod.rs): per
     // signal, the complete segment whose nearest-neighbor distance to the
-    // signal's OTHER segments is largest. Distances are exact integer
-    // squared L2 in the fixed-point domain; the self-join is keyed by
-    // signal_id (quadratic only within a signal's own segment list — the
-    // discord definition — never across signals)
-    "seg_discord" -> ((s, d) => {
-      import graft.functions.DtwFunctions.sqDistQ
-      val segs = Segments.completeQuantized(r(s, d))
-      val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
-        col("qvals").as("qa"))
-      val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
-        col("qvals").as("qb"))
-      val nnd = a.join(b, Seq("signal_id"))
-        .where(col("seg_a") =!= col("seg_b"))
-        .groupBy(col("signal_id"), col("seg_a"))
-        .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_q"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("signal_id"))
-        .orderBy(col("nnd_q").desc, col("seg_a"))
-      nnd.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-        .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
-    }),
+    // signal's OTHER segments is largest. Exact integer squared L2 in the
+    // fixed-point domain; the pair space is PRUNED by adjacent-pair
+    // thresholds + a chunk-sum grid (see MotifDiscord) instead of the
+    // within-signal all-pairs self-join — identical results, sub-quadratic
+    // candidate pairs, so retention growth doesn't concentrate m² work in
+    // single join partitions. The oracle remains the all-pairs definition.
+    "seg_discord" -> ((s, d) =>
+      MotifDiscord.discord(Segments.completeQuantized(r(s, d)))),
 
     // motif discovery (Lin/Keogh, the discord's dual): per signal, the
     // CLOSEST pair of complete segments — the recurring pattern. Same
-    // exact integer squared-L2, same signal-keyed self-join (quadratic
-    // only within one signal's segment list, never across signals);
-    // seg_a < seg_b halves the pair space and fixes the orientation.
-    "seg_motif" -> ((s, d) => {
-      import graft.functions.DtwFunctions.sqDistQ
-      val segs = Segments.completeQuantized(r(s, d))
-      val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
-        col("qvals").as("qa"))
-      val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
-        col("qvals").as("qb"))
-      val pairs = a.join(b, Seq("signal_id"))
-        .where(col("seg_a") < col("seg_b"))
-        .select(col("signal_id"), col("seg_a"), col("seg_b"),
-          sqDistQ(col("qa"), col("qb")).as("dist_q"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("signal_id"))
-        .orderBy(col("dist_q").asc, col("seg_a"), col("seg_b"))
-      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-        .select(col("signal_id"), col("seg_a"), col("seg_b"), col("dist_q"))
-    }),
+    // exact integer squared-L2, same pruned pair enumeration (best-so-far
+    // = min adjacent-pair distance), same all-pairs oracle.
+    "seg_motif" -> ((s, d) =>
+      MotifDiscord.motif(Segments.completeQuantized(r(s, d)))),
 
     // SAX symbolic words (Lin et al., "A Symbolic Representation of Time
     // Series", DMKD'07): z-normalize per signal from EXACT integer moments

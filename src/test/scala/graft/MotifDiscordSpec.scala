@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{MotifDiscord, Readings, Segments}
+import graft.functions.DtwFunctions.sqDistQ
+
+/** The pruned discord/motif must (a) reproduce the naive all-pairs
+  * results exactly, and (b) enumerate sub-quadratically many candidate
+  * pairs when segments spread — the invariant that retires the r8
+  * scale-killer (within-signal O(m²) self-joins).
+  */
+class MotifDiscordSpec extends AnyFunSuite with SparkTest {
+
+  private def bruteDiscord(segs: DataFrame): DataFrame = {
+    val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
+      col("qvals").as("qa"))
+    val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
+      col("qvals").as("qb"))
+    val nnd = a.join(b, Seq("signal_id"))
+      .where(col("seg_a") =!= col("seg_b"))
+      .groupBy(col("signal_id"), col("seg_a"))
+      .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("signal_id")).orderBy(col("nnd_q").desc, col("seg_a"))
+    nnd.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+  }
+
+  private def bruteMotif(segs: DataFrame): DataFrame = {
+    val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
+      col("qvals").as("qa"))
+    val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
+      col("qvals").as("qb"))
+    val pairs = a.join(b, Seq("signal_id"))
+      .where(col("seg_a") < col("seg_b"))
+      .select(col("signal_id"), col("seg_a"), col("seg_b"),
+        sqDistQ(col("qa"), col("qb")).as("dist_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("signal_id"))
+      .orderBy(col("dist_q").asc, col("seg_a"), col("seg_b"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("signal_id"), col("seg_a"), col("seg_b"), col("dist_q"))
+  }
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+
+  test("pruned discord/motif match the all-pairs results on real data") {
+    val segs = Segments.completeQuantized(
+      Readings.of(spark, "/root/testdata/sf0.001"))
+    assert(sorted(MotifDiscord.discord(segs)) == sorted(bruteDiscord(segs)))
+    assert(sorted(MotifDiscord.motif(segs)) == sorted(bruteMotif(segs)))
+  }
+
+  /** Synthetic segments directly (signal_id, seg, qvals): segment k is the
+    * constant value k*1000 with a +-1 wiggle so distances are nonzero and
+    * adjacent thresholds stay tight.
+    */
+  private def spreadFixture(m: Int): DataFrame = {
+    import spark.implicits._
+    (0 until m).map { k =>
+      val base = k.toLong * 1000L
+      (0L, k.toLong, (0 until 16).map(j => base + (j % 2).toLong).toArray)
+    }.toDF("signal_id", "seg", "qvals")
+  }
+
+  test("candidate pair count is sub-quadratic on spread segments") {
+    val segs = spreadFixture(200)
+    // discord thresholds: T = max adjacent distance; candidates carry both
+    // orientations, so the naive count would be m*(m-1) = 39800
+    val thrD = MotifDiscord.adjacentPairs(segs)
+      .groupBy(col("signal_id")).agg(max(col("adj_d")).as("t"))
+    val nD = MotifDiscord.candidatePairs(segs, thrD).count()
+    assert(nD < 10L * 200, s"discord candidates not linear: $nD")
+    val thrM = MotifDiscord.adjacentPairs(segs)
+      .groupBy(col("signal_id")).agg(min(col("adj_d")).as("t"))
+    val nM = MotifDiscord.candidatePairs(segs, thrM).count()
+    assert(nM < 10L * 200, s"motif candidates not linear: $nM")
+    // and the pruned results still equal brute force on the fixture
+    assert(sorted(MotifDiscord.discord(segs)) == sorted(bruteDiscord(segs)))
+    assert(sorted(MotifDiscord.motif(segs)) == sorted(bruteMotif(segs)))
+  }
+
+  test("edge cases: single-segment signals drop; tied distances break by seg") {
+    import spark.implicits._
+    // signal 7 has ONE complete segment -> no adjacent pair, no output row
+    // signal 8 has identical segments -> all distances 0, winner = seg 0
+    val segs = Seq(
+      (7L, 0L, Array.fill(16)(5L)),
+      (8L, 0L, Array.fill(16)(1L)),
+      (8L, 1L, Array.fill(16)(1L)),
+      (8L, 2L, Array.fill(16)(1L))
+    ).toDF("signal_id", "seg", "qvals")
+    val d = MotifDiscord.discord(segs).collect()
+    assert(d.length == 1 && d(0).getLong(0) == 8L && d(0).getLong(1) == 0L &&
+      d(0).getLong(2) == 0L)
+    val m = MotifDiscord.motif(segs).collect()
+    assert(m.length == 1 && m(0).getLong(0) == 8L && m(0).getLong(1) == 0L &&
+      m(0).getLong(2) == 1L && m(0).getLong(3) == 0L)
+  }
+}
