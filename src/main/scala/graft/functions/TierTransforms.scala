@@ -34,6 +34,26 @@ object TierTransforms {
     iFourierTr(kept).map(_.real).toArray
   }
 
+  /** Truncated-spectrum feature vector: the first `keep` DFT coefficients
+    * as interleaved [Re X_0, Im X_0, ..., Re X_{keep-1}, Im X_{keep-1}] —
+    * the Fourier-reduced representation for reduced-input 1-NN (the
+    * reference's knn harness FFT flavor, knn/mod.rs:85-308). Hermitian
+    * symmetry of real input means the low half of the spectrum carries all
+    * the kept information, so Euclidean distance over these 2*keep numbers
+    * is the standard spectral-domain proxy for the n-point distance.
+    */
+  def fftFeatures(xs: Array[Double], keep: Int): Array[Double] = {
+    val spec: DenseVector[Complex] = fourierTr(DenseVector(xs))
+    val out = new Array[Double](2 * keep)
+    var k = 0
+    while (k < keep) {
+      out(2 * k) = spec(k).real
+      out(2 * k + 1) = spec(k).imag
+      k += 1
+    }
+    out
+  }
+
   /** Largest-Triangle-Three-Buckets downsampling to `threshold` points
     * (Steinarsson 2013, public algorithm). Returns (index, value) pairs;
     * first and last points always kept.

@@ -91,6 +91,35 @@ object TierQueries {
       SegmentMl.knnSegments(red, testSignals = Seq(0L, 1L, 2L))
     }),
 
+    // 1-NN on FFT-REDUCED segments — the Fourier flavor of the reference's
+    // reduced-input kNN menu (knn/mod.rs:85-308), completing it next to
+    // the PAA and DTW flavors: each 16-point segment becomes its 8
+    // truncated-spectrum features (keep=4 coefficient pairs), then the
+    // same deterministic ranking as seg_knn. The oracle recomputes the
+    // spectrum as direct DFT sums (no FFT needed for 4 coefficients) and
+    // folds the squared distance in the same interleaved term order.
+    "seg_knn_fft" -> ((s, d) =>
+      SegmentMl.knnSegments(
+        Tiers.fftReduced(Segments.complete(r(s, d)), keep = 4),
+        testSignals = Seq(0L, 1L, 2L))),
+
+    // accuracy gate for the FFT tier: fraction of test segments whose
+    // spectral 1-NN prediction agrees with the full-resolution 1-NN —
+    // same ships-with-its-quality pattern as seg_knn_paa_agree
+    "seg_knn_fft_agree" -> ((s, d) => {
+      val full = queries("seg_knn")(s, d)
+        .select(col("test_sig"), col("test_seg"), col("pred_sig"))
+      val fft = queries("seg_knn_fft")(s, d)
+        .select(col("test_sig"), col("test_seg"),
+          col("pred_sig").as("fft_pred"))
+      full.join(fft, Seq("test_sig", "test_seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_sig") === col("fft_pred"), 1L).otherwise(0L))
+            .cast("long").as("n_agree"))
+        .withColumn("agree",
+          round(col("n_agree").cast("double") / col("n").cast("double"), 4))
+    }),
+
     // elastic-distance 1-NN: exact banded DTW in the fixed-point domain,
     // LB_Keogh-pruned; oracle = the full DP unrolled per band row into
     // chained list-CTEs (all-integer, so it matches bit-for-bit)
@@ -490,8 +519,82 @@ object TierQueries {
          |)
          |SELECT signal_id, seg, word FROM w WHERE nch = 4 AND mc = 4""".stripMargin
 
+  /** Shared CTE chain for the FFT-reduced 1-NN oracle: complete segments →
+    * first-4 DFT coefficients as direct trig sums (no FFT needed) → winner
+    * per test segment. The squared distance flattens (re, im) terms in the
+    * same interleaved order as the engine's graft_sqdist fold.
+    */
+  private def fftKnnSql(finalSelect: String): String =
+    s"""$OracleCte, segs AS (
+       |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+       |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+       |  FROM r GROUP BY 1, 2
+       |), f AS (
+       |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+       |), ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+       |sx AS (
+       |  SELECT f.signal_id, f.seg, ks.k,
+       |    list_sum([f.vals[m]*cos(2*pi()*(m-1)*ks.k/16.0) for m in range(1,17)]) AS xr,
+       |    -list_sum([f.vals[m]*sin(2*pi()*(m-1)*ks.k/16.0) for m in range(1,17)]) AS xi
+       |  FROM f, ks
+       |), fv AS (
+       |  SELECT signal_id, seg, list(xr ORDER BY k) AS xrs, list(xi ORDER BY k) AS xis
+       |  FROM sx GROUP BY 1, 2
+       |), t AS (
+       |  SELECT signal_id AS test_sig, seg AS test_seg, xrs AS txr, xis AS txi
+       |  FROM fv WHERE signal_id IN (0, 1, 2)
+       |), tr AS (
+       |  SELECT signal_id AS train_sig, seg AS train_seg, xrs AS rxr, xis AS rxi
+       |  FROM fv WHERE signal_id NOT IN (0, 1, 2)
+       |), sdist AS (
+       |  SELECT test_sig, test_seg, train_sig, train_seg,
+       |    round(sqrt(list_sum(flatten(
+       |      [[(txr[i]-rxr[i])*(txr[i]-rxr[i]),
+       |        (txi[i]-rxi[i])*(txi[i]-rxi[i])] for i in range(1,5)]))), 6) AS dist
+       |  FROM t, tr
+       |), rk AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY test_sig, test_seg
+       |    ORDER BY dist, train_sig, train_seg) AS rnk
+       |  FROM sdist
+       |)
+       |$finalSelect""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "seg_knn_dtw" -> dtwOracleSql,
+
+    "seg_knn_fft" -> fftKnnSql(
+      """SELECT test_sig, test_seg, train_sig AS pred_sig, dist
+        |FROM rk WHERE rnk = 1""".stripMargin),
+
+    // full-resolution winner vs FFT winner, joined and summarized — the
+    // same shape as seg_knn_paa_agree's oracle
+    "seg_knn_fft_agree" -> fftKnnSql(
+      """, pw AS (
+        |  SELECT test_sig, test_seg, train_sig AS fft_pred FROM rk WHERE rnk = 1
+        |), fs AS (
+        |  SELECT t2.signal_id AS test_sig, t2.seg AS test_seg,
+        |         tr2.signal_id AS train_sig, tr2.seg AS train_seg,
+        |         round(list_distance(t2.vals, tr2.vals), 6) AS dist
+        |  FROM f t2, f tr2
+        |  WHERE t2.signal_id IN (0, 1, 2) AND tr2.signal_id NOT IN (0, 1, 2)
+        |), frk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY test_sig, test_seg
+        |    ORDER BY dist, train_sig, train_seg) AS rnk
+        |  FROM fs
+        |), fw AS (
+        |  SELECT test_sig, test_seg, train_sig AS pred FROM frk WHERE rnk = 1
+        |), j AS (
+        |  SELECT fw.test_sig, fw.test_seg, pred, fft_pred
+        |  FROM fw JOIN pw USING (test_sig, test_seg)
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pred = fft_pred THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree,
+        |  round(CAST(sum(CASE WHEN pred = fft_pred THEN 1 ELSE 0 END) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 4) AS agree
+        |FROM j""".stripMargin),
 
     "seg_discord" ->
       s"""$OracleCte, segs AS (

@@ -157,6 +157,23 @@ object Tiers {
       .toDF("signal_id", "seg", "err")
   }
 
+  /** FFT-reduced segment view: each complete segment replaced by its
+    * 2*keep truncated-spectrum features (TierTransforms.fftFeatures) in the
+    * `values` column — drop-in input for SegmentMl.knnSegments, the
+    * Fourier point on the reduced-input accuracy/cost dial next to PAA.
+    * Map-only typed pass, no shuffle.
+    */
+  def fftReduced(segments: DataFrame, keep: Int): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.select(col("signal_id"), col("seg"), col("values"))
+      .as[(Long, Long, Seq[Double])]
+      .map { case (sid, seg, vs) =>
+        (sid, seg, TierTransforms.fftFeatures(vs.toArray, keep))
+      }
+      .toDF("signal_id", "seg", "values")
+  }
+
   /** LTTB downsampling of each signal's full series to `npts` keypoints. */
   def lttbTier(segments: DataFrame, npts: Int): DataFrame = {
     val spark = segments.sparkSession

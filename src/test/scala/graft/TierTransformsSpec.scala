@@ -33,6 +33,20 @@ class TierTransformsSpec extends AnyFunSuite {
     assert(maxAbsError(smooth, recFull) < 1e-9)
   }
 
+  test("fftFeatures: DC coefficient is the sum; pure tone lands in its bin") {
+    val n = 16
+    val const = Array.fill(n)(3.0)
+    val fc = fftFeatures(const, keep = 4)
+    assert(fc.length == 8)
+    assert(math.abs(fc(0) - 3.0 * n) < 1e-9)         // Re X_0 = sum
+    assert(fc.drop(1).forall(v => math.abs(v) < 1e-9))
+    // cos(2*pi*k0*i/n) has Re X_{k0} = n/2, everything else (kept) ~ 0
+    val tone = Array.tabulate(n)(i => math.cos(2 * math.Pi * 2 * i / n))
+    val ft = fftFeatures(tone, keep = 4)
+    assert(math.abs(ft(4) - n / 2.0) < 1e-9, s"ReX_2=${ft(4)}")
+    assert(ft.zipWithIndex.filter(_._2 != 4).forall(v => math.abs(v._1) < 1e-9))
+  }
+
   test("lttb keeps endpoints, returns requested count, exact on linear data") {
     val lin = Array.tabulate(100)(i => 2.0 * i + 1)
     val pts = lttb(lin, 10)
