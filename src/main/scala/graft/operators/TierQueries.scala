@@ -337,6 +337,32 @@ object TierQueries {
       graft.sources.BuffStore.sumFromPlanesPrefix(pl, base, 3, 2)
     }),
 
+    // BUFF majority/outlier sub-column coding (buff_simd.rs:317-632): the
+    // >=60%-skewed planes store one majority byte + exceptions (NULLs for
+    // majority rows in the Parquet layout); the progressive range filter
+    // runs UNCHANGED over the restored plane view — position-list result
+    // equal to the raw predicate, proving the outlier-coded store serves
+    // the same compressed-domain queries
+    "buff_range_outlier" -> ((s, d) => {
+      val rd = r(s, d)
+      val base = rd.agg(min(col("value_q"))).first().getLong(0)
+      val pl = graft.sources.BuffStore.planes(rd, base, 3)
+      val (enc, maj) = graft.sources.BuffStore.outlierEncode(pl, 3)
+      graft.sources.BuffStore.rangeProgressive(
+        graft.sources.BuffStore.restore(enc, maj, 3), base, 3, 20000L, 45000L)
+    }),
+
+    // exact per-signal sum answered DIRECTLY from the outlier-coded form
+    // (majority-sum shortcut: maj_i * n_majority + sum of exceptions) —
+    // no restore, no full-plane scan of coded planes
+    "buff_sum_outlier" -> ((s, d) => {
+      val rd = r(s, d)
+      val base = rd.agg(min(col("value_q"))).first().getLong(0)
+      val pl = graft.sources.BuffStore.planes(rd, base, 3)
+      val (enc, maj) = graft.sources.BuffStore.outlierEncode(pl, 3)
+      graft.sources.BuffStore.sumFromOutlierPlanes(enc, maj, base, 3)
+    }),
+
     // Gorilla XOR codec (gorilla.rs:19-447, public VLDB'15 scheme): encode
     // each segment array, answer max FROM THE COMPRESSED FORM, and prove
     // the roundtrip bit-exact in the same row — all map-only expressions
@@ -654,6 +680,14 @@ object TierQueries {
          |WHERE value_q BETWEEN 12345 AND 34567""".stripMargin,
 
     "buff_sum" ->
+      s"""$OracleCte SELECT signal_id, CAST(sum(value_q) AS BIGINT) AS sum_q,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY signal_id""".stripMargin,
+
+    "buff_range_outlier" ->
+      s"""$OracleCte SELECT signal_id, seq_no FROM r
+         |WHERE value_q BETWEEN 20000 AND 45000""".stripMargin,
+
+    "buff_sum_outlier" ->
       s"""$OracleCte SELECT signal_id, CAST(sum(value_q) AS BIGINT) AS sum_q,
          |  CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY signal_id""".stripMargin,
 

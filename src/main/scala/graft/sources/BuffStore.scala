@@ -168,6 +168,87 @@ object BuffStore {
       count(lit(1)).as("cnt"))
   }
 
+  /** Majority/outlier sub-column coding (buff_simd.rs:317-632 — the
+    * scheme the BUFF paper is named for): per (signal, plane), when >=60%
+    * of the plane's bytes share one value, store the majority byte ONCE in
+    * a per-signal dictionary and keep only the EXCEPTIONS in the plane
+    * column — majority rows become NULL, which Parquet's definition
+    * levels encode in ~1 bit, so a skewed plane costs exception-bytes
+    * instead of cnt bytes (the reference's majority byte + exception
+    * bitmap, in columnar-store terms).
+    *
+    * Returns (data, majorities): `data` is the planes frame with majority
+    * bytes nulled out; `majorities` is one row per signal with maj_0..
+    * maj_{n-1} (NULL = plane not majority-coded). The mode byte is
+    * deterministic (ties break to the smallest byte). One exploded
+    * aggregation pass computes every plane's mode — no per-plane scans.
+    */
+  def outlierEncode(planesDf: DataFrame, n: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = planesDf
+      .select(col("signal_id"),
+        posexplode(array((0 until n).map(i => col(s"p$i")): _*))
+          .as(Seq("plane", "byte")))
+      .groupBy(col("signal_id"), col("plane"), col("byte"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("signal_id"), col("plane"))
+      .orderBy(col("c").desc, col("byte"))
+    val modes = counts
+      .withColumn("cnt", sum(col("c")).over(
+        Window.partitionBy(col("signal_id"), col("plane"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      // the reference's >=60% occupancy gate for switching to
+      // majority+exceptions (buff_simd.rs:317) — integer test, no doubles
+      .withColumn("coded", col("c") * 5 >= col("cnt") * 3)
+    val majAggs = (0 until n).map(i =>
+      max(when(col("plane") === i && col("coded"), col("byte")))
+        .as(s"maj_$i"))
+    val majorities = modes.groupBy(col("signal_id"))
+      .agg(majAggs.head, majAggs.tail: _*)
+    val data = planesDf.join(broadcast(majorities), "signal_id")
+      .select(Seq(col("signal_id"), col("seq_no")) ++
+        (0 until n).map(i =>
+          when(col(s"p$i") === col(s"maj_$i"), lit(null))
+            .otherwise(col(s"p$i")).as(s"p$i")): _*)
+    (data, majorities)
+  }
+
+  /** Inverse of [[outlierEncode]]: a planes-shaped view (p_i = exception
+    * byte or the signal's majority byte), so every existing plane
+    * consumer — rangeProgressive, sumFromPlanes, maxWithArgmax — runs on
+    * the outlier-coded store unchanged. Map-only + one broadcast join.
+    */
+  def restore(data: DataFrame, majorities: DataFrame, n: Int): DataFrame =
+    data.join(broadcast(majorities), "signal_id")
+      .select(Seq(col("signal_id"), col("seq_no")) ++
+        (0 until n).map(i =>
+          coalesce(col(s"p$i"), col(s"maj_$i")).as(s"p$i")): _*)
+
+  /** Exact per-signal sum DIRECTLY from the outlier-coded form — no
+    * restore: plane i's total is sum(exception bytes) + maj_i * (cnt -
+    * n_exceptions) (buff_simd.rs majority-sum shortcut). Equal to
+    * sum(value_q); one aggregation + one broadcast join.
+    */
+  def sumFromOutlierPlanes(data: DataFrame, majorities: DataFrame,
+                           base: Long, n: Int): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("cnt")) ++
+      (0 until n).flatMap(i => Seq(
+        sum(col(s"p$i")).cast("long").as(s"es_$i"),
+        count(col(s"p$i")).as(s"en_$i")))
+    val g = data.groupBy(col("signal_id")).agg(aggs.head, aggs.tail: _*)
+    val planeTotals = (0 until n).map { i =>
+      val total = coalesce(col(s"es_$i"), lit(0L)) +
+        coalesce(col(s"maj_$i").cast("long"), lit(0L)) *
+          (col("cnt") - col(s"en_$i"))
+      shiftleft(total, shiftBits(n, i))
+    }
+    g.join(broadcast(majorities), "signal_id")
+      .select(col("signal_id"),
+        (planeTotals.reduce(_ + _) + col("cnt") * lit(base)).as("sum_q"),
+        col("cnt"))
+  }
+
   /** Persist the plane representation (the on-disk BUFF layout: one
     * Parquet column per byte plane, dictionary/bit-pack encoded).
     */

