@@ -177,6 +177,28 @@ class TierManager(spark: SparkSession, root: String) {
   def sumFromTier3(): DataFrame =
     TierManager.sumFromChunks(spark.read.parquet(tier3))
 
+  /** Apply a [[Tiers.lruPlan]] decision table to landed readings: keep
+    * segments stay raw in `hot/`, recode segments rewrite to PAA chunks in
+    * `paa/` (exact fixed-point chunk sums, so sums stay exact), spill
+    * segments move raw-but-out-of-buffer to `cold/` — the reference's
+    * LRUBuffer evict/recode step (buffer_pool.rs:720-1260) as three
+    * bounded partition rewrites. The three outputs PARTITION the segment
+    * set (every segment lands in exactly one — TierManagerSpec asserts the
+    * coverage and the hot-bytes budget invariant).
+    */
+  def applyLruPlan(readings: DataFrame, plan: DataFrame, w: Int): Unit = {
+    val keyed = readings
+      .withColumn("seg", Readings.segmentId(col("seq_no")))
+    def segsWith(action: String): DataFrame =
+      keyed.join(
+        plan.filter(col("action") === action).select(col("signal_id"), col("seg")),
+        Seq("signal_id", "seg"))
+    Tiers.writeTier(segsWith("keep").drop("seg"), s"$root/hot")
+    Tiers.writeTier(Tiers.paaChunks(segsWith("recode").drop("seg"), w),
+      s"$root/paa")
+    Tiers.writeTier(segsWith("spill").drop("seg"), s"$root/cold")
+  }
+
   /** MERGE-style upsert of LATE CORRECTIONS into tier0 — the parquet
     * analogue of Delta's MERGE, the lifecycle step the reference's
     * buffer rewrite covers with in-place RocksDB puts. Corrections win

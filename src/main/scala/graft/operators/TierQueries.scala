@@ -32,6 +32,16 @@ object TierQueries {
     "tier_policy" -> ((s, d) =>
       Tiers.recodePlanWithFeedback(r(s, d), 4, 0.5, errBudget = 80.0)),
 
+    // byte-budget LRU buffer plan (buffer_pool.rs:720-1260): recency-
+    // ranked segments charged cumulatively against a byte budget; past it,
+    // the measured-error feedback splits lossy recode from exact spill.
+    // The cumulative charge is a distributed two-phase prefix sum (see
+    // Tiers.lruPlan) — no global single-partition window. Budget 32 KiB ~
+    // 40% of the sf0.01 raw bytes, errBudget at the corpus median, so all
+    // three actions are populated.
+    "tier_lru_plan" -> ((s, d) =>
+      Tiers.lruPlan(r(s, d), 4, budgetBytes = 32768L, errBudget = 80.0)),
+
     // two ladder passes (PAA w=4, then pairwise chunk merge) — proven
     // bit-identical to one PAA pass at w=8 because the tier carries exact
     // fixed-point chunk sums (the oracle computes the direct w=8 PAA)
@@ -1159,6 +1169,30 @@ object TierQueries {
          |  round(min(icept_q), 6) AS icept_q,
          |  round(max(abs(value - (icept_q + slope_q * CAST(x AS DOUBLE)) / 100.0)), 6) AS err
          |FROM f2 GROUP BY 1, 2""".stripMargin,
+
+    "tier_lru_plan" ->
+      s"""$OracleCte, cm AS (
+         |  SELECT signal_id, seq_no, ts, value,
+         |    CAST(sum(value_q) OVER (PARTITION BY signal_id, floor((seq_no - 1) / 4.0)) AS DOUBLE) /
+         |    (100.0 * CAST(count(*) OVER (PARTITION BY signal_id, floor((seq_no - 1) / 4.0)) AS DOUBLE)) AS chunk_mean
+         |  FROM r
+         |), st AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |    CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         |    round(max(abs(value - chunk_mean)), 6) AS err
+         |  FROM cm GROUP BY 1, 2
+         |), cu AS (
+         |  SELECT *, cnt * 8 AS bytes_raw,
+         |    CAST(sum(cnt * 8) OVER (ORDER BY last_us DESC, signal_id, seg
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+         |  FROM st
+         |)
+         |SELECT signal_id, seg, cnt, bytes_raw, last_us, err, cum_bytes,
+         |  CASE WHEN cum_bytes <= 32768 THEN 'keep'
+         |       WHEN err <= 80.0 THEN 'recode'
+         |       ELSE 'spill' END AS action
+         |FROM cu""".stripMargin,
 
     "tier_recode_plan" ->
       s"""$OracleCte, c AS (

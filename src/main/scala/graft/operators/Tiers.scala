@@ -97,6 +97,69 @@ object Tiers {
       .withColumn("recode", col("cr_ok") && col("err") <= errBudget)
   }
 
+  /** Byte-budget LRU buffer plan — the reference's LRUBuffer eviction
+    * decision (buffer_pool.rs:720-1260: evict/recode segments until the
+    * buffer fits a byte budget, newest-touched kept hot, query-error
+    * feedback steering evicted segments toward a lossy recode vs an exact
+    * spill) as a deterministic decision table:
+    *
+    *  - recency = each segment's max event time (ingest order — the batch
+    *    stand-in for touch time, deterministic so the oracle can agree);
+    *  - segments are ranked hot-first by (recency DESC, signal, seg) and
+    *    charged their raw bytes cumulatively; the prefix that fits
+    *    `budgetBytes` stays `keep`;
+    *  - past the budget, the measured PAA error (the same feedback signal
+    *    as recodePlanWithFeedback) splits `recode` (err <= errBudget:
+    *    lossy tier is safe) from `spill` (exact but out of the buffer).
+    *
+    * Scale shape: the global cumulative charge is a DISTRIBUTED prefix
+    * sum — range-repartition on the recency order, per-partition window
+    * cumsum, then a broadcast join of per-partition offsets (one tiny
+    * #partitions-row aggregate) — never a single-partition global window
+    * over the stats. Stats themselves are one chunk-window + one segment
+    * aggregation, same cost as any windowed rollup.
+    */
+  def lruPlan(r: DataFrame, w: Int, budgetBytes: Long,
+              errBudget: Double): DataFrame = {
+    val chunk = Readings.posWindow(col("seq_no"), 0L, w.toLong)
+    val cw = Window.partitionBy(col("signal_id"), chunk)
+    val stats = r.withColumn("chunk_mean",
+        sum(col("value_q")).over(cw).cast("double") /
+          (lit(100.0) * count(lit(1)).over(cw).cast("double")))
+      .groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+      .agg(count(lit(1)).as("cnt"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        round(max(abs(col("value") - col("chunk_mean"))), 6).as("err"))
+      .withColumn("bytes_raw", col("cnt") * 8)
+    val order = Seq(col("last_us").desc, col("signal_id").asc, col("seg").asc)
+    // materialized ONCE: the cumsum branch and the offsets branch must see
+    // the SAME sampled range boundaries — re-evaluating repartitionByRange
+    // per branch could re-sample and desynchronize spark_partition_id
+    val parts = stats.repartitionByRange(order: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy(col("pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("cum_local", sum(col("bytes_raw")).over(wLocal))
+    // per-partition byte totals -> exclusive prefix offsets; #partitions
+    // rows, so the unpartitioned window is a constant-size driver-side-free
+    // fold, then a broadcast join back
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("pid"))
+      .agg(sum(col("bytes_raw")).as("pbytes"))
+      .withColumn("off", coalesce(sum(col("pbytes")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("cum_bytes", col("cum_local") + col("off"))
+      .withColumn("action",
+        when(col("cum_bytes") <= budgetBytes, "keep")
+          .when(col("err") <= errBudget, "recode")
+          .otherwise("spill"))
+      .select(col("signal_id"), col("seg"), col("cnt"), col("bytes_raw"),
+        col("last_us"), col("err"), col("cum_bytes"), col("action"))
+  }
+
   /** PLA tier — the piecewise-linear arm of the reference's lossy menu
     * (recoding_daemon.rs:400-404 `Methods::Pla(ratio)`, pla_lttb.rs):
     * per fixed `w`-row window, the least-squares line fit from EXACT

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Readings, TierManager}
+import graft.operators.{Readings, TierManager, Tiers}
 import graft.sources.CodecStore
 
 /** S6 — tier lifecycle: land -> age to quantized -> age to PAA, with the
@@ -130,6 +130,44 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     assert(err.getMessage.contains("conflicting correction rows"))
   }
 
+  test("LRU byte-budget plan: partition of segments, budget held, apply is lossless") {
+    val root = Files.createTempDirectory("graft-lru").toString
+    val tm = new TierManager(spark, root)
+    val r = Readings.of(spark, "/root/testdata/sf0.001")
+    val budget = 3000L
+    val plan = Tiers.lruPlan(r, 4, budgetBytes = budget, errBudget = 80.0)
+      .localCheckpoint()
+
+    // the decision table covers every segment exactly once
+    val nSegs = r.groupBy(col("signal_id"),
+      Readings.segmentId(col("seq_no"))).count().count()
+    assert(plan.count() == nSegs)
+    assert(plan.groupBy(col("signal_id"), col("seg")).count()
+      .filter(col("count") > 1).count() == 0L)
+
+    // kept segments fit the byte budget, and the hottest segment is kept
+    val keptBytes = plan.filter(col("action") === "keep")
+      .agg(sum(col("bytes_raw"))).first().getLong(0)
+    assert(keptBytes <= budget, s"kept $keptBytes > budget $budget")
+    val hottest = plan.orderBy(col("last_us").desc, col("signal_id"),
+      col("seg")).first()
+    assert(hottest.getString(hottest.fieldIndex("action")) == "keep")
+    // cum_bytes is a true prefix sum: max(cum) == sum(bytes_raw)
+    val agg = plan.agg(max(col("cum_bytes")), sum(col("bytes_raw"))).first()
+    assert(agg.getLong(0) == agg.getLong(1))
+
+    // applying the plan is lossless: hot+cold raw sums plus the PAA
+    // tier's EXACT chunk sums reconstruct the full fixed-point sum
+    tm.applyLruPlan(r, plan, 4)
+    val hotCold = spark.read.parquet(s"$root/hot")
+      .unionByName(spark.read.parquet(s"$root/cold"))
+      .agg(sum(col("value_q"))).first().getLong(0)
+    val paaSum = spark.read.parquet(s"$root/paa")
+      .agg(sum(col("sq"))).first().getLong(0)
+    val total = r.agg(sum(col("value_q"))).first().getLong(0)
+    assert(hotCold + paaSum == total)
+  }
+
   test("cold-tier sum serving is exact: chunk sums equal raw fixed-point sums") {
     val r = Readings.of(spark, "/root/testdata/sf0.001")
     val served = TierManager.sumFromChunks(graft.operators.Tiers.paaChunks(r, 4))
@@ -197,9 +235,15 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     assert(m(("uncompressed", "double")) == 1.0)
     assert(m(("zstd", "fixed_q")) < 1.0, s"zstd/fixed_q cr=${m(("zstd", "fixed_q"))}")
     assert(m(("zstd", "double")) < 1.0)
-    // 4 parquet codecs x 3 representations + the 3 native segment codecs
-    // (gorilla_seg / sprintz_seg / fcm_seg) appended by compressionMatrix
-    assert(m.size == CodecStore.Codecs.size * 3 + 3)
+    // 4 parquet codecs x 3 representations + 2 codecs x 2 BUFF plane
+    // layouts + the 3 native segment codecs (gorilla_seg / sprintz_seg /
+    // fcm_seg) appended by compressionMatrix
+    assert(m.size == CodecStore.Codecs.size * 3 + 4 + 3)
+    // plane layouts measured: on Parquet, dictionary/RLE already captures
+    // the majority-byte win, so outlier-coded planes land near (not below)
+    // plain planes — both beat raw doubles
+    assert(m(("zstd", "buff_planes")) < 1.0)
+    assert(m(("zstd", "buff_outlier")) < 1.0)
     assert(m(("native", "gorilla_seg")) < 1.0)
     assert(m(("native", "sprintz_seg")) < 1.0)
     assert(m(("native", "fcm_seg")) < 1.0)
