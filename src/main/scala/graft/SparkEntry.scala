@@ -20,4 +20,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TsQueries.oracles ++ OlapQueries.oracles ++ TextQueries.oracles ++ AnnQueries.oracles ++ TierQueries.oracles ++ MlQueries.oracles ++ PipelineQueries.oracles
+
+  /** Linear-time invariant checks for queries whose exact oracles are
+    * quadratic/transitive in SQL — run by the sf0.1 scale checker when
+    * the exact oracle blows its budget (see ScaleInvariants for the
+    * contract and scope).
+    */
+  def scaleInvariants: Map[String, String] =
+    graft.operators.ScaleInvariants.sql
 }

@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.ml.{Bandit, Fixtures}
+
+/** Invariant-mode scale checks for the queries whose EXACT oracles are
+  * quadratic or transitive in SQL (all-pairs Jaccard, transitive-closure
+  * components, recursive bandit walks). At sf0.1 those oracles blow the
+  * scale-check budget; instead of SKIPping, the driver-side checker runs
+  * these linear-time invariant queries over the Spark dumps + base tables.
+  *
+  * Contract: each SQL is run by DuckDB with views
+  *   - the base tables (documents, events, ...);
+  *   - `spark_out`  = the parquet dump of the query under test;
+  *   - `out_<name>` = the parquet dump of ANY other registered query
+  *     (cross-output consistency checks — e.g. the components labeling is
+  *     checked against the separately-soundness-checked near-dup pair
+  *     output as its edge set);
+  * and must return rows (invariant VARCHAR, violations BIGINT). The check
+  * passes iff every violations = 0.
+  *
+  * Scope note (kept honest): these are NECESSARY conditions verifiable in
+  * one pass — per-pair exact-Jaccard soundness, CC fixpoint closure +
+  * min-labeling, keeper/anti-join set algebra, the bandit Q-update
+  * recurrence and hash gates. What they do NOT prove at sf0.1 is
+  * completeness of pair ENUMERATION (would need the all-pairs join) and
+  * CC over-merge (needs connectivity certificates); both are covered by
+  * the exact DuckDB oracles at sf0.01, where they are tractable.
+  */
+object ScaleInvariants {
+
+  /** Per-pair exact-Jaccard soundness for a near-dup pair dump: every
+    * emitted (doc_a, doc_b, jac) is ordered, distinct, meets `thr`, and
+    * its jac equals the exact set Jaccard recomputed from `setCte`'s
+    * per-doc sets (relation `f`, column `sh`). Linear in |pairs|.
+    */
+  private def pairSoundnessSql(setCte: String, setRel: String,
+                               setCol: String, thr: Double): String =
+    s"""$setCte, p AS (SELECT * FROM spark_out),
+       |ex AS (
+       |  SELECT p.doc_a, p.doc_b, p.jac,
+       |    CAST(len(list_intersect(a.$setCol, b.$setCol)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(a.$setCol, b.$setCol))) AS DOUBLE)
+       |      AS jac_exact
+       |  FROM p
+       |  LEFT JOIN $setRel a ON a.doc_id = p.doc_a
+       |  LEFT JOIN $setRel b ON b.doc_id = p.doc_b
+       |)
+       |SELECT 'pairs_ordered' AS invariant,
+       |  CAST(count(*) FILTER (WHERE doc_a >= doc_b) AS BIGINT) AS violations
+       |FROM p
+       |UNION ALL
+       |SELECT 'pairs_distinct',
+       |  CAST(count(*) - count(DISTINCT (doc_a, doc_b)) AS BIGINT)
+       |FROM p
+       |UNION ALL
+       |SELECT 'pair_jaccard_exact_and_thresholded',
+       |  CAST(count(*) FILTER (WHERE jac_exact IS NULL
+       |    OR abs(jac - jac_exact) > 1e-9 OR jac_exact < $thr) AS BIGINT)
+       |FROM ex""".stripMargin
+
+  /** CC labeling fixpoint checks against an edge dump: labels closed over
+    * edges, component id = min member, keeper = (id == component), ids
+    * unique, labeled universe = docs incident to an edge.
+    */
+  private def componentsSql(edgeRel: String): String =
+    s"""WITH lab AS (SELECT * FROM spark_out),
+       |e AS (SELECT doc_a, doc_b FROM $edgeRel),
+       |touched AS (
+       |  SELECT DISTINCT d FROM
+       |    (SELECT doc_a AS d FROM e UNION ALL SELECT doc_b FROM e)
+       |)
+       |SELECT 'edges_closed_under_labeling' AS invariant,
+       |  CAST(count(*) FILTER (WHERE a.component IS NULL
+       |    OR b.component IS NULL OR a.component <> b.component) AS BIGINT)
+       |    AS violations
+       |FROM e LEFT JOIN lab a ON a.doc_id = e.doc_a
+       |       LEFT JOIN lab b ON b.doc_id = e.doc_b
+       |UNION ALL
+       |SELECT 'component_id_is_min_member',
+       |  CAST(count(*) AS BIGINT) FROM (
+       |    SELECT component, min(doc_id) AS m FROM lab GROUP BY 1
+       |  ) t WHERE component <> m
+       |UNION ALL
+       |SELECT 'keeper_iff_min',
+       |  CAST(count(*) FILTER (WHERE keeper <> (doc_id = component)) AS BIGINT)
+       |FROM lab
+       |UNION ALL
+       |SELECT 'doc_ids_unique',
+       |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM lab
+       |UNION ALL
+       |SELECT 'universe_matches_edge_endpoints',
+       |  CAST((SELECT count(*) FROM lab ANTI JOIN touched ON lab.doc_id = touched.d)
+       |     + (SELECT count(*) FROM touched ANTI JOIN lab ON lab.doc_id = touched.d)
+       |    AS BIGINT)""".stripMargin
+
+  /** e-greedy walk state-machine checks (Bandit constants inlined): steps
+    * contiguous per band, explore gate = the mix32 hash, explored arm =
+    * the mix32 arm pick, q_after follows the nonstationary update from the
+    * SAME codec's previous q_after (or Q0). Linear, one window pass.
+    */
+  private def banditSql(arms: Seq[String], banded: Boolean): String = {
+    val bandKey = if (banded) "band" else "CAST(0 AS BIGINT)"
+    val armVals = arms.zipWithIndex
+      .map { case (a, i) => s"($i, '$a')" }.mkString(", ")
+    val gate = Fixtures.mix32Sql("w.step", Bandit.SaltExplore)
+    val pick = Fixtures.mix32Sql("w.step", Bandit.SaltArm)
+    val eps = math.round(Bandit.Eps * 1000000L)
+    s"""WITH w AS (SELECT *, $bandKey AS bkey FROM spark_out),
+       |arms(idx, name) AS (VALUES $armVals)
+       |SELECT 'steps_contiguous_per_band' AS invariant,
+       |  CAST(count(*) AS BIGINT) AS violations FROM (
+       |    SELECT bkey, count(*) AS n, max(step) AS mx,
+       |           count(DISTINCT step) AS nd
+       |    FROM w GROUP BY 1
+       |  ) t WHERE n <> mx OR nd <> n
+       |UNION ALL
+       |SELECT 'codec_is_an_arm',
+       |  CAST(count(*) AS BIGINT)
+       |FROM w ANTI JOIN arms ON arms.name = w.codec
+       |UNION ALL
+       |SELECT 'explore_gate_matches_hash',
+       |  CAST(count(*) FILTER (WHERE (($gate) % 1000000 < $eps) <> explored)
+       |    AS BIGINT)
+       |FROM w
+       |UNION ALL
+       |SELECT 'explored_step_picks_hash_arm',
+       |  CAST(count(*) FILTER (WHERE w.explored
+       |    AND arms.idx <> ($pick) % ${arms.length}) AS BIGINT)
+       |FROM w JOIN arms ON arms.name = w.codec
+       |UNION ALL
+       |SELECT 'q_update_recurrence',
+       |  -- reward/q_after are stored 6dp-rounded, so the recomputed step
+       |  -- carries up to ~1.4e-6 of rounding residue (0.7*|q_prev err| +
+       |  -- 0.3*|reward err| + own rounding); 5e-6 admits that and nothing
+       |  -- structural
+       |  CAST(count(*) FILTER (
+       |    WHERE abs(q_after - (q_prev + ${Bandit.Step} * (reward - q_prev)))
+       |      > 5e-6) AS BIGINT)
+       |FROM (
+       |  SELECT reward, q_after,
+       |    coalesce(lag(q_after) OVER (
+       |      PARTITION BY bkey, codec ORDER BY step), ${Bandit.Q0}) AS q_prev
+       |  FROM w
+       |) t""".stripMargin
+  }
+
+  /** 4-char-gram set CTE matching the dedup_ngram oracle's definition. */
+  private val GramCte =
+    """WITH g0 AS (
+      |  SELECT doc_id,
+      |         list_distinct([substr(lower(text), i, 4)
+      |                        for i in range(1, len(text) - 2)]) AS sh
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, sh FROM g0 WHERE len(sh) > 0
+      |)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "dedup_minhash" ->
+      pairSoundnessSql(TextQueries.ShingleCte, "f", "sh", 0.5),
+
+    "dedup_ngram" ->
+      pairSoundnessSql(GramCte, "f", "sh", 0.6),
+
+    // labelings checked against the near-dup pair dump as the edge set —
+    // that dump is itself soundness-checked above
+    "dedup_components" -> componentsSql("out_dedup_minhash"),
+    "dedup_components_star" -> componentsSql("out_dedup_minhash"),
+
+    // kept set == documents minus the CC losers of the components dump,
+    // and the carried lang column matches the source table
+    "pipe_near_dedup" ->
+      s"""WITH k AS (SELECT * FROM spark_out),
+         |losers AS (
+         |  SELECT doc_id FROM out_dedup_components WHERE NOT keeper
+         |),
+         |want AS (
+         |  SELECT d.doc_id, d.lang FROM documents d
+         |  ANTI JOIN losers l ON l.doc_id = d.doc_id
+         |)
+         |SELECT 'kept_set_equals_docs_minus_losers' AS invariant,
+         |  CAST((SELECT count(*) FROM k ANTI JOIN want USING (doc_id))
+         |     + (SELECT count(*) FROM want ANTI JOIN k USING (doc_id))
+         |    AS BIGINT) AS violations
+         |UNION ALL
+         |SELECT 'lang_matches_source',
+         |  CAST(count(*) FILTER (WHERE k.lang <> d.lang) AS BIGINT)
+         |FROM k JOIN documents d USING (doc_id)""".stripMargin,
+
+    // FULL recomputation given the components dump: quality keeper = the
+    // longest (ties to lowest id) member per component, singletons keep
+    // themselves — linear once the closure labels are taken as input
+    "pipe_dedup_quality" ->
+      s"""WITH k AS (SELECT * FROM spark_out),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens,
+         |    coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d
+         |  LEFT JOIN out_dedup_components c USING (doc_id)
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY component ORDER BY n_tokens DESC, doc_id) AS rnk
+         |  FROM scored
+         |), want AS (
+         |  SELECT doc_id, lang, n_tokens FROM rk WHERE rnk = 1
+         |)
+         |SELECT 'keeper_set_matches' AS invariant,
+         |  CAST((SELECT count(*) FROM k ANTI JOIN want USING (doc_id))
+         |     + (SELECT count(*) FROM want ANTI JOIN k USING (doc_id))
+         |    AS BIGINT) AS violations
+         |UNION ALL
+         |SELECT 'kept_columns_match',
+         |  CAST(count(*) FILTER (WHERE k.lang <> w.lang
+         |    OR k.n_tokens <> w.n_tokens) AS BIGINT)
+         |FROM k JOIN want w USING (doc_id)""".stripMargin,
+
+    "ml_bandit_recode" -> banditSql(Bandit.RecodeArms, banded = false),
+    "ml_bandit_recode_band" -> banditSql(Bandit.RecodeArms, banded = true),
+    "ml_bandit_replay" -> banditSql(Bandit.CompressArms, banded = false)
+  )
+}

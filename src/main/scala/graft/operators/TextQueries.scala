@@ -287,7 +287,7 @@ object TextQueries {
   /** Probe query for text_bm25 — normalizes to spark/hash/join/window. */
   val Bm25Terms: Seq[String] = Seq("Spark", "hash", "JOIN!", "window")
 
-  private val ShingleCte =
+  private[graft] val ShingleCte =
     """WITH toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl FROM documents
       |), s2 AS (
