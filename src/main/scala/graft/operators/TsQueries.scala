@@ -688,6 +688,21 @@ object TsQueries {
         .select(col("signal_id"), col("seq_no"), col("seg"))
     }),
 
+    // the staleness-tolerance as-of through the NATIVE operator: same
+    // merge pass as asof_native plus one comparison against the buffered
+    // match's timestamp — no extra column plumbing, no second window
+    "asof_native_tolerance" -> ((s, d) => {
+      val rr = r(s, d)
+      val segStarts = rr
+        .groupBy(col("signal_id"), Readings.segmentId(col("seq_no")).as("seg"))
+        .agg(min(col("ts")).as("seg_ts"))
+      graft.plans.NativeAsOf.asofJoinTolerance(
+          rr.select(col("signal_id"), col("seq_no"), col("ts")),
+          segStarts, "signal_id", "ts", "seg_ts", Seq("seg"),
+          toleranceSec = 7200L)
+        .select(col("signal_id"), col("seq_no"), col("seg"))
+    }),
+
     // range join: readings against overlapping value bands, bin-bucketed
     "range_bands" -> ((s, d) => {
       val bands = s.range(13).select(col("id").as("band_id"),
@@ -1574,6 +1589,19 @@ object TsQueries {
          |)
          |SELECT r.signal_id, r.seq_no, ss.seg
          |FROM r ASOF JOIN ss
+         |  ON r.signal_id = ss.signal_id AND r.ts >= ss.seg_ts""".stripMargin,
+
+    "asof_native_tolerance" ->
+      s"""$OracleCte, ss AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         min(ts) AS seg_ts
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT r.signal_id, r.seq_no,
+         |  CASE WHEN ss.seg_ts IS NOT NULL
+         |        AND epoch_us(r.ts) - epoch_us(ss.seg_ts) <= 7200000000
+         |       THEN ss.seg END AS seg
+         |FROM r ASOF LEFT JOIN ss
          |  ON r.signal_id = ss.signal_id AND r.ts >= ss.seg_ts""".stripMargin,
 
     "asof_tolerance" ->

@@ -34,7 +34,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightPayload: Seq[Attribute]) extends BinaryNode {
+    rightPayload: Seq[Attribute],
+    toleranceUs: Option[Long] = None) extends BinaryNode {
 
   // payload attrs keep their exprIds (nullable: unmatched left rows) —
   // callers must not pass payload columns that shadow left-side exprIds
@@ -50,6 +51,7 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightPayload: Seq[Attribute],
+    toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override lazy val metrics = Map(
@@ -80,6 +82,7 @@ case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val payload = rightPayload
+    val tol = toleranceUs
     val outAttrs = output
     val timeOrdering = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -96,9 +99,11 @@ case class AsOfJoinExec(
       val rBuf = rIter.buffered
 
       // one streaming pass: rows on both sides arrive sorted by (key, t);
-      // curKey/curPayload hold the latest consumed right row
+      // curKey/curPayload hold the latest consumed right row (curTime its
+      // micros timestamp, read only when a staleness tolerance is set)
       var curKey: InternalRow = null
       var curPayload: InternalRow = null
+      var curTime: Long = 0L
 
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
@@ -116,6 +121,7 @@ case class AsOfJoinExec(
             if (cmp == 0 && rt != null) {
               curKey = rk.copy()
               curPayload = payloadProj(rRow).copy()
+              curTime = rt.asInstanceOf[Long]
             }
             rBuf.next()
           } else {
@@ -123,7 +129,9 @@ case class AsOfJoinExec(
           }
         }
         val matched =
-          curKey != null && lt != null && keyOrdering.compare(curKey, lk) == 0
+          curKey != null && lt != null &&
+            keyOrdering.compare(curKey, lk) == 0 &&
+            tol.forall(t => lt.asInstanceOf[Long] - curTime <= t)
         numOutputRows += 1
         outProj(joined(lRow, if (matched) curPayload else nullPayload))
       }
@@ -141,8 +149,8 @@ case class AsOfJoinExec(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload) =>
-      AsOfJoinExec(lk, rk, lt, rt, payload, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, payload, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -165,7 +173,24 @@ object NativeAsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, key, leftTs, rightTs, rightCols, None)
+
+  /** Tolerance variant: a match staler than `toleranceSec` at the left
+    * row's timestamp is dropped (null payload) — the native twin of
+    * IntervalOps.asofJoinTolerance, same single merge pass (the staleness
+    * test is one comparison against the buffered match's micros).
+    * Timestamp (micros-backed) time columns only.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String,
+                        rightCols: Seq[String], toleranceSec: Long): DataFrame =
+    asofJoinImpl(left, right, key, leftTs, rightTs, rightCols,
+      Some(toleranceSec * 1000000L))
+
+  private def asofJoinImpl(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String], toleranceUs: Option[Long]): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -181,10 +206,17 @@ object NativeAsOf {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    toleranceUs.foreach { _ =>
+      val tt = attr(lPlan, leftTs).dataType
+      val rt = attr(rPlan, rightTs).dataType
+      require(tt == org.apache.spark.sql.types.TimestampType &&
+        rt == org.apache.spark.sql.types.TimestampType,
+        s"asofJoinTolerance needs TimestampType time columns, got $tt/$rt")
+    }
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
       attr(lPlan, leftTs), attr(rPlan, rightTs),
-      rightCols.map(attr(rPlan, _))))
+      rightCols.map(attr(rPlan, _)), toleranceUs))
   }
 }

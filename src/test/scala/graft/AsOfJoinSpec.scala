@@ -48,6 +48,33 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTest
     assert(native == composed)
   }
 
+  test("tolerance variant drops stale matches, agrees with the composed form") {
+    val (left, right) = fixture
+    // 5-minute tolerance: e1 (exact, 0s) and e5 keep their match; e2 is
+    // 5min after s1 (== tolerance, inclusive) keeps; e3 is 10min after s2?
+    // no — e3 (00:30) matches s2 (00:20), 10min stale -> dropped
+    val native = NativeAsOf.asofJoinTolerance(
+        left, right, "k", "t", "rt", Seq("state"), toleranceSec = 300L)
+      .select(col("ev"), col("state")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(native == Map("e0" -> null, "e1" -> "s1", "e2" -> "s1",
+      "e3" -> null, "e4" -> null, "e5" -> "s3"))
+    val composed = IntervalOps.asofJoinTolerance(
+        left, right, "k", "t", "rt", Seq("state"), toleranceSec = 300L)
+      .select(col("ev"), col("state")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(native == composed)
+    // non-timestamp time columns are rejected loudly
+    import spark.implicits._
+    val badL = Seq((1L, 10L, "x")).toDF("k", "t", "ev")
+    val badR = Seq((1L, 5L, "s")).toDF("k", "rt", "state")
+    val err = intercept[IllegalArgumentException] {
+      NativeAsOf.asofJoinTolerance(badL, badR, "k", "t", "rt",
+        Seq("state"), toleranceSec = 1L)
+    }
+    assert(err.getMessage.contains("TimestampType"))
+  }
+
   test("self-join safe: right side derived from the left plan") {
     import spark.implicits._
     val readings = Seq(
