@@ -162,6 +162,22 @@ object ScaleInvariants {
     "dedup_ngram" ->
       pairSoundnessSql(GramCte, "f", "sh", 0.6),
 
+    // the histogram is a pure rebin of the minhash pair dump (same
+    // threshold, same jac values) — full equality, linear in |pairs|
+    "dedup_jaccard_hist" ->
+      s"""WITH h AS (SELECT * FROM spark_out),
+         |want AS (
+         |  SELECT least(9, CAST(floor(jac * 10.0) AS BIGINT)) AS bin,
+         |         CAST(count(*) AS BIGINT) AS pairs
+         |  FROM out_dedup_minhash GROUP BY 1
+         |)
+         |SELECT 'histogram_rebins_pair_dump' AS invariant,
+         |  CAST((SELECT count(*) FROM h ANTI JOIN want
+         |          ON h.bin = want.bin AND h.pairs = want.pairs)
+         |     + (SELECT count(*) FROM want ANTI JOIN h
+         |          ON h.bin = want.bin AND h.pairs = want.pairs)
+         |    AS BIGINT) AS violations""".stripMargin,
+
     // labelings checked against the near-dup pair dump as the edge set —
     // that dump is itself soundness-checked above
     "dedup_components" -> componentsSql("out_dedup_minhash"),

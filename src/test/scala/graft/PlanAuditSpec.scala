@@ -59,7 +59,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     "ts_ohlc_weekly", "text_ttr", "pipe_pack_sorted",
     // emb_knn_confusion wraps emb_knn_1nn's bounded broadcast probe set
     // (the by-design nested-loop baseline) — excluded like seg_knn
-    "text_langid_confusion", "ts_forecast_backtest")
+    "text_langid_confusion", "ts_forecast_backtest",
+    "asof_native_tolerance")
+  // round-9 exclusions, same rationales: seg_knn_fft(_agree) rank the
+  // bounded broadcast probe set like seg_knn; buff_range_outlier /
+  // buff_sum_outlier fetch the scalar base offset at build time like the
+  // other buff_* rows; tier_lru_plan localCheckpoints its range-
+  // partitioned stats at build time (the two-phase prefix sum's pid
+  // consistency requires one materialization)
   // round-8 exclusions, same construction-runs-jobs rationale:
   // text_bm25/text_xent/pipe_quality_filter/pipe_bpe_round2 fetch bounded
   // corpus scalars at build time, ml_dbscan/dedup_semantic run the CC
