@@ -96,37 +96,79 @@ object MotifDiscord {
         sqDistQ(col("qa"), col("qb")).as("d"))
   }
 
+  /** Route threshold: with every signal's segment count m <= this, the
+    * direct per-signal self-join (<= ~64k pairs per signal, one keyed
+    * join, no extra passes) beats the pruned path's constant overhead
+    * (checkpoint + rank window + grid join); past it, m² concentrated in
+    * single join partitions is the r8 scale-killer and the pruned path
+    * takes over. Same size-router pattern as Dedup's star/propagation
+    * routing — both branches are exact, so the routing is purely a cost
+    * decision.
+    */
+  val PruneAbove = 256
+
+  /** All-pairs exact distances within each signal (both orientations) —
+    * the direct route for short histories.
+    */
+  private def naivePairs(segs: DataFrame): DataFrame = {
+    val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
+      col("qvals").as("qa"))
+    val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
+      col("qvals").as("qb"))
+    a.join(b, Seq("signal_id"))
+      .where(col("seg_a") =!= col("seg_b"))
+      .select(col("signal_id"), col("seg_a"), col("seg_b"),
+        sqDistQ(col("qa"), col("qb")).as("d"))
+  }
+
+  private def maxSegments(sc: DataFrame): Long = {
+    val row = sc.groupBy(col("signal_id")).agg(count(lit(1)).as("m"))
+      .agg(max(col("m"))).first()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  private def winners(pairs: DataFrame, forDiscord: Boolean): DataFrame =
+    if (forDiscord) {
+      val nnd = pairs.groupBy(col("signal_id"), col("seg_a"))
+        .agg(min(col("d")).as("nnd_q"))
+      val w = Window.partitionBy(col("signal_id"))
+        .orderBy(col("nnd_q").desc, col("seg_a"))
+      nnd.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+    } else {
+      val w = Window.partitionBy(col("signal_id"))
+        .orderBy(col("d").asc, col("seg_a"), col("seg_b"))
+      pairs.where(col("seg_a") < col("seg_b"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .select(col("signal_id"), col("seg_a"), col("seg_b"),
+          col("d").as("dist_q"))
+    }
+
   /** Per signal, the complete segment whose exact nearest-neighbor
     * distance (integer squared L2 over qvals) is largest.
     * Output: signal_id, seg, nnd_q — identical to the all-pairs join.
     */
-  def discord(segs: DataFrame): DataFrame = {
+  def discord(segs: DataFrame, pruneAbove: Int = PruneAbove): DataFrame = {
     val sc = segs.localCheckpoint()
-    val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
-      .agg(max(col("adj_d")).as("t"))
-    val nnd = candidatePairs(sc, thresh)
-      .groupBy(col("signal_id"), col("seg_a"))
-      .agg(min(col("d")).as("nnd_q"))
-    val w = Window.partitionBy(col("signal_id"))
-      .orderBy(col("nnd_q").desc, col("seg_a"))
-    nnd.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+    if (maxSegments(sc) <= pruneAbove) winners(naivePairs(sc), forDiscord = true)
+    else {
+      val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
+        .agg(max(col("adj_d")).as("t"))
+      winners(candidatePairs(sc, thresh), forDiscord = true)
+    }
   }
 
   /** Per signal, the exactly-closest pair of complete segments (ties
     * broken by (seg_a, seg_b)). Output: signal_id, seg_a, seg_b, dist_q —
     * identical to the all-pairs join.
     */
-  def motif(segs: DataFrame): DataFrame = {
+  def motif(segs: DataFrame, pruneAbove: Int = PruneAbove): DataFrame = {
     val sc = segs.localCheckpoint()
-    val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
-      .agg(min(col("adj_d")).as("t"))
-    val pairs = candidatePairs(sc, thresh)
-      .where(col("seg_a") < col("seg_b"))
-    val w = Window.partitionBy(col("signal_id"))
-      .orderBy(col("d").asc, col("seg_a"), col("seg_b"))
-    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .select(col("signal_id"), col("seg_a"), col("seg_b"),
-        col("d").as("dist_q"))
+    if (maxSegments(sc) <= pruneAbove) winners(naivePairs(sc), forDiscord = false)
+    else {
+      val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
+        .agg(min(col("adj_d")).as("t"))
+      winners(candidatePairs(sc, thresh), forDiscord = false)
+    }
   }
 }

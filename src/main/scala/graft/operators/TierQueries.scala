@@ -166,18 +166,19 @@ object TierQueries {
     // flavor of the reference's outlier concern, outlier/mod.rs): per
     // signal, the complete segment whose nearest-neighbor distance to the
     // signal's OTHER segments is largest. Exact integer squared L2 in the
-    // fixed-point domain; the pair space is PRUNED by adjacent-pair
-    // thresholds + a chunk-sum grid (see MotifDiscord) instead of the
-    // within-signal all-pairs self-join — identical results, sub-quadratic
-    // candidate pairs, so retention growth doesn't concentrate m² work in
-    // single join partitions. The oracle remains the all-pairs definition.
+    // fixed-point domain; size-routed (see MotifDiscord): short histories
+    // take the direct per-signal self-join, while any signal past
+    // PruneAbove segments switches the job to adjacent-pair thresholds +
+    // a chunk-sum grid — identical results, sub-quadratic candidate
+    // pairs, so retention growth doesn't concentrate m² work in single
+    // join partitions. The oracle remains the all-pairs definition.
     "seg_discord" -> ((s, d) =>
       MotifDiscord.discord(Segments.completeQuantized(r(s, d)))),
 
     // motif discovery (Lin/Keogh, the discord's dual): per signal, the
     // CLOSEST pair of complete segments — the recurring pattern. Same
-    // exact integer squared-L2, same pruned pair enumeration (best-so-far
-    // = min adjacent-pair distance), same all-pairs oracle.
+    // exact integer squared-L2, same size-routed enumeration (pruned
+    // best-so-far = min adjacent-pair distance), same all-pairs oracle.
     "seg_motif" -> ((s, d) =>
       MotifDiscord.motif(Segments.completeQuantized(r(s, d)))),
 

@@ -50,6 +50,12 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
   test("pruned discord/motif match the all-pairs results on real data") {
     val segs = Segments.completeQuantized(
       Readings.of(spark, "/root/testdata/sf0.001"))
+    // pruneAbove = 0 forces the PRUNED route regardless of history length
+    assert(sorted(MotifDiscord.discord(segs, pruneAbove = 0)) ==
+      sorted(bruteDiscord(segs)))
+    assert(sorted(MotifDiscord.motif(segs, pruneAbove = 0)) ==
+      sorted(bruteMotif(segs)))
+    // and the default (router) agrees whichever route it takes
     assert(sorted(MotifDiscord.discord(segs)) == sorted(bruteDiscord(segs)))
     assert(sorted(MotifDiscord.motif(segs)) == sorted(bruteMotif(segs)))
   }
@@ -79,8 +85,10 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     val nM = MotifDiscord.candidatePairs(segs, thrM).count()
     assert(nM < 10L * 200, s"motif candidates not linear: $nM")
     // and the pruned results still equal brute force on the fixture
-    assert(sorted(MotifDiscord.discord(segs)) == sorted(bruteDiscord(segs)))
-    assert(sorted(MotifDiscord.motif(segs)) == sorted(bruteMotif(segs)))
+    assert(sorted(MotifDiscord.discord(segs, pruneAbove = 0)) ==
+      sorted(bruteDiscord(segs)))
+    assert(sorted(MotifDiscord.motif(segs, pruneAbove = 0)) ==
+      sorted(bruteMotif(segs)))
   }
 
   test("edge cases: single-segment signals drop; tied distances break by seg") {
@@ -93,10 +101,10 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
       (8L, 1L, Array.fill(16)(1L)),
       (8L, 2L, Array.fill(16)(1L))
     ).toDF("signal_id", "seg", "qvals")
-    val d = MotifDiscord.discord(segs).collect()
+    val d = MotifDiscord.discord(segs, pruneAbove = 0).collect()
     assert(d.length == 1 && d(0).getLong(0) == 8L && d(0).getLong(1) == 0L &&
       d(0).getLong(2) == 0L)
-    val m = MotifDiscord.motif(segs).collect()
+    val m = MotifDiscord.motif(segs, pruneAbove = 0).collect()
     assert(m.length == 1 && m(0).getLong(0) == 8L && m(0).getLong(1) == 0L &&
       m(0).getLong(2) == 1L && m(0).getLong(3) == 0L)
   }
