@@ -274,4 +274,52 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
     assert(Dedup.minhashNearDup(one, 0.5).count() == 0)
     assert(PipelineOps.decontaminate(one, col("doc_id") === 0L).count() == 0)
   }
+
+  test("round-9 operators are empty-safe and degenerate-safe") {
+    val s = spark; import s.implicits._
+    import graft.operators.{MotifDiscord, Tiers}
+    import graft.sources.BuffStore
+
+    val emptyR = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("signal_id", LongType), StructField("seq_no", LongType),
+        StructField("ts", TimestampType), StructField("value", DoubleType),
+        StructField("value_q", LongType))))
+
+    // LRU plan: empty stats -> empty plan (the distributed prefix sum
+    // tolerates zero partitions' worth of offsets)
+    assert(Tiers.lruPlan(emptyR, 4, budgetBytes = 1000L, errBudget = 80.0)
+      .count() == 0)
+
+    // budget extremes on a real tiny frame: everything keeps / nothing keeps
+    val rr = (1L to 32L).map { i =>
+      (1L, i, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i - 1}%02d"),
+        i.toDouble, i * 100L)
+    }.toDF("signal_id", "seq_no", "ts", "value", "value_q")
+    val all = Tiers.lruPlan(rr, 4, budgetBytes = 1L << 30, errBudget = 80.0)
+    assert(all.filter(col("action") =!= "keep").count() == 0)
+    val none = Tiers.lruPlan(rr, 4, budgetBytes = 0L, errBudget = 1e18)
+    assert(none.filter(col("action") === "keep").count() == 0)
+    assert(none.filter(col("action") === "spill").count() == 0) // err fits
+
+    // discord/motif: empty segments -> empty on BOTH routes
+    val emptySegs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("signal_id", LongType), StructField("seg", LongType),
+        StructField("qvals", ArrayType(LongType)))))
+    assert(MotifDiscord.discord(emptySegs).count() == 0)
+    assert(MotifDiscord.motif(emptySegs).count() == 0)
+    assert(MotifDiscord.discord(emptySegs, pruneAbove = 0).count() == 0)
+    assert(MotifDiscord.motif(emptySegs, pruneAbove = 0).count() == 0)
+
+    // BUFF outlier coding: empty planes -> empty data + empty dictionary,
+    // and the consumers stay empty-safe
+    val emptyPlanes = BuffStore.planes(emptyR, 0L, 3)
+    val (encE, majE) = BuffStore.outlierEncode(emptyPlanes, 3)
+    assert(encE.count() == 0 && majE.count() == 0)
+    assert(BuffStore.restore(encE, majE, 3).count() == 0)
+    assert(BuffStore.sumFromOutlierPlanes(encE, majE, 0L, 3).count() == 0)
+  }
 }
