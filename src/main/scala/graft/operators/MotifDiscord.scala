@@ -144,6 +144,42 @@ object MotifDiscord {
           col("d").as("dist_q"))
     }
 
+  /** The (squared-L2) MATRIX PROFILE of each signal: every complete
+    * segment's exact nearest-neighbor distance among the signal's other
+    * segments (Yeh et al., "Matrix Profile I", ICDM'16 — the segment-
+    * granularity flavor; discords are its argmax, motifs its argmin).
+    * Size-routed like [[discord]]; the pruned route stays exact for EVERY
+    * segment because each segment's min-achieving pair has d <= T and so
+    * survives the grid (see the class doc's exactness argument).
+    * Output: signal_id, seg, nnd_q — one row per complete segment of any
+    * signal with >= 2 complete segments.
+    */
+  def profile(segs: DataFrame, pruneAbove: Int = PruneAbove): DataFrame = {
+    val sc = segs.localCheckpoint()
+    val pairs =
+      if (maxSegments(sc) <= pruneAbove) naivePairs(sc)
+      else {
+        val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
+          .agg(max(col("adj_d")).as("t"))
+        candidatePairs(sc, thresh)
+      }
+    pairs.groupBy(col("signal_id"), col("seg_a"))
+      .agg(min(col("d")).as("nnd_q"))
+      .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+  }
+
+  /** Top-k discords per signal (HOT SAX's actual use case reports the k
+    * most anomalous subsequences, not one): rank the profile by
+    * (nnd_q DESC, seg). Output adds the rank column.
+    */
+  def discordTopK(segs: DataFrame, k: Int,
+                  pruneAbove: Int = PruneAbove): DataFrame = {
+    val w = Window.partitionBy(col("signal_id"))
+      .orderBy(col("nnd_q").desc, col("seg"))
+    profile(segs, pruneAbove)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Per signal, the complete segment whose exact nearest-neighbor
     * distance (integer squared L2 over qvals) is largest.
     * Output: signal_id, seg, nnd_q — identical to the all-pairs join.

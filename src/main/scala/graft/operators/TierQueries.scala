@@ -182,6 +182,17 @@ object TierQueries {
     "seg_motif" -> ((s, d) =>
       MotifDiscord.motif(Segments.completeQuantized(r(s, d)))),
 
+    // the full matrix profile (Yeh et al. ICDM'16, segment granularity):
+    // every segment's exact NN distance — the anomaly/repetition signal
+    // the discord/motif queries are the argmax/argmin of. Same routed
+    // enumeration, same all-pairs oracle minus the rank filter.
+    "seg_profile" -> ((s, d) =>
+      MotifDiscord.profile(Segments.completeQuantized(r(s, d)))),
+
+    // top-3 discords per signal — HOT SAX's reported result shape
+    "seg_discord_topk" -> ((s, d) =>
+      MotifDiscord.discordTopK(Segments.completeQuantized(r(s, d)), k = 3)),
+
     // SAX symbolic words (Lin et al., "A Symbolic Representation of Time
     // Series", DMKD'07): z-normalize per signal from EXACT integer moments
     // (the ts_zscore decimal pattern), PAA over 4-row chunks from exact
@@ -654,6 +665,44 @@ object TierQueries {
          |  FROM nnd
          |)
          |SELECT signal_id, seg_a AS seg, nnd_q FROM rk WHERE rnk = 1""".stripMargin,
+
+    "seg_profile" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
+         |)
+         |SELECT a.signal_id, a.seg AS seg,
+         |       CAST(min($sqDistQSql) AS BIGINT) AS nnd_q
+         |FROM (SELECT signal_id, seg, qv AS qa FROM f) a
+         |JOIN (SELECT signal_id, seg AS seg_b, qv AS qb FROM f) b
+         |  USING (signal_id)
+         |WHERE a.seg <> b.seg_b
+         |GROUP BY 1, 2""".stripMargin,
+
+    "seg_discord_topk" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
+         |), nnd AS (
+         |  SELECT a.signal_id, a.seg AS seg,
+         |         CAST(min($sqDistQSql) AS BIGINT) AS nnd_q
+         |  FROM (SELECT signal_id, seg, qv AS qa FROM f) a
+         |  JOIN (SELECT signal_id, seg AS seg_b, qv AS qb FROM f) b
+         |    USING (signal_id)
+         |  WHERE a.seg <> b.seg_b
+         |  GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY signal_id ORDER BY nnd_q DESC, seg) AS INT) AS rnk
+         |  FROM nnd
+         |)
+         |SELECT signal_id, seg, nnd_q, rnk FROM rk WHERE rnk <= 3""".stripMargin,
 
     "seg_motif" ->
       s"""$OracleCte, segs AS (

@@ -91,6 +91,29 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
       sorted(bruteMotif(segs)))
   }
 
+  test("matrix profile and top-k discords: both routes equal brute per-segment nnd") {
+    val segs = Segments.completeQuantized(
+      Readings.of(spark, "/root/testdata/sf0.001"))
+    val brute = {
+      val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
+        col("qvals").as("qa"))
+      val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
+        col("qvals").as("qb"))
+      a.join(b, Seq("signal_id")).where(col("seg_a") =!= col("seg_b"))
+        .groupBy(col("signal_id"), col("seg_a"))
+        .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_q"))
+        .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+    }
+    assert(sorted(MotifDiscord.profile(segs)) == sorted(brute))
+    assert(sorted(MotifDiscord.profile(segs, pruneAbove = 0)) == sorted(brute))
+    // top-k: k rows per signal (or fewer), rank 1 equals the discord row
+    val topk = MotifDiscord.discordTopK(segs, k = 3)
+    assert(topk.groupBy(col("signal_id")).count()
+      .filter(col("count") > 3).count() == 0)
+    assert(sorted(topk.filter(col("rnk") === 1).drop("rnk")) ==
+      sorted(MotifDiscord.discord(segs)))
+  }
+
   test("edge cases: single-segment signals drop; tied distances break by seg") {
     import spark.implicits._
     // signal 7 has ONE complete segment -> no adjacent pair, no output row
