@@ -141,7 +141,36 @@ object ScaleInvariants {
        |    coalesce(lag(q_after) OVER (
        |      PARTITION BY bkey, codec ORDER BY step), ${Bandit.Q0}) AS q_prev
        |  FROM w
-       |) t""".stripMargin
+       |) t
+       |UNION ALL
+       |SELECT 'greedy_step_picks_argmax', CAST(count(*) AS BIGINT) FROM (
+       |  -- reconstruct each arm's carried Q at every step (last q_after
+       |  -- of that arm before the step, else Q0) with one ASOF join —
+       |  -- linear-time full verification of the greedy choices, the part
+       |  -- the recursive oracle recomputes sequentially. Tie-break is the
+       |  -- walk's lowest-arm-index rule; the 1e-6 epsilon keeps a
+       |  -- 6dp-rounding-induced near-tie from flagging a false violation.
+       |  WITH sa AS (
+       |    SELECT s.bkey, s.step, a.idx, a.name
+       |    FROM (SELECT DISTINCT bkey, step FROM w) s CROSS JOIN arms a
+       |  ), q_at AS (
+       |    SELECT sa.bkey, sa.step, sa.idx, sa.name,
+       |           coalesce(w2.q_after, ${Bandit.Q0}) AS q
+       |    FROM sa ASOF LEFT JOIN w w2
+       |      ON w2.bkey = sa.bkey AND w2.codec = sa.name AND sa.step > w2.step
+       |  ), best AS (
+       |    SELECT bkey, step, name, q, row_number() OVER (
+       |      PARTITION BY bkey, step ORDER BY q DESC, idx) AS brnk
+       |    FROM q_at
+       |  )
+       |  SELECT w.bkey, w.step
+       |  FROM w JOIN best b ON b.bkey = w.bkey AND b.step = w.step
+       |                    AND b.brnk = 1
+       |  JOIN q_at mine ON mine.bkey = w.bkey AND mine.step = w.step
+       |                AND mine.name = w.codec
+       |  WHERE NOT w.explored AND w.codec <> b.name
+       |    AND abs(mine.q - b.q) > 1e-6
+       |) v""".stripMargin
   }
 
   /** 4-char-gram set CTE matching the dedup_ngram oracle's definition. */
