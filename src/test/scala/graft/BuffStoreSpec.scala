@@ -172,6 +172,24 @@ class BuffStoreSpec extends AnyFunSuite with SparkTest {
       .select(col("signal_id"), col("seq_no"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotR == wantR)
+
+    // the outlier-coded layout survives the disk roundtrip: NULLs land in
+    // Parquet definition levels, the dictionary is its own tiny table,
+    // and the read-back store serves the same sums and ranges
+    val root = Files.createTempDirectory("graft-buff-out").toString
+    BuffStore.write(enc, s"$root/planes")
+    BuffStore.write(maj, s"$root/dict")
+    val encBack = BuffStore.read(spark, s"$root/planes")
+    val majBack = BuffStore.read(spark, s"$root/dict")
+    assert(encBack.filter(col("signal_id") === 0L && col("p2").isNotNull)
+      .count() == 2L, "exception NULLs lost in the parquet roundtrip")
+    val gotBack = BuffStore.sumFromOutlierPlanes(encBack, majBack, b, N)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotBack == want)
+    val gotRBack = BuffStore.rangeProgressive(
+        BuffStore.restore(encBack, majBack, N), b, N, 1003L, 2010L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotRBack == wantR)
   }
 
   test("planesFor sizes the plane count from the domain width") {
