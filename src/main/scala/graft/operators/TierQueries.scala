@@ -101,6 +101,19 @@ object TierQueries {
       SegmentMl.knnSegments(red, testSignals = Seq(0L, 1L, 2L))
     }),
 
+    // GRAIL-reduced 1-NN (knn/mod.rs:85-308's GRAIL flavor, completing
+    // the reduced-input menu: full / PAA / FFT / GRAIL / DTW): segments
+    // reduced to their SINK kernel features against the 2-segment
+    // dictionary, ranked in the 2-d feature space. Features are the
+    // 6dp-rounded k0/k1 both engines prove exactly equal, so distances
+    // agree exactly.
+    "seg_knn_grail" -> ((s, d) => {
+      val feats = queries("seg_kernel_sink")(s, d)
+        .select(col("signal_id"), col("seg"),
+          array(col("k0"), col("k1")).as("values"))
+      SegmentMl.knnSegments(feats, testSignals = Seq(0L, 1L, 2L))
+    }),
+
     // 1-NN on FFT-REDUCED segments — the Fourier flavor of the reference's
     // reduced-input kNN menu (knn/mod.rs:85-308), completing it next to
     // the PAA and DTW flavors: each 16-point segment becomes its 8
@@ -608,6 +621,70 @@ object TierQueries {
        |)
        |$finalSelect""".stripMargin
 
+  /** Shared CTE chain computing each complete segment's 6dp-rounded
+    * SINK kernel features (k0, k1) vs the 2-segment dictionary - ends in
+    * CTE `feat`; reused by the kernel-feature oracle and the
+    * GRAIL-reduced 1-NN oracle.
+    */
+  private def sinkFeatureChainSql: String =
+    s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
+         |), d AS (
+         |  SELECT signal_id AS di, vals AS dv FROM f WHERE signal_id IN (0, 1) AND seg = 0
+         |), ks AS (SELECT unnest([0,1,2,3,28,29,30,31]) AS k),
+         |js AS (SELECT unnest(list_concat(range(0,16), range(17,32))) AS j),
+         |sx AS (
+         |  SELECT f.signal_id, f.seg, ks.k,
+         |    list_sum([f.vals[m]*cos(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS xr,
+         |    -list_sum([f.vals[m]*sin(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS xi
+         |  FROM f, ks
+         |), sd AS (
+         |  SELECT d.di, ks.k,
+         |    list_sum([d.dv[m]*cos(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS dr,
+         |    -list_sum([d.dv[m]*sin(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS dmi
+         |  FROM d, ks
+         |), nx AS (
+         |  SELECT signal_id, seg, sqrt(list_sum([v*v for v in vals])) AS nrm FROM f
+         |), nd AS (
+         |  SELECT di, sqrt(list_sum([v*v for v in dv])) AS nrm FROM d
+         |), ccxd AS (
+         |  SELECT sx.signal_id, sx.seg, sd.di, js.j,
+         |    sum((sx.xr*sd.dr + sx.xi*sd.dmi) * cos(2*pi()*js.j*sx.k/32.0)
+         |      - (sx.xi*sd.dr - sx.xr*sd.dmi) * sin(2*pi()*js.j*sx.k/32.0)) / 32.0 AS cc
+         |  FROM sx JOIN sd ON sx.k = sd.k, js
+         |  GROUP BY 1, 2, 3, 4
+         |), sumxd AS (
+         |  SELECT c.signal_id, c.seg, c.di, sum(exp(c.cc / (nx.nrm * nd.nrm))) AS se
+         |  FROM ccxd c JOIN nx USING (signal_id, seg) JOIN nd ON c.di = nd.di
+         |  GROUP BY 1, 2, 3
+         |), ccxx AS (
+         |  SELECT sx.signal_id, sx.seg, js.j,
+         |    sum((sx.xr*sx.xr + sx.xi*sx.xi) * cos(2*pi()*js.j*sx.k/32.0)) / 32.0 AS cc
+         |  FROM sx, js GROUP BY 1, 2, 3
+         |), sumxx AS (
+         |  SELECT c.signal_id, c.seg, sum(exp(c.cc / (nx.nrm * nx.nrm))) AS se
+         |  FROM ccxx c JOIN nx USING (signal_id, seg) GROUP BY 1, 2
+         |), ccdd AS (
+         |  SELECT sd.di, js.j,
+         |    sum((sd.dr*sd.dr + sd.dmi*sd.dmi) * cos(2*pi()*js.j*sd.k/32.0)) / 32.0 AS cc
+         |  FROM sd, js GROUP BY 1, 2
+         |), sumdd AS (
+         |  SELECT c.di, sum(exp(c.cc / (nd.nrm * nd.nrm))) AS se
+         |  FROM ccdd c JOIN nd USING (di) GROUP BY 1
+         |), sink AS (
+         |  SELECT x.signal_id, x.seg, x.di, x.se / sqrt(xx.se * dd.se) AS s
+         |  FROM sumxd x JOIN sumxx xx USING (signal_id, seg) JOIN sumdd dd ON x.di = dd.di
+         |), feat AS (
+         |  SELECT signal_id, seg,
+         |    round(max(CASE WHEN di = 0 THEN s END), 6) AS k0,
+         |    round(max(CASE WHEN di = 1 THEN s END), 6) AS k1
+         |  FROM sink GROUP BY 1, 2
+         |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "seg_knn_dtw" -> dtwOracleSql,
 
@@ -1062,62 +1139,34 @@ object TierQueries {
     // bitwise at 6-digit rounding (kernel semantics: reference
     // kernel.rs:326 sinkcompressed / :353 nccc_compressed)
     "seg_kernel_sink" ->
-      s"""$OracleCte, segs AS (
-         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
-         |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
-         |  FROM r GROUP BY 1, 2
-         |), f AS (
-         |  SELECT signal_id, seg, vals::DOUBLE[] AS vals FROM segs WHERE cnt = 16
-         |), d AS (
-         |  SELECT signal_id AS di, vals AS dv FROM f WHERE signal_id IN (0, 1) AND seg = 0
-         |), ks AS (SELECT unnest([0,1,2,3,28,29,30,31]) AS k),
-         |js AS (SELECT unnest(list_concat(range(0,16), range(17,32))) AS j),
-         |sx AS (
-         |  SELECT f.signal_id, f.seg, ks.k,
-         |    list_sum([f.vals[m]*cos(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS xr,
-         |    -list_sum([f.vals[m]*sin(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS xi
-         |  FROM f, ks
-         |), sd AS (
-         |  SELECT d.di, ks.k,
-         |    list_sum([d.dv[m]*cos(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS dr,
-         |    -list_sum([d.dv[m]*sin(2*pi()*(m-1)*ks.k/32.0) for m in range(1,17)]) AS dmi
-         |  FROM d, ks
-         |), nx AS (
-         |  SELECT signal_id, seg, sqrt(list_sum([v*v for v in vals])) AS nrm FROM f
-         |), nd AS (
-         |  SELECT di, sqrt(list_sum([v*v for v in dv])) AS nrm FROM d
-         |), ccxd AS (
-         |  SELECT sx.signal_id, sx.seg, sd.di, js.j,
-         |    sum((sx.xr*sd.dr + sx.xi*sd.dmi) * cos(2*pi()*js.j*sx.k/32.0)
-         |      - (sx.xi*sd.dr - sx.xr*sd.dmi) * sin(2*pi()*js.j*sx.k/32.0)) / 32.0 AS cc
-         |  FROM sx JOIN sd ON sx.k = sd.k, js
-         |  GROUP BY 1, 2, 3, 4
-         |), sumxd AS (
-         |  SELECT c.signal_id, c.seg, c.di, sum(exp(c.cc / (nx.nrm * nd.nrm))) AS se
-         |  FROM ccxd c JOIN nx USING (signal_id, seg) JOIN nd ON c.di = nd.di
-         |  GROUP BY 1, 2, 3
-         |), ccxx AS (
-         |  SELECT sx.signal_id, sx.seg, js.j,
-         |    sum((sx.xr*sx.xr + sx.xi*sx.xi) * cos(2*pi()*js.j*sx.k/32.0)) / 32.0 AS cc
-         |  FROM sx, js GROUP BY 1, 2, 3
-         |), sumxx AS (
-         |  SELECT c.signal_id, c.seg, sum(exp(c.cc / (nx.nrm * nx.nrm))) AS se
-         |  FROM ccxx c JOIN nx USING (signal_id, seg) GROUP BY 1, 2
-         |), ccdd AS (
-         |  SELECT sd.di, js.j,
-         |    sum((sd.dr*sd.dr + sd.dmi*sd.dmi) * cos(2*pi()*js.j*sd.k/32.0)) / 32.0 AS cc
-         |  FROM sd, js GROUP BY 1, 2
-         |), sumdd AS (
-         |  SELECT c.di, sum(exp(c.cc / (nd.nrm * nd.nrm))) AS se
-         |  FROM ccdd c JOIN nd USING (di) GROUP BY 1
-         |), sink AS (
-         |  SELECT x.signal_id, x.seg, x.di, x.se / sqrt(xx.se * dd.se) AS s
-         |  FROM sumxd x JOIN sumxx xx USING (signal_id, seg) JOIN sumdd dd ON x.di = dd.di
+      s"""$sinkFeatureChainSql
+         |SELECT signal_id, seg, k0, k1 FROM feat""".stripMargin,
+
+    // GRAIL-reduced 1-NN (the reference kNN harness's GRAIL flavor,
+    // knn/mod.rs:85-308): each segment reduced to its SINK kernel
+    // features against the 2-segment dictionary, then the same
+    // deterministic ranking as seg_knn in the 2-d feature space. The
+    // features are the 6dp-rounded k0/k1 BOTH engines already prove
+    // exactly equal (seg_kernel_sink), so the distances agree exactly.
+    "seg_knn_grail" ->
+      s"""$sinkFeatureChainSql, t AS (
+         |  SELECT signal_id AS test_sig, seg AS test_seg, k0 AS tk0, k1 AS tk1
+         |  FROM feat WHERE signal_id IN (0, 1, 2)
+         |), tr AS (
+         |  SELECT signal_id AS train_sig, seg AS train_seg, k0 AS rk0, k1 AS rk1
+         |  FROM feat WHERE signal_id NOT IN (0, 1, 2)
+         |), sdist AS (
+         |  SELECT test_sig, test_seg, train_sig, train_seg,
+         |    round(sqrt((tk0 - rk0) * (tk0 - rk0) + (tk1 - rk1) * (tk1 - rk1)), 6) AS dist
+         |  FROM t, tr
+         |), rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY test_sig, test_seg
+         |    ORDER BY dist, train_sig, train_seg) AS rnk
+         |  FROM sdist
          |)
-         |SELECT signal_id, seg,
-         |  round(max(CASE WHEN di = 0 THEN s END), 6) AS k0,
-         |  round(max(CASE WHEN di = 1 THEN s END), 6) AS k1
-         |FROM sink GROUP BY 1, 2""".stripMargin,
+         |SELECT test_sig, test_seg, train_sig AS pred_sig, dist
+         |FROM rk WHERE rnk = 1""".stripMargin,
 
     // payload bytes are the UTF-8 encoding of `text`; the testdata corpus is
     // pure ASCII (asserted in MultimodalSpec), so unicode(char) == byte and
