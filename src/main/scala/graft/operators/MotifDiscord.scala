@@ -194,6 +194,44 @@ object MotifDiscord {
     }
   }
 
+  /** Top-k closest pairs per signal (ranked by (dist, seg_a, seg_b)) —
+    * the k-motif result shape. Exactness of the pruned route needs a
+    * threshold covering the k-th closest pair: the k smallest ADJACENT
+    * distances are themselves k valid pairs, so the true k-th closest
+    * pair distance is <= the k-th smallest adjacent distance — that
+    * order statistic (one small per-signal window over the O(m) adjacent
+    * pairs) is the per-signal T. Output adds the rank column.
+    */
+  def motifTopK(segs: DataFrame, k: Int,
+                pruneAbove: Int = PruneAbove): DataFrame = {
+    val sc = segs.localCheckpoint()
+    val pairs =
+      if (maxSegments(sc) <= pruneAbove) naivePairs(sc)
+      else {
+        val wAdj = Window.partitionBy(col("signal_id"))
+          .orderBy(col("adj_d").asc)
+        // a signal with FEWER than k adjacent pairs (m <= k) has no valid
+        // k-th-order bound — keep all its pairs via an effectively
+        // infinite threshold (MaxValue/8 so the 4*t comparison cannot
+        // overflow); such signals have at most k*(k+1)/2 pairs total
+        val thresh = adjacentPairs(sc)
+          .withColumn("arnk", row_number().over(wAdj))
+          .filter(col("arnk") <= k)
+          .groupBy(col("signal_id"))
+          .agg(max(col("adj_d")).as("tk"), count(lit(1)).as("na"))
+          .select(col("signal_id"),
+            when(col("na") < k, lit(Long.MaxValue / 8))
+              .otherwise(col("tk")).as("t"))
+        candidatePairs(sc, thresh)
+      }
+    val w = Window.partitionBy(col("signal_id"))
+      .orderBy(col("d").asc, col("seg_a"), col("seg_b"))
+    pairs.where(col("seg_a") < col("seg_b"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("signal_id"), col("seg_a"), col("seg_b"),
+        col("d").as("dist_q"), col("rnk"))
+  }
+
   /** Per signal, the exactly-closest pair of complete segments (ties
     * broken by (seg_a, seg_b)). Output: signal_id, seg_a, seg_b, dist_q —
     * identical to the all-pairs join.

@@ -195,6 +195,12 @@ object TierQueries {
     "seg_motif" -> ((s, d) =>
       MotifDiscord.motif(Segments.completeQuantized(r(s, d)))),
 
+    // top-3 motifs per signal (the k-motif result shape): the pruned
+    // route's threshold is the k-th smallest ADJACENT distance — itself
+    // the distance of k valid pairs, so it bounds the k-th closest pair
+    "seg_motif_topk" -> ((s, d) =>
+      MotifDiscord.motifTopK(Segments.completeQuantized(r(s, d)), k = 3)),
+
     // the full matrix profile (Yeh et al. ICDM'16, segment granularity):
     // every segment's exact NN distance — the anomaly/repetition signal
     // the discord/motif queries are the argmax/argmin of. Same routed
@@ -780,6 +786,27 @@ object TierQueries {
          |  FROM nnd
          |)
          |SELECT signal_id, seg, nnd_q, rnk FROM rk WHERE rnk <= 3""".stripMargin,
+
+    "seg_motif_topk" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
+         |), pr AS (
+         |  SELECT a.signal_id, a.seg AS seg_a, b.seg_b,
+         |         CAST($sqDistQSql AS BIGINT) AS dist_q
+         |  FROM (SELECT signal_id, seg, qv AS qa FROM f) a
+         |  JOIN (SELECT signal_id, seg AS seg_b, qv AS qb FROM f) b
+         |    USING (signal_id)
+         |  WHERE a.seg < b.seg_b
+         |), rk AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY signal_id ORDER BY dist_q, seg_a, seg_b) AS INT) AS rnk
+         |  FROM pr
+         |)
+         |SELECT signal_id, seg_a, seg_b, dist_q, rnk FROM rk WHERE rnk <= 3""".stripMargin,
 
     "seg_motif" ->
       s"""$OracleCte, segs AS (

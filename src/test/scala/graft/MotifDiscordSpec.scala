@@ -112,6 +112,24 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
       .filter(col("count") > 3).count() == 0)
     assert(sorted(topk.filter(col("rnk") === 1).drop("rnk")) ==
       sorted(MotifDiscord.discord(segs)))
+    // top-k motifs: both routes equal the brute ranked pairs, including
+    // tiny signals where the k-th-order adjacent bound doesn't exist
+    val bruteTopM = {
+      val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
+        col("qvals").as("qa"))
+      val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
+        col("qvals").as("qb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("signal_id"))
+        .orderBy(col("dist_q").asc, col("seg_a"), col("seg_b"))
+      a.join(b, Seq("signal_id")).where(col("seg_a") < col("seg_b"))
+        .select(col("signal_id"), col("seg_a"), col("seg_b"),
+          sqDistQ(col("qa"), col("qb")).as("dist_q"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    }
+    assert(sorted(MotifDiscord.motifTopK(segs, k = 3)) == sorted(bruteTopM))
+    assert(sorted(MotifDiscord.motifTopK(segs, k = 3, pruneAbove = 0)) ==
+      sorted(bruteTopM))
   }
 
   test("edge cases: single-segment signals drop; tied distances break by seg") {
