@@ -43,15 +43,25 @@ object CodecStore {
       "double" -> readings.select(col("signal_id"), col("seq_no"), col("value")),
       "fixed_q" -> readings.select(col("signal_id"), col("seq_no"), col("value_q")),
       "delta_q" -> deltas)
-    val rows = for {
-      (repr, df) <- reprs
-      codec <- Codecs
-    } yield {
+    // the matrix is ~20 independent single-partition write jobs; submit
+    // them concurrently (Spark schedules concurrent jobs fine) so the
+    // measurement's wall time is bounded by the slowest write, not the
+    // sum — byte accounting is per-directory and unaffected by order
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def measured(repr: String, codec: String, df: DataFrame)
+        : Future[(String, String, Long)] = Future {
       val out = base.resolve(s"$repr-$codec")
       df.coalesce(1).write.mode("overwrite")
         .option("compression", codec).parquet(out.toString)
       (codec, repr, dirBytes(out))
     }
+    val rowsF = Future.sequence(for {
+      (repr, df) <- reprs
+      codec <- Codecs
+    } yield measured(repr, codec, df))
     // native per-segment codecs (Gorilla XOR / Sprintz delta-zigzag, see
     // graft.functions.CodecExpressions): payload bytes = sum of encoded
     // segment lengths — the reference's own CR accounting
@@ -78,19 +88,23 @@ object CodecStore {
     val baseQ = readings.agg(min(col("value_q"))).first().getLong(0)
     val pl = BuffStore.planes(readings, baseQ, 3)
     val (enc, maj) = BuffStore.outlierEncode(pl, 3)
-    val planeRows = for (codec <- Seq("uncompressed", "zstd")) yield {
-      val d1 = base.resolve(s"buff_planes-$codec")
-      pl.coalesce(1).write.mode("overwrite")
-        .option("compression", codec).parquet(d1.toString)
-      val d2 = base.resolve(s"buff_outlier-$codec")
-      enc.coalesce(1).write.mode("overwrite")
-        .option("compression", codec).parquet(d2.toString)
-      val d3 = base.resolve(s"buff_outlier_dict-$codec")
-      maj.coalesce(1).write.mode("overwrite")
-        .option("compression", codec).parquet(d3.toString)
-      Seq((codec, "buff_planes", dirBytes(d1)),
-        (codec, "buff_outlier", dirBytes(d2) + dirBytes(d3)))
-    }
+    val planeRowsF = Future.sequence(
+      for (codec <- Seq("uncompressed", "zstd")) yield Future {
+        val d1 = base.resolve(s"buff_planes-$codec")
+        pl.coalesce(1).write.mode("overwrite")
+          .option("compression", codec).parquet(d1.toString)
+        val d2 = base.resolve(s"buff_outlier-$codec")
+        enc.coalesce(1).write.mode("overwrite")
+          .option("compression", codec).parquet(d2.toString)
+        val d3 = base.resolve(s"buff_outlier_dict-$codec")
+        maj.coalesce(1).write.mode("overwrite")
+          .option("compression", codec).parquet(d3.toString)
+        Seq((codec, "buff_planes", dirBytes(d1)),
+          (codec, "buff_outlier", dirBytes(d2) + dirBytes(d3)))
+      })
+    val rows = Await.result(rowsF, Duration.Inf)
+    val planeRows = Await.result(planeRowsF, Duration.Inf)
+    pool.shutdown()
     val allRows = rows ++ planeRows.flatten ++ Seq(
       ("native", "gorilla_seg", nativeRows.getLong(0)),
       ("native", "sprintz_seg", nativeRows.getLong(1)),
