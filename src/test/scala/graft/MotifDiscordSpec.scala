@@ -132,6 +132,31 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
       sorted(bruteTopM))
   }
 
+  test("plan shapes: pruned enumeration is keyed equi-joins, never a cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val segs = spreadFixture(50)
+    val thresh = MotifDiscord.adjacentPairs(segs)
+      .groupBy(col("signal_id")).agg(max(col("adj_d")).as("t"))
+    // candidatePairs is construction-lazy (unlike the routed entry
+    // points, which checkpoint) — its plan is assertable directly:
+    // the grid join must be a hash/sort-merge equi-join on
+    // (signal_id, cell) and the threshold side must broadcast
+    val p = MotifDiscord.candidatePairs(segs, thresh)
+      .queryExecution.executedPlan
+    assert(helper.collect(p) { case c: CartesianProductExec => c }.isEmpty,
+      "candidatePairs plans a CartesianProduct")
+    assert(helper.collect(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "candidatePairs plans a BroadcastNestedLoopJoin")
+    assert(helper.collect(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "per-signal thresholds lost their broadcast")
+    val pa = MotifDiscord.adjacentPairs(segs).queryExecution.executedPlan
+    assert(helper.collect(pa) { case c: CartesianProductExec => c }.isEmpty &&
+      helper.collect(pa) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "adjacentPairs must join by key")
+  }
+
   test("edge cases: single-segment signals drop; tied distances break by seg") {
     import spark.implicits._
     // signal 7 has ONE complete segment -> no adjacent pair, no output row

@@ -156,6 +156,28 @@ class TierManagerSpec extends AnyFunSuite with SparkTest {
     val agg = plan.agg(max(col("cum_bytes")), sum(col("bytes_raw"))).first()
     assert(agg.getLong(0) == agg.getLong(1))
 
+    // plan shape of the distributed prefix sum: the per-partition cumsum
+    // window is keyed by pid (never a global single-partition window over
+    // the stats); the ONE unpartitioned window folds only the
+    // #partitions-row offsets table; offsets come back via broadcast
+    {
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+      val helper = new AdaptiveSparkPlanHelper {}
+      // a fresh (un-checkpointed) instance: the outer localCheckpoint in
+      // `plan` above hides the query tree behind an RDD scan
+      val p = Tiers.lruPlan(r, 4, budgetBytes = budget, errBudget = 80.0)
+        .queryExecution.executedPlan
+      val wins = helper.collect(p) { case w: WindowExec => w }
+      assert(wins.nonEmpty, "prefix-sum windows missing from the plan")
+      val global = wins.filter(_.partitionSpec.isEmpty)
+      assert(global.size <= 1,
+        s"${global.size} unpartitioned windows — stats must never globally sort")
+      assert(helper.collect(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        "offsets lost their broadcast join")
+    }
+
     // applying the plan is lossless: hot+cold raw sums plus the PAA
     // tier's EXACT chunk sums reconstruct the full fixed-point sum
     tm.applyLruPlan(r, plan, 4)
