@@ -173,5 +173,14 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     val m = MotifDiscord.motif(segs, pruneAbove = 0).collect()
     assert(m.length == 1 && m(0).getLong(0) == 8L && m(0).getLong(1) == 0L &&
       m(0).getLong(2) == 1L && m(0).getLong(3) == 0L)
+
+    // top-k motifs on a signal with FEWER adjacent pairs than k (3 segs,
+    // 2 adjacent pairs, k=3): the pruned route must take the keep-all
+    // threshold leg and still return all 3 pairs exactly
+    val tk = MotifDiscord.motifTopK(segs, k = 3, pruneAbove = 0)
+      .filter(col("signal_id") === 8L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(tk == Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)),
+      s"tiny-signal top-k wrong: $tk")
   }
 }
