@@ -168,6 +168,40 @@ object MotifDiscord {
       .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
   }
 
+  /** INCREMENTAL matrix-profile maintenance (the STAMPI idea at segment
+    * granularity): given the persisted profile of the existing segments
+    * and a batch of newly sealed segments, the updated profile needs only
+    *  - cross distances existing x new within each signal (O(m * delta)
+    *    keyed join, never the O((m+delta)^2) recompute),
+    *  - all-pairs among the delta new segments (O(delta^2), delta = one
+    *    ingest batch),
+    * folded as mins into the old nnd values: new-batch rows get
+    * min(cross, within-new); existing rows keep min(old nnd, cross).
+    * Exactly equals the batch profile over the combined segment set —
+    * MotifDiscordSpec proves it, and the seg_profile_inc query carries
+    * the full-recompute oracle.
+    */
+  def profileIncrement(existingSegs: DataFrame, existingProfile: DataFrame,
+                       newSegs: DataFrame): DataFrame = {
+    val e = existingSegs.select(col("signal_id"), col("seg").as("seg_a"),
+      col("qvals").as("qa"))
+    val n = newSegs.select(col("signal_id"), col("seg").as("seg_b"),
+      col("qvals").as("qb"))
+    val cross = e.join(n, Seq("signal_id"))
+      .select(col("signal_id"), col("seg_a"), col("seg_b"),
+        sqDistQ(col("qa"), col("qb")).as("d"))
+    // both endpoints of every cross pair receive the distance
+    val crossBoth = cross.select(col("signal_id"), col("seg_a").as("seg"), col("d"))
+      .unionByName(cross.select(col("signal_id"), col("seg_b").as("seg"), col("d")))
+    val withinNew = naivePairs(newSegs)
+      .select(col("signal_id"), col("seg_a").as("seg"), col("d"))
+    val oldRows = existingProfile
+      .select(col("signal_id"), col("seg"), col("nnd_q").as("d"))
+    oldRows.unionByName(crossBoth).unionByName(withinNew)
+      .groupBy(col("signal_id"), col("seg"))
+      .agg(min(col("d")).as("nnd_q"))
+  }
+
   /** Top-k discords per signal (HOT SAX's actual use case reports the k
     * most anomalous subsequences, not one): rank the profile by
     * (nnd_q DESC, seg). Output adds the rank column.

@@ -212,6 +212,24 @@ object TierQueries {
     "seg_discord_topk" -> ((s, d) =>
       MotifDiscord.discordTopK(Segments.completeQuantized(r(s, d)), k = 3)),
 
+    // INCREMENTAL profile maintenance proven against the full recompute:
+    // the first half of each signal's segments play the persisted
+    // profile, the second half arrive as the "new batch"; the engine
+    // path is O(m*delta) cross distances + O(delta^2) within-batch, and
+    // the oracle recomputes the whole profile from scratch — equality IS
+    // the incremental-correctness statement (STAMPI at segment
+    // granularity)
+    "seg_profile_inc" -> ((s, d) => {
+      val segs = Segments.completeQuantized(r(s, d)).localCheckpoint()
+      val cut = segs.groupBy(col("signal_id"))
+        .agg((max(col("seg")) / 2).cast("long").as("cut"))
+      val marked = segs.join(broadcast(cut), "signal_id")
+      val existing = marked.filter(col("seg") <= col("cut")).drop("cut")
+      val fresh = marked.filter(col("seg") > col("cut")).drop("cut")
+      MotifDiscord.profileIncrement(existing,
+        MotifDiscord.profile(existing), fresh)
+    }),
+
     // SAX symbolic words (Lin et al., "A Symbolic Representation of Time
     // Series", DMKD'07): z-normalize per signal from EXACT integer moments
     // (the ts_zscore decimal pattern), PAA over 4-row chunks from exact
@@ -748,6 +766,24 @@ object TierQueries {
          |  FROM nnd
          |)
          |SELECT signal_id, seg_a AS seg, nnd_q FROM rk WHERE rnk = 1""".stripMargin,
+
+    // the incremental path must equal the from-scratch profile — the
+    // oracle IS the full recompute (same SQL as seg_profile)
+    "seg_profile_inc" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
+         |)
+         |SELECT a.signal_id, a.seg AS seg,
+         |       CAST(min($sqDistQSql) AS BIGINT) AS nnd_q
+         |FROM (SELECT signal_id, seg, qv AS qa FROM f) a
+         |JOIN (SELECT signal_id, seg AS seg_b, qv AS qb FROM f) b
+         |  USING (signal_id)
+         |WHERE a.seg <> b.seg_b
+         |GROUP BY 1, 2""".stripMargin,
 
     "seg_profile" ->
       s"""$OracleCte, segs AS (

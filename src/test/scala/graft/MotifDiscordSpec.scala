@@ -132,6 +132,29 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
       sorted(bruteTopM))
   }
 
+  test("incremental profile equals the from-scratch profile on any split") {
+    val segs = Segments.completeQuantized(
+      Readings.of(spark, "/root/testdata/sf0.001")).localCheckpoint()
+    val full = sorted(MotifDiscord.profile(segs))
+    for (frac <- Seq(0.25, 0.75)) {
+      val cut = segs.groupBy(col("signal_id"))
+        .agg((max(col("seg")) * frac).cast("long").as("cut"))
+      val marked = segs.join(broadcast(cut), "signal_id")
+      val existing = marked.filter(col("seg") <= col("cut")).drop("cut")
+      val fresh = marked.filter(col("seg") > col("cut")).drop("cut")
+      val inc = MotifDiscord.profileIncrement(existing,
+        MotifDiscord.profile(existing), fresh)
+      assert(sorted(inc) == full, s"incremental diverges at split $frac")
+    }
+    // degenerate: an empty new batch must return the old profile verbatim
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long, Array[Long])]
+      .toDF("signal_id", "seg", "qvals")
+    val same = MotifDiscord.profileIncrement(segs,
+      MotifDiscord.profile(segs), none)
+    assert(sorted(same) == full)
+  }
+
   test("plan shapes: pruned enumeration is keyed equi-joins, never a cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
