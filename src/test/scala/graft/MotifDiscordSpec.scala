@@ -153,6 +153,19 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     val same = MotifDiscord.profileIncrement(segs,
       MotifDiscord.profile(segs), none)
     assert(sorted(same) == full)
+
+    // CHAINED increments (the streaming usage: one call per sealed
+    // micro-batch) reach the same fixpoint as the batch recompute
+    val thirds = segs.withColumn("b",
+      (col("seg") % 3).cast("int")).localCheckpoint()
+    val b0 = thirds.filter(col("b") === 0).drop("b")
+    val b1 = thirds.filter(col("b") === 1).drop("b")
+    val b2 = thirds.filter(col("b") === 2).drop("b")
+    val p0 = MotifDiscord.profile(b0)
+    val p1 = MotifDiscord.profileIncrement(b0, p0, b1)
+    val p2 = MotifDiscord.profileIncrement(
+      b0.unionByName(b1), p1, b2)
+    assert(sorted(p2) == full, "chained increments diverge from batch")
   }
 
   test("plan shapes: pruned enumeration is keyed equi-joins, never a cartesian") {
