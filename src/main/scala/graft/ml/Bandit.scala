@@ -307,7 +307,15 @@ object Bandit {
 
   /** Oracle for [[egreedyReplay]]. `oracleCte` must already start
     * `WITH RECURSIVE` (the caller rewrites the readings prefix). */
-  def egreedyReplaySql(oracleCte: String): String = walkSql(
+  def egreedyReplaySql(oracleCte: String): String =
+    walkSql(compressStepsCte(oracleCte), CompressArms)
+
+  /** Non-recursive rewards chain for the compression bandit — ends in
+    * CTE `steps(step, r0..r4)`. Linear SQL, so the sf0.1 invariant
+    * checker can recompute every step's reward menu without the
+    * recursive walk (ScaleInvariants).
+    */
+  private[graft] def compressStepsCte(oracleCte: String): String =
     s"""$oracleCte, segrows AS (
        |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg, value_q,
        |         value_q - lag(value_q) OVER (
@@ -325,7 +333,7 @@ object Bandit {
        |         64.0 / (length(bin(2 * greatest(2, CAST(ceil(p95) AS BIGINT)) - 1)) + 1) AS r2,
        |         CAST(4.0 AS DOUBLE) AS r3, CAST(4.0 AS DOUBLE) AS r4
        |  FROM agg
-       |)""".stripMargin, CompressArms)
+       |)""".stripMargin
 
   // ---------------------------------------------------------------------
   // recoding bandit (MABrecoding_daemon.rs + buffer_pool.rs:940-1260)
@@ -479,8 +487,10 @@ object Bandit {
     walkSql(recodeStepsCte(oracleCte, banded = false), RecodeArms)
 
   /** Shared rewards CTE chain for the recode oracles: ends with a CTE
-    * `steps([band,] step, r0..r5)`. */
-  private def recodeStepsCte(oracleCte: String, banded: Boolean): String = {
+    * `steps([band,] step, r0..r6)`. Non-recursive — also reused by the
+    * sf0.1 invariant checker to verify reward values without the walk
+    * (ScaleInvariants). */
+  private[graft] def recodeStepsCte(oracleCte: String, banded: Boolean): String = {
     val bandCol =
       if (banded) "band," else ""
     val stepNum =

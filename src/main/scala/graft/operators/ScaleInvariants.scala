@@ -18,13 +18,18 @@ import graft.ml.{Bandit, Fixtures}
   * and must return rows (invariant VARCHAR, violations BIGINT). The check
   * passes iff every violations = 0.
   *
-  * Scope note (kept honest): these are NECESSARY conditions verifiable in
-  * one pass — per-pair exact-Jaccard soundness, CC fixpoint closure +
-  * min-labeling, keeper/anti-join set algebra, the bandit Q-update
-  * recurrence and hash gates. What they do NOT prove at sf0.1 is
-  * completeness of pair ENUMERATION (would need the all-pairs join) and
-  * CC over-merge (needs connectivity certificates); both are covered by
-  * the exact DuckDB oracles at sf0.01, where they are tractable.
+  * Scope note (kept honest): the dedup-family checks are NECESSARY
+  * conditions verifiable in one pass — per-pair exact-Jaccard soundness,
+  * CC fixpoint closure + min-labeling, keeper/anti-join set algebra.
+  * What they do NOT prove at sf0.1 is completeness of pair ENUMERATION
+  * (would need the all-pairs join) and CC over-merge (needs connectivity
+  * certificates); both are covered by the exact DuckDB oracles at
+  * sf0.01, where they are tractable. The bandit checks, by contrast, are
+  * a COMPLETE verification: the rewards chain is non-recursive (only the
+  * Q walk needed recursion), so reward values recompute linearly, the
+  * Q-update recurrence + hash gates pin every transition, and the
+  * ASOF-reconstructed argmax pins every greedy choice — together an
+  * inductive proof of the whole walk.
   */
 object ScaleInvariants {
 
@@ -98,14 +103,22 @@ object ScaleInvariants {
     * the mix32 arm pick, q_after follows the nonstationary update from the
     * SAME codec's previous q_after (or Q0). Linear, one window pass.
     */
-  private def banditSql(arms: Seq[String], banded: Boolean): String = {
+  private def banditSql(arms: Seq[String], banded: Boolean,
+                        stepsCte: String): String = {
     val bandKey = if (banded) "band" else "CAST(0 AS BIGINT)"
     val armVals = arms.zipWithIndex
       .map { case (a, i) => s"($i, '$a')" }.mkString(", ")
     val gate = Fixtures.mix32Sql("w.step", Bandit.SaltExplore)
     val pick = Fixtures.mix32Sql("w.step", Bandit.SaltArm)
     val eps = math.round(Bandit.Eps * 1000000L)
-    s"""WITH w AS (SELECT *, $bandKey AS bkey FROM spark_out),
+    val rewardCase = "CASE w.codec " + arms.zipWithIndex
+      .map { case (a, i) => s"WHEN '$a' THEN s.r$i" }.mkString(" ") +
+      " END"
+    val stepJoin =
+      if (banded) "s.step = w.step AND s.band = w.bkey"
+      else "s.step = w.step"
+    s"""$stepsCte,
+       |w AS (SELECT *, $bandKey AS bkey FROM spark_out),
        |arms(idx, name) AS (VALUES $armVals)
        |SELECT 'steps_contiguous_per_band' AS invariant,
        |  CAST(count(*) AS BIGINT) AS violations FROM (
@@ -142,6 +155,14 @@ object ScaleInvariants {
        |      PARTITION BY bkey, codec ORDER BY step), ${Bandit.Q0}) AS q_prev
        |  FROM w
        |) t
+       |UNION ALL
+       |SELECT 'reward_matches_recomputation',
+       |  -- the rewards chain is NON-recursive (only the Q walk needed
+       |  -- recursion), so every step's observed reward is recomputable
+       |  -- linearly; rewards are stored 6dp-rounded on both sides
+       |  CAST(count(*) FILTER (WHERE s.step IS NULL
+       |    OR abs(w.reward - ($rewardCase)) > 5e-6) AS BIGINT)
+       |FROM w LEFT JOIN steps s ON $stepJoin
        |UNION ALL
        |SELECT 'greedy_step_picks_argmax', CAST(count(*) AS BIGINT) FROM (
        |  -- reconstruct each arm's carried Q at every step (last q_after
@@ -260,8 +281,11 @@ object ScaleInvariants {
          |    OR k.n_tokens <> w.n_tokens) AS BIGINT)
          |FROM k JOIN want w USING (doc_id)""".stripMargin,
 
-    "ml_bandit_recode" -> banditSql(Bandit.RecodeArms, banded = false),
-    "ml_bandit_recode_band" -> banditSql(Bandit.RecodeArms, banded = true),
-    "ml_bandit_replay" -> banditSql(Bandit.CompressArms, banded = false)
+    "ml_bandit_recode" -> banditSql(Bandit.RecodeArms, banded = false,
+      Bandit.recodeStepsCte(Readings.OracleCte, banded = false)),
+    "ml_bandit_recode_band" -> banditSql(Bandit.RecodeArms, banded = true,
+      Bandit.recodeStepsCte(Readings.OracleCte, banded = true)),
+    "ml_bandit_replay" -> banditSql(Bandit.CompressArms, banded = false,
+      Bandit.compressStepsCte(Readings.OracleCte))
   )
 }
