@@ -1,0 +1,290 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, VectorFunctions}
+
+/** Distributed isolation forest (Liu/Ting/Zhou, ICDM'08) — the outlier
+  * detector the reference's lossy-ML study trains on per-segment feature
+  * vectors (`lossyML/src/file_io.rs:261-286` build_iforest /
+  * `:419` predict_iforest, via the isolation_forest crate's
+  * `Forest::new(trees, subsample)`), there to measure whether lossy tiers
+  * (PAA/FFT/GRAIL) preserve outlier structure.
+  *
+  * This is NOT a port of that crate. Two deliberate departures make the
+  * forest both distributed and exactly verifiable by a SQL oracle:
+  *
+  *  - **Hash-derived randomness.** The crate draws the split feature and
+  *    split value from an RNG; here every choice is fnv32 of a readable
+  *    key — subsample membership `is:<tree>:<id>`, split feature
+  *    `if:<tree>:<path>`, split fraction `iv:<tree>:<path>` — so the
+  *    forest is a pure function of the data and [[iforestCteSql]] can
+  *    regrow the identical forest in DuckDB (the same trick the simhash /
+  *    fingerprint oracles use, TextOps.fnv32).
+  *  - **Level-synchronous growth.** A tree level is one keyed aggregation
+  *    over the subsample (node -> count, per-feature min/max) followed by
+  *    a BROADCAST join of the tiny node table (≤ trees·2^level rows) back
+  *    onto the points — traversal is map-only, and only subsample rows
+  *    ever shuffle. Depth is bounded (default 6), so the whole forest is
+  *    `depth` small aggregations: this is the shape that survives 100 TB,
+  *    unlike per-executor recursive tree builds.
+  *
+  * Semantics per Liu et al.: a node splits on feature j = h(tree,path) mod
+  * d at split = min_j + frac·(max_j − min_j) computed over the node's
+  * SUBSAMPLE members; a node terminates when its subsample count ≤ 1, when
+  * the chosen feature is constant, or at max depth; a point exiting at
+  * depth k in a node with subsample count n scores path length k + c(n),
+  * c(n) = 2(ln(n−1)+γ) − 2(n−1)/n (the BST unsuccessful-search correction).
+  * Anomaly score = 2^(−E[path]/c̄) with c̄ the mean of c(subsample size)
+  * over trees — the paper's orientation: short average path ⇒ score near
+  * 1 ⇒ anomaly; deep paths ⇒ score ≤ 0.5 ⇒ inlier.
+  *
+  * All floating-point steps are single IEEE operations written identically
+  * in the Scala plan and the SQL oracle (both engines are IEEE-754
+  * binary64), and order-sensitive folds (the per-point sum of 8 tree path
+  * lengths, the c̄ mean) run as explicit ascending-tree list folds on both
+  * sides, so the only tolerated divergence is the final 6-dp rounding of
+  * ln/pow libm ulps — the same contract as the RBF/SINK kernel oracles.
+  */
+object IsolationForest {
+
+  /** Euler–Mascheroni constant, as both engines spell it. */
+  val Gamma = 0.5772156649015329
+
+  /** c(n) — expected unsuccessful-search path length of a BST of n nodes
+    * (Liu et al. eq. 1). Column form shared by builder and tests.
+    */
+  def cAdj(n: Column): Column =
+    when(n > 2, lit(2.0) * (log(n.cast("double") - lit(1.0)) + lit(Gamma)) -
+        lit(2.0) * (n.cast("double") - lit(1.0)) / n.cast("double"))
+      .when(n === 2, lit(1.0))
+      .otherwise(lit(0.0))
+
+  /** Same formula in DuckDB SQL. */
+  def cAdjSql(n: String): String =
+    s"CASE WHEN $n > 2 THEN 2.0 * (ln(CAST($n AS DOUBLE) - 1.0) + $Gamma) - " +
+      s"2.0 * (CAST($n AS DOUBLE) - 1.0) / CAST($n AS DOUBLE) " +
+      s"WHEN $n = 2 THEN 1.0 ELSE 0.0 END"
+
+  private def fnv(key: Column): Column =
+    call_function("graft_fnv32", key, lit(2166136261L))
+
+  /** PAA-4 feature vector per complete 16-row segment — the `read_paafile`
+    * input of the reference study (file_io.rs:60), derived from the
+    * exact fixed-point chunk sums exactly as `seg_knn_paa` derives its
+    * reduced vectors. Output: (signal_id, seg, f0..f3).
+    */
+  def paaFeatures(r: DataFrame): DataFrame =
+    graft.operators.Tiers.paaChunks(r, 4).filter(col("cnt") === 4)
+      .withColumn("seg", floor(col("chunk") / 4.0).cast("long"))
+      .withColumn("j", col("chunk") % 4)
+      .groupBy(col("signal_id"), col("seg"))
+      .agg(count(lit(1)).as("nch"),
+        (0 until 4).map(j =>
+          max(when(col("j") === j, col("chunk_mean"))).as(s"f$j")): _*)
+      .filter(col("nch") === 4)
+      .drop("nch")
+
+  /** The matching DuckDB CTE: tables `pts0(signal_id, seg, f0..f3)` from
+    * the shared readings CTE `r`.
+    */
+  val paaFeaturesCteSql: String =
+    """ch AS (
+      |  SELECT signal_id, CAST(floor((seq_no - 1) / 4.0) AS BIGINT) AS chunk,
+      |         CAST(sum(value_q) AS BIGINT) AS sq,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM r GROUP BY 1, 2
+      |), cm AS (
+      |  SELECT signal_id, chunk, CAST(floor(chunk / 4.0) AS BIGINT) AS seg,
+      |         CAST(sq AS DOUBLE) / (100.0 * CAST(cnt AS DOUBLE)) AS m
+      |  FROM ch WHERE cnt = 4
+      |), pts0 AS (
+      |  SELECT signal_id, seg,
+      |         max(CASE WHEN chunk % 4 = 0 THEN m END) AS f0,
+      |         max(CASE WHEN chunk % 4 = 1 THEN m END) AS f1,
+      |         max(CASE WHEN chunk % 4 = 2 THEN m END) AS f2,
+      |         max(CASE WHEN chunk % 4 = 3 THEN m END) AS f3
+      |  FROM cm GROUP BY 1, 2 HAVING count(*) = 4
+      |)""".stripMargin
+
+  /** Grow the forest and score every point.
+    *
+    * @param points   one row per point: `idCols` ++ `featCols` (doubles,
+    *                 non-null)
+    * @param idCols   identity of a point (hash key + output key)
+    * @param featCols feature columns (the vector the trees split on)
+    * @return one row per point: idCols ++ (avg_depth, avg_path, score) —
+    *         avg_depth is exact (integer sum / trees, trees a power of 2);
+    *         avg_path and score are 6-dp rounded.
+    */
+  def scores(points: DataFrame, idCols: Seq[String], featCols: Seq[String],
+             trees: Int = 8, depth: Int = 6, subMod: Int = 4): DataFrame = {
+    require((trees & (trees - 1)) == 0, "trees must be a power of 2 so avg_depth is exact")
+    VectorFunctions.ensureRegistered(points.sparkSession)
+    val d = featCols.length
+
+    val idKey = concat_ws(":", idCols.map(c => col(c).cast("string")): _*)
+    // one copy of every point per tree; subsample membership is hash-chosen
+    var cur = points
+      .select(explode(sequence(lit(0), lit(trees - 1))).as("tree") +:
+        (idCols ++ featCols).map(col): _*)
+      .withColumn("is_sub",
+        fnv(concat(lit("is:"), col("tree").cast("string"), lit(":"), idKey)) % subMod === 0)
+      .withColumn("path", lit(1L))
+      .withColumn("done", lit(false))
+      .withColumn("dpt", lit(0))
+      .withColumn("plen", lit(0.0))
+
+    val statAggs = count(lit(1)).as("ns") +:
+      featCols.zipWithIndex.flatMap { case (f, j) =>
+        Seq(min(col(f)).as(s"mn$j"), max(col(f)).as(s"mx$j")) }
+
+    for (level <- 0 until depth) {
+      val nodeKey = concat(col("tree").cast("string"), lit(":"), col("path").cast("string"))
+      // node decision table: ≤ trees·2^level rows — always broadcastable
+      val dec = cur.filter(!col("done") && col("is_sub"))
+        .groupBy(col("tree"), col("path"))
+        .agg(statAggs.head, statAggs.tail: _*)
+        .withColumn("hf", fnv(concat(lit("if:"), nodeKey)) % d)
+        .withColumn("mn", (0 until d).foldLeft(lit(0.0)) { (acc, j) =>
+          when(col("hf") === j, col(s"mn$j")).otherwise(acc) })
+        .withColumn("mx", (0 until d).foldLeft(lit(0.0)) { (acc, j) =>
+          when(col("hf") === j, col(s"mx$j")).otherwise(acc) })
+        .withColumn("frac",
+          fnv(concat(lit("iv:"), nodeKey)).cast("double") / lit(4294967296.0))
+        .withColumn("split", col("mn") + col("frac") * (col("mx") - col("mn")))
+        .withColumn("terminal", col("ns") <= 1 || col("mx") === col("mn"))
+        .withColumn("cterm", cAdj(col("ns")))
+        .select(col("tree"), col("path"), col("hf"), col("split"),
+          col("terminal"), col("cterm"))
+
+      // a node with no subsample members has no decision row → terminal c=0
+      val j = cur.join(broadcast(dec), Seq("tree", "path"), "left")
+      val exitNow = !col("done") && (col("terminal").isNull || col("terminal"))
+      val fChosen = featCols.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (f, jx)) =>
+        when(col("hf") === jx, col(f)).otherwise(acc) }
+      cur = j
+        .withColumn("dpt", when(exitNow, lit(level)).otherwise(col("dpt")))
+        .withColumn("plen", when(exitNow,
+          lit(level.toDouble) + coalesce(col("cterm"), lit(0.0))).otherwise(col("plen")))
+        .withColumn("path", when(col("done") || exitNow, col("path"))
+          .otherwise(col("path") * 2 + when(fChosen < col("split"), lit(0L)).otherwise(lit(1L))))
+        .withColumn("done", col("done") || exitNow)
+        .drop("hf", "split", "terminal", "cterm")
+    }
+
+    // survivors of all `depth` splits exit at max depth with c(final node ns)
+    val lastNs = cur.filter(!col("done") && col("is_sub"))
+      .groupBy(col("tree"), col("path")).agg(count(lit(1)).as("ns"))
+    val closed = cur.join(broadcast(lastNs), Seq("tree", "path"), "left")
+      .withColumn("dpt", when(col("done"), col("dpt")).otherwise(lit(depth)))
+      .withColumn("plen", when(col("done"), col("plen"))
+        .otherwise(lit(depth.toDouble) + cAdj(coalesce(col("ns"), lit(0L)))))
+
+    // c̄ — mean of c(per-tree subsample size), folded in ascending tree order
+    val cbar = cur.filter(col("is_sub"))
+      .groupBy(col("tree")).agg(count(lit(1)).as("nt"))
+      .select(col("tree"), cAdj(col("nt")).as("ct"))
+      .agg(array_sort(collect_list(struct(col("tree"), col("ct")))).as("cs"))
+      .select((aggregate(col("cs"), lit(0.0),
+        (a, x) => a + x.getField("ct")) / trees).as("cbar"))
+
+    // per-point fold of the `trees` path lengths in ascending tree order
+    closed.groupBy(idCols.map(col): _*)
+      .agg(sum(col("dpt")).cast("long").as("sd"),
+        array_sort(collect_list(struct(col("tree"), col("plen")))).as("ps"))
+      .select(idCols.map(col) :+
+        (col("sd").cast("double") / trees).as("avg_depth") :+
+        (aggregate(col("ps"), lit(0.0), (a, x) => a + x.getField("plen")) / trees)
+          .as("ap"): _*)
+      .crossJoin(broadcast(cbar))
+      .select(idCols.map(col) :+ col("avg_depth") :+
+        round(col("ap"), 6).as("avg_path") :+
+        round(pow(lit(2.0), -col("ap") / col("cbar")), 6).as("score"): _*)
+  }
+
+  /** DuckDB oracle regrowing the identical forest level by level from a
+    * CTE `pts0` providing (idCols..., feature columns...). Produces a CTE
+    * chain ending in table `ifout(idCols..., avg_depth, avg_path, score)`.
+    * Every arithmetic step mirrors [[scores]] operation for operation.
+    */
+  def oracleCteSql(idColsSql: Seq[String], featCols: Seq[String],
+                   trees: Int = 8, depth: Int = 6, subMod: Int = 4): String = {
+    val d = featCols.length
+    val ids = idColsSql.mkString(", ")
+    val feats = featCols.mkString(", ")
+    val idKey = idColsSql.map(c => s"CAST($c AS VARCHAR)").mkString(" || ':' || ")
+    def nodeKey(p: String) = s"CAST(tree AS VARCHAR) || ':' || CAST($p AS VARCHAR)"
+    val statCols = (s"CAST(count(*) AS BIGINT) AS ns" +:
+      featCols.zipWithIndex.flatMap { case (f, j) =>
+        Seq(s"min($f) AS mn$j", s"max($f) AS mx$j") }).mkString(",\n      ")
+    def pick(p: String, cols: Int => String) =
+      s"CASE hf ${(0 until d).map(j => s"WHEN $j THEN ${cols(j)}").mkString(" ")} END"
+
+    val levels = (0 until depth).map { k =>
+      s"""st$k AS (
+         |  SELECT tree, path, $statCols
+         |  FROM l$k WHERE NOT done AND is_sub GROUP BY 1, 2
+         |), dec$k AS (
+         |  SELECT tree, path, hf,
+         |    @PICKMN@ AS mn, @PICKMX@ AS mx, frac,
+         |    ns, (ns <= 1 OR @PICKMX@ = @PICKMN@) AS terminal
+         |  FROM (
+         |    SELECT *, ${TextOps.fnv32Sql(s"'if:' || ${nodeKey("path")}")} % $d AS hf,
+         |      CAST(${TextOps.fnv32Sql(s"'iv:' || ${nodeKey("path")}")} AS DOUBLE) / 4294967296.0 AS frac
+         |    FROM st$k)
+         |), l${k + 1} AS (
+         |  SELECT tree, $ids, $feats, is_sub,
+         |    CASE WHEN l.done OR dd.terminal IS NULL OR dd.terminal THEN l.path
+         |         ELSE l.path * 2 + (CASE WHEN (@PICKF@) < (dd.mn + dd.frac * (dd.mx - dd.mn)) THEN 0 ELSE 1 END)
+         |    END AS path,
+         |    (l.done OR dd.terminal IS NULL OR dd.terminal) AS done,
+         |    CASE WHEN l.done THEN l.dpt
+         |         WHEN dd.terminal IS NULL OR dd.terminal THEN $k ELSE l.dpt END AS dpt,
+         |    CASE WHEN l.done THEN l.plen
+         |         WHEN dd.terminal IS NULL OR dd.terminal
+         |           THEN $k.0 + coalesce(${cAdjSql("dd.ns")}, 0.0)
+         |         ELSE l.plen END AS plen
+         |  FROM l$k l LEFT JOIN dec$k dd USING (tree, path)
+         |)"""
+        .stripMargin
+        .replace("@PICKMX@", pick("path", j => s"mx$j"))
+        .replace("@PICKF@", pick("path", j => featCols(j)))
+        .replace("@PICKMN@", pick("path", j => s"mn$j"))
+    }.mkString(",\n")
+
+    s"""pts AS (
+       |  SELECT t.tree, $ids, $feats,
+       |    (${TextOps.fnv32Sql(s"'is:' || CAST(t.tree AS VARCHAR) || ':' || $idKey")} % $subMod = 0) AS is_sub
+       |  FROM pts0 CROSS JOIN (SELECT unnest(range($trees)) AS tree) t
+       |), l0 AS (
+       |  SELECT tree, $ids, $feats, is_sub,
+       |    CAST(1 AS BIGINT) AS path, FALSE AS done, 0 AS dpt, 0.0 AS plen
+       |  FROM pts
+       |),
+       |$levels,
+       |stD AS (
+       |  SELECT tree, path, CAST(count(*) AS BIGINT) AS ns
+       |  FROM l$depth WHERE NOT done AND is_sub GROUP BY 1, 2
+       |), closed AS (
+       |  SELECT l.tree, $ids,
+       |    CASE WHEN l.done THEN l.dpt ELSE $depth END AS dpt,
+       |    CASE WHEN l.done THEN l.plen
+       |         ELSE $depth.0 + ${cAdjSql("coalesce(sd.ns, 0)")} END AS plen
+       |  FROM l$depth l LEFT JOIN stD sd USING (tree, path)
+       |), cb AS (
+       |  SELECT list_reduce(list_prepend(0.0, list(ct ORDER BY tree)),
+       |           (a, x) -> a + x) / $trees AS cbar
+       |  FROM (SELECT tree, ${cAdjSql("count(*)")} AS ct
+       |        FROM pts WHERE is_sub GROUP BY tree)
+       |), ifout AS (
+       |  SELECT $ids,
+       |    CAST(sum(dpt) AS DOUBLE) / $trees AS avg_depth,
+       |    round(list_reduce(list_prepend(0.0, list(plen ORDER BY tree)),
+       |            (a, x) -> a + x) / $trees, 6) AS avg_path,
+       |    round(pow(2.0, -(list_reduce(list_prepend(0.0, list(plen ORDER BY tree)),
+       |            (a, x) -> a + x) / $trees) / (SELECT cbar FROM cb)), 6) AS score
+       |  FROM closed GROUP BY $ids
+       |)""".stripMargin
+  }
+}

@@ -97,7 +97,23 @@ object MlQueries {
     // bucketed candidate join, min-label components; exactly reproducible
     // in SQL (all-pairs is fine at oracle scale, never on the engine side)
     "ml_dbscan" -> ((s, _) =>
-      Dbscan.dbscan(Dbscan.fixture(s), eps = 5.0, minPts = 4))
+      Dbscan.dbscan(Dbscan.fixture(s), eps = 5.0, minPts = 4)),
+
+    // M4b: deterministic isolation forest over PAA-4 segment features —
+    // the reference lossy-ML study's outlier detector
+    // (lossyML/src/file_io.rs:261 build_iforest), hash-derandomized so
+    // the oracle regrows the identical forest
+    "ml_iforest" -> ((s, d) =>
+      IsolationForest.scores(IsolationForest.paaFeatures(Readings.of(s, d)),
+        Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"))),
+
+    // the serving shape: top-20 anomalies by score (deterministic
+    // tiebreak), the rows an operator would actually page through
+    "ml_iforest_top" -> ((s, d) =>
+      IsolationForest.scores(IsolationForest.paaFeatures(Readings.of(s, d)),
+        Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"))
+        .orderBy(col("score").desc, col("signal_id"), col("seg"))
+        .limit(20))
   )
 
   // the outlier fixture's mixer is plain 63-bit-safe integer arithmetic
@@ -173,6 +189,19 @@ object MlQueries {
          |SELECT p.id,
          |  CAST(coalesce(cl.cluster, border.cluster, -1) AS BIGINT) AS cluster,
          |  (cl.id IS NOT NULL) AS is_core
-         |FROM p LEFT JOIN cl USING (id) LEFT JOIN border USING (id)""".stripMargin
+         |FROM p LEFT JOIN cl USING (id) LEFT JOIN border USING (id)""".stripMargin,
+
+    // the forest regrown level-by-level in SQL (IsolationForest.oracleCteSql
+    // mirrors every IEEE step of the builder)
+    "ml_iforest" ->
+      s"""${Readings.OracleCte}, ${IsolationForest.paaFeaturesCteSql},
+         |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"))}
+         |SELECT signal_id, seg, avg_depth, avg_path, score FROM ifout""".stripMargin,
+
+    "ml_iforest_top" ->
+      s"""${Readings.OracleCte}, ${IsolationForest.paaFeaturesCteSql},
+         |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"))}
+         |SELECT signal_id, seg, avg_depth, avg_path, score FROM ifout
+         |ORDER BY score DESC, signal_id, seg LIMIT 20""".stripMargin
   )
 }
