@@ -107,6 +107,27 @@ object IsolationForest {
       |  FROM cm GROUP BY 1, 2 HAVING count(*) = 4
       |)""".stripMargin
 
+  /** Raw 16-sample feature vector per complete segment — the study's
+    * uncompressed baseline (file_io.rs:20 read_csvfile reads the full
+    * vectors the lossy variants are judged against).
+    */
+  def rawFeatures(r: DataFrame): DataFrame =
+    graft.operators.Segments.complete(r)
+      .select(col("signal_id") +: col("seg") +:
+        (0 until 16).map(i => element_at(col("values"), i + 1).as(s"f$i")): _*)
+
+  /** The matching DuckDB CTE: `<prefix>pts0(signal_id, seg, f0..f15)`. */
+  def rawFeaturesCteSql(prefix: String): String =
+    s"""${prefix}segs AS (
+       |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+       |         list(value ORDER BY seq_no) AS vals, count(*) AS cnt
+       |  FROM r GROUP BY 1, 2
+       |), ${prefix}pts0 AS (
+       |  SELECT signal_id, seg,
+       |         ${(0 until 16).map(i => s"vals[${i + 1}] AS f$i").mkString(", ")}
+       |  FROM ${prefix}segs WHERE cnt = 16
+       |)""".stripMargin
+
   /** Grow the forest and score every point.
     *
     * @param points   one row per point: `idCols` ++ `featCols` (doubles,
@@ -209,7 +230,9 @@ object IsolationForest {
     * Every arithmetic step mirrors [[scores]] operation for operation.
     */
   def oracleCteSql(idColsSql: Seq[String], featCols: Seq[String],
-                   trees: Int = 8, depth: Int = 6, subMod: Int = 4): String = {
+                   trees: Int = 8, depth: Int = 6, subMod: Int = 4,
+                   prefix: String = ""): String = {
+    val P = prefix
     val d = featCols.length
     val ids = idColsSql.mkString(", ")
     val feats = featCols.mkString(", ")
@@ -222,18 +245,18 @@ object IsolationForest {
       s"CASE hf ${(0 until d).map(j => s"WHEN $j THEN ${cols(j)}").mkString(" ")} END"
 
     val levels = (0 until depth).map { k =>
-      s"""st$k AS (
+      s"""${P}st$k AS (
          |  SELECT tree, path, $statCols
-         |  FROM l$k WHERE NOT done AND is_sub GROUP BY 1, 2
-         |), dec$k AS (
+         |  FROM ${P}l$k WHERE NOT done AND is_sub GROUP BY 1, 2
+         |), ${P}dec$k AS (
          |  SELECT tree, path, hf,
          |    @PICKMN@ AS mn, @PICKMX@ AS mx, frac,
          |    ns, (ns <= 1 OR @PICKMX@ = @PICKMN@) AS terminal
          |  FROM (
          |    SELECT *, ${TextOps.fnv32Sql(s"'if:' || ${nodeKey("path")}")} % $d AS hf,
          |      CAST(${TextOps.fnv32Sql(s"'iv:' || ${nodeKey("path")}")} AS DOUBLE) / 4294967296.0 AS frac
-         |    FROM st$k)
-         |), l${k + 1} AS (
+         |    FROM ${P}st$k)
+         |), ${P}l${k + 1} AS (
          |  SELECT tree, $ids, $feats, is_sub,
          |    CASE WHEN l.done OR dd.terminal IS NULL OR dd.terminal THEN l.path
          |         ELSE l.path * 2 + (CASE WHEN (@PICKF@) < (dd.mn + dd.frac * (dd.mx - dd.mn)) THEN 0 ELSE 1 END)
@@ -245,7 +268,7 @@ object IsolationForest {
          |         WHEN dd.terminal IS NULL OR dd.terminal
          |           THEN $k.0 + coalesce(${cAdjSql("dd.ns")}, 0.0)
          |         ELSE l.plen END AS plen
-         |  FROM l$k l LEFT JOIN dec$k dd USING (tree, path)
+         |  FROM ${P}l$k l LEFT JOIN ${P}dec$k dd USING (tree, path)
          |)"""
         .stripMargin
         .replace("@PICKMX@", pick("path", j => s"mx$j"))
@@ -253,38 +276,38 @@ object IsolationForest {
         .replace("@PICKMN@", pick("path", j => s"mn$j"))
     }.mkString(",\n")
 
-    s"""pts AS (
+    s"""${P}pts AS (
        |  SELECT t.tree, $ids, $feats,
        |    (${TextOps.fnv32Sql(s"'is:' || CAST(t.tree AS VARCHAR) || ':' || $idKey")} % $subMod = 0) AS is_sub
-       |  FROM pts0 CROSS JOIN (SELECT unnest(range($trees)) AS tree) t
-       |), l0 AS (
+       |  FROM ${P}pts0 CROSS JOIN (SELECT unnest(range($trees)) AS tree) t
+       |), ${P}l0 AS (
        |  SELECT tree, $ids, $feats, is_sub,
        |    CAST(1 AS BIGINT) AS path, FALSE AS done, 0 AS dpt, 0.0 AS plen
-       |  FROM pts
+       |  FROM ${P}pts
        |),
        |$levels,
-       |stD AS (
+       |${P}stD AS (
        |  SELECT tree, path, CAST(count(*) AS BIGINT) AS ns
-       |  FROM l$depth WHERE NOT done AND is_sub GROUP BY 1, 2
-       |), closed AS (
+       |  FROM ${P}l$depth WHERE NOT done AND is_sub GROUP BY 1, 2
+       |), ${P}closed AS (
        |  SELECT l.tree, $ids,
        |    CASE WHEN l.done THEN l.dpt ELSE $depth END AS dpt,
        |    CASE WHEN l.done THEN l.plen
        |         ELSE $depth.0 + ${cAdjSql("coalesce(sd.ns, 0)")} END AS plen
-       |  FROM l$depth l LEFT JOIN stD sd USING (tree, path)
-       |), cb AS (
+       |  FROM ${P}l$depth l LEFT JOIN ${P}stD sd USING (tree, path)
+       |), ${P}cb AS (
        |  SELECT list_reduce(list_prepend(0.0, list(ct ORDER BY tree)),
        |           (a, x) -> a + x) / $trees AS cbar
        |  FROM (SELECT tree, ${cAdjSql("count(*)")} AS ct
-       |        FROM pts WHERE is_sub GROUP BY tree)
-       |), ifout AS (
+       |        FROM ${P}pts WHERE is_sub GROUP BY tree)
+       |), ${P}ifout AS (
        |  SELECT $ids,
        |    CAST(sum(dpt) AS DOUBLE) / $trees AS avg_depth,
        |    round(list_reduce(list_prepend(0.0, list(plen ORDER BY tree)),
        |            (a, x) -> a + x) / $trees, 6) AS avg_path,
        |    round(pow(2.0, -(list_reduce(list_prepend(0.0, list(plen ORDER BY tree)),
-       |            (a, x) -> a + x) / $trees) / (SELECT cbar FROM cb)), 6) AS score
-       |  FROM closed GROUP BY $ids
+       |            (a, x) -> a + x) / $trees) / (SELECT cbar FROM ${P}cb)), 6) AS score
+       |  FROM ${P}closed GROUP BY $ids
        |)""".stripMargin
   }
 }

@@ -113,7 +113,25 @@ object MlQueries {
       IsolationForest.scores(IsolationForest.paaFeatures(Readings.of(s, d)),
         Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"))
         .orderBy(col("score").desc, col("signal_id"), col("seg"))
-        .limit(20))
+        .limit(20)),
+
+    // the lossyML experiment itself (file_io.rs:261-517: iForest trained
+    // on raw vs PAA-reduced vectors, labels compared): top-20 anomaly
+    // overlap between the raw 16-dim forest and the PAA-4 forest — does
+    // the lossy tier preserve outlier structure?
+    "ml_iforest_lossy_agree" -> ((s, d) => {
+      val rr = Readings.of(s, d)
+      def top(df: org.apache.spark.sql.DataFrame, fc: Seq[String]) =
+        IsolationForest.scores(df, Seq("signal_id", "seg"), fc)
+          .orderBy(col("score").desc, col("signal_id"), col("seg"))
+          .limit(20).select(col("signal_id"), col("seg"))
+      top(IsolationForest.paaFeatures(rr), Seq("f0", "f1", "f2", "f3"))
+        .join(top(IsolationForest.rawFeatures(rr), (0 until 16).map(i => s"f$i")),
+          Seq("signal_id", "seg"))
+        .agg(count(lit(1)).cast("long").as("overlap"))
+        .select(lit(20L).as("k"), col("overlap"),
+          (col("overlap").cast("double") / 20.0).as("agree_frac"))
+    })
   )
 
   // the outlier fixture's mixer is plain 63-bit-safe integer arithmetic
@@ -202,6 +220,26 @@ object MlQueries {
       s"""${Readings.OracleCte}, ${IsolationForest.paaFeaturesCteSql},
          |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"))}
          |SELECT signal_id, seg, avg_depth, avg_path, score FROM ifout
-         |ORDER BY score DESC, signal_id, seg LIMIT 20""".stripMargin
+         |ORDER BY score DESC, signal_id, seg LIMIT 20""".stripMargin,
+
+    // both forests regrown (PAA-4 default-prefixed, raw 16-dim r_-prefixed),
+    // then the same deterministic top-20 intersection
+    "ml_iforest_lossy_agree" ->
+      s"""${Readings.OracleCte}, ${IsolationForest.paaFeaturesCteSql},
+         |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"))},
+         |${IsolationForest.rawFeaturesCteSql("r_")},
+         |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"), (0 until 16).map(i => s"f$i"), prefix = "r_")},
+         |ptop AS (
+         |  SELECT signal_id, seg FROM ifout
+         |  ORDER BY score DESC, signal_id, seg LIMIT 20
+         |), rtop AS (
+         |  SELECT signal_id, seg FROM r_ifout
+         |  ORDER BY score DESC, signal_id, seg LIMIT 20
+         |), ov AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS overlap
+         |  FROM ptop JOIN rtop USING (signal_id, seg)
+         |)
+         |SELECT CAST(20 AS BIGINT) AS k, overlap,
+         |  CAST(overlap AS DOUBLE) / 20.0 AS agree_frac FROM ov""".stripMargin
   )
 }

@@ -108,6 +108,15 @@ class IsolationForestSpec extends AnyFunSuite with SparkTest {
     assert(a === b)
   }
 
+  test("lossy-agreement row is well-formed and consistent") {
+    val r = SparkEntry.queries("ml_iforest_lossy_agree")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(r.length === 1)
+    val (k, ov, frac) = (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2))
+    assert(k === 20L && ov >= 0L && ov <= k)
+    assert(frac === ov.toDouble / k)
+  }
+
   test("traversal is map-only: every per-level node join broadcasts") {
     val plan = run(fixture(40)).queryExecution.executedPlan.toString
     // one BroadcastHashJoin per level + the final-node close + cbar cross;
