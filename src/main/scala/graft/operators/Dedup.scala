@@ -69,19 +69,44 @@ object Dedup {
     * interpreted evaluation (~50x slower); the aggregator is one tight
     * loop with map-side partial merge.
     */
-  object MinHashAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
-    private def mix(b: Long, i: Int): Long = {
-      // splitmix64 (Steele et al., public domain) of b + i*golden
-      var z = b + 0x9E3779B97F4A7C15L * (i + 1)
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
+  /** splitmix64 (Steele et al., public domain) of b + i*golden — the
+    * family of NumHashes permutation surrogates. Shared by the batch
+    * aggregator and the per-row streaming signature so both paths hash
+    * identically.
+    */
+  private[graft] def mix64(b: Long, i: Int): Long = {
+    var z = b + 0x9E3779B97F4A7C15L * (i + 1)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Signature of one document's element hashes in a single tight loop —
+    * the stateless per-row twin of [[MinHashAgg]] (streaming ingest
+    * computes signatures without a stream-side aggregation, so no
+    * unbounded state). Exactly MinHashAgg's zero+reduce fold.
+    */
+  def signatureOfHashes(hs: Iterable[Long]): Seq[Long] = {
+    val buf = Array.fill(NumHashes)(Long.MaxValue)
+    val it = hs.iterator
+    while (it.hasNext) {
+      val b = it.next()
+      var i = 0
+      while (i < NumHashes) {
+        val h = mix64(b, i)
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
     }
+    buf.toSeq
+  }
+
+  object MinHashAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
     def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
     def reduce(buf: Array[Long], b: Long): Array[Long] = {
       var i = 0
       while (i < NumHashes) {
-        val h = mix(b, i)
+        val h = mix64(b, i)
         if (h < buf(i)) buf(i) = h
         i += 1
       }
@@ -118,12 +143,20 @@ object Dedup {
     * whole-stage codegen.
     */
   def bandTable(sets: DataFrame): DataFrame =
-    minhashSignatures(sets)
-      .select(col("doc_id"), explode(array(
+    bandsOfSignatures(minhashSignatures(sets))
+
+  /** Band rows from an existing (doc_id, sig) frame; `carry` columns ride
+    * along (the streaming path keeps ts + shingles so no stream-side
+    * rejoin is ever needed).
+    */
+  def bandsOfSignatures(sigs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    sigs
+      .select((col("doc_id") +: carry.map(col)) :+ explode(array(
         (0 until Bands).map(b => struct(lit(b).as("band"),
           xxhash64(lit(b), slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
-            .as("bh"))): _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+            .as("bh"))): _*)).as("e"): _*)
+      .select((col("doc_id") +: carry.map(col)) :+
+        col("e.band").as("band") :+ col("e.bh").as("bh"): _*)
 
   /** Near-duplicate pairs over arbitrary element sets: MinHash-LSH
     * candidate generation + exact Jaccard confirmation.

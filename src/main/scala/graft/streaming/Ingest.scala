@@ -157,6 +157,68 @@ object Ingest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dedup against the landed corpus — the MinHash-LSH
+    * serving shape (stream-static, like [[anomalyStream]]): an arriving
+    * document is flagged the moment it lands if it is a near-duplicate of
+    * anything already in the corpus. Everything stateful about batch LSH
+    * is avoided by construction:
+    *
+    *  - the stream side computes its signature PER ROW
+    *    (Dedup.signatureOfHashes — the same splitmix64 fold as the batch
+    *    aggregator, proven equal in StreamingSpec), so there is no
+    *    stream-side groupBy and no unbounded aggregation state;
+    *  - candidates come from an equi-join of the stream's band rows onto
+    *    the corpus band table (static side — persist it as parquet in
+    *    production, exactly the IvfStore discipline); the exact-Jaccard
+    *    confirm joins the corpus shingle sets by candidate id. Both joins
+    *    are stream-static, stateless;
+    *  - a doc matching a corpus doc in several bands emits one row per
+    *    band; the final dropDuplicatesWithinWatermark bounds that dedup
+    *    state by event time, as dedupStream does.
+    *
+    * New-vs-new pairs inside the stream are NOT detected here — the
+    * nightly batch Dedup.minhashNearDup pass owns those, the same
+    * division of labor as dedupStream's watermark horizon.
+    * Output: (doc_id, ts, dup_of, jac).
+    */
+  def nearDupStream(docs: DataFrame, corpus: DataFrame, threshold: Double,
+                    watermark: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Dedup
+
+    val corpusSets = Dedup.shingleSets(corpus)
+    val corpusBands = Dedup.bandTable(corpusSets)
+      .select(col("doc_id").as("dup_of"), col("band"), col("bh"))
+    val corpusSh = corpusSets.select(col("doc_id").as("dup_of"),
+      col("sh").as("shb"))
+
+    // per-row signature: element hashes via the same xxhash64 expression
+    // as the batch path, then the shared splitmix64 minima fold
+    val sigs = docs
+      .select(col("doc_id"), col("ts"),
+        graft.functions.TextOps.shingles3OfText(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .as[(Long, java.sql.Timestamp, Seq[String], Seq[Long])]
+      .map { case (id, ts, sh, hs) => (id, ts, sh, Dedup.signatureOfHashes(hs)) }
+      .toDF("doc_id", "ts", "sh", "sig")
+
+    val jac = size(array_intersect(col("sh"), col("shb"))).cast("double") /
+      size(array_union(col("sh"), col("shb"))).cast("double")
+    Dedup.bandsOfSignatures(sigs, carry = Seq("ts", "sh"))
+      .join(corpusBands, Seq("band", "bh"))
+      .join(corpusSh, Seq("dup_of"))
+      // same size-ratio prune as the batch confirm
+      .where(least(size(col("sh")), size(col("shb"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh")), size(col("shb"))).cast("double"))
+      .withColumn("jac", jac)
+      .filter(col("jac") >= threshold)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
+      .select(col("doc_id"), col("ts"), col("dup_of"), col("jac"))
+  }
+
   /** Streaming curation — the incremental flavor of PipelineOps.curate:
     * normalize + token-gate are stateless per-row maps; exact dedup is the
     * watermark-bounded first-occurrence state (dedupStream). Dedup keeps

@@ -418,4 +418,59 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(kept == batchKept)
   }
+
+  test("per-row streaming signature equals the batch MinHash aggregator") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100)
+    val sets = Dedup.shingleSets(docs)
+    val batchSigs = Dedup.minhashSignatures(sets)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rowSigs = sets
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .as[(Long, Seq[String], Seq[Long])]
+      .map { case (id, _, hs) => (id, Dedup.signatureOfHashes(hs)) }
+      .collect().toMap
+    assert(rowSigs.keySet === batchSigs.keySet)
+    for ((id, sig) <- rowSigs) assert(sig === batchSigs(id), s"doc $id")
+  }
+
+  test("streaming near-dedup flags cross-corpus pairs exactly as the batch LSH") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (corpusRows, streamRows) = all.partition(_._1 % 2 == 0)
+    val corpus = corpusRows.toSeq.toDF("doc_id", "text")
+
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(id: Long) = new java.sql.Timestamp(ts0.getTime + id * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Ingest.nearDupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), corpus,
+      threshold = 0.5, watermark = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("near_dedup_stream").start()
+    val feed = streamRows.toSeq.map { case (id, t) => (id, ts(id), t) }
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("near_dedup_stream")
+      .select(col("doc_id"), col("dup_of"), col("jac")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // ground truth: the batch LSH operator over the full corpus,
+    // restricted to odd-vs-even pairs, oriented (stream doc, corpus doc)
+    val batch = graft.operators.Dedup.minhashNearDup(
+      all.toSeq.toDF("doc_id", "text"), 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect { case (a, b, j) if a % 2 != b % 2 =>
+        if (a % 2 == 1) (a, b, j) else (b, a, j) }.toSet
+    assert(got === batch)
+    assert(got.nonEmpty, "fixture must actually contain cross-split near-dups")
+  }
 }
