@@ -139,7 +139,8 @@ object IsolationForest {
     *         avg_path and score are 6-dp rounded.
     */
   def scores(points: DataFrame, idCols: Seq[String], featCols: Seq[String],
-             trees: Int = 8, depth: Int = 6, subMod: Int = 4): DataFrame = {
+             trees: Int = 8, depth: Int = 6, subMod: Int = 4,
+             fitFilter: Column = lit(true)): DataFrame = {
     require((trees & (trees - 1)) == 0, "trees must be a power of 2 so avg_depth is exact")
     VectorFunctions.ensureRegistered(points.sparkSession)
     val d = featCols.length
@@ -150,7 +151,8 @@ object IsolationForest {
       .select(explode(sequence(lit(0), lit(trees - 1))).as("tree") +:
         (idCols ++ featCols).map(col): _*)
       .withColumn("is_sub",
-        fnv(concat(lit("is:"), col("tree").cast("string"), lit(":"), idKey)) % subMod === 0)
+        (fnv(concat(lit("is:"), col("tree").cast("string"), lit(":"), idKey)) % subMod === 0)
+          && fitFilter)
       .withColumn("path", lit(1L))
       .withColumn("done", lit(false))
       .withColumn("dpt", lit(0))
@@ -224,6 +226,143 @@ object IsolationForest {
         round(pow(lit(2.0), -col("ap") / col("cbar")), 6).as("score"): _*)
   }
 
+  /** One frozen decision node: split feature index, split value, whether
+    * the node terminates, and its c(ns) path-length credit.
+    */
+  case class ForestNode(hf: Int, split: Double, terminal: Boolean, cterm: Double)
+
+  /** A frozen forest for serving — the reference's build_iforest /
+    * predict_iforest split (file_io.rs:261/:419): train once on the landed
+    * corpus, score new points forever. Driver-local and broadcast-friendly
+    * by construction: ≤ trees·2^depth nodes regardless of data size.
+    */
+  case class ForestModel(levels: IndexedSeq[Map[(Int, Long), ForestNode]],
+                         lastNs: Map[(Int, Long), Long],
+                         cbar: Double, trees: Int, depth: Int, subMod: Int) {
+
+    private def c(n: Long): Double =
+      if (n > 2) 2.0 * (math.log(n - 1.0) + Gamma) - 2.0 * (n - 1.0) / n
+      else if (n == 2) 1.0 else 0.0
+
+    /** Spark's round(_, 6) exactly (BigDecimal HALF_UP). */
+    private def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    /** Walk one tree. Returns (exit depth, path length). */
+    def walk(tree: Int, feats: Array[Double]): (Int, Double) = {
+      var path = 1L
+      var level = 0
+      while (level < depth) {
+        levels(level).get((tree, path)) match {
+          case None => return (level, level.toDouble) // empty node, c(0)=0
+          case Some(n) if n.terminal => return (level, level + n.cterm)
+          case Some(n) =>
+            path = path * 2 + (if (feats(n.hf) < n.split) 0L else 1L)
+        }
+        level += 1
+      }
+      (depth, depth + c(lastNs.getOrElse((tree, path), 0L)))
+    }
+
+    /** Score one point — identical arithmetic (ascending-tree fold,
+      * 6-dp rounds) to the distributed [[scores]] output columns.
+      */
+    def score(feats: Array[Double]): (Double, Double, Double) = {
+      var sd = 0L
+      var sp = 0.0
+      var t = 0
+      while (t < trees) {
+        val (dpt, plen) = walk(t, feats)
+        sd += dpt
+        sp = sp + plen
+        t += 1
+      }
+      val avgPath = sp / trees
+      (sd.toDouble / trees, r6(avgPath), r6(math.pow(2.0, -avgPath / cbar)))
+    }
+  }
+
+  /** Train a frozen forest: the same level-synchronous distributed build
+    * as [[scores]], with each level's (tiny) node table collected into the
+    * model instead of joined forward only. localCheckpoint bounds the
+    * lineage since every level triggers a collect.
+    */
+  def fit(points: DataFrame, idCols: Seq[String], featCols: Seq[String],
+          trees: Int = 8, depth: Int = 6, subMod: Int = 4,
+          fitFilter: Column = lit(true)): ForestModel = {
+    VectorFunctions.ensureRegistered(points.sparkSession)
+    val d = featCols.length
+    val idKey = concat_ws(":", idCols.map(c => col(c).cast("string")): _*)
+    // the fit walks only the subsample — the traversal population is not
+    // needed to learn splits, so nothing non-subsample ever shuffles here
+    var cur = points
+      .select(explode(sequence(lit(0), lit(trees - 1))).as("tree") +:
+        (idCols ++ featCols).map(col): _*)
+      .withColumn("is_sub",
+        (fnv(concat(lit("is:"), col("tree").cast("string"), lit(":"), idKey)) % subMod === 0)
+          && fitFilter)
+      .filter(col("is_sub"))
+      .withColumn("path", lit(1L))
+      .withColumn("done", lit(false))
+      .localCheckpoint()
+
+    val statAggs = count(lit(1)).as("ns") +:
+      featCols.zipWithIndex.flatMap { case (f, j) =>
+        Seq(min(col(f)).as(s"mn$j"), max(col(f)).as(s"mx$j")) }
+
+    val nt = cur.groupBy(col("tree")).agg(count(lit(1)).as("n"))
+      .select(col("tree").cast("int"), col("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def c(n: Long): Double =
+      if (n > 2) 2.0 * (math.log(n - 1.0) + Gamma) - 2.0 * (n - 1.0) / n
+      else if (n == 2) 1.0 else 0.0
+    val cbar = (0 until trees).map(t => c(nt.getOrElse(t, 0L)))
+      .foldLeft(0.0)(_ + _) / trees
+
+    val levels = (0 until depth).map { level =>
+      val nodeKey = concat(col("tree").cast("string"), lit(":"), col("path").cast("string"))
+      val dec = cur.filter(!col("done"))
+        .groupBy(col("tree"), col("path"))
+        .agg(statAggs.head, statAggs.tail: _*)
+        .withColumn("hf", fnv(concat(lit("if:"), nodeKey)) % d)
+        .withColumn("mn", (0 until d).foldLeft(lit(0.0)) { (acc, j) =>
+          when(col("hf") === j, col(s"mn$j")).otherwise(acc) })
+        .withColumn("mx", (0 until d).foldLeft(lit(0.0)) { (acc, j) =>
+          when(col("hf") === j, col(s"mx$j")).otherwise(acc) })
+        .withColumn("frac",
+          fnv(concat(lit("iv:"), nodeKey)).cast("double") / lit(4294967296.0))
+        .withColumn("split", col("mn") + col("frac") * (col("mx") - col("mn")))
+        .withColumn("terminal", col("ns") <= 1 || col("mx") === col("mn"))
+        .withColumn("cterm", cAdj(col("ns")))
+        .select(col("tree"), col("path"), col("hf"), col("split"),
+          col("terminal"), col("cterm"))
+      val local = dec
+        .select(col("tree").cast("int"), col("path"), col("hf").cast("int"),
+          col("split"), col("terminal"), col("cterm"))
+        .collect().map { r =>
+        (r.getInt(0), r.getLong(1)) ->
+          ForestNode(r.getInt(2), r.getDouble(3), r.getBoolean(4),
+            r.getDouble(5))
+      }.toMap
+      val fChosen = featCols.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (f, jx)) =>
+        when(col("hf") === jx, col(f)).otherwise(acc) }
+      cur = cur.join(broadcast(dec), Seq("tree", "path"), "left")
+        .withColumn("done", col("done") || col("terminal").isNull || col("terminal"))
+        .withColumn("path", when(col("done"), col("path"))
+          .otherwise(col("path") * 2 + when(fChosen < col("split"), lit(0L)).otherwise(lit(1L))))
+        .drop("hf", "split", "terminal", "cterm")
+        .localCheckpoint()
+      local
+    }
+
+    val lastNs = cur.filter(!col("done"))
+      .groupBy(col("tree"), col("path")).agg(count(lit(1)).as("ns"))
+      .select(col("tree").cast("int"), col("path"), col("ns"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    ForestModel(levels.toIndexedSeq, lastNs, cbar, trees, depth, subMod)
+  }
+
   /** DuckDB oracle regrowing the identical forest level by level from a
     * CTE `pts0` providing (idCols..., feature columns...). Produces a CTE
     * chain ending in table `ifout(idCols..., avg_depth, avg_path, score)`.
@@ -231,7 +370,7 @@ object IsolationForest {
     */
   def oracleCteSql(idColsSql: Seq[String], featCols: Seq[String],
                    trees: Int = 8, depth: Int = 6, subMod: Int = 4,
-                   prefix: String = ""): String = {
+                   prefix: String = "", fitFilterSql: String = "TRUE"): String = {
     val P = prefix
     val d = featCols.length
     val ids = idColsSql.mkString(", ")
@@ -278,7 +417,8 @@ object IsolationForest {
 
     s"""${P}pts AS (
        |  SELECT t.tree, $ids, $feats,
-       |    (${TextOps.fnv32Sql(s"'is:' || CAST(t.tree AS VARCHAR) || ':' || $idKey")} % $subMod = 0) AS is_sub
+       |    ((${TextOps.fnv32Sql(s"'is:' || CAST(t.tree AS VARCHAR) || ':' || $idKey")} % $subMod = 0)
+       |     AND ($fitFilterSql)) AS is_sub
        |  FROM ${P}pts0 CROSS JOIN (SELECT unnest(range($trees)) AS tree) t
        |), ${P}l0 AS (
        |  SELECT tree, $ids, $feats, is_sub,

@@ -115,6 +115,15 @@ object MlQueries {
         .orderBy(col("score").desc, col("signal_id"), col("seg"))
         .limit(20)),
 
+    // the train/serve split (build_iforest on the landed half,
+    // predict_iforest over everything): the forest grows only on
+    // even-signal subsample points, yet scores every segment — the exact
+    // shape of scoring NEW data against a FROZEN model
+    "ml_iforest_serve" -> ((s, d) =>
+      IsolationForest.scores(IsolationForest.paaFeatures(Readings.of(s, d)),
+        Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"),
+        fitFilter = col("signal_id") % 2 === 0)),
+
     // the lossyML experiment itself (file_io.rs:261-517: iForest trained
     // on raw vs PAA-reduced vectors, labels compared): top-20 anomaly
     // overlap between the raw 16-dim forest and the PAA-4 forest — does
@@ -221,6 +230,12 @@ object MlQueries {
          |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"))}
          |SELECT signal_id, seg, avg_depth, avg_path, score FROM ifout
          |ORDER BY score DESC, signal_id, seg LIMIT 20""".stripMargin,
+
+    "ml_iforest_serve" ->
+      s"""${Readings.OracleCte}, ${IsolationForest.paaFeaturesCteSql},
+         |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"),
+             Seq("f0", "f1", "f2", "f3"), fitFilterSql = "signal_id % 2 = 0")}
+         |SELECT signal_id, seg, avg_depth, avg_path, score FROM ifout""".stripMargin,
 
     // both forests regrown (PAA-4 default-prefixed, raw 16-dim r_-prefixed),
     // then the same deterministic top-20 intersection

@@ -335,6 +335,34 @@ object Ingest {
         round((col("value_q").cast("double") - col("mean_q")) / col("sd_q"), 6)
           .as("z"))
 
+  /** Streaming isolation-forest scoring against a FROZEN model — the
+    * reference's predict_iforest serving loop (lossyML/src/file_io.rs:419)
+    * at ingest latency: segments score the moment they seal. The model
+    * (IsolationForest.fit) is driver-local and bounded (≤ trees·2^depth
+    * nodes), rides the task closure like a broadcast, and the per-segment
+    * walk is pure CPU — no state, no stream-side shuffle beyond
+    * segmentStream's own keyed segmentation. PAA-4 features derive from
+    * the sealed segment's values with the same fixed-point arithmetic as
+    * the batch paaFeatures, so for complete segments the streamed scores
+    * equal the batch scores exactly (StreamingSpec).
+    */
+  def iforestStream(spark: SparkSession, srcDir: String,
+                    model: graft.ml.IsolationForest.ForestModel,
+                    maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    segmentStream(spark, srcDir, segRows = 16, maxFilesPerTrigger)
+      .as[SegOut]
+      .map { s =>
+        val feats = s.values.grouped(4).map { ch =>
+          val sq = ch.map(v => math.floor(v * 100.0).toLong).sum
+          sq.toDouble / (100.0 * ch.size.toDouble)
+        }.toArray
+        val (ad, ap, sc) = model.score(feats)
+        (s.signal_id, s.seg, ad, ap, sc)
+      }
+      .toDF("signal_id", "seg", "avg_depth", "avg_path", "score")
+  }
+
   /** Streaming twin of the recoding bandit's reward job
     * (ml.Bandit.recodeRewardInputs): every COMPLETED segment emits its
     * per-arm reward row as it closes — the shape in which the reference

@@ -108,6 +108,24 @@ class IsolationForestSpec extends AnyFunSuite with SparkTest {
     assert(a === b)
   }
 
+  test("frozen model traversal equals the distributed scores, with and without a fit filter") {
+    import spark.implicits._
+    val pts = fixture(40)
+    val df = pts.map { case (a, b, f) => (a, b, f(0), f(1), f(2), f(3)) }
+      .toDF("signal_id", "seg", "f0", "f1", "f2", "f3")
+    for (ff <- Seq(lit(true), col("signal_id") % 2 === 0)) {
+      val dist = IsolationForest.scores(df, Seq("signal_id", "seg"),
+        Seq("f0", "f1", "f2", "f3"), Trees, Depth, SubMod, fitFilter = ff)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val model = IsolationForest.fit(df, Seq("signal_id", "seg"),
+        Seq("f0", "f1", "f2", "f3"), Trees, Depth, SubMod, fitFilter = ff)
+      for ((a, b, f) <- pts) {
+        assert(model.score(f) === dist((a, b)), s"point ($a,$b)")
+      }
+    }
+  }
+
   test("lossy-agreement row is well-formed and consistent") {
     val r = SparkEntry.queries("ml_iforest_lossy_agree")(
       spark, "/root/testdata/sf0.001").collect()

@@ -153,6 +153,30 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     streamed.foreach { case (k, v) => assert(v == batch(k), s"segment $k differs") }
   }
 
+  test("streamed iforest scores against a frozen model equal the batch scores") {
+    val in = stageInput()
+    import spark.implicits._
+    import graft.ml.IsolationForest
+    val feats = IsolationForest.paaFeatures(Readings.of(spark, sf))
+    val model = IsolationForest.fit(feats, Seq("signal_id", "seg"),
+      Seq("f0", "f1", "f2", "f3"))
+    val q = Ingest.iforestStream(spark, in, model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("iforest_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("iforest_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val batch = IsolationForest.scores(feats, Seq("signal_id", "seg"),
+      Seq("f0", "f1", "f2", "f3")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, v) => assert(v == batch(k), s"segment $k") }
+  }
+
   test("streamed bandit rewards equal the batch reward job on complete segments") {
     val in = stageInput()
     import spark.implicits._
