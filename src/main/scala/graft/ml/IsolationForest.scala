@@ -130,6 +130,19 @@ object IsolationForest {
 
   /** Grow the forest and score every point.
     *
+    * Two phases, each in its 100 TB shape:
+    *  1. [[fit]] — the forest grows from the SUBSAMPLE only (distributed
+    *     keyed aggregation per level over hash-chosen rows, node tables
+    *     collected into a bounded ForestModel: ≤ trees·2^depth nodes);
+    *  2. scoring — ONE map-only pass over the points with the frozen
+    *     model in the task closure. No join, no shuffle, no state.
+    *
+    * The per-row walk is a closure UDF on purpose (documented exception
+    * to the no-UDF rule): the traversal consults data-dependent node maps
+    * bounded by construction, which no builtin expression family can
+    * express, and the single interpreted hop replaces what would
+    * otherwise be `depth` broadcast joins over every row.
+    *
     * @param points   one row per point: `idCols` ++ `featCols` (doubles,
     *                 non-null)
     * @param idCols   identity of a point (hash key + output key)
@@ -142,88 +155,18 @@ object IsolationForest {
              trees: Int = 8, depth: Int = 6, subMod: Int = 4,
              fitFilter: Column = lit(true)): DataFrame = {
     require((trees & (trees - 1)) == 0, "trees must be a power of 2 so avg_depth is exact")
-    VectorFunctions.ensureRegistered(points.sparkSession)
-    val d = featCols.length
+    val model = fit(points, idCols, featCols, trees, depth, subMod, fitFilter)
+    scoreWithModel(points, idCols, featCols, model)
+  }
 
-    val idKey = concat_ws(":", idCols.map(c => col(c).cast("string")): _*)
-    // one copy of every point per tree; subsample membership is hash-chosen
-    var cur = points
-      .select(explode(sequence(lit(0), lit(trees - 1))).as("tree") +:
-        (idCols ++ featCols).map(col): _*)
-      .withColumn("is_sub",
-        (fnv(concat(lit("is:"), col("tree").cast("string"), lit(":"), idKey)) % subMod === 0)
-          && fitFilter)
-      .withColumn("path", lit(1L))
-      .withColumn("done", lit(false))
-      .withColumn("dpt", lit(0))
-      .withColumn("plen", lit(0.0))
-
-    val statAggs = count(lit(1)).as("ns") +:
-      featCols.zipWithIndex.flatMap { case (f, j) =>
-        Seq(min(col(f)).as(s"mn$j"), max(col(f)).as(s"mx$j")) }
-
-    for (level <- 0 until depth) {
-      val nodeKey = concat(col("tree").cast("string"), lit(":"), col("path").cast("string"))
-      // node decision table: ≤ trees·2^level rows — always broadcastable
-      val dec = cur.filter(!col("done") && col("is_sub"))
-        .groupBy(col("tree"), col("path"))
-        .agg(statAggs.head, statAggs.tail: _*)
-        .withColumn("hf", fnv(concat(lit("if:"), nodeKey)) % d)
-        .withColumn("mn", (0 until d).foldLeft(lit(0.0)) { (acc, j) =>
-          when(col("hf") === j, col(s"mn$j")).otherwise(acc) })
-        .withColumn("mx", (0 until d).foldLeft(lit(0.0)) { (acc, j) =>
-          when(col("hf") === j, col(s"mx$j")).otherwise(acc) })
-        .withColumn("frac",
-          fnv(concat(lit("iv:"), nodeKey)).cast("double") / lit(4294967296.0))
-        .withColumn("split", col("mn") + col("frac") * (col("mx") - col("mn")))
-        .withColumn("terminal", col("ns") <= 1 || col("mx") === col("mn"))
-        .withColumn("cterm", cAdj(col("ns")))
-        .select(col("tree"), col("path"), col("hf"), col("split"),
-          col("terminal"), col("cterm"))
-
-      // a node with no subsample members has no decision row → terminal c=0
-      val j = cur.join(broadcast(dec), Seq("tree", "path"), "left")
-      val exitNow = !col("done") && (col("terminal").isNull || col("terminal"))
-      val fChosen = featCols.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (f, jx)) =>
-        when(col("hf") === jx, col(f)).otherwise(acc) }
-      cur = j
-        .withColumn("dpt", when(exitNow, lit(level)).otherwise(col("dpt")))
-        .withColumn("plen", when(exitNow,
-          lit(level.toDouble) + coalesce(col("cterm"), lit(0.0))).otherwise(col("plen")))
-        .withColumn("path", when(col("done") || exitNow, col("path"))
-          .otherwise(col("path") * 2 + when(fChosen < col("split"), lit(0L)).otherwise(lit(1L))))
-        .withColumn("done", col("done") || exitNow)
-        .drop("hf", "split", "terminal", "cterm")
-    }
-
-    // survivors of all `depth` splits exit at max depth with c(final node ns)
-    val lastNs = cur.filter(!col("done") && col("is_sub"))
-      .groupBy(col("tree"), col("path")).agg(count(lit(1)).as("ns"))
-    val closed = cur.join(broadcast(lastNs), Seq("tree", "path"), "left")
-      .withColumn("dpt", when(col("done"), col("dpt")).otherwise(lit(depth)))
-      .withColumn("plen", when(col("done"), col("plen"))
-        .otherwise(lit(depth.toDouble) + cAdj(coalesce(col("ns"), lit(0L)))))
-
-    // c̄ — mean of c(per-tree subsample size), folded in ascending tree order
-    val cbar = cur.filter(col("is_sub"))
-      .groupBy(col("tree")).agg(count(lit(1)).as("nt"))
-      .select(col("tree"), cAdj(col("nt")).as("ct"))
-      .agg(array_sort(collect_list(struct(col("tree"), col("ct")))).as("cs"))
-      .select((aggregate(col("cs"), lit(0.0),
-        (a, x) => a + x.getField("ct")) / trees).as("cbar"))
-
-    // per-point fold of the `trees` path lengths in ascending tree order
-    closed.groupBy(idCols.map(col): _*)
-      .agg(sum(col("dpt")).cast("long").as("sd"),
-        array_sort(collect_list(struct(col("tree"), col("plen")))).as("ps"))
-      .select(idCols.map(col) :+
-        (col("sd").cast("double") / trees).as("avg_depth") :+
-        (aggregate(col("ps"), lit(0.0), (a, x) => a + x.getField("plen")) / trees)
-          .as("ap"): _*)
-      .crossJoin(broadcast(cbar))
-      .select(idCols.map(col) :+ col("avg_depth") :+
-        round(col("ap"), 6).as("avg_path") :+
-        round(pow(lit(2.0), -col("ap") / col("cbar")), 6).as("score"): _*)
+  /** Map-only scoring of a points frame against a frozen model. */
+  def scoreWithModel(points: DataFrame, idCols: Seq[String],
+                     featCols: Seq[String], model: ForestModel): DataFrame = {
+    val walk = udf((fs: Seq[Double]) => model.score(fs.toArray))
+    points
+      .withColumn("s", walk(array(featCols.map(col): _*)))
+      .select(idCols.map(col) :+ col("s._1").as("avg_depth") :+
+        col("s._2").as("avg_path") :+ col("s._3").as("score"): _*)
   }
 
   /** One frozen decision node: split feature index, split value, whether
@@ -282,10 +225,32 @@ object IsolationForest {
     }
   }
 
-  /** Train a frozen forest: the same level-synchronous distributed build
-    * as [[scores]], with each level's (tiny) node table collected into the
-    * model instead of joined forward only. localCheckpoint bounds the
-    * lineage since every level triggers a collect.
+  /** Walk the already-frozen prefix of a forest: the node path a point
+    * occupies after `lm.length` split levels, or None if it exited in an
+    * earlier (terminal or empty) node.
+    */
+  private def pathAt(lm: Seq[Map[(Int, Long), ForestNode]], tree: Int,
+                     fs: Seq[Double]): Option[Long] = {
+    var path = 1L
+    var k = 0
+    while (k < lm.length) {
+      lm(k).get((tree, path)) match {
+        case None => return None
+        case Some(n) if n.terminal => return None
+        case Some(n) =>
+          path = path * 2 + (if (fs(n.hf) < n.split) 0L else 1L)
+      }
+      k += 1
+    }
+    Some(path)
+  }
+
+  /** Train a frozen forest. Level-synchronous, but with NO per-level join:
+    * the already-collected node tables place every subsample row in its
+    * level-k node via a closure walk, so each level is exactly one keyed
+    * aggregation job over the (checkpointed once) subsample — depth+2 small
+    * jobs total. Only subsample rows ever exist here: the traversal
+    * population plays no part in learning splits.
     */
   def fit(points: DataFrame, idCols: Seq[String], featCols: Seq[String],
           trees: Int = 8, depth: Int = 6, subMod: Int = 4,
@@ -293,37 +258,41 @@ object IsolationForest {
     VectorFunctions.ensureRegistered(points.sparkSession)
     val d = featCols.length
     val idKey = concat_ws(":", idCols.map(c => col(c).cast("string")): _*)
-    // the fit walks only the subsample — the traversal population is not
-    // needed to learn splits, so nothing non-subsample ever shuffles here
-    var cur = points
+    val base = points
       .select(explode(sequence(lit(0), lit(trees - 1))).as("tree") +:
         (idCols ++ featCols).map(col): _*)
-      .withColumn("is_sub",
-        (fnv(concat(lit("is:"), col("tree").cast("string"), lit(":"), idKey)) % subMod === 0)
-          && fitFilter)
-      .filter(col("is_sub"))
-      .withColumn("path", lit(1L))
-      .withColumn("done", lit(false))
+      .filter((fnv(concat(lit("is:"), col("tree").cast("string"), lit(":"), idKey))
+        % subMod === 0) && fitFilter)
+      .select(col("tree").cast("int").as("tree"),
+        array(featCols.map(col): _*).as("fv"))
       .localCheckpoint()
 
-    val statAggs = count(lit(1)).as("ns") +:
-      featCols.zipWithIndex.flatMap { case (f, j) =>
-        Seq(min(col(f)).as(s"mn$j"), max(col(f)).as(s"mx$j")) }
-
-    val nt = cur.groupBy(col("tree")).agg(count(lit(1)).as("n"))
-      .select(col("tree").cast("int"), col("n")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nt = base.groupBy(col("tree")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     def c(n: Long): Double =
       if (n > 2) 2.0 * (math.log(n - 1.0) + Gamma) - 2.0 * (n - 1.0) / n
       else if (n == 2) 1.0 else 0.0
     val cbar = (0 until trees).map(t => c(nt.getOrElse(t, 0L)))
       .foldLeft(0.0)(_ + _) / trees
 
-    val levels = (0 until depth).map { level =>
-      val nodeKey = concat(col("tree").cast("string"), lit(":"), col("path").cast("string"))
-      val dec = cur.filter(!col("done"))
+    val statAggs = count(lit(1)).as("ns") +:
+      (0 until d).flatMap { j =>
+        Seq(min(element_at(col("fv"), j + 1)).as(s"mn$j"),
+          max(element_at(col("fv"), j + 1)).as(s"mx$j")) }
+    val nodeKey = concat(col("tree").cast("string"), lit(":"),
+      col("path").cast("string"))
+
+    var lvls = Vector.empty[Map[(Int, Long), ForestNode]]
+    def nodesAtLevel(frozen: Vector[Map[(Int, Long), ForestNode]]) = {
+      val pu = udf((t: Int, fs: Seq[Double]) =>
+        pathAt(frozen, t, fs).map(Long.box).orNull: java.lang.Long)
+      base.withColumn("path", pu(col("tree"), col("fv")))
+        .filter(col("path").isNotNull)
         .groupBy(col("tree"), col("path"))
         .agg(statAggs.head, statAggs.tail: _*)
+    }
+    for (_ <- 0 until depth) {
+      val local = nodesAtLevel(lvls)
         .withColumn("hf", fnv(concat(lit("if:"), nodeKey)) % d)
         .withColumn("mn", (0 until d).foldLeft(lit(0.0)) { (acc, j) =>
           when(col("hf") === j, col(s"mn$j")).otherwise(acc) })
@@ -334,33 +303,21 @@ object IsolationForest {
         .withColumn("split", col("mn") + col("frac") * (col("mx") - col("mn")))
         .withColumn("terminal", col("ns") <= 1 || col("mx") === col("mn"))
         .withColumn("cterm", cAdj(col("ns")))
-        .select(col("tree"), col("path"), col("hf"), col("split"),
-          col("terminal"), col("cterm"))
-      val local = dec
-        .select(col("tree").cast("int"), col("path"), col("hf").cast("int"),
+        .select(col("tree"), col("path"), col("hf").cast("int").as("hf"),
           col("split"), col("terminal"), col("cterm"))
         .collect().map { r =>
-        (r.getInt(0), r.getLong(1)) ->
-          ForestNode(r.getInt(2), r.getDouble(3), r.getBoolean(4),
-            r.getDouble(5))
-      }.toMap
-      val fChosen = featCols.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (f, jx)) =>
-        when(col("hf") === jx, col(f)).otherwise(acc) }
-      cur = cur.join(broadcast(dec), Seq("tree", "path"), "left")
-        .withColumn("done", col("done") || col("terminal").isNull || col("terminal"))
-        .withColumn("path", when(col("done"), col("path"))
-          .otherwise(col("path") * 2 + when(fChosen < col("split"), lit(0L)).otherwise(lit(1L))))
-        .drop("hf", "split", "terminal", "cterm")
-        .localCheckpoint()
-      local
+          (r.getInt(0), r.getLong(1)) ->
+            ForestNode(r.getInt(2), r.getDouble(3), r.getBoolean(4),
+              r.getDouble(5))
+        }.toMap
+      lvls = lvls :+ local
     }
 
-    val lastNs = cur.filter(!col("done"))
-      .groupBy(col("tree"), col("path")).agg(count(lit(1)).as("ns"))
-      .select(col("tree").cast("int"), col("path"), col("ns"))
+    val lastNs = nodesAtLevel(lvls)
+      .select(col("tree"), col("path"), col("ns"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
 
-    ForestModel(levels.toIndexedSeq, lastNs, cbar, trees, depth, subMod)
+    ForestModel(lvls.toIndexedSeq, lastNs, cbar, trees, depth, subMod)
   }
 
   /** DuckDB oracle regrowing the identical forest level by level from a

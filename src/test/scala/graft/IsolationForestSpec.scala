@@ -135,12 +135,13 @@ class IsolationForestSpec extends AnyFunSuite with SparkTest {
     assert(frac === ov.toDouble / k)
   }
 
-  test("traversal is map-only: every per-level node join broadcasts") {
+  test("scoring is one map-only pass: no join, no exchange in the plan") {
+    // the forest fits on the subsample (bounded model, eager); the
+    // RETURNED plan — what runs over the full 100 TB of points — must be
+    // a pure projection: no join, no shuffle, no aggregation
     val plan = run(fixture(40)).queryExecution.executedPlan.toString
-    // one BroadcastHashJoin per level + the final-node close + cbar cross;
-    // the POINT side must never sort-merge or nested-loop
-    assert(plan.contains("BroadcastHashJoin"))
-    assert(!plan.contains("SortMergeJoin"), "node tables must broadcast")
-    assert(!plan.contains("CartesianProduct"), "only broadcast nested loop for the 1-row cbar")
+    assert(!plan.contains("Join"), "scoring must not join")
+    assert(!plan.contains("Exchange"), "scoring must not shuffle")
+    assert(!plan.contains("Aggregate"), "scoring must not aggregate")
   }
 }
