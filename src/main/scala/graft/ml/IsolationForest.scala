@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextOps, VectorFunctions}
 
@@ -318,6 +318,53 @@ object IsolationForest {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
 
     ForestModel(lvls.toIndexedSeq, lastNs, cbar, trees, depth, subMod)
+  }
+
+  /** Persist a frozen model as one small parquet (row kinds: per-level
+    * nodes, final-level counts, one meta row) — train once, serve from
+    * any later session/stream, the IvfStore discipline for models.
+    * Doubles survive the round trip bit-exactly (parquet stores raw
+    * binary64), so a loaded model scores identically (spec-proven).
+    */
+  def save(spark: SparkSession, model: ForestModel, path: String): Unit = {
+    import spark.implicits._
+    val nodes = model.levels.zipWithIndex.flatMap { case (m, lvl) =>
+      m.toSeq.map { case ((t, p), n) =>
+        ("node", lvl, t, p, n.hf, n.split, n.terminal, n.cterm, 0L) }
+    }
+    val last = model.lastNs.toSeq.map { case ((t, p), ns) =>
+      ("last", model.depth, t, p, 0, 0.0, false, 0.0, ns) }
+    val meta = Seq(("meta", -1, model.trees, 0L, model.depth, model.cbar,
+      false, 0.0, model.subMod.toLong))
+    (nodes ++ last ++ meta)
+      .toDF("kind", "level", "tree", "path", "hf", "split", "terminal",
+        "cterm", "ns")
+      .coalesce(1) // a model is ≤ trees·2^depth rows — one file by design
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model written by [[save]]. */
+  def load(spark: SparkSession, path: String): ForestModel = {
+    val rows = spark.read.parquet(path).collect()
+    val meta = rows.find(_.getAs[String]("kind") == "meta")
+      .getOrElse(throw new IllegalStateException(s"no meta row in $path"))
+    // meta row encoding (see save): tree=trees, hf=depth, split=cbar,
+    // ns=subMod
+    val trees = meta.getAs[Int]("tree")
+    val depth = meta.getAs[Int]("hf")
+    val levels = (0 until depth).map { lvl =>
+      rows.filter(r => r.getAs[String]("kind") == "node" &&
+          r.getAs[Int]("level") == lvl)
+        .map(r => (r.getAs[Int]("tree"), r.getAs[Long]("path")) ->
+          ForestNode(r.getAs[Int]("hf"), r.getAs[Double]("split"),
+            r.getAs[Boolean]("terminal"), r.getAs[Double]("cterm")))
+        .toMap
+    }.toIndexedSeq
+    val lastNs = rows.filter(_.getAs[String]("kind") == "last")
+      .map(r => (r.getAs[Int]("tree"), r.getAs[Long]("path")) ->
+        r.getAs[Long]("ns")).toMap
+    ForestModel(levels, lastNs, meta.getAs[Double]("split"), trees, depth,
+      meta.getAs[Long]("ns").toInt)
   }
 
   /** DuckDB oracle regrowing the identical forest level by level from a

@@ -124,6 +124,20 @@ object MlQueries {
         Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"),
         fitFilter = col("signal_id") % 2 === 0)),
 
+    // persisted-model serving: fit on the even-signal half, save the
+    // bounded model to parquet, load it back, score everything — same
+    // semantics as ml_iforest_serve (shared oracle shape), proving the
+    // stored model serves identically across sessions
+    "ml_iforest_store" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-iforest").toString
+      val feats = IsolationForest.paaFeatures(Readings.of(s, d))
+      val model = IsolationForest.fit(feats, Seq("signal_id", "seg"),
+        Seq("f0", "f1", "f2", "f3"), fitFilter = col("signal_id") % 2 === 0)
+      IsolationForest.save(s, model, path)
+      IsolationForest.scoreWithModel(feats, Seq("signal_id", "seg"),
+        Seq("f0", "f1", "f2", "f3"), IsolationForest.load(s, path))
+    }),
+
     // the lossyML experiment itself (file_io.rs:261-517: iForest trained
     // on raw vs PAA-reduced vectors, labels compared): top-20 anomaly
     // overlap between the raw 16-dim forest and the PAA-4 forest — does
@@ -232,6 +246,14 @@ object MlQueries {
          |ORDER BY score DESC, signal_id, seg LIMIT 20""".stripMargin,
 
     "ml_iforest_serve" ->
+      s"""${Readings.OracleCte}, ${IsolationForest.paaFeaturesCteSql},
+         |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"),
+             Seq("f0", "f1", "f2", "f3"), fitFilterSql = "signal_id % 2 = 0")}
+         |SELECT signal_id, seg, avg_depth, avg_path, score FROM ifout""".stripMargin,
+
+    // identical by construction to ml_iforest_serve — the save/load hop
+    // must not change a single bit
+    "ml_iforest_store" ->
       s"""${Readings.OracleCte}, ${IsolationForest.paaFeaturesCteSql},
          |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"),
              Seq("f0", "f1", "f2", "f3"), fitFilterSql = "signal_id % 2 = 0")}

@@ -126,6 +126,20 @@ class IsolationForestSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("a saved model loads back equal and scores identically") {
+    import spark.implicits._
+    val pts = fixture(30)
+    val df = pts.map { case (a, b, f) => (a, b, f(0), f(1), f(2), f(3)) }
+      .toDF("signal_id", "seg", "f0", "f1", "f2", "f3")
+    val model = IsolationForest.fit(df, Seq("signal_id", "seg"),
+      Seq("f0", "f1", "f2", "f3"), Trees, Depth, SubMod)
+    val path = java.nio.file.Files.createTempDirectory("iforest-rt").toString
+    IsolationForest.save(spark, model, path)
+    val loaded = IsolationForest.load(spark, path)
+    assert(loaded === model) // Maps + doubles: bit-exact round trip
+    for ((_, _, f) <- pts) assert(loaded.score(f) === model.score(f))
+  }
+
   test("lossy-agreement row is well-formed and consistent") {
     val r = SparkEntry.queries("ml_iforest_lossy_agree")(
       spark, "/root/testdata/sf0.001").collect()
