@@ -138,6 +138,19 @@ object MlQueries {
         Seq("f0", "f1", "f2", "f3"), IsolationForest.load(s, path))
     }),
 
+    // embedding-space outliers: the same forest over the full 64-dim
+    // document embeddings — the curation signal that flags anomalous
+    // documents before training (and the iForest-on-embedding-features
+    // leg of the reference study, file_io.rs:80 read_fftfile et al.)
+    "emb_iforest" -> ((s, d) => {
+      val feats = Tables.embeddings(s, d).select(col("vec_id") +:
+        (0 until 64).map(i =>
+          element_at(col("embedding"), i + 1).cast("double").as(s"f$i")): _*)
+      IsolationForest.scores(feats, Seq("vec_id"),
+        (0 until 64).map(i => s"f$i"))
+        .orderBy(col("score").desc, col("vec_id")).limit(50)
+    }),
+
     // the lossyML experiment itself (file_io.rs:261-517: iForest trained
     // on raw vs PAA-reduced vectors, labels compared): top-20 anomaly
     // overlap between the raw 16-dim forest and the PAA-4 forest — does
@@ -258,6 +271,16 @@ object MlQueries {
          |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"),
              Seq("f0", "f1", "f2", "f3"), fitFilterSql = "signal_id % 2 = 0")}
          |SELECT signal_id, seg, avg_depth, avg_path, score FROM ifout""".stripMargin,
+
+    "emb_iforest" ->
+      s"""WITH pts0 AS (
+         |  SELECT vec_id,
+         |    ${(0 until 64).map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) AS f$i").mkString(",\n    ")}
+         |  FROM embeddings
+         |),
+         |${IsolationForest.oracleCteSql(Seq("vec_id"), (0 until 64).map(i => s"f$i"))}
+         |SELECT vec_id, avg_depth, avg_path, score FROM ifout
+         |ORDER BY score DESC, vec_id LIMIT 50""".stripMargin,
 
     // both forests regrown (PAA-4 default-prefixed, raw 16-dim r_-prefixed),
     // then the same deterministic top-20 intersection
