@@ -187,9 +187,12 @@ object IsolationForest {
       if (n > 2) 2.0 * (math.log(n - 1.0) + Gamma) - 2.0 * (n - 1.0) / n
       else if (n == 2) 1.0 else 0.0
 
-    /** Spark's round(_, 6) exactly (BigDecimal HALF_UP). */
+    /** Spark's round(_, 6) exactly (BigDecimal HALF_UP; NaN/Inf pass
+      * through like the expression does — BigDecimal would throw).
+      */
     private def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
     /** Walk one tree. Returns (exit depth, path length). */
     def walk(tree: Int, feats: Array[Double]): (Int, Double) = {

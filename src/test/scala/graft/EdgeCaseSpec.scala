@@ -322,4 +322,48 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
     assert(BuffStore.restore(encE, majE, 3).count() == 0)
     assert(BuffStore.sumFromOutlierPlanes(encE, majE, 0L, 3).count() == 0)
   }
+
+  test("isolation forest degenerates safely: empty points, empty subsample") {
+    import spark.implicits._
+    import graft.ml.IsolationForest
+    val ids = Seq("signal_id", "seg")
+    val fcs = Seq("f0", "f1")
+    val empty = Seq.empty[(Long, Long, Double, Double)]
+      .toDF("signal_id", "seg", "f0", "f1")
+    // empty points: empty output, empty (but loadable) model
+    assert(IsolationForest.scores(empty, ids, fcs).count() == 0)
+    val m0 = IsolationForest.fit(empty, ids, fcs)
+    assert(m0.levels.forall(_.isEmpty) && m0.lastNs.isEmpty && m0.cbar == 0.0)
+
+    // non-empty points but a fit filter that admits no subsample: every
+    // walk exits at the root; score is NaN (0/0 exponent) on BOTH the
+    // distributed and the frozen-model path — never a crash
+    val pts = Seq((1L, 0L, 1.0, 2.0), (2L, 0L, 3.0, 4.0))
+      .toDF("signal_id", "seg", "f0", "f1")
+    val m1 = IsolationForest.fit(pts, ids, fcs, fitFilter = lit(false))
+    val (ad, ap, sc) = m1.score(Array(1.0, 2.0))
+    assert(ad == 0.0 && ap == 0.0 && sc.isNaN)
+    val dist = IsolationForest.scores(pts, ids, fcs, fitFilter = lit(false))
+      .collect()
+    assert(dist.forall(r => r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0
+      && r.getDouble(4).isNaN))
+  }
+
+  test("streaming near-dedup against an empty corpus flags nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.Ingest.nearDupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      emptyDocs.select(col("doc_id"), col("text")),
+      threshold = 0.5, watermark = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("near_dedup_empty").start()
+    mem.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      "some words repeated some words repeated"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("near_dedup_empty").count() == 0)
+  }
 }
