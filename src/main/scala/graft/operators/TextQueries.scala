@@ -281,8 +281,51 @@ object TextQueries {
     // CCNet-style "how typical is this document" quality signal
     "text_xent" -> ((s, d) => Relevance.unigramCrossEntropy(docs(s, d))),
 
-    "text_xent2" -> ((s, d) => Relevance.bigramCrossEntropy(docs(s, d)))
+    "text_xent2" -> ((s, d) => Relevance.bigramCrossEntropy(docs(s, d))),
+
+    // corpus DRIFT between two snapshots (here: even vs odd doc halves,
+    // the dedup_incremental split) — Jensen-Shannon divergence of the
+    // unigram distributions, the standard before/after-refresh monitoring
+    // signal for a training corpus. One keyed term aggregation + a
+    // broadcast scalar; 0*ln(0) terms drop per the JS definition.
+    "text_drift" -> ((s, d) => {
+      val t = driftTerms(docs(s, d))
+      t.agg(sum(col("ce")).cast("long").as("even_toks"),
+          sum(col("co")).cast("long").as("odd_toks"),
+          count(lit(1)).as("vocab"),
+          round(sum(col("contrib")), 4).as("js"))
+    }),
+
+    // the tokens DRIVING the drift: top-10 by JS contribution — what an
+    // operator actually reads when the js number moves
+    "text_drift_tokens" -> ((s, d) =>
+      driftTerms(docs(s, d))
+        .select(col("term"), col("ce").as("c_even"), col("co").as("c_odd"),
+          round(col("contrib"), 6).as("contrib"))
+        .orderBy(col("contrib").desc, col("term")).limit(10))
   )
+
+  /** Per-term drift frame shared by text_drift / text_drift_tokens:
+    * (term, ce, co, contrib) where contrib is the term's JS-divergence
+    * summand between the even-doc and odd-doc unigram distributions.
+    */
+  private def driftTerms(dd: DataFrame): DataFrame = {
+    val cnt = dd
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).cast("long").as("ce"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).cast("long").as("co"))
+    val tot = cnt.agg(sum(col("ce")).cast("long").as("te"),
+      sum(col("co")).cast("long").as("to_"))
+    val p = col("ce").cast("double") / col("te").cast("double")
+    val q = col("co").cast("double") / col("to_").cast("double")
+    val m = (p + q) / lit(2.0)
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        when(col("ce") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+          when(col("co") > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0)))
+      .select(col("term"), col("ce"), col("co"), col("contrib"))
+  }
 
   /** Probe query for text_bm25 — normalizes to spark/hash/join/window. */
   val Bm25Terms: Seq[String] = Seq("Spark", "hash", "JOIN!", "window")
@@ -747,6 +790,46 @@ object TextQueries {
         |  round((0.0 - sum(bf.bf * ln((lm2.c12 + 0.5) / (lm1.c1 + 0.5 * st.v)))) / sum(bf.bf), 4)
         |    AS xent2
         |FROM bf JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1) CROSS JOIN st
-        |GROUP BY bf.doc_id""".stripMargin
+        |GROUP BY bf.doc_id""".stripMargin,
+
+    "text_drift" ->
+      s"""$DriftCte
+         |SELECT CAST(sum(ce) AS BIGINT) AS even_toks,
+         |  CAST(sum(co) AS BIGINT) AS odd_toks,
+         |  CAST(count(*) AS BIGINT) AS vocab,
+         |  round(sum(contrib), 4) AS js
+         |FROM ctr""".stripMargin,
+
+    "text_drift_tokens" ->
+      s"""$DriftCte
+         |SELECT term, ce AS c_even, co AS c_odd,
+         |  round(contrib, 6) AS contrib
+         |FROM ctr ORDER BY round(contrib, 6) DESC, term LIMIT 10""".stripMargin
   )
+
+  /** Shared drift CTE: per-term JS-divergence summand between the even-doc
+    * and odd-doc unigram distributions — every double step written in the
+    * engine's operand order (single divisions, (0.5*p)*ln form).
+    */
+  private def DriftCte: String = {
+    val p = "(CAST(ce AS DOUBLE) / CAST(te AS DOUBLE))"
+    val q = "(CAST(co AS DOUBLE) / CAST(to_ AS DOUBLE))"
+    val m = s"(($p + $q) / 2.0)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), cnt AS (
+       |  SELECT term,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS co
+       |  FROM toks GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(ce) AS BIGINT) AS te, CAST(sum(co) AS BIGINT) AS to_ FROM cnt
+       |), ctr AS (
+       |  SELECT term, ce, co,
+       |    (CASE WHEN ce > 0 THEN 0.5 * $p * ln($p / $m) ELSE 0.0 END) +
+       |    (CASE WHEN co > 0 THEN 0.5 * $q * ln($q / $m) ELSE 0.0 END) AS contrib
+       |  FROM cnt CROSS JOIN tot
+       |)""".stripMargin
+  }
 }
