@@ -335,6 +335,41 @@ object Ingest {
         round((col("value_q").cast("double") - col("mean_q")) / col("sd_q"), 6)
           .as("z"))
 
+  /** Streaming corpus-quality monitor — per-event-time-window
+    * cross-entropy of ARRIVING tokens under the LANDED corpus's add-alpha
+    * unigram LM (the CCNet quality signal, served at ingest latency like
+    * anomalyStream serves ts_seasonal_anomaly): a rising window xent
+    * means the stream is drifting away from the corpus distribution —
+    * junk, wrong language, or genuinely new material. Shape: the LM is a
+    * static keyed aggregation (stream-static LEFT join, so
+    * out-of-vocabulary tokens fall to the smoothing floor instead of
+    * dropping); two bounded scalars (total mass, vocab size); one
+    * windowed aggregation with watermark-bounded state. Batch parity is
+    * exact (StreamingSpec): same fold, same 4-dp contract as text_xent.
+    */
+  def xentStream(docs: DataFrame, corpus: DataFrame, width: String,
+                 watermark: String, alpha: Double = 0.5): DataFrame = {
+    val lm = corpus
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("cnt"))
+    val st = lm.agg(sum(col("cnt")).as("t"),
+      count(lit(1)).cast("double").as("v")).head()
+    val (total, vocab) =
+      if (st.isNullAt(0)) (0.0, 0.0) else (st.getDouble(0), st.getDouble(1))
+    docs
+      .select(col("ts"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("term"))
+      .join(lm, Seq("term"), "left")
+      .withColumn("lp", log((coalesce(col("cnt"), lit(0.0)) + lit(alpha)) /
+        lit(total + alpha * vocab)))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n_toks"),
+        round(-sum(col("lp")) / count(lit(1)), 4).as("xent"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("n_toks"), col("xent"))
+  }
+
   /** Streaming isolation-forest scoring against a FROZEN model — the
     * reference's predict_iforest serving loop (lossyML/src/file_io.rs:419)
     * at ingest latency: segments score the moment they seal. The model

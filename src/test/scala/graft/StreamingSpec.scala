@@ -443,6 +443,43 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(kept == batchKept)
   }
 
+  test("streaming window xent equals the batch computation, OOV hits the smoothing floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(200).select(col("text"))
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // window 1: high-frequency corpus tokens; window 2: OOV junk
+    val feed = Seq(
+      (1L, ts(0), "sort order column window agg part join"),
+      (2L, ts(1), "scan group the filter value key a"),
+      (3L, ts(11), "zzqx vvkw qqjj zzqx wwxx"),
+      (4L, ts(12), "qqzz wwvv kkxx jjyy"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Ingest.xentStream(mem.toDF().toDF("doc_id", "ts", "text"),
+      corpus, width = "10 minutes", watermark = "1 hour")
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName("xent_stream").start()
+    mem.addData(feed.take(2): _*); q.processAllAvailable()
+    mem.addData(feed.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("xent_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // batch parity: the same pipeline over the same rows, batch-built
+    val batch = Ingest.xentStream(
+      feed.toDF("doc_id", "ts", "text"), corpus,
+      width = "10 minutes", watermark = "1 hour").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed === batch)
+    assert(streamed.size === 2)
+    // the OOV window must score strictly worse (higher xent)
+    val Seq(w0, w1) = streamed.keys.toSeq.sorted
+    assert(streamed(w1)._2 > streamed(w0)._2,
+      s"OOV window should have higher xent: $streamed")
+  }
+
   test("per-row streaming signature equals the batch MinHash aggregator") {
     import spark.implicits._
     import graft.operators.Dedup
