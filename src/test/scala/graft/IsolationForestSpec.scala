@@ -126,6 +126,37 @@ class IsolationForestSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("adversarial shapes still match the sequential reference: dups, constants, tiny n") {
+    import spark.implicits._
+    def u(k: String): Double = TextOps.fnv32(k).toDouble / 4294967296.0
+    val shapes: Seq[Seq[(Long, Long, Array[Double])]] = Seq(
+      // every point identical (all splits degenerate at the root)
+      (0L until 12L).map(i => (0L, i, Array(1.0, 1.0, 1.0, 1.0))),
+      // one constant feature + duplicated pairs
+      (0L until 20L).map(i =>
+        (i % 3, i / 3, Array(5.0, u(s"d:${i / 2}"), u(s"e:${i / 2}"), 0.0))),
+      // n = 1 and n = 2
+      Seq((0L, 0L, Array(1.0, 2.0, 3.0, 4.0))),
+      Seq((0L, 0L, Array(1.0, 2.0, 3.0, 4.0)),
+        (0L, 1L, Array(4.0, 3.0, 2.0, 1.0))),
+      // heavy ties on the split feature (integer-valued)
+      (0L until 25L).map(i => (1L, i, Array((i % 5).toDouble,
+        (i % 3).toDouble, (i % 2).toDouble, (i % 7).toDouble))))
+    for ((pts, i) <- shapes.zipWithIndex) {
+      val got = run(pts).collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val want = bruteScores(pts)
+      assert(got.keySet === want.keySet, s"shape $i keys")
+      def close(a: Double, b: Double) =
+        (a.isNaN && b.isNaN) || math.abs(a - b) <= 2e-6
+      for ((k, (gd, gp, gs)) <- got) {
+        val (wd, wp, ws) = want(k)
+        assert(gd === wd && close(gp, wp) && close(gs, ws),
+          s"shape $i at $k: $got vs $want")
+      }
+    }
+  }
+
   test("a saved model loads back equal and scores identically") {
     import spark.implicits._
     val pts = fixture(30)
