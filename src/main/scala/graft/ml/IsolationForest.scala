@@ -52,13 +52,13 @@ object IsolationForest {
   val Gamma = 0.5772156649015329
 
   /** c(n) — expected unsuccessful-search path length of a BST of n nodes
-    * (Liu et al. eq. 1). Column form shared by builder and tests.
+    * (Liu et al. eq. 1); the single JVM-side source (fit, the frozen-model
+    * walk — java.lang.Math.log, same libm family the 6-dp contract
+    * absorbs against DuckDB's ln).
     */
-  def cAdj(n: Column): Column =
-    when(n > 2, lit(2.0) * (log(n.cast("double") - lit(1.0)) + lit(Gamma)) -
-        lit(2.0) * (n.cast("double") - lit(1.0)) / n.cast("double"))
-      .when(n === 2, lit(1.0))
-      .otherwise(lit(0.0))
+  private[ml] def cOf(n: Long): Double =
+    if (n > 2) 2.0 * (math.log(n - 1.0) + Gamma) - 2.0 * (n - 1.0) / n
+    else if (n == 2) 1.0 else 0.0
 
   /** Same formula in DuckDB SQL. */
   def cAdjSql(n: String): String =
@@ -183,9 +183,7 @@ object IsolationForest {
                          lastNs: Map[(Int, Long), Long],
                          cbar: Double, trees: Int, depth: Int, subMod: Int) {
 
-    private def c(n: Long): Double =
-      if (n > 2) 2.0 * (math.log(n - 1.0) + Gamma) - 2.0 * (n - 1.0) / n
-      else if (n == 2) 1.0 else 0.0
+    private def c(n: Long): Double = cOf(n)
 
     /** Spark's round(_, 6) exactly (BigDecimal HALF_UP; NaN/Inf pass
       * through like the expression does — BigDecimal would throw).
@@ -272,53 +270,44 @@ object IsolationForest {
 
     val nt = base.groupBy(col("tree")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    def c(n: Long): Double =
-      if (n > 2) 2.0 * (math.log(n - 1.0) + Gamma) - 2.0 * (n - 1.0) / n
-      else if (n == 2) 1.0 else 0.0
-    val cbar = (0 until trees).map(t => c(nt.getOrElse(t, 0L)))
+    val cbar = (0 until trees).map(t => cOf(nt.getOrElse(t, 0L)))
       .foldLeft(0.0)(_ + _) / trees
 
-    val statAggs = count(lit(1)).as("ns") +:
-      (0 until d).flatMap { j =>
-        Seq(min(element_at(col("fv"), j + 1)).as(s"mn$j"),
-          max(element_at(col("fv"), j + 1)).as(s"mx$j")) }
-    val nodeKey = concat(col("tree").cast("string"), lit(":"),
-      col("path").cast("string"))
-
+    // Per level: each subsample row lands in its node via the closure walk
+    // and carries ONLY the value of that node's hash-chosen split feature —
+    // 3 aggregate columns regardless of d (per-feature stats at d=64 would
+    // emit 129 aggregates, past codegen's field limit and almost all
+    // discarded). Node parameters (split point, terminality, c(ns)) are
+    // then pure driver arithmetic — the same single IEEE ops the SQL
+    // oracle spells out, so parity is unchanged.
     var lvls = Vector.empty[Map[(Int, Long), ForestNode]]
-    def nodesAtLevel(frozen: Vector[Map[(Int, Long), ForestNode]]) = {
+    def nodeStats(frozen: Vector[Map[(Int, Long), ForestNode]]) = {
       val pu = udf((t: Int, fs: Seq[Double]) =>
-        pathAt(frozen, t, fs).map(Long.box).orNull: java.lang.Long)
-      base.withColumn("path", pu(col("tree"), col("fv")))
-        .filter(col("path").isNotNull)
+        pathAt(frozen, t, fs).map { path =>
+          (path, fs((TextOps.fnv32(s"if:$t:$path") % d).toInt))
+        })
+      base.withColumn("pv", pu(col("tree"), col("fv")))
+        .filter(col("pv").isNotNull)
+        .select(col("tree"), col("pv._1").as("path"), col("pv._2").as("cv"))
         .groupBy(col("tree"), col("path"))
-        .agg(statAggs.head, statAggs.tail: _*)
+        .agg(count(lit(1)).as("ns"), min(col("cv")).as("mn"),
+          max(col("cv")).as("mx"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))
     }
     for (_ <- 0 until depth) {
-      val local = nodesAtLevel(lvls)
-        .withColumn("hf", fnv(concat(lit("if:"), nodeKey)) % d)
-        .withColumn("mn", (0 until d).foldLeft(lit(0.0)) { (acc, j) =>
-          when(col("hf") === j, col(s"mn$j")).otherwise(acc) })
-        .withColumn("mx", (0 until d).foldLeft(lit(0.0)) { (acc, j) =>
-          when(col("hf") === j, col(s"mx$j")).otherwise(acc) })
-        .withColumn("frac",
-          fnv(concat(lit("iv:"), nodeKey)).cast("double") / lit(4294967296.0))
-        .withColumn("split", col("mn") + col("frac") * (col("mx") - col("mn")))
-        .withColumn("terminal", col("ns") <= 1 || col("mx") === col("mn"))
-        .withColumn("cterm", cAdj(col("ns")))
-        .select(col("tree"), col("path"), col("hf").cast("int").as("hf"),
-          col("split"), col("terminal"), col("cterm"))
-        .collect().map { r =>
-          (r.getInt(0), r.getLong(1)) ->
-            ForestNode(r.getInt(2), r.getDouble(3), r.getBoolean(4),
-              r.getDouble(5))
-        }.toMap
+      val local = nodeStats(lvls).map { case (t, p, ns, mn, mx) =>
+        val hf = (TextOps.fnv32(s"if:$t:$p") % d).toInt
+        val frac = TextOps.fnv32(s"iv:$t:$p").toDouble / 4294967296.0
+        (t, p) -> ForestNode(hf, mn + frac * (mx - mn),
+          ns <= 1 || mx == mn, cOf(ns))
+      }.toMap
       lvls = lvls :+ local
     }
 
-    val lastNs = nodesAtLevel(lvls)
-      .select(col("tree"), col("path"), col("ns"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lastNs = nodeStats(lvls)
+      .map { case (t, p, ns, _, _) => (t, p) -> ns }.toMap
 
     ForestModel(lvls.toIndexedSeq, lastNs, cbar, trees, depth, subMod)
   }
@@ -374,6 +363,12 @@ object IsolationForest {
     * CTE `pts0` providing (idCols..., feature columns...). Produces a CTE
     * chain ending in table `ifout(idCols..., avg_depth, avg_path, score)`.
     * Every arithmetic step mirrors [[scores]] operation for operation.
+    *
+    * Degenerate-input caveat: if the fit filter admits NO subsample rows,
+    * c̄ = 0 and the engine scores NaN (0/0 exponent, EdgeCaseSpec) while
+    * DuckDB's 0.0/0.0 yields NULL, so engine and oracle diverge NaN-vs-NULL
+    * there; every registered query fits on a non-empty subsample by
+    * construction, which keeps that case out of the oracle contract.
     */
   def oracleCteSql(idColsSql: Seq[String], featCols: Seq[String],
                    trees: Int = 8, depth: Int = 6, subMod: Int = 4,
@@ -387,7 +382,7 @@ object IsolationForest {
     val statCols = (s"CAST(count(*) AS BIGINT) AS ns" +:
       featCols.zipWithIndex.flatMap { case (f, j) =>
         Seq(s"min($f) AS mn$j", s"max($f) AS mx$j") }).mkString(",\n      ")
-    def pick(p: String, cols: Int => String) =
+    def pick(cols: Int => String) =
       s"CASE hf ${(0 until d).map(j => s"WHEN $j THEN ${cols(j)}").mkString(" ")} END"
 
     val levels = (0 until depth).map { k =>
@@ -417,9 +412,9 @@ object IsolationForest {
          |  FROM ${P}l$k l LEFT JOIN ${P}dec$k dd USING (tree, path)
          |)"""
         .stripMargin
-        .replace("@PICKMX@", pick("path", j => s"mx$j"))
-        .replace("@PICKF@", pick("path", j => featCols(j)))
-        .replace("@PICKMN@", pick("path", j => s"mn$j"))
+        .replace("@PICKMX@", pick(j => s"mx$j"))
+        .replace("@PICKF@", pick(j => featCols(j)))
+        .replace("@PICKMN@", pick(j => s"mn$j"))
     }.mkString(",\n")
 
     s"""${P}pts AS (

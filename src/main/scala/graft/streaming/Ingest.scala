@@ -187,11 +187,20 @@ object Ingest {
     import spark.implicits._
     import graft.operators.Dedup
 
+    // stream-static joins re-execute the static side's plan EVERY
+    // micro-batch; persist both static frames so the corpus is shingled
+    // and minhashed once per query start, not once per trigger (in
+    // production these live as parquet, the IvfStore discipline — the
+    // persist here is the in-session equivalent; storage is released
+    // when the streaming query's session ends or the bench's untimed
+    // between-query cleanup runs)
     val corpusSets = Dedup.shingleSets(corpus)
     val corpusBands = Dedup.bandTable(corpusSets)
       .select(col("doc_id").as("dup_of"), col("band"), col("bh"))
+      .persist()
     val corpusSh = corpusSets.select(col("doc_id").as("dup_of"),
       col("sh").as("shb"))
+      .persist()
 
     // per-row signature: element hashes via the same xxhash64 expression
     // as the batch path, then the shared splitmix64 minima fold
@@ -206,16 +215,20 @@ object Ingest {
 
     val jac = size(array_intersect(col("sh"), col("shb"))).cast("double") /
       size(array_union(col("sh"), col("shb"))).cast("double")
+    // candidate pairs dedup BEFORE the confirm join (the streaming twin of
+    // the batch path's cand.distinct()): a pair colliding in all 16 bands
+    // would otherwise evaluate the O(|sh|) exact Jaccard 16 times
     Dedup.bandsOfSignatures(sigs, carry = Seq("ts", "sh"))
       .join(corpusBands, Seq("band", "bh"))
+      .select(col("doc_id"), col("ts"), col("sh"), col("dup_of"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
       .join(corpusSh, Seq("dup_of"))
       // same size-ratio prune as the batch confirm
       .where(least(size(col("sh")), size(col("shb"))).cast("double") >=
         lit(threshold) * greatest(size(col("sh")), size(col("shb"))).cast("double"))
       .withColumn("jac", jac)
       .filter(col("jac") >= threshold)
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
       .select(col("doc_id"), col("ts"), col("dup_of"), col("jac"))
   }
 
@@ -349,9 +362,13 @@ object Ingest {
     */
   def xentStream(docs: DataFrame, corpus: DataFrame, width: String,
                  watermark: String, alpha: Double = 0.5): DataFrame = {
+    // persisted for the same reason as nearDupStream's static frames:
+    // the stream-static join would otherwise rebuild the corpus-wide LM
+    // aggregation every micro-batch
     val lm = corpus
       .select(explode(graft.functions.TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).cast("double").as("cnt"))
+      .persist()
     val st = lm.agg(sum(col("cnt")).as("t"),
       count(lit(1)).cast("double").as("v")).head()
     val (total, vocab) =

@@ -38,7 +38,10 @@ COPY (
   SELECT doc_id + k.k * 100000 AS doc_id,
          CASE WHEN k.k = 0 THEN text
               ELSE 'copysalt' || CAST(k.k AS VARCHAR) || ' ' || text END AS text,
-         lang, source, n_chars
+         lang, source,
+         -- keep the stored length truthful for the salted copies
+         CASE WHEN k.k = 0 THEN n_chars
+              ELSE n_chars + len('copysalt' || CAST(k.k AS VARCHAR) || ' ') END AS n_chars
   FROM read_parquet('{src}/documents.parquet')
   CROSS JOIN (SELECT unnest(range(10)) AS k) k
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
