@@ -143,6 +143,32 @@ object PipelineQueries {
              sum(length(col("w3"))).cast("long").as("n_bpe2"))
     }),
 
+    // the INVERSE of pipe_bpe_encode: expand the two learned merges back
+    // ('+' -> pair2 first, since pair2 may contain '_', then '_' -> pair1)
+    // and prove every word reconstructs exactly — the losslessness
+    // contract of the tokenizer thread (merge markers '_'/'+' cannot
+    // collide with the [a-z0-9]+ token alphabet)
+    "pipe_bpe_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val words = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      def topPair(df: org.apache.spark.sql.DataFrame, c: String): String =
+        df.select(explode(TextOps.charPairsRaw(col(c))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1).head().getString(0)
+      val t1 = topPair(words, "w")
+      val w2 = words.withColumn("w2", expr(s"replace(w, '$t1', '_')"))
+      val t2 = topPair(w2, "w2")
+      w2.withColumn("w3", expr(s"replace(w2, '$t2', '+')"))
+        .withColumn("dec",
+          expr(s"replace(replace(w3, '+', '$t2'), '_', '$t1')"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(when(col("dec") === col("w"), 1L).otherwise(0L)).cast("long")
+            .as("n_ok"))
+        .select(col("n_words"), col("n_ok"),
+          (col("n_words") === col("n_ok")).as("all_ok"))
+    }),
+
     // CCNet-style perplexity gate (Wenzek et al.): keep documents whose
     // unigram cross-entropy is at or below their LANGUAGE's median (the
     // "head+middle" kept-half) and that clear the token floor. The LM and
@@ -418,6 +444,37 @@ object PipelineQueries {
          |SELECT doc_id, CAST(sum(len(w)) AS BIGINT) AS n_chars_tok,
          |  CAST(sum(len(w3)) AS BIGINT) AS n_bpe2
          |FROM m2 GROUP BY 1""".stripMargin,
+
+    "pipe_bpe_roundtrip" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |  FROM documents
+         |), p1 AS (
+         |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w WHERE len(w) >= 2)
+         |), top1 AS (
+         |  SELECT pair FROM p1 GROUP BY pair
+         |  ORDER BY count(*) DESC, pair LIMIT 1
+         |), m AS (
+         |  SELECT doc_id, w, replace(w.w, top1.pair, '_') AS w2
+         |  FROM w CROSS JOIN top1
+         |), p2 AS (
+         |  SELECT substr(w2, CAST(i AS INT), 2) AS pair
+         |  FROM (SELECT w2, unnest(range(1, len(w2))) AS i FROM m WHERE len(w2) >= 2)
+         |), top2 AS (
+         |  SELECT pair FROM p2 GROUP BY pair
+         |  ORDER BY count(*) DESC, pair LIMIT 1
+         |), m2 AS (
+         |  SELECT doc_id, w,
+         |    replace(replace(replace(m.w2, top2.pair, '+'), '+', top2.pair),
+         |            '_', top1.pair) AS dec
+         |  FROM m CROSS JOIN top1 CROSS JOIN top2
+         |), agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(CASE WHEN dec = w THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+         |  FROM m2
+         |)
+         |SELECT n_words, n_ok, (n_words = n_ok) AS all_ok FROM agg""".stripMargin,
 
     "pipe_curate" ->
       s"$curateCteSql SELECT doc_id, lang, toks, cleaned FROM cur",
