@@ -422,6 +422,18 @@ object TierQueries {
       graft.sources.BuffStore.sumFromOutlierPlanes(enc, maj, base, 3)
     }),
 
+    // max+argmax answered DIRECTLY from the outlier-coded form (the
+    // reference's majority-path max, buff_simd.rs:2863): lexicographic
+    // plane fold over coalesce(exception, majority byte) — no restore
+    // projection, scan I/O is exception bytes + definition levels only
+    "buff_max_outlier" -> ((s, d) => {
+      val rd = r(s, d)
+      val base = rd.agg(min(col("value_q"))).first().getLong(0)
+      val pl = graft.sources.BuffStore.planes(rd, base, 3)
+      val (enc, maj) = graft.sources.BuffStore.outlierEncode(pl, 3)
+      graft.sources.BuffStore.maxFromOutlierPlanes(enc, maj, base, 3)
+    }),
+
     // Gorilla XOR codec (gorilla.rs:19-447, public VLDB'15 scheme): encode
     // each segment array, answer max FROM THE COMPRESSED FORM, and prove
     // the roundtrip bit-exact in the same row — all map-only expressions
@@ -892,6 +904,10 @@ object TierQueries {
          |  CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY signal_id""".stripMargin,
 
     "buff_max_argmax" ->
+      s"""$OracleCte SELECT signal_id, seq_no, value_q FROM r
+         |WHERE value_q = (SELECT max(value_q) FROM r)""".stripMargin,
+
+    "buff_max_outlier" ->
       s"""$OracleCte SELECT signal_id, seq_no, value_q FROM r
          |WHERE value_q = (SELECT max(value_q) FROM r)""".stripMargin,
 

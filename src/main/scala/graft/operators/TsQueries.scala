@@ -1310,7 +1310,7 @@ object TsQueries {
       s"""$OracleCte, st AS (
          |  SELECT signal_id, CAST(count(*) AS BIGINT) AS n,
          |         CAST(sum(value_q) AS BIGINT) AS s1,
-         |         CAST(sum(value_q * value_q) AS BIGINT) AS s2
+         |         CAST(sum(CAST(value_q AS HUGEINT) * value_q) AS HUGEINT) AS s2
          |  FROM r GROUP BY 1
          |), m AS (
          |  SELECT signal_id,
@@ -1438,9 +1438,9 @@ object TsQueries {
          |         CAST(hour(ts) AS INT) AS hod
          |  FROM r
          |), st AS (
-         |  SELECT signal_id, hod, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(value_q) AS BIGINT) AS sq,
-         |    CAST(sum(value_q * value_q) AS BIGINT) AS sqq
+         |  SELECT signal_id, hod, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(value_q AS HUGEINT)) AS HUGEINT) AS sq,
+         |    CAST(sum(CAST(value_q AS HUGEINT) * value_q) AS HUGEINT) AS sqq
          |  FROM h GROUP BY 1, 2
          |), b AS (
          |  SELECT signal_id, hod,

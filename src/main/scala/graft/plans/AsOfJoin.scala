@@ -121,7 +121,9 @@ case class AsOfJoinExec(
             if (cmp == 0 && rt != null) {
               curKey = rk.copy()
               curPayload = payloadProj(rRow).copy()
-              curTime = rt.asInstanceOf[Long]
+              // only the tolerance path needs the raw micros; guard the
+              // cast so non-long-backed time types still work without tol
+              if (tol.nonEmpty) curTime = rt.asInstanceOf[Long]
             }
             rBuf.next()
           } else {

@@ -249,6 +249,33 @@ object BuffStore {
         col("cnt"))
   }
 
+  /** Progressive max + argmax DIRECTLY on the outlier-coded store — the
+    * reference's majority-path max (buff_simd.rs:2863: a plane's
+    * candidate byte is max(majority byte, max exception byte), then
+    * refine). On the coded Parquet layout the same plane-major fold is
+    * ONE lexicographic aggregate over coalesce(exception, majority): the
+    * scan reads exception bytes plus ~1-bit definition levels — majority
+    * rows' bytes are never materialized, so there is no restore
+    * projection and the I/O is exception-mass only, exactly the
+    * reference's majority shortcut in columnar terms. The argmax
+    * position list is the same broadcast semi-join as [[maxWithArgmax]];
+    * completes the compressed-domain query family (range/sum/max) on the
+    * coded form.
+    */
+  def maxFromOutlierPlanes(data: DataFrame, majorities: DataFrame,
+                           base: Long, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{max => fmax}
+    def eff(i: Int): Column = coalesce(col(s"p$i"), col(s"maj_$i"))
+    val joined = data.join(broadcast(majorities), "signal_id")
+    val packed = struct((0 until n).map(i => eff(i).as(s"e$i")): _*)
+    val top = joined.agg(fmax(packed).as("m"))
+    joined.join(broadcast(top), packed === col("m"))
+      .select(col("signal_id"), col("seq_no"),
+        ((0 until n).map(i =>
+          shiftleft(eff(i).cast("long"), shiftBits(n, i)))
+          .reduce(_ + _) + lit(base)).as("value_q"))
+  }
+
   /** Persist the plane representation (the on-disk BUFF layout: one
     * Parquet column per byte plane, dictionary/bit-pack encoded).
     */

@@ -102,9 +102,11 @@ object CodecStore {
         Seq((codec, "buff_planes", dirBytes(d1)),
           (codec, "buff_outlier", dirBytes(d2) + dirBytes(d3)))
       })
-    val rows = Await.result(rowsF, Duration.Inf)
-    val planeRows = Await.result(planeRowsF, Duration.Inf)
-    pool.shutdown()
+    val (rows, planeRows) =
+      try {
+        (Await.result(rowsF, Duration.Inf),
+          Await.result(planeRowsF, Duration.Inf))
+      } finally pool.shutdown()
     val allRows = rows ++ planeRows.flatten ++ Seq(
       ("native", "gorilla_seg", nativeRows.getLong(0)),
       ("native", "sprintz_seg", nativeRows.getLong(1)),

@@ -373,6 +373,11 @@ object Ingest {
       count(lit(1)).cast("double").as("v")).head()
     val (total, vocab) =
       if (st.isNullAt(0)) (0.0, 0.0) else (st.getDouble(0), st.getDouble(1))
+    // an empty corpus would make every lp = log(x/0) = ±Infinity and the
+    // monitor would emit -Infinity xent silently; fail loudly instead
+    require(total > 0.0,
+      "xentStream: reference corpus is empty — the n-gram LM needs at " +
+        "least one token to define the smoothed denominator")
     docs
       .select(col("ts"),
         explode(graft.functions.TextOps.tokens(col("text"))).as("term"))

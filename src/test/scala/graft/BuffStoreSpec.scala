@@ -192,6 +192,35 @@ class BuffStoreSpec extends AnyFunSuite with SparkTest {
     assert(gotRBack == wantR)
   }
 
+  test("max+argmax directly on the outlier-coded form equals the raw max") {
+    import spark.implicits._
+    // the global max row is a MAJORITY row in the low plane (signal 0's
+    // 1007s dominate) AND an exception row case (signal 1's top value),
+    // so both branches of coalesce(exception, majority) are exercised
+    val rows =
+      (1L to 10L).map(s => (0L, s, if (s <= 2) 1000L + s else 1007L)) ++
+      (1L to 10L).map(s => (1L, s, 2000L + s * 3L)) ++
+      Seq((2L, 1L, 2030L), (2L, 2L, 2030L))      // duplicated global max
+    val rds = rows.toDF("signal_id", "seq_no", "value_q")
+    val pl = BuffStore.planes(rds, 0L, N)
+    val (enc, maj) = BuffStore.outlierEncode(pl, N)
+    val got = BuffStore.maxFromOutlierPlanes(enc, maj, 0L, N)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mx = rows.map(_._3).max
+    val want = rows.filter(_._3 == mx).map(t => (t._1, t._2, t._3)).toSet
+    assert(got == want, s"got=$got want=$want")
+
+    // and on the real sf0.001 store it matches maxWithArgmax on the
+    // restored view
+    val realPl = BuffStore.read(spark, storePath)
+    val (enc2, maj2) = BuffStore.outlierEncode(realPl, N)
+    val direct = BuffStore.maxFromOutlierPlanes(enc2, maj2, base, N)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaRestore = BuffStore.maxWithArgmax(realPl, base, N)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(direct == viaRestore)
+  }
+
   test("planesFor sizes the plane count from the domain width") {
     assert(BuffStore.planesFor(0L) == 1)
     assert(BuffStore.planesFor(255L) == 1)
