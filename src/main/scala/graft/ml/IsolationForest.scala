@@ -14,20 +14,22 @@ import graft.functions.{TextOps, VectorFunctions}
   * This is NOT a port of that crate. Two deliberate departures make the
   * forest both distributed and exactly verifiable by a SQL oracle:
   *
-  *  - **Hash-derived randomness.** The crate draws the split feature and
-  *    split value from an RNG; here every choice is fnv32 of a readable
-  *    key — subsample membership `is:<tree>:<id>`, split feature
-  *    `if:<tree>:<path>`, split fraction `iv:<tree>:<path>` — so the
-  *    forest is a pure function of the data and [[iforestCteSql]] can
-  *    regrow the identical forest in DuckDB (the same trick the simhash /
-  *    fingerprint oracles use, TextOps.fnv32).
-  *  - **Level-synchronous growth.** A tree level is one keyed aggregation
-  *    over the subsample (node -> count, per-feature min/max) followed by
-  *    a BROADCAST join of the tiny node table (≤ trees·2^level rows) back
-  *    onto the points — traversal is map-only, and only subsample rows
-  *    ever shuffle. Depth is bounded (default 6), so the whole forest is
-  *    `depth` small aggregations: this is the shape that survives 100 TB,
-  *    unlike per-executor recursive tree builds.
+  *  - **Hash-derived randomness.** The crate draws the subsample, split
+  *    feature and split value from an RNG; here every choice is fnv32 of
+  *    a readable key — subsample rank `is:<tree>:<id>` (each tree takes
+  *    the ψ points with the smallest hash, the paper's fixed-ψ sample),
+  *    split feature `if:<tree>:<path>`, split fraction `iv:<tree>:<path>`
+  *    — so the forest is a pure function of the data and [[oracleCteSql]]
+  *    can regrow the identical forest in DuckDB (the same trick the
+  *    simhash / fingerprint oracles use, TextOps.fnv32).
+  *  - **Fixed-ψ subsample, parameter-bounded fit.** Selection is one
+  *    narrow distributed top-k pass (per-partition bounded heaps, then a
+  *    tiny merge); everything after operates on ≤ trees·ψ rows, so fit
+  *    cost past the scan is independent of data size — the property that
+  *    makes the fit viable at 100 TB, where a fraction-of-N subsample
+  *    would materialize a multiple of the dataset. Depth is bounded
+  *    (default 6) and growth is level-synchronous over the collected
+  *    sample, mirroring the SQL oracle step for step.
   *
   * Semantics per Liu et al.: a node splits on feature j = h(tree,path) mod
   * d at split = min_j + frac·(max_j − min_j) computed over the node's
@@ -131,9 +133,10 @@ object IsolationForest {
   /** Grow the forest and score every point.
     *
     * Two phases, each in its 100 TB shape:
-    *  1. [[fit]] — the forest grows from the SUBSAMPLE only (distributed
-    *     keyed aggregation per level over hash-chosen rows, node tables
-    *     collected into a bounded ForestModel: ≤ trees·2^depth nodes);
+    *  1. [[fit]] — one distributed top-k pass selects the fixed-ψ
+    *     hash-rank subsample per tree, then the forest grows from those
+    *     ≤ trees·ψ rows into a bounded ForestModel (≤ trees·2^depth
+    *     nodes);
     *  2. scoring — ONE map-only pass over the points with the frozen
     *     model in the task closure. No join, no shuffle, no state.
     *
@@ -152,10 +155,10 @@ object IsolationForest {
     *         avg_path and score are 6-dp rounded.
     */
   def scores(points: DataFrame, idCols: Seq[String], featCols: Seq[String],
-             trees: Int = 8, depth: Int = 6, subMod: Int = 4,
+             trees: Int = 8, depth: Int = 6, psi: Int = 256,
              fitFilter: Column = lit(true)): DataFrame = {
     require((trees & (trees - 1)) == 0, "trees must be a power of 2 so avg_depth is exact")
-    val model = fit(points, idCols, featCols, trees, depth, subMod, fitFilter)
+    val model = fit(points, idCols, featCols, trees, depth, psi, fitFilter)
     scoreWithModel(points, idCols, featCols, model)
   }
 
@@ -181,7 +184,7 @@ object IsolationForest {
     */
   case class ForestModel(levels: IndexedSeq[Map[(Int, Long), ForestNode]],
                          lastNs: Map[(Int, Long), Long],
-                         cbar: Double, trees: Int, depth: Int, subMod: Int) {
+                         cbar: Double, trees: Int, depth: Int, psi: Int) {
 
     private def c(n: Long): Double = cOf(n)
 
@@ -246,55 +249,95 @@ object IsolationForest {
     Some(path)
   }
 
-  /** Train a frozen forest. Level-synchronous, but with NO per-level join:
-    * the already-collected node tables place every subsample row in its
-    * level-k node via a closure walk, so each level is exactly one keyed
-    * aggregation job over the (checkpointed once) subsample — depth+2 small
-    * jobs total. Only subsample rows ever exist here: the traversal
-    * population plays no part in learning splits.
+  /** Train a frozen forest on a FIXED-SIZE subsample — Liu et al.'s ψ
+    * (the isolation_forest crate's `Forest::new(trees, subsample)` the
+    * reference study calls, lossyML/src/file_io.rs:261): each tree grows
+    * from the ψ points whose hash rank fnv32("is:<tree>:<id>") is
+    * smallest, ties broken by the id string — a deterministic per-tree
+    * pseudo-random sample the SQL oracle reproduces with one
+    * row_number() window.
+    *
+    * 100 TB shape: ONE narrow pass selects the subsample — per-partition
+    * bounded heaps keep the ψ smallest (hash, id) candidates per tree
+    * (classic distributed top-k, ≤ trees·ψ entries of state per task),
+    * then one tiny shuffle of ≤ partitions·trees·ψ survivors merges per
+    * tree. Fit cost beyond that scan is INDEPENDENT of data size: the
+    * collected subsample is ≤ trees·ψ rows (8·256·d doubles ≈ 1 MB at
+    * d=64 — bounded by parameters, not data), and the level-synchronous
+    * growth is pure driver arithmetic over it, each step the same single
+    * IEEE operation the SQL oracle spells out (min/max are
+    * order-independent, the split is one fma-free `mn + frac·(mx−mn)`),
+    * so parity with the DuckDB regrow is exact. Scoring still scales
+    * with rows (one map-only pass); only the fit is now O(scan) +
+    * O(trees·ψ·depth) driver work, where the previous fraction-mode fit
+    * checkpointed trees/mod × N rows and aggregated them depth+2 times.
     */
   def fit(points: DataFrame, idCols: Seq[String], featCols: Seq[String],
-          trees: Int = 8, depth: Int = 6, subMod: Int = 4,
+          trees: Int = 8, depth: Int = 6, psi: Int = 256,
           fitFilter: Column = lit(true)): ForestModel = {
+    require(psi >= 1, s"psi must be >= 1, got $psi")
     VectorFunctions.ensureRegistered(points.sparkSession)
+    import points.sparkSession.implicits._
     val d = featCols.length
     val idKey = concat_ws(":", idCols.map(c => col(c).cast("string")): _*)
-    val base = points
-      .select(explode(sequence(lit(0), lit(trees - 1))).as("tree") +:
-        (idCols ++ featCols).map(col): _*)
-      .filter((fnv(concat(lit("is:"), col("tree").cast("string"), lit(":"), idKey))
-        % subMod === 0) && fitFilter)
-      .select(col("tree").cast("int").as("tree"),
-        array(featCols.map(col): _*).as("fv"))
-      .localCheckpoint()
 
-    val nt = base.groupBy(col("tree")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val cbar = (0 until trees).map(t => cOf(nt.getOrElse(t, 0L)))
+    type Cand = (Int, Long, String, Seq[Double])
+    val ord = Ordering.by[Cand, (Long, String)](c => (c._2, c._3))
+    // keep the psi smallest (hash, id) per tree with a bounded max-heap
+    def shrink(it: Iterator[Cand]): Iterator[Cand] = {
+      val heaps = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.PriorityQueue[Cand]]
+      it.foreach { c =>
+        val q = heaps.getOrElseUpdate(c._1,
+          scala.collection.mutable.PriorityQueue.empty[Cand](ord))
+        if (q.size < psi) q.enqueue(c)
+        else if (ord.lt(c, q.head)) { q.dequeue(); q.enqueue(c) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val sub: Array[Cand] = points
+      .filter(fitFilter)
+      .select(explode(sequence(lit(0), lit(trees - 1))).as("tree") +:
+        idKey.as("ik") +: featCols.map(col): _*)
+      .select(col("tree").cast("int").as("_1"),
+        fnv(concat(lit("is:"), col("tree").cast("string"), lit(":"),
+          col("ik"))).cast("long").as("_2"),
+        col("ik").as("_3"),
+        array(featCols.map(col): _*).as("_4"))
+      .as[(Int, Long, String, Seq[Double])]
+      .mapPartitions[(Int, Long, String, Seq[Double])](shrink _)
+      .groupByKey(_._1)
+      .flatMapGroups[(Int, Long, String, Seq[Double])](
+        (_: Int, it: Iterator[Cand]) => shrink(it))
+      .collect() // ≤ trees·psi rows by construction
+
+    val byTree: Map[Int, Array[Array[Double]]] =
+      sub.groupBy(_._1).map { case (t, cs) => t -> cs.map(_._4.toArray) }
+    val cbar = (0 until trees)
+      .map(t => cOf(byTree.get(t).map(_.length.toLong).getOrElse(0L)))
       .foldLeft(0.0)(_ + _) / trees
 
-    // Per level: each subsample row lands in its node via the closure walk
-    // and carries ONLY the value of that node's hash-chosen split feature —
-    // 3 aggregate columns regardless of d (per-feature stats at d=64 would
-    // emit 129 aggregates, past codegen's field limit and almost all
-    // discarded). Node parameters (split point, terminality, c(ns)) are
-    // then pure driver arithmetic — the same single IEEE ops the SQL
-    // oracle spells out, so parity is unchanged.
+    // Level-synchronous growth over the collected subsample: place each
+    // row in its level-k node via the frozen-prefix walk, fold
+    // (count, min, max of the node's hash-chosen split feature) — the
+    // identical stats the fraction-mode fit aggregated distributively,
+    // now plain driver loops because the input is parameter-bounded.
     var lvls = Vector.empty[Map[(Int, Long), ForestNode]]
-    def nodeStats(frozen: Vector[Map[(Int, Long), ForestNode]]) = {
-      val pu = udf((t: Int, fs: Seq[Double]) =>
-        pathAt(frozen, t, fs).map { path =>
-          (path, fs((TextOps.fnv32(s"if:$t:$path") % d).toInt))
-        })
-      base.withColumn("pv", pu(col("tree"), col("fv")))
-        .filter(col("pv").isNotNull)
-        .select(col("tree"), col("pv._1").as("path"), col("pv._2").as("cv"))
-        .groupBy(col("tree"), col("path"))
-        .agg(count(lit(1)).as("ns"), min(col("cv")).as("mn"),
-          max(col("cv")).as("mx"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-          r.getDouble(4)))
+    def nodeStats(frozen: Vector[Map[(Int, Long), ForestNode]])
+      : Seq[(Int, Long, Long, Double, Double)] = {
+      val acc = scala.collection.mutable.Map
+        .empty[(Int, Long), (Long, Double, Double)]
+      for ((t, rows) <- byTree; fs <- rows)
+        pathAt(frozen, t, fs) match {
+          case Some(path) =>
+            val cv = fs((TextOps.fnv32(s"if:$t:$path") % d).toInt)
+            val (n0, mn0, mx0) =
+              acc.getOrElse((t, path), (0L, cv, cv))
+            acc((t, path)) =
+              (n0 + 1, math.min(mn0, cv), math.max(mx0, cv))
+          case None =>
+        }
+      acc.toSeq.map { case ((t, p), (ns, mn, mx)) => (t, p, ns, mn, mx) }
     }
     for (_ <- 0 until depth) {
       val local = nodeStats(lvls).map { case (t, p, ns, mn, mx) =>
@@ -309,7 +352,7 @@ object IsolationForest {
     val lastNs = nodeStats(lvls)
       .map { case (t, p, ns, _, _) => (t, p) -> ns }.toMap
 
-    ForestModel(lvls.toIndexedSeq, lastNs, cbar, trees, depth, subMod)
+    ForestModel(lvls.toIndexedSeq, lastNs, cbar, trees, depth, psi)
   }
 
   /** Persist a frozen model as one small parquet (row kinds: per-level
@@ -327,7 +370,7 @@ object IsolationForest {
     val last = model.lastNs.toSeq.map { case ((t, p), ns) =>
       ("last", model.depth, t, p, 0, 0.0, false, 0.0, ns) }
     val meta = Seq(("meta", -1, model.trees, 0L, model.depth, model.cbar,
-      false, 0.0, model.subMod.toLong))
+      false, 0.0, model.psi.toLong))
     (nodes ++ last ++ meta)
       .toDF("kind", "level", "tree", "path", "hf", "split", "terminal",
         "cterm", "ns")
@@ -341,7 +384,7 @@ object IsolationForest {
     val meta = rows.find(_.getAs[String]("kind") == "meta")
       .getOrElse(throw new IllegalStateException(s"no meta row in $path"))
     // meta row encoding (see save): tree=trees, hf=depth, split=cbar,
-    // ns=subMod
+    // ns=psi
     val trees = meta.getAs[Int]("tree")
     val depth = meta.getAs[Int]("hf")
     val levels = (0 until depth).map { lvl =>
@@ -371,7 +414,7 @@ object IsolationForest {
     * construction, which keeps that case out of the oracle contract.
     */
   def oracleCteSql(idColsSql: Seq[String], featCols: Seq[String],
-                   trees: Int = 8, depth: Int = 6, subMod: Int = 4,
+                   trees: Int = 8, depth: Int = 6, psi: Int = 256,
                    prefix: String = "", fitFilterSql: String = "TRUE"): String = {
     val P = prefix
     val d = featCols.length
@@ -418,10 +461,15 @@ object IsolationForest {
     }.mkString(",\n")
 
     s"""${P}pts AS (
-       |  SELECT t.tree, $ids, $feats,
-       |    ((${TextOps.fnv32Sql(s"'is:' || CAST(t.tree AS VARCHAR) || ':' || $idKey")} % $subMod = 0)
-       |     AND ($fitFilterSql)) AS is_sub
-       |  FROM ${P}pts0 CROSS JOIN (SELECT unnest(range($trees)) AS tree) t
+       |  SELECT tree, $ids, $feats,
+       |    (ff AND row_number()
+       |       OVER (PARTITION BY tree, ff ORDER BY hsub, iksub) <= $psi)
+       |      AS is_sub
+       |  FROM (
+       |    SELECT t.tree, $ids, $feats, ($fitFilterSql) AS ff,
+       |      ${TextOps.fnv32Sql(s"'is:' || CAST(t.tree AS VARCHAR) || ':' || $idKey")} AS hsub,
+       |      $idKey AS iksub
+       |    FROM ${P}pts0 CROSS JOIN (SELECT unnest(range($trees)) AS tree) t)
        |), ${P}l0 AS (
        |  SELECT tree, $ids, $feats, is_sub,
        |    CAST(1 AS BIGINT) AS path, FALSE AS done, 0 AS dpt, 0.0 AS plen

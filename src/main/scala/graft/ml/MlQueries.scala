@@ -107,6 +107,14 @@ object MlQueries {
       IsolationForest.scores(IsolationForest.paaFeatures(Readings.of(s, d)),
         Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"))),
 
+    // the fixed-ψ knob itself: a forest grown on ψ=64 points per tree
+    // (vs the 256 default) — Liu et al.'s subsample-size parameter, the
+    // quantity that keeps fit cost independent of data size; the oracle
+    // regrows the ψ=64 forest and must match every score
+    "ml_iforest_psi" -> ((s, d) =>
+      IsolationForest.scores(IsolationForest.paaFeatures(Readings.of(s, d)),
+        Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"), psi = 64)),
+
     // the serving shape: top-20 anomalies by score (deterministic
     // tiebreak), the rows an operator would actually page through
     "ml_iforest_top" -> ((s, d) =>
@@ -250,6 +258,11 @@ object MlQueries {
     "ml_iforest" ->
       s"""${Readings.OracleCte}, ${IsolationForest.paaFeaturesCteSql},
          |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"))}
+         |SELECT signal_id, seg, avg_depth, avg_path, score FROM ifout""".stripMargin,
+
+    "ml_iforest_psi" ->
+      s"""${Readings.OracleCte}, ${IsolationForest.paaFeaturesCteSql},
+         |${IsolationForest.oracleCteSql(Seq("signal_id", "seg"), Seq("f0", "f1", "f2", "f3"), psi = 64)}
          |SELECT signal_id, seg, avg_depth, avg_path, score FROM ifout""".stripMargin,
 
     "ml_iforest_top" ->

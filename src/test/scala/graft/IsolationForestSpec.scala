@@ -16,7 +16,8 @@ class IsolationForestSpec extends AnyFunSuite with SparkTest {
 
   private val Trees = 8
   private val Depth = 6
-  private val SubMod = 4
+  // smaller than every fixture so the hash-rank top-ψ selection is real
+  private val Psi = 32
 
   /** Sequential reference: same hash choices, plain recursive descent. */
   private def bruteScores(pts: Seq[(Long, Long, Array[Double])])
@@ -44,8 +45,10 @@ class IsolationForestSpec extends AnyFunSuite with SparkTest {
     }
 
     val byTree = (0 until Trees).map { t =>
-      val sub = pts.filter { case (a, b, _) =>
-        TextOps.fnv32(s"is:$t:$a:$b") % SubMod == 0 }.map(_._3)
+      // fixed-ψ hash-rank subsample: ψ smallest fnv32("is:t:id"), ties
+      // broken by the id string — the selection fit() distributes
+      val sub = pts.sortBy { case (a, b, _) =>
+        (TextOps.fnv32(s"is:$t:$a:$b"), s"$a:$b") }.take(Psi).map(_._3)
       t -> sub
     }.toMap
     val cbar = (0 until Trees).map(t => c(byTree(t).size)).sum / Trees
@@ -75,7 +78,7 @@ class IsolationForestSpec extends AnyFunSuite with SparkTest {
     val df = pts.map { case (a, b, f) => (a, b, f(0), f(1), f(2), f(3)) }
       .toDF("signal_id", "seg", "f0", "f1", "f2", "f3")
     IsolationForest.scores(df, Seq("signal_id", "seg"),
-      Seq("f0", "f1", "f2", "f3"), Trees, Depth, SubMod)
+      Seq("f0", "f1", "f2", "f3"), Trees, Depth, Psi)
   }
 
   test("distributed forest equals the sequential reference implementation") {
@@ -115,11 +118,11 @@ class IsolationForestSpec extends AnyFunSuite with SparkTest {
       .toDF("signal_id", "seg", "f0", "f1", "f2", "f3")
     for (ff <- Seq(lit(true), col("signal_id") % 2 === 0)) {
       val dist = IsolationForest.scores(df, Seq("signal_id", "seg"),
-        Seq("f0", "f1", "f2", "f3"), Trees, Depth, SubMod, fitFilter = ff)
+        Seq("f0", "f1", "f2", "f3"), Trees, Depth, Psi, fitFilter = ff)
         .collect().map(r => (r.getLong(0), r.getLong(1)) ->
           (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
       val model = IsolationForest.fit(df, Seq("signal_id", "seg"),
-        Seq("f0", "f1", "f2", "f3"), Trees, Depth, SubMod, fitFilter = ff)
+        Seq("f0", "f1", "f2", "f3"), Trees, Depth, Psi, fitFilter = ff)
       for ((a, b, f) <- pts) {
         assert(model.score(f) === dist((a, b)), s"point ($a,$b)")
       }
@@ -163,7 +166,7 @@ class IsolationForestSpec extends AnyFunSuite with SparkTest {
     val df = pts.map { case (a, b, f) => (a, b, f(0), f(1), f(2), f(3)) }
       .toDF("signal_id", "seg", "f0", "f1", "f2", "f3")
     val model = IsolationForest.fit(df, Seq("signal_id", "seg"),
-      Seq("f0", "f1", "f2", "f3"), Trees, Depth, SubMod)
+      Seq("f0", "f1", "f2", "f3"), Trees, Depth, Psi)
     val path = java.nio.file.Files.createTempDirectory("iforest-rt").toString
     IsolationForest.save(spark, model, path)
     val loaded = IsolationForest.load(spark, path)
