@@ -112,6 +112,20 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus setup failed (no pipe_corpus_store row): $e"); None }
 
+    // untimed staging for the streaming matrix-profile maintenance row:
+    // the events table as 4 files so the AvailableNow run has 4
+    // micro-batches, each folding its sealed segments into the persisted
+    // profile (the timed part is the end-to-end maintenance job)
+    val profileIn: Option[String] =
+      try {
+        val in = tempDir("graft-bench-mpin")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .repartition(4).write.mode("overwrite").parquet(in)
+        Some(in)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] profile-stream setup failed (no seg_profile_stream row): $e"); None }
+
     // untimed histogram-sketch materialization for the *_tier percentile
     val histDir: Option[String] =
       try {
@@ -167,6 +181,17 @@ object Bench {
             .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
                  expr("approx_percentile(value, 0.9, 1000)").as("p90")).count(); ()
         }))
+    } ++ profileIn.toSeq.map { in =>
+      // STAMPI-style streaming profile maintenance: 4 micro-batches of
+      // sealed segments each fold into the persisted per-signal profile
+      // (Ingest.profileStream); a fresh work dir per rep so every run
+      // pays the full incremental ladder, not a warm no-op
+      ("seg_profile_stream", () => {
+        val work = tempDir("graft-bench-mpwork") + s"/w${System.nanoTime()}"
+        val q = graft.streaming.Ingest.profileStream(spark, in, work,
+          graft.operators.Readings.SegmentRows.toInt, maxFilesPerTrigger = 1)
+        q.awaitTermination(); ()
+      })
     } ++ histDir.toSeq.map { hd =>
       // percentile served from the PERSISTED histogram sketch — the
       // production path (o8_percentile_sketch rebuilds the histogram

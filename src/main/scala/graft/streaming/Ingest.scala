@@ -420,6 +420,103 @@ object Ingest {
       .toDF("signal_id", "seg", "avg_depth", "avg_path", "score")
   }
 
+  /** Streaming MATRIX-PROFILE maintenance — STAMPI at segment granularity
+    * folded into the ingest path: every micro-batch of newly sealed
+    * segments updates a PERSISTED per-signal profile via
+    * MotifDiscord.profileIncrement (O(m·δ) cross distances + O(δ²)
+    * within-batch, never a recompute), so discord/motif serving reads a
+    * profile that is exact as of the last sealed segment. This is the
+    * reference's ingest-time outlier concern (future_signal.rs +
+    * outlier/mod.rs) served continuously, the way iforestStream serves
+    * the frozen forest.
+    *
+    * Persistence layout under `workDir`:
+    *  - `segs/batch=<id>/`    — sealed segments (qvals), partitioned by
+    *    micro-batch; dynamic-partition overwrite keyed by batch id, so a
+    *    replayed batch replaces its own rows (tier0Writer's idempotence
+    *    discipline);
+    *  - `profile/batch=<id>/` — the FULL updated profile after batch
+    *    <id>; each batch writes its own versioned snapshot, so readers
+    *    ([[readProfile]]) always see a consistent profile and a replayed
+    *    batch rewrites an identical snapshot. Prior state is the newest
+    *    snapshot with id < current, so a crash between the two writes
+    *    replays cleanly.
+    *
+    * Exactness: profileIncrement over disjoint batches equals the batch
+    * profile over the union (MotifDiscordSpec); segment ids from
+    * segmentStream are per-signal monotone, so batches never overlap.
+    * StreamingSpec proves the final streamed profile equals
+    * MotifDiscord.profile over all complete segments.
+    *
+    * 100 TB shape: the per-batch work is one keyed join of the landed
+    * segment store against the δ new segments plus a δ² self-join —
+    * both partition-parallel; profile snapshots are one row per segment
+    * (compact); nothing collects on the driver.
+    */
+  def profileStream(spark: SparkSession, srcDir: String, workDir: String,
+                    segRows: Int = 16,
+                    maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val segsDir = s"$workDir/segs"
+    val profDir = s"$workDir/profile"
+    segmentStream(spark, srcDir, segRows, maxFilesPerTrigger)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        // same fixed-point mapping as the batch Segments.completeQuantized
+        val newSegs = batch
+          .withColumn("qvals",
+            transform(col("values"), v => floor(v * lit(100)).cast("long")))
+          .select(col("signal_id"), col("seg"), col("qvals"))
+          .localCheckpoint()
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        def snapshots(dir: String): Seq[Long] = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("batch="))
+            .map(_.stripPrefix("batch=").toLong)
+        }
+        val prior = snapshots(profDir).filter(_ < batchId)
+        val existingProfile = prior.sorted.lastOption match {
+          case Some(pb) => s.read.parquet(s"$profDir/batch=$pb")
+          case None => Seq.empty[(Long, Long, Long)]
+            .toDF("signal_id", "seg", "nnd_q")
+        }
+        val existingSegs =
+          if (snapshots(segsDir).exists(_ < batchId))
+            s.read.parquet(segsDir).filter(col("batch") < batchId)
+              .select(col("signal_id"), col("seg"), col("qvals"))
+          else Seq.empty[(Long, Long, Seq[Long])]
+            .toDF("signal_id", "seg", "qvals")
+        graft.operators.MotifDiscord
+          .profileIncrement(existingSegs, existingProfile, newSegs)
+          .write.mode("overwrite").parquet(s"$profDir/batch=$batchId")
+        newSegs.withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(segsDir)
+      }
+      .start()
+  }
+
+  /** The newest persisted profile snapshot written by [[profileStream]]. */
+  def readProfile(spark: SparkSession, workDir: String): DataFrame = {
+    val profDir = s"$workDir/profile"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(new org.apache.hadoop.fs.Path(profDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    require(ids.nonEmpty, s"no profile snapshots under $profDir")
+    spark.read.parquet(s"$profDir/batch=${ids.max}")
+  }
+
   /** Streaming twin of the recoding bandit's reward job
     * (ml.Bandit.recodeRewardInputs): every COMPLETED segment emits its
     * per-arm reward row as it closes — the shape in which the reference

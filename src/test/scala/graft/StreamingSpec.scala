@@ -153,6 +153,45 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     streamed.foreach { case (k, v) => assert(v == batch(k), s"segment $k differs") }
   }
 
+  test("streamed incremental matrix profile equals the batch profile") {
+    import graft.operators.MotifDiscord
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    // stage FOUR files quartiled by global (ts, event_id) order with
+    // ascending modification times: arrival order across micro-batches
+    // then matches seq_no order, so the streamed segmentation equals the
+    // batch segmentation and the profile parity is end-to-end
+    val tiled = raw.withColumn("tile",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val in = Files.createTempDirectory("graft-stream-mp").toString
+    (1 to 4).foreach { t =>
+      val tmp = Files.createTempDirectory(s"graft-mp$t").toString
+      tiled.filter(col("tile") === t).drop("tile")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(in, s"part$t.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + t * 60000L)
+    }
+    val work = Files.createTempDirectory("graft-mp-work").toString
+    val q = Ingest.profileStream(spark, in, work,
+      Readings.SegmentRows.toInt, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    // >= 2 snapshots: the incremental path (not a single full build) ran
+    val snaps = new java.io.File(s"$work/profile").listFiles()
+      .filter(_.getName.startsWith("batch="))
+    assert(snaps.length >= 2, s"expected multiple micro-batches, got ${snaps.length}")
+    val streamed = Ingest.readProfile(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = MotifDiscord.profile(
+        Segments.completeQuantized(Readings.of(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streamed profile (${streamed.size}) != batch profile (${batch.size})")
+  }
+
   test("streamed iforest scores against a frozen model equal the batch scores") {
     val in = stageInput()
     import spark.implicits._
