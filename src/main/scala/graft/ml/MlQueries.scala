@@ -14,13 +14,33 @@ object MlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M3: classifier suite on embeddings (labels are synthetic; the
-    // deliverable is the deterministic train/eval pipeline shape)
+    // deliverable is the deterministic train/eval pipeline shape). The
+    // dump carries BOTH the accuracy summary rows (kind='acc') and the
+    // decision tree's per-test-point predictions (kind='pred'), so the
+    // scale checker can verify the reported accuracy IS the prediction
+    // dump's hit rate — the ML fit stays engine-specific, its accounting
+    // does not (ScaleInvariants)
     "ml_classifiers" -> ((s, d) => {
+      import org.apache.spark.ml.classification.DecisionTreeClassifier
+      import org.apache.spark.ml.functions.array_to_vector
       val e = Tables.embeddings(s, d)
-      val feats = Classifiers.featuresFrame(e, "embedding", "label")
+      val feats = e.select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"),
+        col("label").cast("double").as("label"))
       val train = feats.where(pmod(hash(col("features")), lit(5)) =!= 0)
       val test = feats.where(pmod(hash(col("features")), lit(5)) === 0)
-      Classifiers.trainEval(train, test)
+      val accs = Classifiers.trainEval(train.drop("vec_id"), test.drop("vec_id"))
+        .select(lit("acc").as("kind"), col("model"), col("accuracy"),
+          lit(null).cast("long").as("vec_id"),
+          lit(null).cast("double").as("prediction"),
+          lit(null).cast("double").as("label"))
+      // same estimator/seed as trainEval's decision tree -> same model
+      val dt = new DecisionTreeClassifier().setSeed(42L).fit(train)
+      val preds = dt.transform(test)
+        .select(lit("pred").as("kind"), lit("decision_tree").as("model"),
+          lit(null).cast("double").as("accuracy"),
+          col("vec_id"), col("prediction"), col("label"))
+      accs.unionByName(preds)
     }),
 
     "ml_kmeans_purity" -> ((s, d) =>

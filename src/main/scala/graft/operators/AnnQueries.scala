@@ -304,15 +304,27 @@ object AnnQueries {
             .as("drift_cos"))
     }),
 
+    // per-point assignments + the model's centroids in one dump (kind =
+    // 'pt' | 'ctr'): the ML fit itself is engine-specific (no SQL
+    // oracle), but this shape lets the scale checker verify the VORONOI
+    // INVARIANT — every point is closer to its own centroid than to any
+    // other — plus k and full-coverage, in one linear pass
+    // (ScaleInvariants)
     "emb_kmeans" -> ((s, d) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
+      import s.implicits._
       val feat = emb(s, d).select(col("vec_id"), col("label"),
         array_to_vector(col("embedding").cast("array<double>")).as("features"))
       val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat)
-      model.transform(feat)
-        .groupBy(col("prediction").cast("long").as("cluster"))
-        .agg(count(lit(1)).as("cnt"))
+      val pts = model.transform(feat)
+        .select(lit("pt").as("kind"), col("vec_id").as("id"),
+          col("prediction").cast("long").as("cluster"),
+          lit(null).cast("array<double>").as("vec"))
+      val ctrs = model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => ("ctr", i.toLong, i.toLong, c.toArray.toSeq) }
+        .toDF("kind", "id", "cluster", "vec")
+      pts.unionByName(ctrs)
     })
   )
 

@@ -286,6 +286,116 @@ object ScaleInvariants {
     "ml_bandit_recode_band" -> banditSql(Bandit.RecodeArms, banded = true,
       Bandit.recodeStepsCte(Readings.OracleCte, banded = true)),
     "ml_bandit_replay" -> banditSql(Bandit.CompressArms, banded = false,
-      Bandit.compressStepsCte(Readings.OracleCte))
+      Bandit.compressStepsCte(Readings.OracleCte)),
+
+    // --- invariant coverage for the engine-specific ML-fit dumps (no
+    // exact oracle exists: the models are Spark ML's). These do not
+    // recompute the fit; they verify the dumped model's defining
+    // properties against the base tables in one linear pass each.
+
+    // KMeans Voronoi consistency: every point lies in its own centroid's
+    // cell (tolerance absorbs Spark ML's norm-cached distance shortcut),
+    // k centroids dumped, every embedding assigned exactly once
+    "emb_kmeans" ->
+      """WITH pts AS (
+        |  SELECT s.id AS vec_id, s.cluster, e.embedding
+        |  FROM spark_out s JOIN embeddings e ON e.vec_id = s.id
+        |  WHERE s.kind = 'pt'
+        |), ctrs AS (
+        |  SELECT id AS cluster, vec FROM spark_out WHERE kind = 'ctr'
+        |), d AS (
+        |  SELECT p.vec_id, p.cluster AS own, c.cluster AS cand,
+        |    list_sum(list_transform(range(1, len(c.vec) + 1),
+        |      i -> (CAST(p.embedding[i] AS DOUBLE) - c.vec[i])
+        |         * (CAST(p.embedding[i] AS DOUBLE) - c.vec[i]))) AS d2
+        |  FROM pts p CROSS JOIN ctrs c
+        |), best AS (
+        |  SELECT vec_id, own, min(d2) FILTER (WHERE cand = own) AS d_own,
+        |         min(d2) AS d_min
+        |  FROM d GROUP BY 1, 2
+        |)
+        |SELECT 'every_point_in_own_voronoi_cell' AS invariant,
+        |  CAST(count(*) FILTER (WHERE d_own IS NULL
+        |    OR d_own > d_min + 1e-6 * greatest(d_min, 1.0)) AS BIGINT)
+        |    AS violations
+        |FROM best
+        |UNION ALL
+        |SELECT 'k_centroids_dumped',
+        |  CAST(abs(10 - (SELECT count(*) FROM ctrs)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'every_embedding_assigned_once',
+        |  CAST(abs((SELECT count(*) FROM embeddings)
+        |         - (SELECT count(DISTINCT vec_id) FROM pts)) AS BIGINT)"""
+        .stripMargin,
+
+    // purity is structurally >= the global majority-label share (each
+    // cluster's majority count >= its count of any FIXED label, summed)
+    // and <= 1; both bounds check against the base table
+    "ml_kmeans_purity" ->
+      """WITH p AS (SELECT purity FROM spark_out),
+        |maj AS (
+        |  SELECT CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS share
+        |  FROM (SELECT label, count(*) AS c FROM embeddings GROUP BY 1)
+        |)
+        |SELECT 'purity_at_least_majority_label_share' AS invariant,
+        |  CAST(count(*) FILTER (WHERE p.purity < m.share - 1e-9) AS BIGINT)
+        |    AS violations
+        |FROM p, maj m
+        |UNION ALL
+        |SELECT 'purity_at_most_one',
+        |  CAST(count(*) FILTER (WHERE purity > 1.0 + 1e-12) AS BIGINT) FROM p
+        |UNION ALL
+        |SELECT 'one_summary_row',
+        |  CAST(abs(1 - (SELECT count(*) FROM p)) AS BIGINT)""".stripMargin,
+
+    // the reported accuracy IS the prediction dump's hit rate (both are
+    // integer-count ratios, so the division matches exactly), accuracies
+    // bounded, the expected model rows present
+    "ml_classifiers" ->
+      """WITH acc AS (
+        |  SELECT model, accuracy FROM spark_out WHERE kind = 'acc'
+        |), pr AS (
+        |  SELECT prediction, label FROM spark_out WHERE kind = 'pred'
+        |), dt AS (
+        |  SELECT CAST(count(*) FILTER (WHERE prediction = label) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS a
+        |  FROM pr
+        |)
+        |SELECT 'accuracies_in_unit_interval' AS invariant,
+        |  CAST(count(*) FILTER (WHERE accuracy < 0.0 OR accuracy > 1.0)
+        |    AS BIGINT) AS violations
+        |FROM acc
+        |UNION ALL
+        |SELECT 'dt_accuracy_matches_prediction_dump',
+        |  CAST(count(*) FILTER (WHERE abs(accuracy - (SELECT a FROM dt)) > 1e-9)
+        |    AS BIGINT)
+        |FROM acc WHERE model = 'decision_tree'
+        |UNION ALL
+        |SELECT 'tree_and_forest_rows_present',
+        |  CAST(2 - count(DISTINCT model)
+        |    FILTER (WHERE model IN ('decision_tree', 'random_forest'))
+        |    AS BIGINT)
+        |FROM acc""".stripMargin,
+
+    // file-size measurements can't have a DuckDB oracle, but their
+    // internal accounting can: bytes positive, cr = bytes / the
+    // uncompressed-double baseline row, exactly one baseline row
+    "storage_codec_cr" ->
+      """WITH m AS (SELECT * FROM spark_out),
+        |base AS (
+        |  SELECT bytes AS b FROM m
+        |  WHERE codec = 'uncompressed' AND repr = 'double'
+        |)
+        |SELECT 'bytes_positive' AS invariant,
+        |  CAST(count(*) FILTER (WHERE bytes <= 0) AS BIGINT) AS violations
+        |FROM m
+        |UNION ALL
+        |SELECT 'cr_is_bytes_over_baseline',
+        |  CAST(count(*) FILTER (WHERE abs(cr - CAST(bytes AS DOUBLE) /
+        |    (SELECT CAST(b AS DOUBLE) FROM base)) > 1e-12) AS BIGINT)
+        |FROM m
+        |UNION ALL
+        |SELECT 'one_baseline_row',
+        |  CAST(abs(1 - (SELECT count(*) FROM base)) AS BIGINT)""".stripMargin
   )
 }
