@@ -66,27 +66,30 @@ object MotifDiscord {
   }
 
   /** Exact-distance candidate pairs under a per-signal threshold
-    * (`thresh`: signal_id, t). Both orientations of each pair are emitted
-    * (seg_a != seg_b); grid cells are first-chunk-sum buckets of width
-    * floor(2*sqrt(t)) + 1, the a-side exploded to its 3 neighboring cells.
-    * Output: signal_id, seg_a, seg_b, d.
+    * (`thresh`: signal_id, t), a-side rows from `aSegs` against b-side
+    * rows from `bSegs` (pass the same frame for the symmetric
+    * enumeration — both orientations are then emitted). seg_a != seg_b;
+    * grid cells are first-chunk-sum buckets of width
+    * floor(2*sqrt(t)) + 1, the a-side exploded to its 3 neighboring
+    * cells. Output: signal_id, seg_a, seg_b, d.
     */
-  private[graft] def candidatePairs(segs: DataFrame,
-                                        thresh: DataFrame): DataFrame = {
+  private[graft] def candidatePairs(aSegs: DataFrame, bSegs: DataFrame,
+                                    thresh: DataFrame): DataFrame = {
     val withW = thresh.withColumn("w",
       (floor(lit(2.0) * sqrt(col("t").cast("double"))) + 1).cast("long"))
-    val sums = withChunkSums(segs).join(broadcast(withW), "signal_id")
-      .withColumn("cell",
-        ((col("s_0") - pmod(col("s_0"), col("w"))) / col("w")).cast("long"))
+    def sumsOf(df: DataFrame) =
+      withChunkSums(df).join(broadcast(withW), "signal_id")
+        .withColumn("cell",
+          ((col("s_0") - pmod(col("s_0"), col("w"))) / col("w")).cast("long"))
     val aCols = Seq(col("signal_id"), col("seg").as("seg_a"),
       col("qvals").as("qa"), col("t")) ++
       (0 until nChunks).map(i => col(s"s_$i").as(s"sa_$i")) :+
       explode(array(col("cell") - 1, col("cell"), col("cell") + 1)).as("cell")
-    val a = sums.select(aCols: _*)
+    val a = sumsOf(aSegs).select(aCols: _*)
     val bCols = Seq(col("signal_id"), col("seg").as("seg_b"),
       col("qvals").as("qb"), col("cell")) ++
       (0 until nChunks).map(i => col(s"s_$i").as(s"sb_$i"))
-    val b = sums.select(bCols: _*)
+    val b = sumsOf(bSegs).select(bCols: _*)
     val lb = (0 until nChunks)
       .map(i => (col(s"sa_$i") - col(s"sb_$i")) * (col(s"sa_$i") - col(s"sb_$i")))
       .reduce(_ + _)
@@ -94,6 +97,23 @@ object MotifDiscord {
       .where(col("seg_a") =!= col("seg_b") && lb <= lit(4L) * col("t"))
       .select(col("signal_id"), col("seg_a"), col("seg_b"),
         sqDistQ(col("qa"), col("qb")).as("d"))
+  }
+
+  /** Duplicate-group view: `grk` ranks each segment inside its
+    * (signal, qvals) group by seg, `gcnt` is the group size. This is the
+    * pruned route's defense against the DEGENERATE regime the class doc
+    * names (mutually near-identical segments): after fixed-point
+    * quantization a flatlined sensor's segments are EXACTLY equal, so
+    * they collapse into one group — every member of a group with >= 2
+    * copies has nnd_q = 0 by definition (an identical twin exists) and
+    * needs NO pair enumeration, and only distinct representatives enter
+    * the grid join. A constant signal with 10^4+ segments costs one
+    * linear group-by instead of 10^8 candidate pairs.
+    */
+  private def withGroupRank(segs: DataFrame): DataFrame = {
+    val g = Window.partitionBy(col("signal_id"), col("qvals"))
+    segs.withColumn("grk", row_number().over(g.orderBy(col("seg"))))
+      .withColumn("gcnt", count(lit(1)).over(g))
   }
 
   /** Route threshold: with every signal's segment count m <= this, the
@@ -156,16 +176,34 @@ object MotifDiscord {
     */
   def profile(segs: DataFrame, pruneAbove: Int = PruneAbove): DataFrame = {
     val sc = segs.localCheckpoint()
-    val pairs =
-      if (maxSegments(sc) <= pruneAbove) naivePairs(sc)
-      else {
-        val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
-          .agg(max(col("adj_d")).as("t"))
-        candidatePairs(sc, thresh)
-      }
-    pairs.groupBy(col("signal_id"), col("seg_a"))
-      .agg(min(col("d")).as("nnd_q"))
-      .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+    if (maxSegments(sc) <= pruneAbove)
+      naivePairs(sc).groupBy(col("signal_id"), col("seg_a"))
+        .agg(min(col("d")).as("nnd_q"))
+        .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+    else {
+      // duplicate collapse (see withGroupRank): dup-group members have
+      // nnd_q = 0 outright; only SINGLETON segments need enumeration, and
+      // they enumerate against the distinct representatives (a
+      // singleton's nearest neighbor is some group, and its distance to
+      // the group equals its distance to the representative). The
+      // adjacent-pair threshold over the ORIGINAL segments still bounds
+      // every singleton's nnd, so the grid's exactness argument is
+      // unchanged.
+      val ranked = withGroupRank(sc).localCheckpoint()
+      val dupRows = ranked.filter(col("gcnt") >= 2)
+        .select(col("signal_id"), col("seg"), lit(0L).as("nnd_q"))
+      val reps = ranked.filter(col("grk") === 1)
+        .select(col("signal_id"), col("seg"), col("qvals"))
+      val singles = ranked.filter(col("gcnt") === 1)
+        .select(col("signal_id"), col("seg"), col("qvals"))
+      val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
+        .agg(max(col("adj_d")).as("t"))
+      candidatePairs(singles, reps, thresh)
+        .groupBy(col("signal_id"), col("seg_a"))
+        .agg(min(col("d")).as("nnd_q"))
+        .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+        .unionByName(dupRows)
+    }
   }
 
   /** INCREMENTAL matrix-profile maintenance (the STAMPI idea at segment
@@ -217,15 +255,15 @@ object MotifDiscord {
   /** Per signal, the complete segment whose exact nearest-neighbor
     * distance (integer squared L2 over qvals) is largest.
     * Output: signal_id, seg, nnd_q — identical to the all-pairs join.
+    * Derived from [[profile]] (its argmax with the same tie-break), so it
+    * inherits the duplicate collapse and the size routing.
     */
   def discord(segs: DataFrame, pruneAbove: Int = PruneAbove): DataFrame = {
-    val sc = segs.localCheckpoint()
-    if (maxSegments(sc) <= pruneAbove) winners(naivePairs(sc), forDiscord = true)
-    else {
-      val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
-        .agg(max(col("adj_d")).as("t"))
-      winners(candidatePairs(sc, thresh), forDiscord = true)
-    }
+    val w = Window.partitionBy(col("signal_id"))
+      .orderBy(col("nnd_q").desc, col("seg"))
+    profile(segs, pruneAbove)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("signal_id"), col("seg"), col("nnd_q"))
   }
 
   /** Top-k closest pairs per signal (ranked by (dist, seg_a, seg_b)) —
@@ -242,6 +280,28 @@ object MotifDiscord {
     val pairs =
       if (maxSegments(sc) <= pruneAbove) naivePairs(sc)
       else {
+        // Duplicate collapse for the pair ranking. The k smallest pairs
+        // per signal (ordered by (d, seg_a, seg_b)) only ever touch each
+        // group's k+1 SMALLEST members: a pair whose endpoint ranks j-th
+        // (j > k+1) inside its group is lexicographically preceded by the
+        // >= k pairs that swap that endpoint for each smaller group
+        // member (same distance, strictly smaller key) — so it cannot be
+        // in the top k. Hence:
+        //  - zero-distance pairs = all pairs among each dup group's k+1
+        //    smallest members (<= C(k+1,2) per group);
+        //  - positive pairs = grid-enumerated REPRESENTATIVE pairs fanned
+        //    back out to the k+1 smallest members of each endpoint's
+        //    group (<= (k+1)^2 per rep pair).
+        // A constant 10^4-segment signal thus contributes C(k+1,2) rows
+        // instead of 10^8.
+        val ranked = withGroupRank(sc).localCheckpoint()
+        val capped = ranked.filter(col("grk") <= k + 1)
+        val cz = capped.select(col("signal_id"), col("qvals"), col("seg"))
+        val zeroPairs = cz
+          .join(cz.withColumnRenamed("seg", "seg_b"), Seq("signal_id", "qvals"))
+          .where(col("seg") < col("seg_b"))
+          .select(col("signal_id"), col("seg").as("seg_a"), col("seg_b"),
+            lit(0L).as("d"))
         val wAdj = Window.partitionBy(col("signal_id"))
           .orderBy(col("adj_d").asc)
         // a signal with FEWER than k adjacent pairs (m <= k) has no valid
@@ -256,7 +316,27 @@ object MotifDiscord {
           .select(col("signal_id"),
             when(col("na") < k, lit(Long.MaxValue / 8))
               .otherwise(col("tk")).as("t"))
-        candidatePairs(sc, thresh)
+        val reps = ranked.filter(col("grk") === 1)
+          .select(col("signal_id"), col("seg"), col("qvals"))
+        val repPairs = candidatePairs(reps, reps, thresh)
+          .where(col("seg_a") < col("seg_b"))
+        // fan each rep pair to the capped members of both groups
+        val repKey = ranked.filter(col("grk") === 1)
+          .select(col("signal_id"), col("seg"), col("qvals"))
+        val mem = capped.select(col("signal_id"), col("qvals"),
+          col("seg").as("m"))
+        val fanned = repPairs
+          .join(repKey.select(col("signal_id"), col("seg").as("seg_a"),
+            col("qvals").as("qv_a")), Seq("signal_id", "seg_a"))
+          .join(repKey.select(col("signal_id"), col("seg").as("seg_b"),
+            col("qvals").as("qv_b")), Seq("signal_id", "seg_b"))
+          .join(mem.select(col("signal_id"), col("qvals").as("qv_a"),
+            col("m").as("ma")), Seq("signal_id", "qv_a"))
+          .join(mem.select(col("signal_id"), col("qvals").as("qv_b"),
+            col("m").as("mb")), Seq("signal_id", "qv_b"))
+          .select(col("signal_id"), least(col("ma"), col("mb")).as("seg_a"),
+            greatest(col("ma"), col("mb")).as("seg_b"), col("d"))
+        zeroPairs.unionByName(fanned)
       }
     val w = Window.partitionBy(col("signal_id"))
       .orderBy(col("d").asc, col("seg_a"), col("seg_b"))
@@ -268,15 +348,35 @@ object MotifDiscord {
 
   /** Per signal, the exactly-closest pair of complete segments (ties
     * broken by (seg_a, seg_b)). Output: signal_id, seg_a, seg_b, dist_q —
-    * identical to the all-pairs join.
+    * identical to the all-pairs join. Pruned route: a signal with any
+    * duplicate group wins with its lexicographically-smallest
+    * zero-distance pair (distinct qvals have d >= 1, so d = 0 always
+    * wins); only duplicate-free signals run the grid enumeration.
     */
   def motif(segs: DataFrame, pruneAbove: Int = PruneAbove): DataFrame = {
     val sc = segs.localCheckpoint()
     if (maxSegments(sc) <= pruneAbove) winners(naivePairs(sc), forDiscord = false)
     else {
-      val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
+      val ranked = withGroupRank(sc).localCheckpoint()
+      // per dup group, its minimal pair = the two smallest members; the
+      // signal's winner among zero pairs is the (seg_a, seg_b) minimum
+      val zp = ranked.filter(col("grk") <= 2 && col("gcnt") >= 2)
+        .groupBy(col("signal_id"), col("qvals"))
+        .agg(min(col("seg")).as("seg_a"),
+          max(when(col("grk") === 2, col("seg"))).as("seg_b"))
+      val wz = Window.partitionBy(col("signal_id"))
+        .orderBy(col("seg_a"), col("seg_b"))
+      val zeroWinners = zp.withColumn("rnk", row_number().over(wz))
+        .filter(col("rnk") === 1)
+        .select(col("signal_id"), col("seg_a"), col("seg_b"),
+          lit(0L).as("dist_q"))
+      val dupSignals = zeroWinners.select(col("signal_id"))
+      val noDup = sc.join(dupSignals, Seq("signal_id"), "left_anti")
+        .localCheckpoint()
+      val thresh = adjacentPairs(noDup).groupBy(col("signal_id"))
         .agg(min(col("adj_d")).as("t"))
-      winners(candidatePairs(sc, thresh), forDiscord = false)
+      winners(candidatePairs(noDup, noDup, thresh), forDiscord = false)
+        .unionByName(zeroWinners)
     }
   }
 }

@@ -78,11 +78,11 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     // orientations, so the naive count would be m*(m-1) = 39800
     val thrD = MotifDiscord.adjacentPairs(segs)
       .groupBy(col("signal_id")).agg(max(col("adj_d")).as("t"))
-    val nD = MotifDiscord.candidatePairs(segs, thrD).count()
+    val nD = MotifDiscord.candidatePairs(segs, segs, thrD).count()
     assert(nD < 10L * 200, s"discord candidates not linear: $nD")
     val thrM = MotifDiscord.adjacentPairs(segs)
       .groupBy(col("signal_id")).agg(min(col("adj_d")).as("t"))
-    val nM = MotifDiscord.candidatePairs(segs, thrM).count()
+    val nM = MotifDiscord.candidatePairs(segs, segs, thrM).count()
     assert(nM < 10L * 200, s"motif candidates not linear: $nM")
     // and the pruned results still equal brute force on the fixture
     assert(sorted(MotifDiscord.discord(segs, pruneAbove = 0)) ==
@@ -132,6 +132,59 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
       sorted(bruteTopM))
   }
 
+  test("duplicate collapse: degenerate near-constant signals stay exact on every routed operator") {
+    import spark.implicits._
+    // signal 0: 400 IDENTICAL segments (a flatlined sensor after
+    // quantization — the degenerate regime the class doc names) plus 3
+    // outliers; signal 1: duplicate PAIRS among spread bases; signal 2:
+    // all-distinct control. All above PruneAbove, so the pruned route
+    // (with collapse) runs.
+    val flat = (0 until 400).map(k =>
+      (0L, k.toLong, Array.fill(16)(4200L)))
+    val flatOut = Seq(
+      (0L, 400L, (0 until 16).map(j => 9000L + j).toArray),
+      (0L, 401L, (0 until 16).map(j => 11000L + 2L * j).toArray),
+      (0L, 402L, (0 until 16).map(j => 15000L + 3L * j).toArray))
+    val dupPairs = (0 until 300).map { k =>
+      val base = (k / 2).toLong * 1000L
+      (1L, k.toLong, (0 until 16).map(j => base + (j % 2)).toArray)
+    }
+    val distinct = (0 until 280).map { k =>
+      val base = k.toLong * 1000L
+      (2L, k.toLong, (0 until 16).map(j => base + (j % 3)).toArray)
+    }
+    val segs = (flat ++ flatOut ++ dupPairs ++ distinct)
+      .toDF("signal_id", "seg", "qvals").localCheckpoint()
+
+    val bruteProf = {
+      val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
+        col("qvals").as("qa"))
+      val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
+        col("qvals").as("qb"))
+      a.join(b, Seq("signal_id")).where(col("seg_a") =!= col("seg_b"))
+        .groupBy(col("signal_id"), col("seg_a"))
+        .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_q"))
+        .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+    }
+    assert(sorted(MotifDiscord.profile(segs)) == sorted(bruteProf))
+    assert(sorted(MotifDiscord.discord(segs)) == sorted(bruteDiscord(segs)))
+    assert(sorted(MotifDiscord.motif(segs)) == sorted(bruteMotif(segs)))
+    val bruteTopM = {
+      val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
+        col("qvals").as("qa"))
+      val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
+        col("qvals").as("qb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("signal_id"))
+        .orderBy(col("dist_q").asc, col("seg_a"), col("seg_b"))
+      a.join(b, Seq("signal_id")).where(col("seg_a") < col("seg_b"))
+        .select(col("signal_id"), col("seg_a"), col("seg_b"),
+          sqDistQ(col("qa"), col("qb")).as("dist_q"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    }
+    assert(sorted(MotifDiscord.motifTopK(segs, k = 3)) == sorted(bruteTopM))
+  }
+
   test("incremental profile equals the from-scratch profile on any split") {
     val segs = Segments.completeQuantized(
       Readings.of(spark, "/root/testdata/sf0.001")).localCheckpoint()
@@ -179,7 +232,7 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     // points, which checkpoint) — its plan is assertable directly:
     // the grid join must be a hash/sort-merge equi-join on
     // (signal_id, cell) and the threshold side must broadcast
-    val p = MotifDiscord.candidatePairs(segs, thresh)
+    val p = MotifDiscord.candidatePairs(segs, segs, thresh)
       .queryExecution.executedPlan
     assert(helper.collect(p) { case c: CartesianProductExec => c }.isEmpty,
       "candidatePairs plans a CartesianProduct")
