@@ -23,6 +23,10 @@ import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+# scale factor: 10 (default, ~sf1) or any other decade (100 -> ~sf10 for
+# the linear-family measurement; run only linear queries there, the
+# salted near-dup families grow quadratically in output by design)
+factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 import os
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
@@ -31,7 +35,7 @@ COPY (
   SELECT event_id + k.k * 10000000 AS event_id, ts,
          user_id + k.k * 1500 AS user_id, event_type, value, props
   FROM read_parquet('{src}/events.parquet')
-  CROSS JOIN (SELECT unnest(range(10)) AS k) k
+  CROSS JOIN (SELECT unnest(range({factor})) AS k) k
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
 con.sql(f"""
 COPY (
@@ -43,7 +47,7 @@ COPY (
          CASE WHEN k.k = 0 THEN n_chars
               ELSE n_chars + len('copysalt' || CAST(k.k AS VARCHAR) || ' ') END AS n_chars
   FROM read_parquet('{src}/documents.parquet')
-  CROSS JOIN (SELECT unnest(range(10)) AS k) k
+  CROSS JOIN (SELECT unnest(range({factor})) AS k) k
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
 con.sql(f"""
 COPY (
@@ -51,7 +55,7 @@ COPY (
          [x + 0.001 * k.k FOR x in embedding]::FLOAT[] AS embedding,
          label
   FROM read_parquet('{src}/embeddings.parquet')
-  CROSS JOIN (SELECT unnest(range(10)) AS k) k
+  CROSS JOIN (SELECT unnest(range({factor})) AS k) k
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
 for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
     shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
