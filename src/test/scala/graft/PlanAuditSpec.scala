@@ -61,6 +61,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     // (the by-design nested-loop baseline) — excluded like seg_knn
     "text_langid_confusion", "ts_forecast_backtest",
     "asof_native_tolerance")
+  // round-10 exclusions, same rationales: buff_max_outlier fetches the
+  // scalar base offset at build time like the other buff_* rows;
+  // ml_iforest_psi fits at construction like the rest of the ml_* family
   // round-9 exclusions, same rationales: seg_knn_fft(_agree) rank the
   // bounded broadcast probe set like seg_knn; buff_range_outlier /
   // buff_sum_outlier fetch the scalar base offset at build time like the
