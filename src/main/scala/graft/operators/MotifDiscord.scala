@@ -240,6 +240,33 @@ object MotifDiscord {
       .agg(min(col("d")).as("nnd_q"))
   }
 
+  /** SAMPLED matrix profile — the escape hatch for the inherently dense
+    * regime (near-identical yet DISTINCT segments, where every pair is a
+    * genuine near-tie and no exact index can prune — see the adversarial
+    * measurement in ARCHITECTURE.md): each segment's nearest-neighbor
+    * distance against a deterministic hash-chosen REFERENCE subset
+    * (fnv32("ps:signal:seg") % mod == 0), an anytime-style exact UPPER
+    * BOUND of the true profile that equals it whenever the true NN is
+    * sampled. Cost is m·(m/mod) keyed-join pairs per signal — the `mod`
+    * dial trades tightness for wall-clock, and the hash derivation makes
+    * the result a pure function of the data, so the DuckDB oracle
+    * recomputes it exactly. Output: signal_id, seg, nnd_ub_q.
+    */
+  def profileSampled(segs: DataFrame, mod: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(segs.sparkSession)
+    val h = call_function("graft_fnv32",
+      concat(lit("ps:"), col("signal_id").cast("string"), lit(":"),
+        col("seg").cast("string")), lit(2166136261L))
+    val refs = segs.filter(h % mod === 0)
+      .select(col("signal_id"), col("seg").as("seg_b"),
+        col("qvals").as("qb"))
+    segs.select(col("signal_id"), col("seg"), col("qvals").as("qa"))
+      .join(refs, Seq("signal_id"))
+      .where(col("seg") =!= col("seg_b"))
+      .groupBy(col("signal_id"), col("seg"))
+      .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_ub_q"))
+  }
+
   /** Top-k discords per signal (HOT SAX's actual use case reports the k
     * most anomalous subsequences, not one): rank the profile by
     * (nnd_q DESC, seg). Output adds the rank column.

@@ -212,6 +212,14 @@ object TierQueries {
     "seg_discord_topk" -> ((s, d) =>
       MotifDiscord.discordTopK(Segments.completeQuantized(r(s, d)), k = 3)),
 
+    // SAMPLED profile — the anytime escape hatch for the inherently
+    // dense regime (ARCHITECTURE.md adversarial measurement): exact nnd
+    // upper bound against the hash-chosen quarter of each signal's
+    // segments; hash-derived, so the oracle recomputes it exactly
+    "seg_profile_sampled" -> ((s, d) =>
+      MotifDiscord.profileSampled(
+        Segments.completeQuantized(r(s, d)), mod = 4)),
+
     // INCREMENTAL profile maintenance proven against the full recompute:
     // the first half of each signal's segments play the persisted
     // profile, the second half arrive as the "new batch"; the engine
@@ -810,6 +818,25 @@ object TierQueries {
          |FROM (SELECT signal_id, seg, qv AS qa FROM f) a
          |JOIN (SELECT signal_id, seg AS seg_b, qv AS qb FROM f) b
          |  USING (signal_id)
+         |WHERE a.seg <> b.seg_b
+         |GROUP BY 1, 2""".stripMargin,
+
+    "seg_profile_sampled" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
+         |), refs AS (
+         |  SELECT signal_id, seg AS seg_b, qv AS qb FROM f
+         |  WHERE ${graft.functions.TextOps.fnv32Sql(
+               "'ps:' || CAST(signal_id AS VARCHAR) || ':' || CAST(seg AS VARCHAR)")} % 4 = 0
+         |)
+         |SELECT a.signal_id, a.seg AS seg,
+         |       CAST(min($sqDistQSql) AS BIGINT) AS nnd_ub_q
+         |FROM (SELECT signal_id, seg, qv AS qa FROM f) a
+         |JOIN refs b USING (signal_id)
          |WHERE a.seg <> b.seg_b
          |GROUP BY 1, 2""".stripMargin,
 

@@ -185,6 +185,34 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     assert(sorted(MotifDiscord.motifTopK(segs, k = 3)) == sorted(bruteTopM))
   }
 
+  test("sampled profile: exact on its reference set, an upper bound of the true profile") {
+    import graft.functions.TextOps
+    val segs = Segments.completeQuantized(
+      Readings.of(spark, "/root/testdata/sf0.001")).localCheckpoint()
+    val full = MotifDiscord.profile(segs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val samp = MotifDiscord.profileSampled(segs, mod = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(samp.nonEmpty)
+    // upper-bound property against the exact profile
+    samp.foreach { case (k, ub) =>
+      assert(ub >= full(k), s"sampled nnd below the true nnd at $k")
+    }
+    // sequential recompute of the same hash-chosen reference set
+    val rows = segs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val refs = rows.filter { case (s, g, _) =>
+      TextOps.fnv32(s"ps:$s:$g") % 4 == 0 }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val brute = rows.flatMap { case (s, g, qa) =>
+      val ds = refs.collect { case (rs, rg, qb) if rs == s && rg != g =>
+        d2(qa, qb) }
+      if (ds.isEmpty) None else Some((s, g) -> ds.min)
+    }.toMap
+    assert(samp == brute, "sampled profile diverges from its definition")
+  }
+
   test("incremental profile equals the from-scratch profile on any split") {
     val segs = Segments.completeQuantized(
       Readings.of(spark, "/root/testdata/sf0.001")).localCheckpoint()
