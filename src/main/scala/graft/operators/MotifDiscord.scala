@@ -221,21 +221,52 @@ object MotifDiscord {
     */
   def profileIncrement(existingSegs: DataFrame, existingProfile: DataFrame,
                        newSegs: DataFrame): DataFrame = {
-    val e = existingSegs.select(col("signal_id"), col("seg").as("seg_a"),
-      col("qvals").as("qa"))
-    val n = newSegs.select(col("signal_id"), col("seg").as("seg_b"),
-      col("qvals").as("qb"))
-    val cross = e.join(n, Seq("signal_id"))
-      .select(col("signal_id"), col("seg_a"), col("seg_b"),
+    // Rep-level collapse (same argument as [[profile]]'s): a member's
+    // distance to any group equals its representative's, so ONE cross
+    // join of the DISTINCT (signal, qvals) vectors carries every min,
+    // and duplicate mass — the streaming degenerate case of a flatlined
+    // sensor feeding identical segments forever — costs one distinct +
+    // one fan-out join per batch instead of m·δ distances.
+    val eReps = existingSegs.select(col("signal_id"), col("qvals")).distinct()
+    val nReps = newSegs.select(col("signal_id"), col("qvals")).distinct()
+    val cross = eReps.select(col("signal_id"), col("qvals").as("qa"))
+      .join(nReps.select(col("signal_id"), col("qvals").as("qb")),
+        Seq("signal_id"))
+      .select(col("signal_id"), col("qa"), col("qb"),
         sqDistQ(col("qa"), col("qb")).as("d"))
-    // both endpoints of every cross pair receive the distance
-    val crossBoth = cross.select(col("signal_id"), col("seg_a").as("seg"), col("d"))
-      .unionByName(cross.select(col("signal_id"), col("seg_b").as("seg"), col("d")))
-    val withinNew = naivePairs(newSegs)
-      .select(col("signal_id"), col("seg_a").as("seg"), col("d"))
+    // existing members: min over the new groups; new members: min over
+    // the existing groups (equal vectors across the sides meet as d = 0)
+    val crossE = existingSegs.join(
+        cross.groupBy(col("signal_id"), col("qa")).agg(min(col("d")).as("d"))
+          .withColumnRenamed("qa", "qvals"),
+        Seq("signal_id", "qvals"))
+      .select(col("signal_id"), col("seg"), col("d"))
+    val crossN = newSegs.join(
+        cross.groupBy(col("signal_id"), col("qb")).agg(min(col("d")).as("d"))
+          .withColumnRenamed("qb", "qvals"),
+        Seq("signal_id", "qvals"))
+      .select(col("signal_id"), col("seg"), col("d"))
+    // within the new batch: duplicate members have an identical twin
+    // (d = 0); singletons take the min over the OTHER new reps
+    val g = Window.partitionBy(col("signal_id"), col("qvals"))
+    val dupZero = newSegs.withColumn("gcnt", count(lit(1)).over(g))
+      .filter(col("gcnt") >= 2)
+      .select(col("signal_id"), col("seg"), lit(0L).as("d"))
+    val nRepPairs = nReps.select(col("signal_id"), col("qvals").as("qa"))
+      .join(nReps.select(col("signal_id"), col("qvals").as("qb")),
+        Seq("signal_id"))
+      .where(col("qa") =!= col("qb"))
+      .select(col("signal_id"), col("qa"),
+        sqDistQ(col("qa"), col("qb")).as("d"))
+    val withinNew = newSegs.join(
+        nRepPairs.groupBy(col("signal_id"), col("qa"))
+          .agg(min(col("d")).as("d")).withColumnRenamed("qa", "qvals"),
+        Seq("signal_id", "qvals"))
+      .select(col("signal_id"), col("seg"), col("d"))
     val oldRows = existingProfile
       .select(col("signal_id"), col("seg"), col("nnd_q").as("d"))
-    oldRows.unionByName(crossBoth).unionByName(withinNew)
+    oldRows.unionByName(crossE).unionByName(crossN)
+      .unionByName(dupZero).unionByName(withinNew)
       .groupBy(col("signal_id"), col("seg"))
       .agg(min(col("d")).as("nnd_q"))
   }
