@@ -176,34 +176,40 @@ object MotifDiscord {
     */
   def profile(segs: DataFrame, pruneAbove: Int = PruneAbove): DataFrame = {
     val sc = segs.localCheckpoint()
-    if (maxSegments(sc) <= pruneAbove)
-      naivePairs(sc).groupBy(col("signal_id"), col("seg_a"))
-        .agg(min(col("d")).as("nnd_q"))
-        .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
-    else {
-      // duplicate collapse (see withGroupRank): dup-group members have
-      // nnd_q = 0 outright; only SINGLETON segments need enumeration, and
-      // they enumerate against the distinct representatives (a
-      // singleton's nearest neighbor is some group, and its distance to
-      // the group equals its distance to the representative). The
-      // adjacent-pair threshold over the ORIGINAL segments still bounds
-      // every singleton's nnd, so the grid's exactness argument is
-      // unchanged.
-      val ranked = withGroupRank(sc).localCheckpoint()
-      val dupRows = ranked.filter(col("gcnt") >= 2)
-        .select(col("signal_id"), col("seg"), lit(0L).as("nnd_q"))
-      val reps = ranked.filter(col("grk") === 1)
-        .select(col("signal_id"), col("seg"), col("qvals"))
-      val singles = ranked.filter(col("gcnt") === 1)
-        .select(col("signal_id"), col("seg"), col("qvals"))
-      val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
-        .agg(max(col("adj_d")).as("t"))
-      candidatePairs(singles, reps, thresh)
-        .groupBy(col("signal_id"), col("seg_a"))
-        .agg(min(col("d")).as("nnd_q"))
-        .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
-        .unionByName(dupRows)
-    }
+    if (maxSegments(sc) <= pruneAbove) directProfile(sc)
+    else prunedProfile(sc)
+  }
+
+  /** The direct route: per-signal all-pairs self-join, min per segment. */
+  private def directProfile(sc: DataFrame): DataFrame =
+    naivePairs(sc).groupBy(col("signal_id"), col("seg_a"))
+      .agg(min(col("d")).as("nnd_q"))
+      .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+
+  /** The pruned route with duplicate collapse (see withGroupRank):
+    * dup-group members have nnd_q = 0 outright; only SINGLETON segments
+    * need enumeration, and they enumerate against the distinct
+    * representatives (a singleton's nearest neighbor is some group, and
+    * its distance to the group equals its distance to the
+    * representative). The adjacent-pair threshold over the ORIGINAL
+    * segments still bounds every singleton's nnd, so the grid's
+    * exactness argument is unchanged.
+    */
+  private def prunedProfile(sc: DataFrame): DataFrame = {
+    val ranked = withGroupRank(sc).localCheckpoint()
+    val dupRows = ranked.filter(col("gcnt") >= 2)
+      .select(col("signal_id"), col("seg"), lit(0L).as("nnd_q"))
+    val reps = ranked.filter(col("grk") === 1)
+      .select(col("signal_id"), col("seg"), col("qvals"))
+    val singles = ranked.filter(col("gcnt") === 1)
+      .select(col("signal_id"), col("seg"), col("qvals"))
+    val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
+      .agg(max(col("adj_d")).as("t"))
+    candidatePairs(singles, reps, thresh)
+      .groupBy(col("signal_id"), col("seg_a"))
+      .agg(min(col("d")).as("nnd_q"))
+      .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+      .unionByName(dupRows)
   }
 
   /** INCREMENTAL matrix-profile maintenance (the STAMPI idea at segment
@@ -296,6 +302,98 @@ object MotifDiscord {
       .where(col("seg") =!= col("seg_b"))
       .groupBy(col("signal_id"), col("seg"))
       .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_ub_q"))
+  }
+
+  /** Per-signal pair budget above which [[profileAuto]] abandons the
+    * exact pruned route for the sampled upper bound: the cost-based
+    * analogue of [[PruneAbove]]'s size routing. 2M candidate rows per
+    * signal keeps a single signal's grid join under one executor-task's
+    * comfortable workload even when skew concentrates it.
+    */
+  val RouteBudget: Long = 2L * 1000 * 1000
+
+  /** Cost-based ROUTING PLAN for the matrix profile — the optimizer-
+    * style step that makes the dense regime a measured decision instead
+    * of a wall-clock surprise. Per signal it reports
+    *  - m (complete segments), n_dup (duplicate-group members),
+    *    n_reps (distinct quantized vectors), and
+    *  - grid_pairs: the EXACT pre-filter cardinality of the pruned
+    *    route's grid equi-join (Σ over cells of 3-exploded-singleton
+    *    count × representative count) — computed from per-cell COUNTS,
+    *    never by materializing the pairs, so the plan itself is O(m),
+    * and routes: 'direct' (m <= pruneAbove — the self-join is cheapest),
+    * 'pruned' (grid_pairs within budget — exact, sub-quadratic), else
+    * 'sampled' (inherently dense: near-identical yet distinct segments,
+    * where no exact index can prune — take the anytime upper bound).
+    * Every number is a pure integer function of the data, so the DuckDB
+    * oracle recomputes the whole plan exactly.
+    * Output: signal_id, m, n_dup, n_reps, grid_pairs, route.
+    */
+  def routePlan(segs: DataFrame, budget: Long = RouteBudget,
+                pruneAbove: Int = PruneAbove): DataFrame =
+    routePlanOf(segs.localCheckpoint(), budget, pruneAbove)
+
+  private def routePlanOf(sc: DataFrame, budget: Long,
+                          pruneAbove: Int): DataFrame = {
+    val ranked = withGroupRank(sc)
+    val counts = ranked.groupBy(col("signal_id"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("gcnt") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("grk") === 1, 1L).otherwise(0L)).as("n_reps"))
+    val withW = adjacentPairs(sc).groupBy(col("signal_id"))
+      .agg(max(col("adj_d")).as("t"))
+      .withColumn("w",
+        (floor(lit(2.0) * sqrt(col("t").cast("double"))) + 1).cast("long"))
+    // same cell arithmetic as candidatePairs, but folded to counts
+    def cells(df: DataFrame) =
+      withChunkSums(df).join(broadcast(withW), "signal_id")
+        .withColumn("cell",
+          ((col("s_0") - pmod(col("s_0"), col("w"))) / col("w")).cast("long"))
+    val aCells = cells(ranked.filter(col("gcnt") === 1))
+      .select(col("signal_id"),
+        explode(array(col("cell") - 1, col("cell"), col("cell") + 1))
+          .as("cell"))
+      .groupBy(col("signal_id"), col("cell"))
+      .agg(count(lit(1)).as("ca"))
+    val bCells = cells(ranked.filter(col("grk") === 1))
+      .groupBy(col("signal_id"), col("cell"))
+      .agg(count(lit(1)).as("cb"))
+    val grid = aCells.join(bCells, Seq("signal_id", "cell"))
+      .groupBy(col("signal_id"))
+      .agg(sum(col("ca") * col("cb")).as("grid_pairs"))
+    counts.join(grid, Seq("signal_id"), "left")
+      .withColumn("grid_pairs", coalesce(col("grid_pairs"), lit(0L)))
+      .withColumn("route",
+        when(col("m") <= pruneAbove, lit("direct"))
+          .when(col("grid_pairs") <= budget, lit("pruned"))
+          .otherwise(lit("sampled")))
+      .select(col("signal_id"), col("m"), col("n_dup"), col("n_reps"),
+        col("grid_pairs"), col("route"))
+  }
+
+  /** ROUTED matrix profile: applies [[routePlan]] per signal — exact
+    * (direct or pruned) wherever the plan's measured candidate count
+    * allows, the sampled upper bound only where the data is inherently
+    * dense — instead of [[profile]]'s global size routing. The `exact`
+    * column carries the per-row truth status, so downstream consumers
+    * (and the oracle) know which rows are the true profile and which are
+    * the anytime bound. Output: signal_id, seg, nnd_q, exact.
+    */
+  def profileAuto(segs: DataFrame, budget: Long = RouteBudget,
+                  mod: Int = 4,
+                  pruneAbove: Int = PruneAbove): DataFrame = {
+    val sc = segs.localCheckpoint()
+    val routes = routePlanOf(sc, budget, pruneAbove)
+      .select(col("signal_id"), col("route"))
+    val routed = sc.join(broadcast(routes), "signal_id")
+    def side(r: String) = routed.filter(col("route") === r).drop("route")
+    directProfile(side("direct"))
+      .unionByName(prunedProfile(side("pruned")))
+      .withColumn("exact", lit(true))
+      .unionByName(
+        profileSampled(side("sampled"), mod)
+          .withColumnRenamed("nnd_ub_q", "nnd_q")
+          .withColumn("exact", lit(false)))
   }
 
   /** Top-k discords per signal (HOT SAX's actual use case reports the k

@@ -238,6 +238,23 @@ object TierQueries {
         MotifDiscord.profile(existing), fresh)
     }),
 
+    // the cost-based ROUTING PLAN for the profile family: per signal,
+    // segment/duplicate/representative counts plus the EXACT pre-filter
+    // cardinality of the pruned route's grid join (folded from per-cell
+    // counts in O(m), never materialized) and the resulting route
+    // decision — the optimizer-style step that turns the dense regime
+    // into a measured choice. Pure integer function of the data, so the
+    // oracle recomputes the whole plan
+    "seg_profile_route" -> ((s, d) =>
+      MotifDiscord.routePlan(Segments.completeQuantized(r(s, d)))),
+
+    // the ROUTED profile: exact (direct/pruned) wherever the plan's
+    // measured candidate count allows, the sampled upper bound only
+    // where the data is inherently dense; the `exact` column carries
+    // the per-row truth status
+    "seg_profile_auto" -> ((s, d) =>
+      MotifDiscord.profileAuto(Segments.completeQuantized(r(s, d)))),
+
     // SAX symbolic words (Lin et al., "A Symbolic Representation of Time
     // Series", DMKD'07): z-normalize per signal from EXACT integer moments
     // (the ts_zscore decimal pattern), PAA over 4-row chunks from exact
@@ -591,6 +608,73 @@ object TierQueries {
     (1 to Readings.SegmentRows.toInt)
       .map(i => s"(qa[$i] - qb[$i]) * (qa[$i] - qb[$i])").mkString(" + ")
 
+  /** CTE chain replicating MotifDiscord.routePlan from the
+    * complete-segment frame `f` (signal_id, seg, qv) to a `plan` CTE
+    * (signal_id, m, n_dup, n_reps, grid_pairs, route). Integer-exact
+    * throughout: the cell is the same pmod floor division as the Spark
+    * side, and the pair count folds per-cell counts — the oracle proves
+    * the ESTIMATE itself, not just the routed result.
+    */
+  private def routePlanCteSql: String = {
+    val adjDist = (1 to Readings.SegmentRows.toInt)
+      .map(i => s"(a.qv[$i] - b.qv[$i]) * (a.qv[$i] - b.qv[$i])")
+      .mkString(" + ")
+    s"""g AS (
+       |  SELECT signal_id, seg, qv,
+       |         row_number() OVER (
+       |           PARTITION BY signal_id, qv ORDER BY seg) AS grk,
+       |         count(*) OVER (PARTITION BY signal_id, qv) AS gcnt
+       |  FROM f
+       |), cnts AS (
+       |  SELECT signal_id, CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(CASE WHEN gcnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_dup,
+       |         CAST(sum(CASE WHEN grk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_reps
+       |  FROM g GROUP BY 1
+       |), rkd AS (
+       |  SELECT signal_id, seg, qv,
+       |         row_number() OVER (
+       |           PARTITION BY signal_id ORDER BY seg) AS rk
+       |  FROM f
+       |), adjt AS (
+       |  SELECT a.signal_id, CAST(max($adjDist) AS BIGINT) AS t
+       |  FROM rkd a
+       |  JOIN rkd b ON a.signal_id = b.signal_id AND b.rk = a.rk + 1
+       |  GROUP BY 1
+       |), ww AS (
+       |  SELECT signal_id,
+       |         CAST(floor(2.0 * sqrt(CAST(t AS DOUBLE))) + 1 AS BIGINT) AS w
+       |  FROM adjt
+       |), s0c AS (
+       |  SELECT gs.signal_id, gs.seg, gs.grk, gs.gcnt,
+       |         CAST((s0 - ((s0 % w) + w) % w) / w AS BIGINT) AS cell
+       |  FROM (SELECT signal_id, seg, grk, gcnt,
+       |          CAST(qv[1] + qv[2] + qv[3] + qv[4] AS BIGINT) AS s0
+       |        FROM g) gs
+       |  JOIN ww USING (signal_id)
+       |), ac AS (
+       |  SELECT signal_id, cell, CAST(count(*) AS BIGINT) AS ca
+       |  FROM (SELECT signal_id, unnest([cell - 1, cell, cell + 1]) AS cell
+       |        FROM s0c WHERE gcnt = 1)
+       |  GROUP BY 1, 2
+       |), bc AS (
+       |  SELECT signal_id, cell, CAST(count(*) AS BIGINT) AS cb
+       |  FROM s0c WHERE grk = 1 GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT signal_id, CAST(sum(ca * cb) AS BIGINT) AS grid_pairs
+       |  FROM ac JOIN bc USING (signal_id, cell) GROUP BY 1
+       |), plan AS (
+       |  SELECT cnts.signal_id, m, n_dup, n_reps,
+       |         CAST(COALESCE(grid_pairs, 0) AS BIGINT) AS grid_pairs,
+       |         CASE WHEN m <= ${MotifDiscord.PruneAbove} THEN 'direct'
+       |              WHEN COALESCE(grid_pairs, 0) <= ${MotifDiscord.RouteBudget}
+       |                THEN 'pruned'
+       |              ELSE 'sampled' END AS route
+       |  FROM cnts LEFT JOIN grid USING (signal_id)
+       |)""".stripMargin
+  }
+
   private def saxSql: String =
     s"""$OracleCte, st AS (
          |  SELECT signal_id, CAST(count(*) AS BIGINT) AS n,
@@ -839,6 +923,59 @@ object TierQueries {
          |JOIN refs b USING (signal_id)
          |WHERE a.seg <> b.seg_b
          |GROUP BY 1, 2""".stripMargin,
+
+    // the routing plan recomputed end to end: duplicate-group window,
+    // adjacent-pair threshold, grid cells by pmod floor division,
+    // 3-exploded singleton counts x representative counts per cell, and
+    // the same (pruneAbove, budget) CASE as MotifDiscord.routePlan
+    "seg_profile_route" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
+         |), $routePlanCteSql
+         |SELECT signal_id, m, n_dup, n_reps, grid_pairs, route
+         |FROM plan""".stripMargin,
+
+    // the routed profile: per-signal route from the plan CTE; exact
+    // brute-force nnd for direct/pruned signals, the fnv-sampled upper
+    // bound for dense signals — with the per-row truth flag
+    "seg_profile_auto" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
+         |), $routePlanCteSql, refs AS (
+         |  SELECT signal_id, seg AS seg_b, qv AS qb FROM f
+         |  WHERE ${graft.functions.TextOps.fnv32Sql(
+               "'ps:' || CAST(signal_id AS VARCHAR) || ':' || CAST(seg AS VARCHAR)")} % 4 = 0
+         |), ex AS (
+         |  SELECT a.signal_id, a.seg AS seg,
+         |         CAST(min($sqDistQSql) AS BIGINT) AS nnd_q
+         |  FROM (SELECT f.signal_id, f.seg, qv AS qa
+         |        FROM f JOIN plan USING (signal_id)
+         |        WHERE route <> 'sampled') a
+         |  JOIN (SELECT signal_id, seg AS seg_b, qv AS qb FROM f) b
+         |    USING (signal_id)
+         |  WHERE a.seg <> b.seg_b
+         |  GROUP BY 1, 2
+         |), sp AS (
+         |  SELECT a.signal_id, a.seg AS seg,
+         |         CAST(min($sqDistQSql) AS BIGINT) AS nnd_q
+         |  FROM (SELECT f.signal_id, f.seg, qv AS qa
+         |        FROM f JOIN plan USING (signal_id)
+         |        WHERE route = 'sampled') a
+         |  JOIN refs b USING (signal_id)
+         |  WHERE a.seg <> b.seg_b
+         |  GROUP BY 1, 2
+         |)
+         |SELECT signal_id, seg, nnd_q, TRUE AS exact FROM ex
+         |UNION ALL
+         |SELECT signal_id, seg, nnd_q, FALSE AS exact FROM sp""".stripMargin,
 
     "seg_discord_topk" ->
       s"""$OracleCte, segs AS (

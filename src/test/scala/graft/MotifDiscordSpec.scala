@@ -274,6 +274,82 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
       "adjacentPairs must join by key")
   }
 
+  test("cost-based router: plan counts are exact, routes split by measured density, routed profile stays truthful") {
+    import spark.implicits._
+    // signal 0: short history -> 'direct'; signal 1: 300 spread segments
+    // -> tiny grid count, 'pruned'; signal 2: 300 DISTINCT near-identical
+    // segments (the inherently dense regime: tiny threshold, every s_0 in
+    // the same cell) -> grid count ~ m^2 over budget, 'sampled'
+    val small = (0 until 50).map(k =>
+      (0L, k.toLong, (0 until 16).map(j => k.toLong * 500L + j).toArray))
+    val spread = (0 until 300).map(k =>
+      (1L, k.toLong, (0 until 16).map(j => k.toLong * 1000L + (j % 2)).toArray))
+    val dense = (0 until 300).map { k =>
+      val q = Array.fill(16)(4200L)
+      q(k % 16) = 4200L + 1L + k / 16
+      (2L, k.toLong, q)
+    }
+    val segs = (small ++ spread ++ dense)
+      .toDF("signal_id", "seg", "qvals").localCheckpoint()
+    val budget = 10000L
+
+    val plan = MotifDiscord.routePlan(segs, budget = budget).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4), r.getString(5)))
+      .toMap
+    assert(plan(0L)._3 == "direct" && plan(1L)._3 == "pruned" &&
+      plan(2L)._3 == "sampled", s"routes wrong: $plan")
+    assert(plan.values.forall(v => v._1 == 50L || v._1 == 300L))
+
+    // the grid estimate must EQUAL a sequential recomputation (threshold,
+    // cell floor-division, 3-exploded singleton x representative counts)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val rows = (small ++ spread ++ dense)
+    val expected = rows.groupBy(_._1).map { case (sig, rs) =>
+      val bySeg = rs.sortBy(_._2)
+      val adj = bySeg.sliding(2).collect {
+        case Seq(a, b) => d2(a._3, b._3) }.toSeq
+      val t = adj.max
+      val w = math.floor(2.0 * math.sqrt(t.toDouble)).toLong + 1L
+      def cell(q: Array[Long]) = Math.floorDiv(q.take(4).sum, w)
+      val groups = rs.groupBy(_._3.toSeq)
+      val singles = groups.filter(_._2.size == 1).values.flatten.toSeq
+      val reps = groups.values.map(_.minBy(_._2)).toSeq
+      val bCounts = reps.groupBy(r => cell(r._3))
+        .map { case (c, v) => c -> v.size.toLong }
+      sig -> singles.flatMap { s =>
+        val c = cell(s._3); Seq(c - 1L, c, c + 1L)
+      }.map(c => bCounts.getOrElse(c, 0L)).sum
+    }
+    expected.foreach { case (sig, est) =>
+      assert(plan(sig)._2 == est,
+        s"grid_pairs for signal $sig: got ${plan(sig)._2}, expected $est")
+    }
+
+    // routed profile: exact rows equal brute force, sampled rows equal
+    // the sampled operator, and the flags tell which is which
+    val auto = MotifDiscord.profileAuto(segs, budget = budget)
+      .localCheckpoint()
+    val exactPart = auto.filter(col("exact")).drop("exact")
+    val bruteExact = {
+      val ex = segs.filter(col("signal_id") =!= 2L)
+      val a = ex.select(col("signal_id"), col("seg").as("seg_a"),
+        col("qvals").as("qa"))
+      val b = ex.select(col("signal_id"), col("seg").as("seg_b"),
+        col("qvals").as("qb"))
+      a.join(b, Seq("signal_id")).where(col("seg_a") =!= col("seg_b"))
+        .groupBy(col("signal_id"), col("seg_a"))
+        .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_q"))
+        .select(col("signal_id"), col("seg_a").as("seg"), col("nnd_q"))
+    }
+    assert(sorted(exactPart) == sorted(bruteExact))
+    val sampledPart = auto.filter(!col("exact")).drop("exact")
+    val sampRef = MotifDiscord.profileSampled(
+        segs.filter(col("signal_id") === 2L), mod = 4)
+      .withColumnRenamed("nnd_ub_q", "nnd_q")
+    assert(sorted(sampledPart) == sorted(sampRef))
+  }
+
   test("edge cases: single-segment signals drop; tied distances break by seg") {
     import spark.implicits._
     // signal 7 has ONE complete segment -> no adjacent pair, no output row
