@@ -26,18 +26,20 @@ object Classifiers {
     * evaluated on `test`. Binary-only models (SVC) are skipped when the
     * label cardinality exceeds 2.
     */
-  def trainEval(train: DataFrame, test: DataFrame, seed: Long = 42L): DataFrame = {
+  def trainEval(train: DataFrame, test: DataFrame, seed: Long = 42L,
+                exclude: Set[String] = Set.empty): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     val eval = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction").setMetricName("accuracy")
     val nLabels = train.select(countDistinct(col("label"))).collect()(0).getLong(0)
 
-    val models = Seq(
+    val models = (Seq(
       "decision_tree" -> new DecisionTreeClassifier().setSeed(seed),
       "random_forest" -> new RandomForestClassifier().setSeed(seed).setNumTrees(20)) ++
       (if (minFeature(train) >= 0.0) Seq("naive_bayes" -> new NaiveBayes()) else Nil) ++
-      (if (nLabels == 2) Seq("linear_svc" -> new LinearSVC().setMaxIter(20)) else Nil)
+      (if (nLabels == 2) Seq("linear_svc" -> new LinearSVC().setMaxIter(20)) else Nil))
+      .filterNot { case (name, _) => exclude(name) }
 
     val rows = models.map { case (name, est) =>
       val m = est.fit(train)

@@ -29,18 +29,31 @@ object MlQueries {
         col("label").cast("double").as("label"))
       val train = feats.where(pmod(hash(col("features")), lit(5)) =!= 0)
       val test = feats.where(pmod(hash(col("features")), lit(5)) === 0)
-      val accs = Classifiers.trainEval(train.drop("vec_id"), test.drop("vec_id"))
+      // the decision tree is fitted ONCE: its accuracy row is computed
+      // FROM the prediction dump (not by a second independent fit), so
+      // the acc==hit-rate invariant holds by construction and the query
+      // doesn't pay a redundant full DT training pass
+      val dt = new DecisionTreeClassifier().setSeed(42L)
+        .fit(train.drop("vec_id"))
+      val accs = Classifiers.trainEval(train.drop("vec_id"),
+          test.drop("vec_id"), exclude = Set("decision_tree"))
         .select(lit("acc").as("kind"), col("model"), col("accuracy"),
           lit(null).cast("long").as("vec_id"),
           lit(null).cast("double").as("prediction"),
           lit(null).cast("double").as("label"))
-      // same estimator/seed as trainEval's decision tree -> same model
-      val dt = new DecisionTreeClassifier().setSeed(42L).fit(train)
-      val preds = dt.transform(test)
+      val scored = dt.transform(test)
+      val dtAcc = scored
+        .agg(avg((col("prediction") === col("label")).cast("double"))
+          .as("accuracy"))
+        .select(lit("acc").as("kind"), lit("decision_tree").as("model"),
+          col("accuracy"), lit(null).cast("long").as("vec_id"),
+          lit(null).cast("double").as("prediction"),
+          lit(null).cast("double").as("label"))
+      val preds = scored
         .select(lit("pred").as("kind"), lit("decision_tree").as("model"),
           lit(null).cast("double").as("accuracy"),
           col("vec_id"), col("prediction"), col("label"))
-      accs.unionByName(preds)
+      accs.unionByName(dtAcc).unionByName(preds)
     }),
 
     "ml_kmeans_purity" -> ((s, d) =>

@@ -477,14 +477,12 @@ object MotifDiscord {
         val repPairs = candidatePairs(reps, reps, thresh)
           .where(col("seg_a") < col("seg_b"))
         // fan each rep pair to the capped members of both groups
-        val repKey = ranked.filter(col("grk") === 1)
-          .select(col("signal_id"), col("seg"), col("qvals"))
         val mem = capped.select(col("signal_id"), col("qvals"),
           col("seg").as("m"))
         val fanned = repPairs
-          .join(repKey.select(col("signal_id"), col("seg").as("seg_a"),
+          .join(reps.select(col("signal_id"), col("seg").as("seg_a"),
             col("qvals").as("qv_a")), Seq("signal_id", "seg_a"))
-          .join(repKey.select(col("signal_id"), col("seg").as("seg_b"),
+          .join(reps.select(col("signal_id"), col("seg").as("seg_b"),
             col("qvals").as("qv_b")), Seq("signal_id", "seg_b"))
           .join(mem.select(col("signal_id"), col("qvals").as("qv_a"),
             col("m").as("ma")), Seq("signal_id", "qv_a"))

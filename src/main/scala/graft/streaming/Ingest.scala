@@ -472,8 +472,12 @@ object Ingest {
             transform(col("values"), v => floor(v * lit(100)).cast("long")))
           .select(col("signal_id"), col("seg"), col("qvals"))
           .localCheckpoint()
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          s.sparkContext.hadoopConfiguration)
+        // resolve the FS from the workDir path itself — FileSystem.get
+        // returns the DEFAULT fs, which is the wrong one whenever the
+        // workDir's scheme differs (e.g. local workDir under an HDFS
+        // default), silently treating prior snapshots as absent
+        val fs = new org.apache.hadoop.fs.Path(workDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
         def snapshots(dir: String): Seq[Long] = {
           val p = new org.apache.hadoop.fs.Path(dir)
           if (!fs.exists(p)) Seq.empty
@@ -505,15 +509,23 @@ object Ingest {
       .start()
   }
 
-  /** The newest persisted profile snapshot written by [[profileStream]]. */
+  /** The newest COMMITTED profile snapshot written by [[profileStream]].
+    * Only batch dirs whose job commit marker (_SUCCESS) exists qualify:
+    * a continuous deployment may call this while the stream is mid-write
+    * of batch=N, and selecting that dir would read a partial (or
+    * unreadable) snapshot. The FS is resolved from the workDir path, not
+    * the default filesystem, so mixed-scheme deployments list correctly.
+    */
   def readProfile(spark: SparkSession, workDir: String): DataFrame = {
     val profDir = s"$workDir/profile"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = fs.listStatus(new org.apache.hadoop.fs.Path(profDir)).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-    require(ids.nonEmpty, s"no profile snapshots under $profDir")
+      .map(_.getPath)
+      .filter(d => d.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      .map(_.getName.stripPrefix("batch=").toLong)
+    require(ids.nonEmpty, s"no committed profile snapshots under $profDir")
     spark.read.parquet(s"$profDir/batch=${ids.max}")
   }
 
