@@ -224,51 +224,108 @@ object MotifDiscord {
     * Exactly equals the batch profile over the combined segment set —
     * MotifDiscordSpec proves it, and the seg_profile_inc query carries
     * the full-recompute oracle.
+    *
+    * Size-routed like [[profile]]: with every signal's segment count (on
+    * either side) at most pruneAbove, the member-level cross join is
+    * bounded (<= pruneAbove·δ pairs per signal) and its lean 3-exchange
+    * plan wins — the rep-level collapse costs ~1 s of constant overhead
+    * (two array-keyed rank windows + checkpoints) at sf0.1, the r10
+    * sweep's self-adjudication caught exactly that. Past the threshold
+    * the duplicate collapse takes over so a flatlined sensor streaming
+    * identical segments forever costs rep pairs, not m·δ distances.
+    * Both routes are exact (MotifDiscordSpec proves each against the
+    * full recompute).
     */
   def profileIncrement(existingSegs: DataFrame, existingProfile: DataFrame,
-                       newSegs: DataFrame): DataFrame = {
-    // Rep-level collapse (same argument as [[profile]]'s): a member's
-    // distance to any group equals its representative's, so ONE cross
-    // join of the DISTINCT (signal, qvals) vectors carries every min,
-    // and duplicate mass — the streaming degenerate case of a flatlined
-    // sensor feeding identical segments forever — costs one distinct +
-    // one fan-out join per batch instead of m·δ distances.
-    val eReps = existingSegs.select(col("signal_id"), col("qvals")).distinct()
-    val nReps = newSegs.select(col("signal_id"), col("qvals")).distinct()
-    val cross = eReps.select(col("signal_id"), col("qvals").as("qa"))
-      .join(nReps.select(col("signal_id"), col("qvals").as("qb")),
-        Seq("signal_id"))
-      .select(col("signal_id"), col("qa"), col("qb"),
+                       newSegs: DataFrame,
+                       pruneAbove: Int = PruneAbove): DataFrame = {
+    val maxM = existingSegs.select(col("signal_id"))
+      .unionByName(newSegs.select(col("signal_id")))
+      .groupBy(col("signal_id")).agg(count(lit(1)).as("m"))
+      .agg(max(col("m"))).collect()
+      .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+    if (maxM <= pruneAbove)
+      memberIncrement(existingSegs, existingProfile, newSegs)
+    else repIncrement(existingSegs, existingProfile, newSegs)
+  }
+
+  /** The direct incremental route: member-level existing x new cross
+    * join plus all-pairs among the batch — bounded by the router's
+    * per-signal segment cap.
+    */
+  private def memberIncrement(existingSegs: DataFrame,
+                              existingProfile: DataFrame,
+                              newSegs: DataFrame): DataFrame = {
+    val e = existingSegs.select(col("signal_id"), col("seg").as("seg_a"),
+      col("qvals").as("qa"))
+    val n = newSegs.select(col("signal_id"), col("seg").as("seg_b"),
+      col("qvals").as("qb"))
+    val cross = e.join(n, Seq("signal_id"))
+      .select(col("signal_id"), col("seg_a"), col("seg_b"),
         sqDistQ(col("qa"), col("qb")).as("d"))
-    // existing members: min over the new groups; new members: min over
-    // the existing groups (equal vectors across the sides meet as d = 0)
-    val crossE = existingSegs.join(
-        cross.groupBy(col("signal_id"), col("qa")).agg(min(col("d")).as("d"))
-          .withColumnRenamed("qa", "qvals"),
-        Seq("signal_id", "qvals"))
-      .select(col("signal_id"), col("seg"), col("d"))
-    val crossN = newSegs.join(
-        cross.groupBy(col("signal_id"), col("qb")).agg(min(col("d")).as("d"))
-          .withColumnRenamed("qb", "qvals"),
-        Seq("signal_id", "qvals"))
-      .select(col("signal_id"), col("seg"), col("d"))
-    // within the new batch: duplicate members have an identical twin
-    // (d = 0); singletons take the min over the OTHER new reps
-    val g = Window.partitionBy(col("signal_id"), col("qvals"))
-    val dupZero = newSegs.withColumn("gcnt", count(lit(1)).over(g))
-      .filter(col("gcnt") >= 2)
+    // both endpoints of every cross pair receive the distance
+    val crossBoth = cross.select(col("signal_id"), col("seg_a").as("seg"), col("d"))
+      .unionByName(cross.select(col("signal_id"), col("seg_b").as("seg"), col("d")))
+    val withinNew = naivePairs(newSegs)
+      .select(col("signal_id"), col("seg_a").as("seg"), col("d"))
+    val oldRows = existingProfile
+      .select(col("signal_id"), col("seg"), col("nnd_q").as("d"))
+    oldRows.unionByName(crossBoth).unionByName(withinNew)
+      .groupBy(col("signal_id"), col("seg"))
+      .agg(min(col("d")).as("nnd_q"))
+  }
+
+  /** The collapsed incremental route for long/degenerate histories.
+    * Rep-level (same argument as [[profile]]'s), keyed by the
+    * REPRESENTATIVE's seg so the minima land without any member-level
+    * array-keyed join: every segment that still NEEDS a cross/within
+    * minimum is a representative —
+    *  - an existing member of a duplicate group already carries
+    *    nnd_q = 0 in the old profile (its twin was among existingSegs),
+    *  - a new member of a duplicate group has an in-batch twin (d = 0),
+    * so duplicate mass — the streaming degenerate case of a flatlined
+    * sensor feeding identical segments forever — costs one rank window
+    * per side and zero fan-out joins.
+    */
+  private def repIncrement(existingSegs: DataFrame,
+                           existingProfile: DataFrame,
+                           newSegs: DataFrame): DataFrame = {
+    // ranked frames are checkpointed (the [[profile]] pattern): eReps /
+    // nReps are each referenced by several branches below, and without
+    // the cut every reference re-executes the array-keyed sort window
+    val eReps = withGroupRank(existingSegs).filter(col("grk") === 1)
+      .select(col("signal_id"), col("seg"), col("qvals"))
+      .localCheckpoint()
+    val n = withGroupRank(newSegs).localCheckpoint()
+    val nReps = n.filter(col("grk") === 1)
+      .select(col("signal_id"), col("seg"), col("qvals"))
+    // rep-level cross distances (equal vectors across sides meet as
+    // d = 0); each side's reps take their min keyed by their own seg
+    val cross = eReps
+      .select(col("signal_id"), col("seg").as("seg_a"), col("qvals").as("qa"))
+      .join(nReps.select(col("signal_id"), col("seg").as("seg_b"),
+          col("qvals").as("qb")),
+        Seq("signal_id"))
+      .select(col("signal_id"), col("seg_a"), col("seg_b"),
+        sqDistQ(col("qa"), col("qb")).as("d"))
+    val crossE = cross.groupBy(col("signal_id"), col("seg_a"))
+      .agg(min(col("d")).as("d"))
+      .select(col("signal_id"), col("seg_a").as("seg"), col("d"))
+    val crossN = cross.groupBy(col("signal_id"), col("seg_b"))
+      .agg(min(col("d")).as("d"))
+      .select(col("signal_id"), col("seg_b").as("seg"), col("d"))
+    // within the new batch: every member of a duplicate group (rep
+    // included) has an identical twin (d = 0); reps additionally take
+    // the min over the OTHER new reps, keyed by their own seg
+    val dupZero = n.filter(col("gcnt") >= 2)
       .select(col("signal_id"), col("seg"), lit(0L).as("d"))
-    val nRepPairs = nReps.select(col("signal_id"), col("qvals").as("qa"))
+    val withinNew = nReps
+      .select(col("signal_id"), col("seg"), col("qvals").as("qa"))
       .join(nReps.select(col("signal_id"), col("qvals").as("qb")),
         Seq("signal_id"))
       .where(col("qa") =!= col("qb"))
-      .select(col("signal_id"), col("qa"),
-        sqDistQ(col("qa"), col("qb")).as("d"))
-    val withinNew = newSegs.join(
-        nRepPairs.groupBy(col("signal_id"), col("qa"))
-          .agg(min(col("d")).as("d")).withColumnRenamed("qa", "qvals"),
-        Seq("signal_id", "qvals"))
-      .select(col("signal_id"), col("seg"), col("d"))
+      .groupBy(col("signal_id"), col("seg"))
+      .agg(min(sqDistQ(col("qa"), col("qb"))).as("d"))
     val oldRows = existingProfile
       .select(col("signal_id"), col("seg"), col("nnd_q").as("d"))
     oldRows.unionByName(crossE).unionByName(crossN)

@@ -423,8 +423,10 @@ object Ingest {
   /** Streaming MATRIX-PROFILE maintenance — STAMPI at segment granularity
     * folded into the ingest path: every micro-batch of newly sealed
     * segments updates a PERSISTED per-signal profile via
-    * MotifDiscord.profileIncrement (O(m·δ) cross distances + O(δ²)
-    * within-batch, never a recompute), so discord/motif serving reads a
+    * MotifDiscord.profileIncrement (size-routed: O(m·δ) cross distances
+    * + O(δ²) within-batch for short histories, duplicate-collapsed rep
+    * pairs past the threshold — never a recompute), so discord/motif
+    * serving reads a
     * profile that is exact as of the last sealed segment. This is the
     * reference's ingest-time outlier concern (future_signal.rs +
     * outlier/mod.rs) served continuously, the way iforestStream serves

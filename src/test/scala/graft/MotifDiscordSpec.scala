@@ -183,6 +183,17 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
     }
     assert(sorted(MotifDiscord.motifTopK(segs, k = 3)) == sorted(bruteTopM))
+
+    // incremental maintenance in the SAME degenerate regime (auto-routes
+    // to the rep-collapsed path: signals exceed PruneAbove): duplicate
+    // twins meet across the split as d = 0 and the result still equals
+    // the brute profile over the union
+    val existing = segs.filter(col("seg") <= 200)
+    val fresh = segs.filter(col("seg") > 200)
+    val incDup = MotifDiscord.profileIncrement(existing,
+      MotifDiscord.profile(existing), fresh)
+    assert(sorted(incDup) == sorted(bruteProf),
+      "degenerate incremental diverges from brute profile")
   }
 
   test("sampled profile: exact on its reference set, an upper bound of the true profile") {
@@ -226,6 +237,12 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
       val inc = MotifDiscord.profileIncrement(existing,
         MotifDiscord.profile(existing), fresh)
       assert(sorted(inc) == full, s"incremental diverges at split $frac")
+      // force the rep-collapsed route (pruneAbove=0: every signal routes
+      // past the member-level path) — both routes must be exact
+      val incRep = MotifDiscord.profileIncrement(existing,
+        MotifDiscord.profile(existing), fresh, pruneAbove = 0)
+      assert(sorted(incRep) == full,
+        s"rep-collapsed incremental diverges at split $frac")
     }
     // degenerate: an empty new batch must return the old profile verbatim
     import spark.implicits._
