@@ -453,6 +453,26 @@ object MotifDiscord {
           .withColumn("exact", lit(false)))
   }
 
+  /** ROUTED discord: per-signal argmax of [[profileAuto]], carrying the
+    * exact flag — the routed serving shape of the reference's ingest-time
+    * outlier question ("which segment is most anomalous") for fleets
+    * whose histories may be inherently dense. A sampled-route signal's
+    * discord ranks upper bounds (nnd_ub >= nnd, same hash-chosen
+    * reference set on both engines), still a deterministic anomaly
+    * ranking; `exact = false` flags those rows so consumers know the
+    * verdict is the anytime bound, not the proven maximum.
+    * Output: signal_id, seg, nnd_q, exact.
+    */
+  def discordAuto(segs: DataFrame, budget: Long = RouteBudget,
+                  mod: Int = 4,
+                  pruneAbove: Int = PruneAbove): DataFrame = {
+    val w = Window.partitionBy(col("signal_id"))
+      .orderBy(col("nnd_q").desc, col("seg"))
+    profileAuto(segs, budget, mod, pruneAbove)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Top-k discords per signal (HOT SAX's actual use case reports the k
     * most anomalous subsequences, not one): rank the profile by
     * (nnd_q DESC, seg). Output adds the rank column.

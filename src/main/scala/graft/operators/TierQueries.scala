@@ -255,6 +255,12 @@ object TierQueries {
     "seg_profile_auto" -> ((s, d) =>
       MotifDiscord.profileAuto(Segments.completeQuantized(r(s, d)))),
 
+    // the ROUTED discord: argmax of the routed profile per signal with
+    // the exact flag carried — the serving shape of the reference's
+    // "most anomalous segment" question when some histories are dense
+    "seg_discord_auto" -> ((s, d) =>
+      MotifDiscord.discordAuto(Segments.completeQuantized(r(s, d)))),
+
     // SAX symbolic words (Lin et al., "A Symbolic Representation of Time
     // Series", DMKD'07): z-normalize per signal from EXACT integer moments
     // (the ts_zscore decimal pattern), PAA over 4-row chunks from exact
@@ -976,6 +982,49 @@ object TierQueries {
          |SELECT signal_id, seg, nnd_q, TRUE AS exact FROM ex
          |UNION ALL
          |SELECT signal_id, seg, nnd_q, FALSE AS exact FROM sp""".stripMargin,
+
+    // routed discord = the seg_profile_auto oracle + per-signal argmax
+    // (nnd_q DESC, seg) — same deterministic tie-break on both engines
+    "seg_discord_auto" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg,
+         |         list(value_q ORDER BY seq_no) AS qv, count(*) AS cnt
+         |  FROM r GROUP BY 1, 2
+         |), f AS (
+         |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
+         |), $routePlanCteSql, refs AS (
+         |  SELECT signal_id, seg AS seg_b, qv AS qb FROM f
+         |  WHERE ${graft.functions.TextOps.fnv32Sql(
+               "'ps:' || CAST(signal_id AS VARCHAR) || ':' || CAST(seg AS VARCHAR)")} % 4 = 0
+         |), ex AS (
+         |  SELECT a.signal_id, a.seg AS seg,
+         |         CAST(min($sqDistQSql) AS BIGINT) AS nnd_q
+         |  FROM (SELECT f.signal_id, f.seg, qv AS qa
+         |        FROM f JOIN plan USING (signal_id)
+         |        WHERE route <> 'sampled') a
+         |  JOIN (SELECT signal_id, seg AS seg_b, qv AS qb FROM f) b
+         |    USING (signal_id)
+         |  WHERE a.seg <> b.seg_b
+         |  GROUP BY 1, 2
+         |), sp AS (
+         |  SELECT a.signal_id, a.seg AS seg,
+         |         CAST(min($sqDistQSql) AS BIGINT) AS nnd_q
+         |  FROM (SELECT f.signal_id, f.seg, qv AS qa
+         |        FROM f JOIN plan USING (signal_id)
+         |        WHERE route = 'sampled') a
+         |  JOIN refs b USING (signal_id)
+         |  WHERE a.seg <> b.seg_b
+         |  GROUP BY 1, 2
+         |), pa AS (
+         |  SELECT signal_id, seg, nnd_q, TRUE AS exact FROM ex
+         |  UNION ALL
+         |  SELECT signal_id, seg, nnd_q, FALSE AS exact FROM sp
+         |)
+         |SELECT signal_id, seg, nnd_q, exact FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY signal_id ORDER BY nnd_q DESC, seg) AS rn
+         |  FROM pa)
+         |WHERE rn = 1""".stripMargin,
 
     "seg_discord_topk" ->
       s"""$OracleCte, segs AS (

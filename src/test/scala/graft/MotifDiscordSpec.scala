@@ -365,6 +365,25 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
         segs.filter(col("signal_id") === 2L), mod = 4)
       .withColumnRenamed("nnd_ub_q", "nnd_q")
     assert(sorted(sampledPart) == sorted(sampRef))
+
+    // routed discord = the argmax of the routed profile, per signal,
+    // with the same (nnd_q DESC, seg) tie-break and the flag carried
+    val dAuto = MotifDiscord.discordAuto(segs, budget = budget).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val expectedD = auto.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .groupBy(_._1).map { case (sig, rs) =>
+        val w = rs.minBy(t => (-t._3, t._2))
+        sig -> ((w._2, w._3, w._4))
+      }
+    assert(dAuto == expectedD, "routed discord is not the profileAuto argmax")
+    // on an all-exact route set the routed discord equals plain discord
+    val exSegs = segs.filter(col("signal_id") =!= 2L)
+    assert(sorted(MotifDiscord.discordAuto(exSegs, budget = budget)
+        .drop("exact")) ==
+      sorted(MotifDiscord.discord(exSegs)),
+      "routed discord diverges from discord on all-exact routes")
   }
 
   test("edge cases: single-segment signals drop; tied distances break by seg") {

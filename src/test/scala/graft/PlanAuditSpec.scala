@@ -64,9 +64,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
   // round-10 exclusions, same rationales: buff_max_outlier fetches the
   // scalar base offset at build time like the other buff_* rows;
   // ml_iforest_psi fits at construction like the rest of the ml_* family;
-  // seg_profile_route / seg_profile_auto localCheckpoint at construction
-  // like the rest of the profile family (their keyed-join discipline is
-  // asserted on candidatePairs in MotifDiscordSpec's plan-shape test)
+  // seg_profile_route / seg_profile_auto / seg_discord_auto
+  // localCheckpoint at construction like the rest of the profile family
+  // (their keyed-join discipline is asserted on candidatePairs in
+  // MotifDiscordSpec's plan-shape test)
   // round-9 exclusions, same rationales: seg_knn_fft(_agree) rank the
   // bounded broadcast probe set like seg_knn; buff_range_outlier /
   // buff_sum_outlier fetch the scalar base offset at build time like the
