@@ -301,15 +301,16 @@ object Bench {
         // priors are only comparable at the same data scale: a scale-up
         // run against a map committed at another sf must not mass-trigger
         // isolation reruns
-        val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        val priorSf =
+          """"sf":\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
         if (!priorSf.contains(sfDir)) throw new IllegalStateException("sf mismatch")
         // inner body must exclude '{' too, else the outer "queries":{
         // wrapper match swallows the alphabetically-first query entry
-        val objRe = """"([A-Za-z0-9_]+)":\{([^{}]*)\}""".r
-        val numRe = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.]*)""".r
+        val objRe = """"([A-Za-z0-9_]+)":\s*\{([^{}]*)\}""".r
+        val numRe = """"([A-Za-z0-9_]+)":\s*(-?[0-9][0-9.]*)""".r
         val fromObjs = objRe.findAllMatchIn(txt).flatMap { m =>
           def field(f: String): Option[Double] =
-            s""""$f":(-?[0-9][0-9.]*)""".r.findFirstMatchIn(m.group(2))
+            s""""$f":\\s*(-?[0-9][0-9.]*)""".r.findFirstMatchIn(m.group(2))
               .map(_.group(1).toDouble)
           field("iso").orElse(field("t")).map(m.group(1) -> _)
         }.toMap
@@ -317,10 +318,23 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         fromNums ++ fromObjs
       } catch { case _: Throwable => Map.empty }
-    val adjudicated: Map[String, (Double, Double)] = results.flatMap { r =>
-      priorMap.get(r.name)
-        .filter(p => r.err.isEmpty && r.med > 2 * p + 0.25)
-        .map { p =>
+    val tripped = results.filter(r =>
+      priorMap.get(r.name).exists(p => r.err.isEmpty && r.med > 2 * p + 0.25))
+    // storm guard: when MANY queries trip at once the cause is a global
+    // host slowdown (Firecracker noisy neighbor — measured 2-3x swings),
+    // not per-query regressions; isolated reruns would also run slow and
+    // just double the sweep. Record the condition instead and let the
+    // reader normalize by a canary (o1_scan) — the per-query adjudication
+    // is for the ISOLATED outlier, which is the only case it can explain.
+    val hostSlow = priorMap.nonEmpty &&
+      tripped.size > math.max(5, results.size / 10)
+    if (hostSlow) System.err.println(
+      s"[bench] ${tripped.size}/${results.size} queries above 2x prior - " +
+        "global host slowdown, skipping per-query isolation reruns")
+    val adjudicated: Map[String, (Double, Double)] =
+      if (hostSlow) Map.empty
+      else tripped.flatMap { r =>
+        priorMap.get(r.name).map { p =>
           System.err.println(
             f"[bench] ${r.name}: sweep ${r.med}%.2fs > 2x prior $p%.2fs " +
               "- rerunning isolated")
@@ -328,7 +342,7 @@ object Bench {
           System.err.println(f"[bench] ${r.name}: isolated ${iso.med}%.2fs")
           r.name -> (iso.med, p)
         }
-    }.toMap
+      }.toMap
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -419,7 +433,11 @@ object Bench {
     val nerr = results.count(_.err.nonEmpty)
     val ingestField = ingestPps.map(v =>
       s""""ingest_pts_per_sec":${f3(v)},"ingest_cfg":"$ingestCfg",""").getOrElse("")
-    val summary = s"""$ingestField"value":${f3(total)},"n_ok":${ok.size},"n_err":$nerr"""
+    val hostSlowField =
+      if (hostSlow) s""""host_slow":true,"n_above_2x_prior":${tripped.size},"""
+      else ""
+    val summary =
+      s"""$hostSlowField$ingestField"value":${f3(total)},"n_ok":${ok.size},"n_err":$nerr"""
     val prefix = s""""metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir""""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_QUERIES.json")
