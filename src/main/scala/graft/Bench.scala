@@ -129,6 +129,11 @@ object Bench {
     // the events table as 4 files so the AvailableNow run has 4
     // micro-batches, each folding its sealed segments into the persisted
     // profile (the timed part is the end-to-end maintenance job)
+    // last-rep per-micro-batch cost split for seg_profile_stream (set by
+    // its runner, emitted as a top-level artifact field): attributes the
+    // row's wall time to harness init vs fold compute without a second
+    // instrumented run
+    var profileStreamBreakdown: Option[String] = None
     val profileIn: Option[String] =
       if (!needed("seg_profile_stream")) None
       else try {
@@ -188,24 +193,43 @@ object Bench {
           graft.plans.NativeAsOf.asofJoin(
             rr.select(col("signal_id"), col("seq_no"), col("ts")),
             segStarts, "signal_id", "ts", "seg_ts", Seq("seg")).count(); ()
-        })) ++
-        // the approx-percentile scale twin of o5_percentile: bounded-memory
-        // sketch vs the exact buffering form (see the o5_percentile comment)
-        Seq(("o5_percentile_approx", () => {
-          graft.operators.Readings.of(spark, sfDir).groupBy(col("signal_id"))
-            .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
-                 expr("approx_percentile(value, 0.9, 1000)").as("p90")).count(); ()
         }))
-    } ++ profileIn.toSeq.map { in =>
+    } ++
+      // the approx-percentile scale twin of o5_percentile: bounded-memory
+      // sketch vs the exact buffering form (see the o5_percentile comment).
+      // Reads Readings.of directly — NOT gated on the tier setup, so
+      // SPARK_GRAFT_ONLY=o5_percentile_approx neither pays the tier ladder
+      // nor silently loses the row
+      Seq(("o5_percentile_approx", () => {
+        graft.operators.Readings.of(spark, sfDir).groupBy(col("signal_id"))
+          .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+               expr("approx_percentile(value, 0.9, 1000)").as("p90")).count(); ()
+      })) ++ profileIn.toSeq.map { in =>
       // STAMPI-style streaming profile maintenance: 4 micro-batches of
       // sealed segments each fold into the persisted per-signal profile
       // (Ingest.profileStream); a fresh work dir per rep so every run
-      // pays the full incremental ladder, not a warm no-op
+      // pays the full incremental ladder, not a warm no-op. The per-batch
+      // progress is captured so the artifact can attribute the row's cost
+      // to stream harness init vs actual fold compute (addBatch).
       ("seg_profile_stream", () => {
         val work = tempDir("graft-bench-mpwork") + s"/w${System.nanoTime()}"
         val q = graft.streaming.Ingest.profileStream(spark, in, work,
           graft.operators.Readings.SegmentRows.toInt, maxFilesPerTrigger = 1)
-        q.awaitTermination(); ()
+        q.awaitTermination()
+        val prog = q.recentProgress
+        if (prog.nonEmpty) {
+          def ms(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+                 k: String): Long =
+            Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+          val add = prog.map(ms(_, "addBatch")).sum
+          val trig = prog.map(ms(_, "triggerExecution")).sum
+          profileStreamBreakdown = Some(
+            s"""{"n_batches":${prog.length},"addBatch_sec":${add / 1e3},""" +
+              s""""triggerExecution_sec":${trig / 1e3},""" +
+              s""""batch_addBatch_sec":[${prog.map(ms(_, "addBatch") / 1e3)
+                .mkString(",")}]}""")
+        }
+        ()
       })
     } ++ histDir.toSeq.map { hd =>
       // percentile served from the PERSISTED histogram sketch — the
@@ -293,31 +317,43 @@ object Bench {
     // whose median exceeds 2x its committed prior (last round's map, iso
     // value preferred) by more than 0.25s absolute reruns ISOLATED at the
     // end of the sweep, and both numbers land in the artifact.
-    val priorMap: Map[String, Double] =
+    // real JSON parsing (Jackson ships with Spark): the old regex scrape
+    // ingested every numeric field (t/mean/sd/reps/...) as phantom prior
+    // keys and misparsed err strings containing braces — anchored to the
+    // "queries" object, only known fields read
+    case class Prior(queries: Map[String, Double], ingest: Option[Double])
+    val prior: Prior =
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/root/repo/BENCH_QUERIES.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
+        import scala.jdk.CollectionConverters._
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("/root/repo/BENCH_QUERIES.json")))
         // priors are only comparable at the same data scale: a scale-up
         // run against a map committed at another sf must not mass-trigger
         // isolation reruns
-        val priorSf =
-          """"sf":\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-        if (!priorSf.contains(sfDir)) throw new IllegalStateException("sf mismatch")
-        // inner body must exclude '{' too, else the outer "queries":{
-        // wrapper match swallows the alphabetically-first query entry
-        val objRe = """"([A-Za-z0-9_]+)":\s*\{([^{}]*)\}""".r
-        val numRe = """"([A-Za-z0-9_]+)":\s*(-?[0-9][0-9.]*)""".r
-        val fromObjs = objRe.findAllMatchIn(txt).flatMap { m =>
-          def field(f: String): Option[Double] =
-            s""""$f":\\s*(-?[0-9][0-9.]*)""".r.findFirstMatchIn(m.group(2))
-              .map(_.group(1).toDouble)
-          field("iso").orElse(field("t")).map(m.group(1) -> _)
-        }.toMap
-        val fromNums = numRe.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        fromNums ++ fromObjs
-      } catch { case _: Throwable => Map.empty }
+        if (!Option(root.get("sf")).map(_.asText).contains(sfDir))
+          throw new IllegalStateException("sf mismatch")
+        val qs = Option(root.get("queries")).toSeq
+          .flatMap(_.fields().asScala)
+          .flatMap { e =>
+            val v = e.getValue
+            // a plain number is the query's time; an object carries the
+            // sweep t plus possibly a rerun (resweep, legacy iso). The
+            // rerun executes in the same JVM right after the full sweep,
+            // so residual GC/scheduler state can inflate it — the prior
+            // takes the MINIMUM of the two: both are real runs of the
+            // same binary, and the faster one is the cleaner cost bound.
+            val cand: Seq[Double] =
+              if (v.isNumber) Seq(v.asDouble)
+              else Seq("t", "resweep", "iso").flatMap(f =>
+                Option(v.get(f)).filter(_.isNumber).map(_.asDouble))
+            if (cand.isEmpty) None else Some(e.getKey -> cand.min)
+          }.toMap
+        val ing = Option(root.get("ingest_pts_per_sec"))
+          .filter(_.isNumber).map(_.asDouble)
+        Prior(qs, ing)
+      } catch { case _: Throwable => Prior(Map.empty, None) }
+    val priorMap: Map[String, Double] = prior.queries
     val tripped = results.filter(r =>
       priorMap.get(r.name).exists(p => r.err.isEmpty && r.med > 2 * p + 0.25))
     // storm guard: when MANY queries trip at once the cause is a global
@@ -337,9 +373,14 @@ object Bench {
         priorMap.get(r.name).map { p =>
           System.err.println(
             f"[bench] ${r.name}: sweep ${r.med}%.2fs > 2x prior $p%.2fs " +
-              "- rerunning isolated")
+              "- re-running after the sweep (same JVM)")
+          // NOTE: this rerun executes in the SAME JVM right after the
+          // 200+-query sweep — residual GC/scheduler state can still
+          // inflate it, so the artifact calls it `resweep`, not an
+          // isolated measurement; a true isolation run is a fresh
+          // process with SPARK_GRAFT_ONLY=<name> + SPARK_GRAFT_BENCH_OUT
           val iso = timeQuery(r.name, r.run)
-          System.err.println(f"[bench] ${r.name}: isolated ${iso.med}%.2fs")
+          System.err.println(f"[bench] ${r.name}: resweep ${iso.med}%.2fs")
           r.name -> (iso.med, p)
         }
       }.toMap
@@ -357,6 +398,9 @@ object Bench {
     // the PARALLEL S2 ceiling across all cores — not the single-file,
     // one-batch-at-a-time replay that r5 reported (52 k pts/s was a
     // maxFilesPerTrigger=1 serial number, flagged in VERDICT r5 item 9)
+    // extra adjudication fields for the ingest row (set when the measured
+    // throughput lands >1.5x below the committed prior)
+    var ingestExtra = ""
     val ingestFiles = 32
     val ingestCfg = s"files=$ingestFiles,maxFilesPerTrigger=$ingestFiles," +
       "trigger=AvailableNow,warm=true"
@@ -383,8 +427,36 @@ object Bench {
         // ingest work (measured: ~650 k pts/s warm vs ~33 k cold at sf0.1)
         runOnce()
         val secs = runOnce()
+        val pps = pts / secs
         System.err.println(f"[bench] ingest: $pts pts in $secs%.2fs ($ingestCfg)")
-        Some(pts / secs)
+        // ingest adjudication (the query storm guard's sibling): the
+        // throughput slid 94.6k -> 52.9k pts/s across r9-r10 with the same
+        // cfg while the 10x replay said 843k — host noise and code
+        // regressions were indistinguishable because only queries were
+        // adjudicated. When the number lands >1.5x BELOW the committed
+        // prior, re-run best-of-2 (throughput is a max-estimator: noise
+        // only slows it) and record the o1_scan canary ratio so a reader
+        // can attribute the slide (canary also slow => host; canary at
+        // prior => streaming-path code).
+        prior.ingest.filter(pi => pps < pi / 1.5).foreach { pi =>
+          def fmt(v: Double): String =
+            "%.3f".formatLocal(java.util.Locale.ROOT, v)
+          val best = math.max(pps, (1 to 2).map(_ => pts / runOnce()).max)
+          val canary = for {
+            cur <- results.find(_.name == "o1_scan")
+              .filter(_.err.isEmpty).map(_.med)
+            cp <- priorMap.get("o1_scan")
+          } yield cur / cp
+          ingestExtra =
+            s""""ingest_prior":${fmt(pi)},"ingest_resweep":${fmt(best)},""" +
+              canary.map(c => s""""ingest_canary_ratio":${fmt(c)},""")
+                .getOrElse("")
+          System.err.println(
+            f"[bench] ingest adjudication: prior $pi%.0f pts/s, " +
+              f"resweep best-of $best%.0f pts/s, o1_scan canary " +
+              s"${canary.map(c => f"$c%.2fx").getOrElse("n/a")}")
+        }
+        Some(pps)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ingest throughput failed: $e"); None }
 
@@ -406,17 +478,17 @@ object Bench {
     def qmapFull(rs: Seq[QRes]): String = rs.map {
       case r if r.err.isEmpty =>
         val extra = adjudicated.get(r.name).map { case (iso, p) =>
-          s""","iso":${f3(iso)},"prior":${f3(p)}""" }.getOrElse("")
+          s""","resweep":${f3(iso)},"prior":${f3(p)}""" }.getOrElse("")
         s""""${r.name}":{"t":${f3(r.med)},"mean":${f3(r.mean)},""" +
           s""""sd":${f3(r.sd)},"reps":${r.nOk}$extra}"""
       case r => s""""${r.name}":{"err":"${esc(r.err.get.take(200))}"}"""
     }.mkString("{", ",", "}")
     val isoField =
       if (adjudicated.isEmpty) ""
-      else s""""isolated":${adjudicated.toSeq.sortBy(_._1).map {
+      else s""""adjudicated":${adjudicated.toSeq.sortBy(_._1).map {
         case (n, (iso, p)) =>
           val sweep = results.find(_.name == n).map(_.med).getOrElse(0.0)
-          s""""$n":{"sweep":${f3(sweep)},"iso":${f3(iso)},"prior":${f3(p)}}"""
+          s""""$n":{"sweep":${f3(sweep)},"resweep":${f3(iso)},"prior":${f3(p)}}"""
       }.mkString("{", ",", "}")},"""
     val headline = Set(
       "q1_agg", "q3_join", "q5_join", "q6_filter_agg", "o1_scan", "o3_range",
@@ -432,12 +504,16 @@ object Bench {
     val total = ok.map(_.med).sum
     val nerr = results.count(_.err.nonEmpty)
     val ingestField = ingestPps.map(v =>
-      s""""ingest_pts_per_sec":${f3(v)},"ingest_cfg":"$ingestCfg",""").getOrElse("")
+      s""""ingest_pts_per_sec":${f3(v)},"ingest_cfg":"$ingestCfg",$ingestExtra""")
+      .getOrElse("")
     val hostSlowField =
       if (hostSlow) s""""host_slow":true,"n_above_2x_prior":${tripped.size},"""
       else ""
+    val mpStreamField = profileStreamBreakdown
+      .map(b => s""""seg_profile_stream_batches":$b,""").getOrElse("")
     val summary =
-      s"""$hostSlowField$ingestField"value":${f3(total)},"n_ok":${ok.size},"n_err":$nerr"""
+      s"""$hostSlowField$mpStreamField$ingestField"value":${f3(total)},""" +
+        s""""n_ok":${ok.size},"n_err":$nerr"""
     val prefix = s""""metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir""""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_QUERIES.json")

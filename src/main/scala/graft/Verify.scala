@@ -23,10 +23,15 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // count-only mode (local scale measurements: output-growth accounting
+    // without dumping multi-million-row results through coalesce(1))
+    val countOnly = sys.env.get("SPARK_GRAFT_VERIFY_COUNT").contains("1")
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        if (countOnly) println(s"[count] $name ${fn(spark, sfDir).count()}")
+        else fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

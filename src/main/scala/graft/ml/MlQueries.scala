@@ -20,46 +20,82 @@ object MlQueries {
     // scale checker can verify the reported accuracy IS the prediction
     // dump's hit rate — the ML fit stays engine-specific, its accounting
     // does not (ScaleInvariants)
-    "ml_classifiers" -> ((s, d) => {
-      import org.apache.spark.ml.classification.DecisionTreeClassifier
-      import org.apache.spark.ml.functions.array_to_vector
+    "ml_classifiers" -> (classifiersDump _),
+
+    // hash-exact companion to ml_classifiers: the Spark side recomputes
+    // the dump's accounting invariants as a violations table (the fit
+    // stays engine-specific; the checks are what the driver can pin).
+    // Every violation is an exact-integer comparison: dt accuracy is an
+    // integer-count ratio, so equality against the recomputed hit rate
+    // holds bitwise or not at all.
+    "ml_classifiers_check" -> ((s, d) => {
+      import s.implicits._
+      val dump = classifiersDump(s, d)
+      val acc = dump.where(col("kind") === "acc").select("model", "accuracy")
+      val unit = acc
+        .agg(sum(when(col("accuracy") < 0.0 || col("accuracy") > 1.0, 1L)
+            .otherwise(0L)).as("v"),
+          sum(when(col("model").isin("decision_tree", "random_forest"), 1L)
+            .otherwise(0L)).as("n"))
+        .select(lit("accuracies_in_unit_interval").as("invariant"),
+          col("v").cast("long").as("violations"),
+          col("n").cast("long").as("support"))
+      val rate = dump.where(col("kind") === "pred")
+        .agg(avg((col("prediction") === col("label")).cast("double")).as("r"))
+      val dtMatch = acc.where(col("model") === "decision_tree")
+        .crossJoin(rate)
+        .agg(sum(when(col("accuracy") =!= col("r"), 1L).otherwise(0L)).as("v"),
+          count(lit(1)).as("n"))
+        .select(lit("dt_accuracy_matches_prediction_dump").as("invariant"),
+          col("v").cast("long").as("violations"),
+          col("n").cast("long").as("support"))
+      val present = acc
+        .agg((lit(2L) - count_distinct(when(
+            col("model").isin("decision_tree", "random_forest"),
+            col("model")))).as("v"))
+        .select(lit("tree_and_forest_rows_present").as("invariant"),
+          col("v").cast("long").as("violations"),
+          lit(2L).as("support"))
+      // the hash split must partition the base table: train + test + pred
+      // accounting closes against the embeddings row count
       val e = Tables.embeddings(s, d)
-      val feats = e.select(col("vec_id"),
-        array_to_vector(col("embedding").cast("array<double>")).as("features"),
-        col("label").cast("double").as("label"))
-      val train = feats.where(pmod(hash(col("features")), lit(5)) =!= 0)
-      val test = feats.where(pmod(hash(col("features")), lit(5)) === 0)
-      // the decision tree is fitted ONCE: its accuracy row is computed
-      // FROM the prediction dump (not by a second independent fit), so
-      // the acc==hit-rate invariant holds by construction and the query
-      // doesn't pay a redundant full DT training pass
-      val dt = new DecisionTreeClassifier().setSeed(42L)
-        .fit(train.drop("vec_id"))
-      val accs = Classifiers.trainEval(train.drop("vec_id"),
-          test.drop("vec_id"), exclude = Set("decision_tree"))
-        .select(lit("acc").as("kind"), col("model"), col("accuracy"),
-          lit(null).cast("long").as("vec_id"),
-          lit(null).cast("double").as("prediction"),
-          lit(null).cast("double").as("label"))
-      val scored = dt.transform(test)
-      val dtAcc = scored
-        .agg(avg((col("prediction") === col("label")).cast("double"))
-          .as("accuracy"))
-        .select(lit("acc").as("kind"), lit("decision_tree").as("model"),
-          col("accuracy"), lit(null).cast("long").as("vec_id"),
-          lit(null).cast("double").as("prediction"),
-          lit(null).cast("double").as("label"))
-      val preds = scored
-        .select(lit("pred").as("kind"), lit("decision_tree").as("model"),
-          lit(null).cast("double").as("accuracy"),
-          col("vec_id"), col("prediction"), col("label"))
-      accs.unionByName(dtAcc).unionByName(preds)
+      val feats = e.select(
+        org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("features"))
+      val nTrain = feats.where(pmod(hash(col("features")), lit(5)) =!= 0).count()
+      val nTest = feats.where(pmod(hash(col("features")), lit(5)) === 0).count()
+      val coverage = e.agg(count(lit(1)).as("ne"))
+        .select(lit("train_test_partition_covers_embeddings").as("invariant"),
+          abs(col("ne") - lit(nTrain + nTest)).cast("long").as("violations"),
+          col("ne").cast("long").as("support"))
+      unit.unionByName(dtMatch).unionByName(present).unionByName(coverage)
     }),
 
     "ml_kmeans_purity" -> ((s, d) =>
       Classifiers.kmeansPurity(
         Classifiers.featuresFrame(Tables.embeddings(s, d), "embedding", "label"),
         k = 10)),
+
+    // hash-exact companion to ml_kmeans_purity: purity is structurally
+    // >= the global majority-label share and <= 1. The Spark side
+    // recomputes both bounds from the fit + base table; the oracle pins
+    // zero violations and recomputes the share bound itself (an exact
+    // IEEE division of the same two integers on both sides).
+    "ml_kmeans_purity_check" -> ((s, d) => {
+      import s.implicits._
+      val purity = Classifiers.kmeansPurity(
+        Classifiers.featuresFrame(Tables.embeddings(s, d), "embedding", "label"),
+        k = 10).collect()(0).getDouble(2)
+      val share = Tables.embeddings(s, d)
+        .groupBy(col("label")).agg(count(lit(1)).as("c"))
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("share")).collect()(0).getDouble(0)
+      Seq(
+        ("purity_at_least_majority_label_share",
+          if (purity < share) 1L else 0L, share),
+        ("purity_at_most_one", if (purity > 1.0) 1L else 0L, 1.0))
+        .toDF("invariant", "violations", "bound")
+    }),
 
     // M4: deterministic outlier fixture — output its summary stats plus a
     // full-column checksum (sum of the quantized uniform draws) so the
@@ -211,10 +247,75 @@ object MlQueries {
     })
   )
 
+  /** Shared builder for ml_classifiers and its _check companion: the
+    * accuracy summary rows (kind='acc') plus the decision tree's
+    * per-test-point predictions (kind='pred'). The decision tree is
+    * fitted ONCE: its accuracy row is computed FROM the prediction dump
+    * (not by a second independent fit), so the acc==hit-rate invariant
+    * holds by construction and the query doesn't pay a redundant full DT
+    * training pass.
+    */
+  private def classifiersDump(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.classification.DecisionTreeClassifier
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d)
+    val feats = e.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"),
+      col("label").cast("double").as("label"))
+    val train = feats.where(pmod(hash(col("features")), lit(5)) =!= 0)
+    val test = feats.where(pmod(hash(col("features")), lit(5)) === 0)
+    val dt = new DecisionTreeClassifier().setSeed(42L)
+      .fit(train.drop("vec_id"))
+    val accs = Classifiers.trainEval(train.drop("vec_id"),
+        test.drop("vec_id"), exclude = Set("decision_tree"))
+      .select(lit("acc").as("kind"), col("model"), col("accuracy"),
+        lit(null).cast("long").as("vec_id"),
+        lit(null).cast("double").as("prediction"),
+        lit(null).cast("double").as("label"))
+    val scored = dt.transform(test)
+    val dtAcc = scored
+      .agg(avg((col("prediction") === col("label")).cast("double"))
+        .as("accuracy"))
+      .select(lit("acc").as("kind"), lit("decision_tree").as("model"),
+        col("accuracy"), lit(null).cast("long").as("vec_id"),
+        lit(null).cast("double").as("prediction"),
+        lit(null).cast("double").as("label"))
+    val preds = scored
+      .select(lit("pred").as("kind"), lit("decision_tree").as("model"),
+        lit(null).cast("double").as("accuracy"),
+        col("vec_id"), col("prediction"), col("label"))
+    accs.unionByName(dtAcc).unionByName(preds)
+  }
+
   // the outlier fixture's mixer is plain 63-bit-safe integer arithmetic
   // (Fixtures.mix32), so DuckDB can regenerate the whole fixture and check
   // count, outlier count, max value and the full-column hash checksum
   val oracles: Map[String, String] = Map(
+    // expected invariant outcomes for the engine-specific fits: zero
+    // violations; supports and the majority-share bound recomputed from
+    // the base table where the base table defines them
+    "ml_classifiers_check" ->
+      """SELECT 'accuracies_in_unit_interval' AS invariant,
+        |  CAST(0 AS BIGINT) AS violations, CAST(2 AS BIGINT) AS support
+        |UNION ALL
+        |SELECT 'dt_accuracy_matches_prediction_dump',
+        |  CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'tree_and_forest_rows_present',
+        |  CAST(0 AS BIGINT), CAST(2 AS BIGINT)
+        |UNION ALL
+        |SELECT 'train_test_partition_covers_embeddings',
+        |  CAST(0 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings)""".stripMargin,
+
+    "ml_kmeans_purity_check" ->
+      """SELECT 'purity_at_least_majority_label_share' AS invariant,
+        |  CAST(0 AS BIGINT) AS violations,
+        |  (SELECT CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |   FROM (SELECT count(*) AS c FROM embeddings GROUP BY label))
+        |    AS bound
+        |UNION ALL
+        |SELECT 'purity_at_most_one', CAST(0 AS BIGINT), 1.0""".stripMargin,
     // constant-true row: the gate passes exactly when every metric clears
     // its floor, which the fixed-seed fits do at every tested SF
     "ml_quality_gate" ->

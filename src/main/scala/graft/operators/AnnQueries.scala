@@ -309,7 +309,11 @@ object AnnQueries {
     // oracle), but this shape lets the scale checker verify the VORONOI
     // INVARIANT — every point is closer to its own centroid than to any
     // other — plus k and full-coverage, in one linear pass
-    // (ScaleInvariants)
+    // (ScaleInvariants). The centroid vector is dumped as its canonical
+    // JSON-ish string ("[c0,c1,...]", shortest-round-trip doubles) rather
+    // than a raw array<double>: the correctness harness canonical-sorts
+    // every column, and an ndarray cell is unsortable/unhashable there;
+    // the invariant SQL parses the string back losslessly.
     "emb_kmeans" -> ((s, d) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -320,11 +324,60 @@ object AnnQueries {
       val pts = model.transform(feat)
         .select(lit("pt").as("kind"), col("vec_id").as("id"),
           col("prediction").cast("long").as("cluster"),
-          lit(null).cast("array<double>").as("vec"))
+          lit(null).cast("string").as("vec"))
       val ctrs = model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => ("ctr", i.toLong, i.toLong, c.toArray.toSeq) }
+        .map { case (c, i) =>
+          ("ctr", i.toLong, i.toLong, c.toArray.mkString("[", ",", "]")) }
         .toDF("kind", "id", "cluster", "vec")
       pts.unionByName(ctrs)
+    }),
+
+    // hash-exact companion to emb_kmeans: the Spark side recomputes the
+    // model's defining invariants (Voronoi consistency, k, coverage) as a
+    // violations table; the oracle pins the expected zeros with supports
+    // recomputed from the base table. This moves the engine-specific fit
+    // inside the driver's exact-hash contract — the fit breaking any
+    // invariant flips a violations cell and fails the hash.
+    "emb_kmeans_check" -> ((s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import s.implicits._
+      val e = emb(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embv"))
+      val feat = e.select(col("vec_id"), array_to_vector(col("embv")).as("features"))
+      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat)
+      val assigned = model.transform(feat)
+        .select(col("vec_id"), col("prediction").cast("long").as("own"))
+      val ctrs = broadcast(model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+        .toDF("cand", "cvec"))
+      // squared distance per (point, centroid) via a codegen'd HOF fold;
+      // 10 centroids → the cross join is a 10x map-side expansion
+      val d2 = e.join(assigned, "vec_id").crossJoin(ctrs)
+        .select(col("vec_id"), col("own"), col("cand"),
+          aggregate(zip_with(col("embv"), col("cvec"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"))
+      val voronoi = d2.groupBy(col("vec_id"), col("own"))
+        .agg(min(when(col("cand") === col("own"), col("d2"))).as("d_own"),
+          min(col("d2")).as("d_min"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d_own").isNull ||
+              col("d_own") > col("d_min") +
+                lit(1e-6) * greatest(col("d_min"), lit(1.0)), 1L)
+            .otherwise(0L)).as("v"))
+        .select(lit("every_point_in_own_voronoi_cell").as("invariant"),
+          col("v").cast("long").as("violations"),
+          col("n").cast("long").as("support"))
+      val kRow = Seq(("k_centroids_dumped",
+        math.abs(10L - model.clusterCenters.length), 10L))
+        .toDF("invariant", "violations", "support")
+      val coverage = e.agg(count(lit(1)).as("ne"))
+        .crossJoin(assigned.agg(count_distinct(col("vec_id")).as("na")))
+        .select(lit("every_embedding_assigned_once").as("invariant"),
+          abs(col("ne") - col("na")).cast("long").as("violations"),
+          col("ne").cast("long").as("support"))
+      voronoi.unionByName(kRow).unionByName(coverage)
     })
   )
 
@@ -851,6 +904,19 @@ object AnnQueries {
         |        (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE))), 6)
         |    AS drift_cos
         |FROM j""".stripMargin,
+
+    // expected invariant outcome for the kmeans fit: zero violations,
+    // with the point-level supports recomputed from the base table (the
+    // Spark side derives them from the model's assignment output)
+    "emb_kmeans_check" ->
+      """SELECT 'every_point_in_own_voronoi_cell' AS invariant,
+        |  CAST(0 AS BIGINT) AS violations,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS support
+        |UNION ALL
+        |SELECT 'k_centroids_dumped', CAST(0 AS BIGINT), CAST(10 AS BIGINT)
+        |UNION ALL
+        |SELECT 'every_embedding_assigned_once', CAST(0 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings)""".stripMargin,
 
     "emb_knn_confusion" ->
       """WITH t AS (

@@ -302,7 +302,13 @@ object ScaleInvariants {
         |  FROM spark_out s JOIN embeddings e ON e.vec_id = s.id
         |  WHERE s.kind = 'pt'
         |), ctrs AS (
-        |  SELECT id AS cluster, vec FROM spark_out WHERE kind = 'ctr'
+        |  -- vec arrives as the canonical "[c0,c1,...]" string (the dump
+        |  -- stringifies it so the driver's sort/hash step can handle the
+        |  -- column); shortest-round-trip doubles parse back exactly
+        |  SELECT id AS cluster,
+        |    list_transform(string_split(trim(vec, '[]'), ','),
+        |      x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM spark_out WHERE kind = 'ctr'
         |), d AS (
         |  SELECT p.vec_id, p.cluster AS own, c.cluster AS cand,
         |    list_sum(list_transform(range(1, len(c.vec) + 1),

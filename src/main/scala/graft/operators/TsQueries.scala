@@ -39,9 +39,15 @@ object TsQueries {
   }
 
   // EWMA recurrence step — written as `0.3 * x + 0.7 * acc` to match the
-  // oracle's list_reduce lambda operation-for-operation (IEEE-exact)
-  private val EwmaFoldUdf = udf((vals: Seq[Double]) =>
-    vals.tail.foldLeft(vals.head)((acc, x) => 0.3 * x + 0.7 * acc))
+  // oracle's list_reduce lambda operation-for-operation (IEEE-exact).
+  // A native aggregate() HOF (codegen'd, no serialization hop), not a
+  // UDF: init = head, fold left over the tail — the same sequential
+  // double recurrence the oracle's list_reduce performs.
+  private def ewmaFold(values: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      slice(values, lit(2), greatest(size(values) - 1, lit(0))),
+      element_at(values, 1),
+      (acc, x) => lit(0.3) * x + lit(0.7) * acc)
 
   // Holt linear-trend recurrence (Holt 1957 double exponential smoothing;
   // alpha=0.5, beta=0.3; init l=x0, b=x1-x0). Operand order mirrors the
@@ -571,7 +577,7 @@ object TsQueries {
     "ts_ewma_seg" -> ((s, d) =>
       Segments.complete(r(s, d))
         .select(col("signal_id"), col("seg"),
-          round(EwmaFoldUdf(col("values")), 6).as("ewma"))),
+          round(ewmaFold(col("values")), 6).as("ewma"))),
 
     // Holt double-exponential one-step forecast per complete segment —
     // the forecasting sibling of ts_ewma_seg (level + trend state, same

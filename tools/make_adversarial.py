@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Adversarial-skew testdata for the pruned discord/motif/profile path:
-the sf0.1 events table plus two degenerate 10^4-segment signals — the
+the sf0.1 events table plus three degenerate 10^4-segment signals — the
 regime where grid pruning's threshold T collapses and a naive candidate
 enumeration would blow up to m^2 = 10^8 pairs per signal:
 
@@ -8,11 +8,16 @@ enumeration would blow up to m^2 = 10^8 pairs per signal:
    10^4 identical 16-row segments after quantization. The duplicate
    collapse must answer nnd = 0 for every segment without enumerating a
    single pair.
- - signal 888888: JITTER — 160k readings alternating 42.00/42.01 on a
-   deterministic bit pattern, so segments are near-identical but mostly
+ - signal 888888: JITTER (periodic) — 160k readings alternating
+   42.00/42.01 on a deterministic PERIODIC bit pattern, so the segments
+   collapse into a few dozen duplicate groups (the quantized-flatline
+   family); the duplicate collapse still wins.
+ - signal 999999: RANDOM (aperiodic) — the same two-level jitter on a
+   hash-derived APERIODIC bit, so segments are near-identical yet mostly
    DISTINCT after quantization (qvals in {4200,4201}^16). T is tiny but
-   nonzero; the first-chunk-sum grid must keep the candidate count far
-   below m^2.
+   nonzero and no blocking key separates the segments — the inherently
+   dense case the cost router must detect and route to the sampled
+   upper bound.
 
 Usage:
   python3 tools/make_adversarial.py [srcDir] [dstDir]
