@@ -344,14 +344,24 @@ object MotifDiscord {
     * sampled. Cost is m·(m/mod) keyed-join pairs per signal — the `mod`
     * dial trades tightness for wall-clock, and the hash derivation makes
     * the result a pure function of the data, so the DuckDB oracle
-    * recomputes it exactly. Output: signal_id, seg, nnd_ub_q.
+    * recomputes it exactly. The per-signal TWO lowest-seg segments are
+    * always references:
+    *  - a signal whose segments all hash to nonzero residues would
+    *    otherwise get zero refs and silently vanish from the routed
+    *    output instead of getting upper-bound rows;
+    *  - with ONE forced ref the forced segment itself would have no
+    *    non-self reference and drop out; two forced refs cover each
+    *    other, so every segment of a multi-segment signal gets a row;
+    *  - seg ids are per-signal monotone (Segments/segmentStream), so the
+    *    two lowest NEVER change as batches append — the reference set of
+    *    the union is the union of each batch's new references, which is
+    *    what makes [[sampledIncrement]] fold to EXACTLY this batch
+    *    result (a min-hash rule would re-elect its forced ref across
+    *    batches and break that equality).
+    * Output: signal_id, seg, nnd_ub_q.
     */
   def profileSampled(segs: DataFrame, mod: Int = 4): DataFrame = {
-    graft.functions.VectorFunctions.ensureRegistered(segs.sparkSession)
-    val h = call_function("graft_fnv32",
-      concat(lit("ps:"), col("signal_id").cast("string"), lit(":"),
-        col("seg").cast("string")), lit(2166136261L))
-    val refs = segs.filter(h % mod === 0)
+    val refs = sampledRefs(segs, mod)
       .select(col("signal_id"), col("seg").as("seg_b"),
         col("qvals").as("qb"))
     segs.select(col("signal_id"), col("seg"), col("qvals").as("qa"))
@@ -359,6 +369,125 @@ object MotifDiscord {
       .where(col("seg") =!= col("seg_b"))
       .groupBy(col("signal_id"), col("seg"))
       .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_ub_q"))
+  }
+
+  /** The sampled route's deterministic reference subset: hash residue
+    * zero (fnv32("ps:signal:seg") % mod == 0) plus the per-signal two
+    * lowest seg ids (see [[profileSampled]] for why two and why lowest).
+    * Pure function of (signal_id, seg) — both engines and the streaming
+    * increment derive the same set.
+    */
+  private def sampledRefs(segs: DataFrame, mod: Int): DataFrame =
+    segs
+      .withColumn("h", refHash(segs))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("signal_id")).orderBy(col("seg"))))
+      .filter(col("h") % mod === 0 || col("srk") <= 2)
+      .drop("h", "srk")
+
+  private def refHash(segs: DataFrame): Column = {
+    graft.functions.VectorFunctions.ensureRegistered(segs.sparkSession)
+    call_function("graft_fnv32",
+      concat(lit("ps:"), col("signal_id").cast("string"), lit(":"),
+        col("seg").cast("string")), lit(2166136261L))
+  }
+
+  /** INCREMENTAL sampled upper bound — the streaming fold of
+    * [[profileSampled]]. Per batch it pays
+    *  - existing x new-references (O(m·δ/mod) keyed pairs), folded as
+    *    mins into the persisted bounds, and
+    *  - new x all-references (O(δ·(m+δ)/mod)),
+    * never the full m·(m/mod) recompute. Because the reference rule is
+    * append-stable (hash residues are per-segment; the two forced refs
+    * are the per-signal LOWEST seg ids and seg ids only grow), the
+    * union's reference set is exactly existing-refs ∪ new-refs — so the
+    * fold equals [[profileSampled]] over the combined segments whenever
+    * every prior batch took this path AND batches arrive in per-signal
+    * seg-id order (segmentStream guarantees it; out-of-order appends
+    * still fold a valid upper bound — the forced-ref election just stops
+    * matching the batch rule, so equality degrades to >= truth).
+    * MotifDiscordSpec proves the
+    * 3-batch chain. A signal that transitions exact→sampled folds its
+    * EXACT prior nnd instead: the result is then a tighter-or-equal
+    * valid upper bound (min of an exact prefix profile and sampled cross
+    * distances ≥ the true union nnd).
+    */
+  private[graft] def sampledIncrement(existingSegs: DataFrame,
+                                      existingBounds: DataFrame,
+                                      newSegs: DataFrame,
+                                      mod: Int = 4): DataFrame = {
+    val e = existingSegs.localCheckpoint()
+    val n = newSegs.localCheckpoint()
+    val eRefs = sampledRefs(e, mod)
+    // a new segment is a forced reference of the UNION iff its union
+    // rank (existing count + in-batch rank; new ids sort after existing)
+    // is <= 2 — i.e. only for signals with fewer than 2 prior segments
+    val eCnt = e.groupBy(col("signal_id")).agg(count(lit(1)).as("ce"))
+    val nRefs = n
+      .withColumn("h", refHash(n))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("signal_id")).orderBy(col("seg"))))
+      .join(eCnt, Seq("signal_id"), "left")
+      .filter(col("h") % mod === 0 ||
+        col("srk") + coalesce(col("ce"), lit(0L)) <= 2)
+      .select(col("signal_id"), col("seg"), col("qvals"))
+      .localCheckpoint()
+    def minDists(a: DataFrame, refs: DataFrame): DataFrame =
+      a.select(col("signal_id"), col("seg"), col("qvals").as("qa"))
+        .join(refs.select(col("signal_id"), col("seg").as("seg_b"),
+            col("qvals").as("qb")),
+          Seq("signal_id"))
+        .where(col("seg") =!= col("seg_b"))
+        .groupBy(col("signal_id"), col("seg"))
+        .agg(min(sqDistQ(col("qa"), col("qb"))).as("d"))
+    val newRows = minDists(n, eRefs.unionByName(nRefs))
+    val oldFold = minDists(e, nRefs)
+    existingBounds.select(col("signal_id"), col("seg"), col("nnd_q").as("d"))
+      .unionByName(newRows).unionByName(oldFold)
+      .groupBy(col("signal_id"), col("seg"))
+      .agg(min(col("d")).as("nnd_q"))
+  }
+
+  /** ROUTED incremental maintenance — [[profileIncrement]] with the
+    * dense-regime escape hatch of [[profileAuto]], for the streaming
+    * path: per batch, [[routePlan]] over the COMBINED segments (O(m)
+    * per-cell counts, no pair materialization) decides per signal
+    * whether the exact incremental fold stays within the pair budget;
+    * signals routed 'sampled' fold the incremental sampled bound
+    * instead, so an inherently dense signal (near-identical yet distinct
+    * segments forever) costs O(m·δ/mod) per batch instead of
+    * near-rep-level m·δ cross distances. The `exact` column carries the
+    * per-signal truth status into the persisted snapshot, and it stays
+    * truthful across route transitions in BOTH directions: once a signal
+    * has folded a sampled bound, later exact-routed batches still fold
+    * over that bound, so exact = routed-exact AND all-prior-exact.
+    * Output: signal_id, seg, nnd_q, exact.
+    */
+  def profileIncrementAuto(existingSegs: DataFrame, existingProfile: DataFrame,
+                           newSegs: DataFrame,
+                           budget: Long = RouteBudget, mod: Int = 4,
+                           pruneAbove: Int = PruneAbove): DataFrame = {
+    val e = existingSegs.localCheckpoint()
+    val n = newSegs.localCheckpoint()
+    val routes = routePlanOf(e.unionByName(n).localCheckpoint(),
+        budget, pruneAbove)
+      .select(col("signal_id"), (col("route") === "sampled").as("dense"))
+    val priorExact = existingProfile.groupBy(col("signal_id"))
+      .agg(min(col("exact").cast("int")).as("pe"))
+    val flags = broadcast(routes.join(priorExact, Seq("signal_id"), "left")
+      .select(col("signal_id"), col("dense"),
+        (!col("dense") && coalesce(col("pe"), lit(1)) === 1).as("exact"))
+      .localCheckpoint())
+    def side(df: DataFrame, dense: Boolean): DataFrame =
+      df.join(flags.select(col("signal_id"), col("dense")), Seq("signal_id"))
+        .filter(col("dense") === dense).drop("dense")
+    val prof = existingProfile.select(col("signal_id"), col("seg"),
+      col("nnd_q"))
+    profileIncrement(side(e, dense = false), side(prof, dense = false),
+        side(n, dense = false), pruneAbove)
+      .unionByName(sampledIncrement(side(e, dense = true),
+        side(prof, dense = true), side(n, dense = true), mod))
+      .join(flags.select(col("signal_id"), col("exact")), Seq("signal_id"))
   }
 
   /** Per-signal pair budget above which [[profileAuto]] abandons the

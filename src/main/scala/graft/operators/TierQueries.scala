@@ -919,9 +919,18 @@ object TierQueries {
          |), f AS (
          |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
          |), refs AS (
-         |  SELECT signal_id, seg AS seg_b, qv AS qb FROM f
-         |  WHERE ${graft.functions.TextOps.fnv32Sql(
-               "'ps:' || CAST(signal_id AS VARCHAR) || ':' || CAST(seg AS VARCHAR)")} % 4 = 0
+         |  -- the per-signal TWO lowest-seg segments are always references:
+         |  -- every multi-segment signal gets upper-bound rows (the two
+         |  -- forced refs cover each other) and the forced set is stable
+         |  -- under appends (mirrors MotifDiscord.sampledRefs)
+         |  SELECT signal_id, seg AS seg_b, qv AS qb
+         |  FROM (SELECT signal_id, seg, qv,
+         |          ${graft.functions.TextOps.fnv32Sql(
+               "'ps:' || CAST(signal_id AS VARCHAR) || ':' || CAST(seg AS VARCHAR)")} AS h,
+         |          row_number() OVER (PARTITION BY signal_id ORDER BY seg)
+         |            AS srk
+         |        FROM f)
+         |  WHERE h % 4 = 0 OR srk <= 2
          |)
          |SELECT a.signal_id, a.seg AS seg,
          |       CAST(min($sqDistQSql) AS BIGINT) AS nnd_ub_q
@@ -956,9 +965,18 @@ object TierQueries {
          |), f AS (
          |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
          |), $routePlanCteSql, refs AS (
-         |  SELECT signal_id, seg AS seg_b, qv AS qb FROM f
-         |  WHERE ${graft.functions.TextOps.fnv32Sql(
-               "'ps:' || CAST(signal_id AS VARCHAR) || ':' || CAST(seg AS VARCHAR)")} % 4 = 0
+         |  -- the per-signal TWO lowest-seg segments are always references:
+         |  -- every multi-segment signal gets upper-bound rows (the two
+         |  -- forced refs cover each other) and the forced set is stable
+         |  -- under appends (mirrors MotifDiscord.sampledRefs)
+         |  SELECT signal_id, seg AS seg_b, qv AS qb
+         |  FROM (SELECT signal_id, seg, qv,
+         |          ${graft.functions.TextOps.fnv32Sql(
+               "'ps:' || CAST(signal_id AS VARCHAR) || ':' || CAST(seg AS VARCHAR)")} AS h,
+         |          row_number() OVER (PARTITION BY signal_id ORDER BY seg)
+         |            AS srk
+         |        FROM f)
+         |  WHERE h % 4 = 0 OR srk <= 2
          |), ex AS (
          |  SELECT a.signal_id, a.seg AS seg,
          |         CAST(min($sqDistQSql) AS BIGINT) AS nnd_q
@@ -993,9 +1011,18 @@ object TierQueries {
          |), f AS (
          |  SELECT signal_id, seg, qv::BIGINT[] AS qv FROM segs WHERE cnt = 16
          |), $routePlanCteSql, refs AS (
-         |  SELECT signal_id, seg AS seg_b, qv AS qb FROM f
-         |  WHERE ${graft.functions.TextOps.fnv32Sql(
-               "'ps:' || CAST(signal_id AS VARCHAR) || ':' || CAST(seg AS VARCHAR)")} % 4 = 0
+         |  -- the per-signal TWO lowest-seg segments are always references:
+         |  -- every multi-segment signal gets upper-bound rows (the two
+         |  -- forced refs cover each other) and the forced set is stable
+         |  -- under appends (mirrors MotifDiscord.sampledRefs)
+         |  SELECT signal_id, seg AS seg_b, qv AS qb
+         |  FROM (SELECT signal_id, seg, qv,
+         |          ${graft.functions.TextOps.fnv32Sql(
+               "'ps:' || CAST(signal_id AS VARCHAR) || ':' || CAST(seg AS VARCHAR)")} AS h,
+         |          row_number() OVER (PARTITION BY signal_id ORDER BY seg)
+         |            AS srk
+         |        FROM f)
+         |  WHERE h % 4 = 0 OR srk <= 2
          |), ex AS (
          |  SELECT a.signal_id, a.seg AS seg,
          |         CAST(min($sqDistQSql) AS BIGINT) AS nnd_q

@@ -423,11 +423,16 @@ object Ingest {
   /** Streaming MATRIX-PROFILE maintenance — STAMPI at segment granularity
     * folded into the ingest path: every micro-batch of newly sealed
     * segments updates a PERSISTED per-signal profile via
-    * MotifDiscord.profileIncrement (size-routed: O(m·δ) cross distances
-    * + O(δ²) within-batch for short histories, duplicate-collapsed rep
-    * pairs past the threshold — never a recompute), so discord/motif
-    * serving reads a
-    * profile that is exact as of the last sealed segment. This is the
+    * MotifDiscord.profileIncrementAuto (cost-routed per signal: exact
+    * incremental fold — O(m·δ) cross distances + O(δ²) within-batch for
+    * short histories, duplicate-collapsed rep pairs past the size
+    * threshold — wherever the routePlan pair budget allows; the
+    * incremental SAMPLED upper bound, O(m·δ/mod) per batch, for signals
+    * whose histories are inherently dense, with the per-signal `exact`
+    * flag carried into the snapshot), so discord/motif serving reads a
+    * profile that is exact as of the last sealed segment wherever
+    * exactness is affordable, and a flagged anytime bound where it is
+    * not. This is the
     * reference's ingest-time outlier concern (future_signal.rs +
     * outlier/mod.rs) served continuously, the way iforestStream serves
     * the frozen forest.
@@ -438,7 +443,8 @@ object Ingest {
     *    replayed batch replaces its own rows (tier0Writer's idempotence
     *    discipline);
     *  - `profile/batch=<id>/` — the FULL updated profile after batch
-    *    <id>; each batch writes its own versioned snapshot, so readers
+    *    <id> (signal_id, seg, nnd_q, exact); each batch writes its own
+    *    versioned snapshot, so readers
     *    ([[readProfile]]) always see a consistent profile and a replayed
     *    batch rewrites an identical snapshot. Prior state is the newest
     *    snapshot with id < current, so a crash between the two writes
@@ -448,7 +454,9 @@ object Ingest {
     * profile over the union (MotifDiscordSpec); segment ids from
     * segmentStream are per-signal monotone, so batches never overlap.
     * StreamingSpec proves the final streamed profile equals
-    * MotifDiscord.profile over all complete segments.
+    * MotifDiscord.profile over all complete segments on budget-clean
+    * data, and equals MotifDiscord.profileAuto (the sampled bound,
+    * exact=false) on a dense signal streamed under a tight budget.
     *
     * 100 TB shape: the per-batch work is one keyed join of the landed
     * segment store against the δ new segments plus a δ² self-join —
@@ -457,7 +465,9 @@ object Ingest {
     */
   def profileStream(spark: SparkSession, srcDir: String, workDir: String,
                     segRows: Int = 16,
-                    maxFilesPerTrigger: Int = 1): StreamingQuery = {
+                    maxFilesPerTrigger: Int = 1,
+                    budget: Long = graft.operators.MotifDiscord.RouteBudget,
+                    mod: Int = 4): StreamingQuery = {
     val segsDir = s"$workDir/segs"
     val profDir = s"$workDir/profile"
     segmentStream(spark, srcDir, segRows, maxFilesPerTrigger)
@@ -490,8 +500,8 @@ object Ingest {
         val prior = snapshots(profDir).filter(_ < batchId)
         val existingProfile = prior.sorted.lastOption match {
           case Some(pb) => s.read.parquet(s"$profDir/batch=$pb")
-          case None => Seq.empty[(Long, Long, Long)]
-            .toDF("signal_id", "seg", "nnd_q")
+          case None => Seq.empty[(Long, Long, Long, Boolean)]
+            .toDF("signal_id", "seg", "nnd_q", "exact")
         }
         val existingSegs =
           if (snapshots(segsDir).exists(_ < batchId))
@@ -500,7 +510,8 @@ object Ingest {
           else Seq.empty[(Long, Long, Seq[Long])]
             .toDF("signal_id", "seg", "qvals")
         graft.operators.MotifDiscord
-          .profileIncrement(existingSegs, existingProfile, newSegs)
+          .profileIncrementAuto(existingSegs, existingProfile, newSegs,
+            budget, mod)
           .write.mode("overwrite").parquet(s"$profDir/batch=$batchId")
         newSegs.withColumn("batch", lit(batchId))
           .write.mode("overwrite")

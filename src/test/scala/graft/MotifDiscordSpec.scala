@@ -209,11 +209,15 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     samp.foreach { case (k, ub) =>
       assert(ub >= full(k), s"sampled nnd below the true nnd at $k")
     }
-    // sequential recompute of the same hash-chosen reference set
+    // sequential recompute of the same hash-chosen reference set (mod
+    // residues plus the per-signal two lowest seg ids, always references
+    // so every multi-segment signal keeps upper-bound rows)
     val rows = segs.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
-    val refs = rows.filter { case (s, g, _) =>
-      TextOps.fnv32(s"ps:$s:$g") % 4 == 0 }
+    val low2 = rows.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.map(_._2).sorted.take(2).toSet }
+    val refs = rows.collect { case (s, g, q)
+      if TextOps.fnv32(s"ps:$s:$g") % 4 == 0 || low2(s)(g) => (s, g, q) }
     def d2(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val brute = rows.flatMap { case (s, g, qa) =>
@@ -384,6 +388,94 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
         .drop("exact")) ==
       sorted(MotifDiscord.discord(exSegs)),
       "routed discord diverges from discord on all-exact routes")
+  }
+
+  test("routed incremental fold: chained seg-ordered batches equal profileAuto; the exact flag survives route transitions") {
+    import spark.implicits._
+    def emptySegs = Seq.empty[(Long, Long, Array[Long])]
+      .toDF("signal_id", "seg", "qvals")
+    def emptyProf = Seq.empty[(Long, Long, Long, Boolean)]
+      .toDF("signal_id", "seg", "nnd_q", "exact")
+    def bruteNnd(segs: DataFrame): Map[(Long, Long), Long] = {
+      val a = segs.select(col("signal_id"), col("seg").as("seg_a"),
+        col("qvals").as("qa"))
+      val b = segs.select(col("signal_id"), col("seg").as("seg_b"),
+        col("qvals").as("qb"))
+      a.join(b, Seq("signal_id")).where(col("seg_a") =!= col("seg_b"))
+        .groupBy(col("signal_id"), col("seg_a"))
+        .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    }
+    // signal 0: 50 short-history segments (batch 0 only) -> 'direct';
+    // signal 1: 900 spread segments -> 'pruned' in every batch;
+    // signal 2: 900 DISTINCT near-identical segments -> over budget from
+    // the FIRST batch, so every batch folds the sampled bound and the
+    // chain must equal the batch-sampled profile exactly
+    val small = (0 until 50).map(k =>
+      (0L, k.toLong, (0 until 16).map(j => k.toLong * 500L + j).toArray))
+    val spread = (0 until 900).map(k =>
+      (1L, k.toLong, (0 until 16).map(j => k.toLong * 1000L + (j % 2)).toArray))
+    def denseQ(k: Int): Array[Long] = {
+      val q = Array.fill(16)(4200L)
+      q(k % 16) = 4200L + 1L + k / 16
+      q
+    }
+    val dense = (0 until 900).map(k => (2L, k.toLong, denseQ(k)))
+    val segs = (small ++ spread ++ dense)
+      .toDF("signal_id", "seg", "qvals").localCheckpoint()
+    val budget = 10000L
+    val expected = sorted(MotifDiscord.profileAuto(segs, budget = budget))
+
+    // per-signal seg-ordered thirds: the arrival order segmentStream
+    // guarantees (seg ids per signal are monotone across micro-batches)
+    def cut(lo: Long, hi: Long) =
+      segs.filter(col("seg") >= lo && col("seg") < hi)
+    val b0 = cut(0L, 300L); val b1 = cut(300L, 600L); val b2 = cut(600L, 900L)
+    val p0 = MotifDiscord.profileIncrementAuto(emptySegs, emptyProf, b0,
+      budget = budget)
+    val p1 = MotifDiscord.profileIncrementAuto(b0, p0, b1, budget = budget)
+    val p2 = MotifDiscord.profileIncrementAuto(b0.unionByName(b1), p1, b2,
+      budget = budget)
+    assert(sorted(p2) == expected,
+      "chained routed increments diverge from profileAuto over the union")
+
+    // exact -> sampled transition: the dense signal's first 100 segments
+    // route 'direct' (exact); growth tips it over budget. The folded rows
+    // must flip to exact=false and stay VALID upper bounds (>= the true
+    // nnd — the fold mixes the tighter exact prefix with sampled cross
+    // distances, so equality with the pure batch-sampled is not promised)
+    val dAll = dense.toDF("signal_id", "seg", "qvals").localCheckpoint()
+    val d0 = dAll.filter(col("seg") < 100L)
+    val q0 = MotifDiscord.profileIncrementAuto(emptySegs, emptyProf, d0,
+      budget = budget).localCheckpoint()
+    assert(q0.collect().forall(_.getBoolean(3)), "short history must be exact")
+    val q1 = MotifDiscord.profileIncrementAuto(d0, q0,
+      dAll.filter(col("seg") >= 100L), budget = budget).localCheckpoint()
+    val truth = bruteNnd(dAll)
+    val q1Rows = q1.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+    assert(q1Rows.forall(!_._2._2), "dense-routed rows must flag exact=false")
+    assert(q1Rows.size == truth.size)
+    q1Rows.foreach { case (k, (ub, _)) =>
+      assert(ub >= truth(k), s"folded bound below the true nnd at $k")
+    }
+
+    // sampled -> exact transition (budget raised): prior rows carry
+    // exact=false, so even an exact-routed batch must keep the flag
+    // false — its fold runs over upper bounds, not the true profile
+    val extra = (900 until 910).map(k => (2L, k.toLong, denseQ(k)))
+      .toDF("signal_id", "seg", "qvals")
+    val q2 = MotifDiscord.profileIncrementAuto(dAll, q1, extra,
+      budget = Long.MaxValue).localCheckpoint()
+    assert(q2.collect().forall(!_.getBoolean(3)),
+      "a once-sampled signal must never regain exact=true")
+    val truth2 = bruteNnd(dAll.unionByName(extra))
+    q2.collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) >= truth2(k),
+        s"post-transition bound below the true nnd at $k")
+    }
   }
 
   test("edge cases: single-segment signals drop; tied distances break by seg") {

@@ -183,13 +183,73 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val snaps = new java.io.File(s"$work/profile").listFiles()
       .filter(_.getName.startsWith("batch="))
     assert(snaps.length >= 2, s"expected multiple micro-batches, got ${snaps.length}")
-    val streamed = Ingest.readProfile(spark, work)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val snap = Ingest.readProfile(spark, work).collect()
+    // budget-clean data: every signal routes exact, and the snapshot says so
+    assert(snap.forall(_.getBoolean(3)),
+      "budget-clean signals must carry exact=true in the snapshot")
+    val streamed = snap.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val batch = MotifDiscord.profile(
         Segments.completeQuantized(Readings.of(spark, sf)))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == batch,
       s"streamed profile (${streamed.size}) != batch profile (${batch.size})")
+  }
+
+  test("streamed profile on a dense signal under a tight budget equals the batch-routed profileAuto") {
+    import graft.operators.MotifDiscord
+    import spark.implicits._
+    val segRows = Readings.SegmentRows.toInt
+    // 600 DISTINCT near-identical segments (one position bumped by an
+    // exactly-representable 0.25 step): over any 10k pair budget from the
+    // FIRST micro-batch (300 segments > pruneAbove, one grid cell), so
+    // every batch folds the incremental sampled bound and the final
+    // snapshot must EQUAL the batch profileAuto — the append-stable
+    // reference rule is what makes this an equality, not just a bound
+    val nSegs = 600
+    val raw = (0 until nSegs * segRows).map { i =>
+      val k = i / segRows; val j = i % segRows
+      val bump = if (j == k % segRows) 0.25 * (1 + k) else 0.0
+      (900000000L + i,
+        new java.sql.Timestamp(1700000000000L + i.toLong),
+        424242L, 42.0 + bump)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val in = Files.createTempDirectory("graft-stream-dense").toString
+    Seq((0, nSegs / 2), (nSegs / 2, nSegs)).zipWithIndex.foreach {
+      case ((lo, hi), t) =>
+        val tmp = Files.createTempDirectory(s"graft-dense$t").toString
+        raw.filter(col("event_id") >= 900000000L + lo * segRows &&
+            col("event_id") < 900000000L + hi * segRows)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(in, s"part$t.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + t * 60000L)
+    }
+    val work = Files.createTempDirectory("graft-dense-work").toString
+    val q = Ingest.profileStream(spark, in, work, segRows,
+      maxFilesPerTrigger = 1, budget = 10000L)
+    q.awaitTermination()
+    val streamed = Ingest.readProfile(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(streamed.values.forall(!_._2),
+      "dense-routed rows must carry exact=false into the snapshot")
+    // batch twin over the same fixed-point mapping
+    val segs = raw
+      .withColumn("seg", floor(
+        (col("event_id") - 900000000L) / segRows).cast("long"))
+      .groupBy(col("user_id").as("signal_id"), col("seg"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("value"))))
+        .as("rows"))
+      .select(col("signal_id"), col("seg"),
+        transform(col("rows"), r => floor(r("value") * lit(100)).cast("long"))
+          .as("qvals"))
+    val batch = MotifDiscord.profileAuto(segs, budget = 10000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(streamed == batch,
+      s"streamed dense profile (${streamed.size}) != batch profileAuto (${batch.size})")
   }
 
   test("streamed iforest scores against a frozen model equal the batch scores") {
