@@ -223,9 +223,13 @@ object Bench {
             Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
           val add = prog.map(ms(_, "addBatch")).sum
           val trig = prog.map(ms(_, "triggerExecution")).sum
+          // steady_state_sec = the LAST batch's fold time — the marginal
+          // per-micro-batch cost a long-lived stream pays at 100 TB,
+          // as opposed to the cold-ladder total the row time reports
           profileStreamBreakdown = Some(
             s"""{"n_batches":${prog.length},"addBatch_sec":${add / 1e3},""" +
               s""""triggerExecution_sec":${trig / 1e3},""" +
+              s""""steady_state_sec":${ms(prog.last, "addBatch") / 1e3},""" +
               s""""batch_addBatch_sec":[${prog.map(ms(_, "addBatch") / 1e3)
                 .mkString(",")}]}""")
         }

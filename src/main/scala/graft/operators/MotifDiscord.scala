@@ -244,10 +244,22 @@ object MotifDiscord {
       .groupBy(col("signal_id")).agg(count(lit(1)).as("m"))
       .agg(max(col("m"))).collect()
       .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+    profileIncrementWithMax(existingSegs, existingProfile, newSegs,
+      pruneAbove, maxM)
+  }
+
+  /** [[profileIncrement]] with the member/rep routing decided by a
+    * caller-supplied max per-signal segment count — the routed streaming
+    * path already holds it in its folded state and skips the extra
+    * history aggregation.
+    */
+  private def profileIncrementWithMax(existingSegs: DataFrame,
+                                      existingProfile: DataFrame,
+                                      newSegs: DataFrame,
+                                      pruneAbove: Int, maxM: Long): DataFrame =
     if (maxM <= pruneAbove)
       memberIncrement(existingSegs, existingProfile, newSegs)
     else repIncrement(existingSegs, existingProfile, newSegs)
-  }
 
   /** The direct incremental route: member-level existing x new cross
     * join plus all-pairs among the batch — bounded by the router's
@@ -290,12 +302,13 @@ object MotifDiscord {
   private def repIncrement(existingSegs: DataFrame,
                            existingProfile: DataFrame,
                            newSegs: DataFrame): DataFrame = {
-    // ranked frames are checkpointed (the [[profile]] pattern): eReps /
-    // nReps are each referenced by several branches below, and without
-    // the cut every reference re-executes the array-keyed sort window
+    // the new-batch ranked frame is checkpointed (the [[profile]]
+    // pattern): nReps feeds three branches below, and without the cut
+    // every reference re-executes the array-keyed sort window. The
+    // HISTORY side's reps feed only the cross join, so a checkpoint
+    // there would be a pure per-batch O(m) materialization cost
     val eReps = withGroupRank(existingSegs).filter(col("grk") === 1)
       .select(col("signal_id"), col("seg"), col("qvals"))
-      .localCheckpoint()
     val n = withGroupRank(newSegs).localCheckpoint()
     val nReps = n.filter(col("grk") === 1)
       .select(col("signal_id"), col("seg"), col("qvals"))
@@ -416,8 +429,13 @@ object MotifDiscord {
                                       existingBounds: DataFrame,
                                       newSegs: DataFrame,
                                       mod: Int = 4): DataFrame = {
-    val e = existingSegs.localCheckpoint()
-    val n = newSegs.localCheckpoint()
+    // no internal checkpoints of the history side: callers hand in either
+    // a parquet-backed store (profileStream — re-scan beats a per-batch
+    // O(m) checkpoint write) or an already-materialized frame (specs);
+    // the δ-derived nRefs below stays checkpointed because it is small
+    // and feeds two joins
+    val e = existingSegs
+    val n = newSegs
     val eRefs = sampledRefs(e, mod)
     // a new segment is a forced reference of the UNION iff its union
     // rank (existing count + in-batch rank; new ids sort after existing)
@@ -448,19 +466,304 @@ object MotifDiscord {
       .agg(min(col("d")).as("nnd_q"))
   }
 
+  /** Driver-side scalars read off a MATERIALIZED route-state frame in one
+    * aggregation pass ([[probeRouteState]]): they let the profile builder
+    * skip whole sides (no dense signal → the history store is never
+    * scanned for the sampled fold), pick the member/rep route without
+    * another history aggregation, and surface order violations without
+    * an extra job.
+    */
+  final case class RoutePlanProbe(touched: Long, dense: Long,
+                                  unordered: Long, untouched: Long,
+                                  maxMExact: Long, allExact: Boolean)
+
+  /** First-chunk integer sum of a qvals array — the only chunk statistic
+    * the routing grid keys on (cells bucket s_0 alone; see routePlanOf).
+    */
+  private def chunk0Sum(qvals: Column): Column =
+    aggregate(slice(qvals, 1, ChunkRows), lit(0L), (acc, x) => acc + x)
+
+  /** Route-state frames are ONE kind-tagged table (so the streaming path
+    * persists and re-reads a single file per batch): `kind = 'sig'` rows
+    * carry the per-signal scalars + route flags, `kind = 'grp'` rows the
+    * per-distinct-vector group state; columns of the other kind are null.
+    */
+  private val StateCols: Seq[String] = Seq("kind", "signal_id", "m", "t",
+    "last_seg", "last_qvals", "exact", "ordered", "touched", "dense",
+    "grid_pairs", "h", "cnt", "s0")
+
+  private def tagState(sig: DataFrame, grp: DataFrame): DataFrame = {
+    val sigRows = sig
+      .withColumn("kind", lit("sig"))
+      .withColumn("h", lit(null).cast("long"))
+      .withColumn("cnt", lit(null).cast("long"))
+      .withColumn("s0", lit(null).cast("long"))
+    val grpRows = grp
+      .withColumn("kind", lit("grp"))
+      .withColumn("m", lit(null).cast("long"))
+      .withColumn("t", lit(null).cast("long"))
+      .withColumn("last_seg", lit(null).cast("long"))
+      .withColumn("last_qvals", lit(null).cast("array<bigint>"))
+      .withColumn("exact", lit(null).cast("boolean"))
+      .withColumn("ordered", lit(null).cast("boolean"))
+      .withColumn("touched", lit(null).cast("boolean"))
+      .withColumn("dense", lit(null).cast("boolean"))
+      .withColumn("grid_pairs", lit(null).cast("long"))
+    sigRows.select(StateCols.map(col): _*)
+      .unionByName(grpRows.select(StateCols.map(col): _*))
+  }
+
+  /** ROUTE STATE derived from scratch (one batch pass over `segs`) — the
+    * associative per-signal / per-distinct-vector statistics from which
+    * [[routePlan]]'s numbers can be folded incrementally instead of
+    * recomputed over the full history every micro-batch:
+    *
+    *  - sig state (one row per signal): `m` (segment count), `t` (max
+    *    adjacent distance — the grid threshold; null below 2 segments),
+    *    `last_seg`/`last_qvals` (the max-seg segment, so the next batch's
+    *    boundary adjacent pair folds into `t` without re-reading
+    *    history), `exact` (AND over the prior profile's flags), and
+    *    `ordered` (false once an append violated per-signal seg order —
+    *    the precondition under which the folds equal their batch twins);
+    *  - grp state (one row per distinct vector): `h` = xxhash64(qvals),
+    *    `cnt` (group size — `cnt == 1` is routePlan's singleton a-side,
+    *    every group is one rep on the b-side), `s0` (the group's shared
+    *    first-chunk sum, from which grid cells re-derive under any `w`).
+    *
+    * All of these fold associatively under append (counts add, maxes
+    * fold, group counts merge by hash), which is what makes the
+    * streaming route plan O(δ + |state|) per batch. The only
+    * approximation vs [[routePlan]] is vector identity by 64-bit hash
+    * instead of exact array equality — a collision merely perturbs the
+    * plan's counts (the routing is a cost decision; both routes are
+    * valid), never a profile value.
+    */
+  private[graft] def routeStateOf(segs: DataFrame,
+                                  profile: DataFrame): DataFrame = {
+    val t = adjacentPairs(segs).groupBy(col("signal_id"))
+      .agg(max(col("adj_d")).as("t"))
+    val sig = segs.groupBy(col("signal_id"))
+      .agg(count(lit(1)).as("m"), max(col("seg")).as("last_seg"),
+        max_by(col("qvals"), col("seg")).as("last_qvals"))
+      .join(t, Seq("signal_id"), "left")
+      .join(profile.groupBy(col("signal_id"))
+          .agg((min(col("exact").cast("int")) === 1).as("exact")),
+        Seq("signal_id"), "left")
+      .withColumn("exact", coalesce(col("exact"), lit(true)))
+      .withColumn("ordered", lit(true))
+      .withColumn("touched", lit(false))
+      .withColumn("dense", lit(null).cast("boolean"))
+      .withColumn("grid_pairs", lit(null).cast("long"))
+    val grp = segs
+      .groupBy(col("signal_id"), xxhash64(col("qvals")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(chunk0Sum(col("qvals"))).as("s0"))
+    tagState(sig, grp)
+  }
+
+  /** Fold a batch δ into the kind-tagged route state and re-derive the
+    * route flags for the touched signals — ONE lazy frame the caller
+    * materializes once per batch (parquet snapshot in profileStream, a
+    * localCheckpoint in [[profileIncrementAuto]]). Array work touches
+    * ONLY δ: its group hashes/chunk sums, its internal adjacent pairs,
+    * and one boundary distance per signal against the persisted
+    * last_qvals — never a rank window, chunk-sum pass, or adjacency join
+    * over history, which is what made the r11 streaming version pay
+    * O(m_total) plan recompute per micro-batch. Counts add, thresholds
+    * max (the boundary pair = persisted last segment vs δ's first), the
+    * last segment advances, order violations latch; the grid re-derives
+    * from the folded (cnt, s0) group scalars under the folded threshold
+    * — routePlan's exact arithmetic, with no history arrays in the plan.
+    * Untouched signals pass through with their flags nulled (touched =
+    * false): a batch cannot change a signal it does not touch.
+    *
+    * The fold-vs-batch route equality assumes per-signal seg-ordered
+    * appends (segmentStream guarantees it) — a violated append is
+    * surfaced via `ordered` latching false for that signal, under which
+    * the folded threshold may diverge from the batch one (the routing
+    * stays a valid cost decision and sampled rows stay valid upper
+    * bounds).
+    */
+  private[graft] def foldRouteState(state: DataFrame, newSegs: DataFrame,
+                                    budget: Long = RouteBudget,
+                                    pruneAbove: Int = PruneAbove): DataFrame = {
+    val sigState = state.filter(col("kind") === "sig")
+      .select(col("signal_id"), col("m"), col("t"), col("last_seg"),
+        col("last_qvals"), col("exact"), col("ordered"))
+    val grpState = state.filter(col("kind") === "grp")
+      .select(col("signal_id"), col("h"), col("cnt"), col("s0"))
+    // δ-side statistics in ONE exchange: the lead window gives adjacent
+    // distances (rank-consecutive == seg-consecutive under the per-signal
+    // sort), and both the per-signal scalar agg and the per-group agg
+    // cluster on supersets of the window's signal partitioning, so
+    // neither re-shuffles and the δ scan's exchange is reused across them
+    val wSeg = Window.partitionBy(col("signal_id")).orderBy(col("seg"))
+    val nBase = newSegs
+      .select(col("signal_id"), col("seg"), col("qvals"))
+      .repartition(col("signal_id"))
+    val nSig = nBase
+      .withColumn("nq", lead(col("qvals"), 1).over(wSeg))
+      .groupBy(col("signal_id")).agg(
+        count(lit(1)).as("dm"), min(col("seg")).as("first_seg"),
+        max(col("seg")).as("dlast_seg"),
+        min_by(col("qvals"), col("seg")).as("first_qvals"),
+        max_by(col("qvals"), col("seg")).as("dlast_qvals"),
+        max(sqDistQ(col("qvals"), col("nq"))).as("dt"))
+    val dGrp = nBase
+      .groupBy(col("signal_id"), xxhash64(col("qvals")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(chunk0Sum(col("qvals"))).as("s0"))
+    val sigMerged = sigState.join(nSig, Seq("signal_id"), "full")
+      .withColumn("touched", col("dm").isNotNull)
+      .withColumn("ordered",
+        coalesce(col("ordered"), lit(true)) &&
+          (col("last_seg").isNull || col("first_seg").isNull ||
+            col("last_seg") < col("first_seg")))
+      .withColumn("bd", sqDistQ(col("last_qvals"), col("first_qvals")))
+      .withColumn("t", greatest(col("t"), col("bd"), col("dt")))
+      .withColumn("m", coalesce(col("m"), lit(0L)) + coalesce(col("dm"), lit(0L)))
+      .withColumn("last_seg", coalesce(col("dlast_seg"), col("last_seg")))
+      .withColumn("last_qvals", coalesce(col("dlast_qvals"), col("last_qvals")))
+      .withColumn("exact_prior", coalesce(col("exact"), lit(true)))
+      // LAZY local checkpoints on the two shared frames: the grid's
+      // broadcast thresholds and the output rows both consume sigMerged,
+      // the grid and the output grp rows both consume grpNew — lazy
+      // materialization dedupes each without the extra eager job an
+      // eager checkpoint would cost
+      .localCheckpoint(eager = false)
+    // ONE signal-hash exchange feeds the group fold and the whole grid:
+    // every grouping key downstream is a superset of signal_id, so
+    // Catalyst adds no further shuffles past this repartition
+    val grpNew = grpState.unionByName(dGrp)
+      .repartition(col("signal_id"))
+      .groupBy(col("signal_id"), col("h"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("s0")).as("s0"))
+      .localCheckpoint(eager = false)
+    // routePlan's grid over the folded state, touched signals only: same
+    // cell arithmetic as candidatePairs, but from (cnt, s0) pairs, and
+    // with BOTH sides of the per-cell product emitted in one exploded
+    // pass — a group row contributes (cb = 1) at its own cell and, when
+    // it is a singleton, (ca = 1) at its three neighbor cells — so the
+    // grid needs one aggregation chain, not an aCells × bCells join
+    val withW = sigMerged.filter(col("touched") && col("t").isNotNull)
+      .select(col("signal_id"),
+        (floor(lit(2.0) * sqrt(col("t").cast("double"))) + 1)
+          .cast("long").as("w"))
+    val cellStruct = "array<struct<cell:bigint,ca:bigint,cb:bigint>>"
+    val grid = grpNew.join(broadcast(withW), Seq("signal_id"))
+      .withColumn("cell",
+        ((col("s0") - pmod(col("s0"), col("w"))) / col("w")).cast("long"))
+      .select(col("signal_id"), explode(concat(
+        array(struct(col("cell").as("cell"), lit(0L).as("ca"),
+          lit(1L).as("cb"))),
+        when(col("cnt") === 1, array(
+          struct((col("cell") - 1).as("cell"), lit(1L).as("ca"),
+            lit(0L).as("cb")),
+          struct(col("cell").as("cell"), lit(1L).as("ca"),
+            lit(0L).as("cb")),
+          struct((col("cell") + 1).as("cell"), lit(1L).as("ca"),
+            lit(0L).as("cb"))))
+          .otherwise(array().cast(cellStruct)))).as("c"))
+      .groupBy(col("signal_id"), col("c.cell"))
+      .agg(sum(col("c.ca")).as("ca"), sum(col("c.cb")).as("cb"))
+      .groupBy(col("signal_id"))
+      .agg(sum(col("ca") * col("cb")).as("gp"))
+    val sigNew = sigMerged.join(grid, Seq("signal_id"), "left")
+      .withColumn("grid_pairs",
+        when(col("touched"), coalesce(col("gp"), lit(0L))))
+      .withColumn("dense", when(col("touched"),
+        col("m") > pruneAbove && col("grid_pairs") > budget))
+      .withColumn("exact",
+        when(col("touched"), col("exact_prior") && !col("dense"))
+          .otherwise(col("exact_prior")))
+    tagState(sigNew, grpNew)
+  }
+
+  /** One aggregation pass over a MATERIALIZED route-state frame →
+    * [[RoutePlanProbe]]. Bounded driver fetch (a handful of scalars),
+    * same class as the member/rep router's max-count probe.
+    */
+  private[graft] def probeRouteState(state: DataFrame): RoutePlanProbe = {
+    val r = state.filter(col("kind") === "sig").agg(
+      sum(when(col("touched"), 1L).otherwise(0L)),
+      sum(when(col("touched") && col("dense"), 1L).otherwise(0L)),
+      sum(when(col("touched") && !col("ordered"), 1L).otherwise(0L)),
+      sum(when(!col("touched"), 1L).otherwise(0L)),
+      max(when(col("touched") && !col("dense"), col("m"))),
+      min(when(col("touched"), col("exact").cast("long")))).first()
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    RoutePlanProbe(touched = l(0), dense = l(1), unordered = l(2),
+      untouched = l(3), maxMExact = l(4),
+      allExact = r.isNullAt(5) || r.getLong(5) == 1L)
+  }
+
+  /** The routed profile fold over a MATERIALIZED route state + its probe:
+    * the exact incremental fold ([[profileIncrement]]) on the
+    * exact-routed side, the sampled fold ([[sampledIncrement]]) on the
+    * dense side — each skipped entirely when its side is empty, so the
+    * history store is never scanned for a side that would filter to
+    * nothing — and untouched signals' prior profile rows passed through
+    * unchanged (skipped when every signal is touched). Exactness and the
+    * `exact` flag behave as documented on [[profileIncrementAuto]].
+    * Output: signal_id, seg, nnd_q, exact.
+    */
+  private[graft] def routedProfileFrom(existingSegs: DataFrame,
+                                       existingProfile: DataFrame,
+                                       newSegs: DataFrame, state: DataFrame,
+                                       probe: RoutePlanProbe, mod: Int = 4,
+                                       pruneAbove: Int = PruneAbove): DataFrame = {
+    val outProfile = existingProfile.select(col("signal_id"), col("seg"),
+      col("nnd_q"), col("exact"))
+    if (probe.touched == 0) return outProfile
+    // FAST PATH — every signal touched, exact-routed, and historically
+    // exact (the budget-clean steady state): the fold needs no per-signal
+    // flag joins at all, and the exact column is a literal
+    if (probe.dense == 0 && probe.untouched == 0 && probe.allExact)
+      return profileIncrementWithMax(existingSegs,
+        existingProfile.select(col("signal_id"), col("seg"), col("nnd_q")),
+        newSegs, pruneAbove, probe.maxMExact)
+        .withColumn("exact", lit(true))
+    val flags = broadcast(state
+      .filter(col("kind") === "sig" && col("touched"))
+      .select(col("signal_id"), col("dense"), col("exact")))
+    def side(df: DataFrame, dense: Boolean): DataFrame =
+      df.join(flags.select(col("signal_id"), col("dense")), Seq("signal_id"))
+        .filter(col("dense") === dense).drop("dense")
+    val prof = existingProfile.select(col("signal_id"), col("seg"),
+      col("nnd_q"))
+    val exactPart =
+      if (probe.touched > probe.dense) Some(profileIncrementWithMax(
+        side(existingSegs, dense = false), side(prof, dense = false),
+        side(newSegs, dense = false), pruneAbove, probe.maxMExact))
+      else None
+    val densePart =
+      if (probe.dense > 0) Some(sampledIncrement(
+        side(existingSegs, dense = true), side(prof, dense = true),
+        side(newSegs, dense = true), mod))
+      else None
+    val incremented = (exactPart.toSeq ++ densePart.toSeq)
+      .reduce(_ unionByName _)
+      .join(flags.select(col("signal_id"), col("exact")), Seq("signal_id"))
+    if (probe.untouched == 0) incremented
+    else incremented.unionByName(
+      outProfile.join(flags.select(col("signal_id")),
+        Seq("signal_id"), "left_anti"))
+  }
+
   /** ROUTED incremental maintenance — [[profileIncrement]] with the
-    * dense-regime escape hatch of [[profileAuto]], for the streaming
-    * path: per batch, [[routePlan]] over the COMBINED segments (O(m)
-    * per-cell counts, no pair materialization) decides per signal
-    * whether the exact incremental fold stays within the pair budget;
-    * signals routed 'sampled' fold the incremental sampled bound
-    * instead, so an inherently dense signal (near-identical yet distinct
-    * segments forever) costs O(m·δ/mod) per batch instead of
-    * near-rep-level m·δ cross distances. The `exact` column carries the
-    * per-signal truth status into the persisted snapshot, and it stays
-    * truthful across route transitions in BOTH directions: once a signal
-    * has folded a sampled bound, later exact-routed batches still fold
-    * over that bound, so exact = routed-exact AND all-prior-exact.
+    * dense-regime escape hatch of [[profileAuto]]: per batch, the route
+    * plan (re-derived here from [[routeStateOf]] over the existing
+    * segments — callers with a persisted state fold it via
+    * [[foldRouteState]] directly and never pay this batch pass)
+    * decides per signal whether the exact incremental fold stays within
+    * the pair budget; signals routed 'sampled' fold the incremental
+    * sampled bound instead, so an inherently dense signal
+    * (near-identical yet distinct segments forever) costs O(m·δ/mod) per
+    * batch instead of near-rep-level m·δ cross distances. The `exact`
+    * column carries the per-signal truth status into the persisted
+    * snapshot, and it stays truthful across route transitions in BOTH
+    * directions: once a signal has folded a sampled bound, later
+    * exact-routed batches still fold over that bound, so
+    * exact = routed-exact AND all-prior-exact. Signals untouched by the
+    * batch pass their profile rows through unchanged.
     * Output: signal_id, seg, nnd_q, exact.
     */
   def profileIncrementAuto(existingSegs: DataFrame, existingProfile: DataFrame,
@@ -469,25 +772,10 @@ object MotifDiscord {
                            pruneAbove: Int = PruneAbove): DataFrame = {
     val e = existingSegs.localCheckpoint()
     val n = newSegs.localCheckpoint()
-    val routes = routePlanOf(e.unionByName(n).localCheckpoint(),
-        budget, pruneAbove)
-      .select(col("signal_id"), (col("route") === "sampled").as("dense"))
-    val priorExact = existingProfile.groupBy(col("signal_id"))
-      .agg(min(col("exact").cast("int")).as("pe"))
-    val flags = broadcast(routes.join(priorExact, Seq("signal_id"), "left")
-      .select(col("signal_id"), col("dense"),
-        (!col("dense") && coalesce(col("pe"), lit(1)) === 1).as("exact"))
-      .localCheckpoint())
-    def side(df: DataFrame, dense: Boolean): DataFrame =
-      df.join(flags.select(col("signal_id"), col("dense")), Seq("signal_id"))
-        .filter(col("dense") === dense).drop("dense")
-    val prof = existingProfile.select(col("signal_id"), col("seg"),
-      col("nnd_q"))
-    profileIncrement(side(e, dense = false), side(prof, dense = false),
-        side(n, dense = false), pruneAbove)
-      .unionByName(sampledIncrement(side(e, dense = true),
-        side(prof, dense = true), side(n, dense = true), mod))
-      .join(flags.select(col("signal_id"), col("exact")), Seq("signal_id"))
+    val p = existingProfile.localCheckpoint()
+    val st = foldRouteState(routeStateOf(e, p), n, budget, pruneAbove)
+      .localCheckpoint()
+    routedProfileFrom(e, p, n, st, probeRouteState(st), mod, pruneAbove)
   }
 
   /** Per-signal pair budget above which [[profileAuto]] abandons the

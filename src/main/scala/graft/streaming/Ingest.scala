@@ -21,6 +21,28 @@ import graft.functions.Quantize
   */
 object Ingest {
 
+  import org.apache.spark.sql.types._
+
+  /** Static schemas of profileStream's persisted snapshots — supplied to
+    * every per-batch read so no micro-batch pays a footer/schema-
+    * inference pass per directory.
+    */
+  private val SegSnapshotSchema = StructType(Seq(
+    StructField("signal_id", LongType), StructField("seg", LongType),
+    StructField("qvals", ArrayType(LongType))))
+  private val ProfSnapshotSchema = StructType(Seq(
+    StructField("signal_id", LongType), StructField("seg", LongType),
+    StructField("nnd_q", LongType), StructField("exact", BooleanType)))
+  private val RouteStateSchema = StructType(Seq(
+    StructField("kind", StringType), StructField("signal_id", LongType),
+    StructField("m", LongType), StructField("t", LongType),
+    StructField("last_seg", LongType),
+    StructField("last_qvals", ArrayType(LongType)),
+    StructField("exact", BooleanType), StructField("ordered", BooleanType),
+    StructField("touched", BooleanType), StructField("dense", BooleanType),
+    StructField("grid_pairs", LongType), StructField("h", LongType),
+    StructField("cnt", LongType), StructField("s0", LongType)))
+
   /** Normalized streaming readings from raw event files (schema must be
     * supplied for a file stream; ns timestamps arrive as longs).
     */
@@ -448,7 +470,16 @@ object Ingest {
     *    ([[readProfile]]) always see a consistent profile and a replayed
     *    batch rewrites an identical snapshot. Prior state is the newest
     *    snapshot with id < current, so a crash between the two writes
-    *    replays cleanly.
+    *    replays cleanly;
+    *  - `state/batch=<id>/` — the folded ROUTE-PLAN state (one
+    *    kind-tagged table: per-signal m/t/last-segment/exact/ordered +
+    *    this batch's route flags; per-distinct-vector hash group counts
+    *    + first-chunk sums), same versioning discipline. This is what
+    *    makes the per-batch plan O(δ + |state|): the route decision
+    *    folds from it instead of re-deriving rank windows / adjacency
+    *    joins / chunk sums over the full history every micro-batch (the
+    *    r11 scale defect). A work dir from before this layout falls back
+    *    to a one-time batch derivation from the landed segments.
     *
     * Exactness: profileIncrement over disjoint batches equals the batch
     * profile over the union (MotifDiscordSpec); segment ids from
@@ -470,20 +501,40 @@ object Ingest {
                     mod: Int = 4): StreamingQuery = {
     val segsDir = s"$workDir/segs"
     val profDir = s"$workDir/profile"
+    val stateDir = s"$workDir/state"
     segmentStream(spark, srcDir, segRows, maxFilesPerTrigger)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
+        // everything below runs as BATCH jobs on the OUTER session, not
+        // the micro-batch session clone: MicroBatchExecution force-
+        // disables AQE on its clone (stateful-op limitation), which
+        // would pin every one of this fold's shuffles to the static
+        // partition count regardless of δ — dozens of near-empty-task
+        // stages per batch on a small δ, and no skew/coalesce handling
+        // at scale. The stream-side plan (segmentStream) still executes
+        // on the clone when JOB 1 below lands δ; everything downstream
+        // re-reads that landed parquet through the outer session.
+        val s = spark
         import s.implicits._
-        // same fixed-point mapping as the batch Segments.completeQuantized
-        val newSegs = batch
+        import graft.operators.MotifDiscord
+        // JOB 1 — land δ in the segment store FIRST (same fixed-point
+        // mapping as the batch Segments.completeQuantized). This is the
+        // ONLY action on the stream-side lineage, so the stateful
+        // segmentation executes exactly once per trigger, and the landed
+        // partition doubles as δ's materialization: every later pass
+        // re-reads the tiny batch=<id> parquet instead of a checkpoint
+        batch
           .withColumn("qvals",
             transform(col("values"), v => floor(v * lit(100)).cast("long")))
           .select(col("signal_id"), col("seg"), col("qvals"))
-          .localCheckpoint()
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(segsDir)
         // resolve the FS from the workDir path itself — FileSystem.get
         // returns the DEFAULT fs, which is the wrong one whenever the
         // workDir's scheme differs (e.g. local workDir under an HDFS
@@ -497,27 +548,62 @@ object Ingest {
             .filter(_.startsWith("batch="))
             .map(_.stripPrefix("batch=").toLong)
         }
+        // all snapshot reads use the KNOWN static schemas — a per-batch
+        // footer/schema-inference pass per directory is pure driver
+        // latency the fold doesn't need
+        val newSegs =
+          if (fs.exists(new org.apache.hadoop.fs.Path(
+              s"$segsDir/batch=$batchId")))
+            s.read.schema(SegSnapshotSchema)
+              .parquet(s"$segsDir/batch=$batchId")
+          else Seq.empty[(Long, Long, Seq[Long])]
+            .toDF("signal_id", "seg", "qvals")
         val prior = snapshots(profDir).filter(_ < batchId)
+        // a work dir written before the routed increment carries
+        // 3-column snapshots (no exact flag): the static schema reads the
+        // missing column as null, and those folds were all exact
         val existingProfile = prior.sorted.lastOption match {
-          case Some(pb) => s.read.parquet(s"$profDir/batch=$pb")
+          case Some(pb) => s.read.schema(ProfSnapshotSchema)
+            .parquet(s"$profDir/batch=$pb")
+            .withColumn("exact", coalesce(col("exact"), lit(true)))
           case None => Seq.empty[(Long, Long, Long, Boolean)]
             .toDF("signal_id", "seg", "nnd_q", "exact")
         }
         val existingSegs =
           if (snapshots(segsDir).exists(_ < batchId))
-            s.read.parquet(segsDir).filter(col("batch") < batchId)
+            s.read.schema(SegSnapshotSchema.add("batch", "long"))
+              .parquet(segsDir).filter(col("batch") < batchId)
               .select(col("signal_id"), col("seg"), col("qvals"))
           else Seq.empty[(Long, Long, Seq[Long])]
             .toDF("signal_id", "seg", "qvals")
-        graft.operators.MotifDiscord
-          .profileIncrementAuto(existingSegs, existingProfile, newSegs,
-            budget, mod)
+        // prior route state (newest snapshot before this batch); absent —
+        // first batch, or a pre-routed-state work dir — derive it from
+        // the landed history once
+        val statePrior = snapshots(stateDir).filter(_ < batchId)
+        val priorState = statePrior.sorted.lastOption match {
+          case Some(pb) => s.read.schema(RouteStateSchema)
+            .parquet(s"$stateDir/batch=$pb")
+          case None => MotifDiscord.routeStateOf(existingSegs, existingProfile)
+        }
+        // JOB 2 — fold δ into the route state and persist the snapshot
+        // (state + this batch's route flags, one file)
+        MotifDiscord.foldRouteState(priorState, newSegs, budget)
+          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        val state = s.read.schema(RouteStateSchema)
+          .parquet(s"$stateDir/batch=$batchId")
+        // JOB 3 — one bounded-scalar probe of the materialized state
+        val probe = MotifDiscord.probeRouteState(state)
+        if (probe.unordered > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"profileStream batch $batchId: out-of-order append detected; " +
+              "routed profile equality degrades to an upper bound " +
+              "for the affected signals")
+        // JOB 4 — the routed profile fold, written as this batch's
+        // versioned snapshot
+        MotifDiscord
+          .routedProfileFrom(existingSegs, existingProfile, newSegs,
+            state, probe, mod)
           .write.mode("overwrite").parquet(s"$profDir/batch=$batchId")
-        newSegs.withColumn("batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch")
-          .parquet(segsDir)
       }
       .start()
   }

@@ -478,6 +478,66 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("route state: out-of-order appends latch ordered=false and surface in the probe; untouched batches preserve exact=false") {
+    import spark.implicits._
+    def emptyProf = Seq.empty[(Long, Long, Long, Boolean)]
+      .toDF("signal_id", "seg", "nnd_q", "exact")
+    def emptySegs = Seq.empty[(Long, Long, Array[Long])]
+      .toDF("signal_id", "seg", "qvals")
+    // signal 5 appends in order, signal 6 appends seg 3 BEFORE seg 1:
+    // the fold's append-order precondition (last existing seg < first
+    // new seg) is violated for 6 only, and the violation must latch in
+    // the persisted state rather than silently loosening the fold's
+    // batch-equality to a bound
+    def seg(s: Long, k: Long) =
+      (s, k, (0 until 16).map(j => s * 1000L + k * 10L + j).toArray)
+    val b0 = Seq(seg(5L, 0L), seg(5L, 1L), seg(6L, 0L), seg(6L, 3L))
+      .toDF("signal_id", "seg", "qvals")
+    val st0 = MotifDiscord.foldRouteState(
+      MotifDiscord.routeStateOf(emptySegs, emptyProf), b0).localCheckpoint()
+    assert(MotifDiscord.probeRouteState(st0).unordered == 0,
+      "in-order first batch must not flag")
+    val b1 = Seq(seg(5L, 2L), seg(6L, 1L)).toDF("signal_id", "seg", "qvals")
+    val st1 = MotifDiscord.foldRouteState(st0, b1).localCheckpoint()
+    assert(MotifDiscord.probeRouteState(st1).unordered == 1,
+      "out-of-order append must surface in the probe")
+    val orderedBySig = st1.filter(col("kind") === "sig")
+      .select(col("signal_id"), col("ordered")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(orderedBySig(5L) && !orderedBySig(6L),
+      s"ordered must latch per signal: $orderedBySig")
+    // the latch survives later in-order batches
+    val b2 = Seq(seg(5L, 3L), seg(6L, 4L)).toDF("signal_id", "seg", "qvals")
+    val st2 = MotifDiscord.foldRouteState(st1, b2).localCheckpoint()
+    assert(!st2.filter(col("kind") === "sig" && col("signal_id") === 6L)
+      .select(col("ordered")).head().getBoolean(0),
+      "a latched order violation must persist across later batches")
+
+    // verdict task: a signal that once routed sampled keeps exact=false
+    // through a later batch that does NOT touch it (its rows pass through
+    // the untouched path verbatim)
+    def denseQ(k: Int): Array[Long] = {
+      val q = Array.fill(16)(4200L); q(k % 16) = 4201L + k / 16; q
+    }
+    val dense = (0 until 600).map(k => (9L, k.toLong, denseQ(k)))
+      .toDF("signal_id", "seg", "qvals").localCheckpoint()
+    val other = Seq(seg(5L, 0L), seg(5L, 1L)).toDF("signal_id", "seg", "qvals")
+    val p0 = MotifDiscord.profileIncrementAuto(
+      other.limit(0), emptyProf, dense, budget = 10000L).localCheckpoint()
+    assert(p0.collect().forall(!_.getBoolean(3)), "dense signal must be sampled")
+    val p1 = MotifDiscord.profileIncrementAuto(dense, p0, other,
+      budget = 10000L).localCheckpoint()
+    val bySig = p1.collect().groupBy(_.getLong(0))
+    assert(bySig(9L).forall(!_.getBoolean(3)),
+      "untouched once-sampled signal must stay exact=false")
+    assert(bySig(5L).forall(_.getBoolean(3)),
+      "the freshly touched small signal is exact")
+    // and the untouched rows are byte-identical to the prior snapshot
+    val prior9 = p0.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val now9 = bySig(9L).map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(prior9 == now9, "untouched rows must pass through unchanged")
+  }
+
   test("edge cases: single-segment signals drop; tied distances break by seg") {
     import spark.implicits._
     // signal 7 has ONE complete segment -> no adjacent pair, no output row
