@@ -20,7 +20,8 @@ object MlQueries {
     // scale checker can verify the reported accuracy IS the prediction
     // dump's hit rate — the ML fit stays engine-specific, its accounting
     // does not (ScaleInvariants)
-    "ml_classifiers" -> (classifiersDump _),
+    "ml_classifiers" -> ((s, d) => FitCache.put(s, s"classifiersDump:$d")(
+      classifiersDump(s, d).localCheckpoint())),
 
     // hash-exact companion to ml_classifiers: the Spark side recomputes
     // the dump's accounting invariants as a violations table (the fit
@@ -28,9 +29,13 @@ object MlQueries {
     // Every violation is an exact-integer comparison: dt accuracy is an
     // integer-count ratio, so equality against the recomputed hit rate
     // holds bitwise or not at all.
+    // reuses ml_classifiers' published dump when that query already ran
+    // this session (FitCache) — a full sweep pays the classifier
+    // training once, not once per companion
     "ml_classifiers_check" -> ((s, d) => {
       import s.implicits._
-      val dump = classifiersDump(s, d)
+      val dump = FitCache.getOrFit(s, s"classifiersDump:$d")(
+        classifiersDump(s, d).localCheckpoint())
       val acc = dump.where(col("kind") === "acc").select("model", "accuracy")
       val unit = acc
         .agg(sum(when(col("accuracy") < 0.0 || col("accuracy") > 1.0, 1L)
@@ -71,10 +76,10 @@ object MlQueries {
       unit.unionByName(dtMatch).unionByName(present).unionByName(coverage)
     }),
 
-    "ml_kmeans_purity" -> ((s, d) =>
+    "ml_kmeans_purity" -> ((s, d) => FitCache.put(s, s"kmeansPurity:$d")(
       Classifiers.kmeansPurity(
         Classifiers.featuresFrame(Tables.embeddings(s, d), "embedding", "label"),
-        k = 10)),
+        k = 10).localCheckpoint())),
 
     // hash-exact companion to ml_kmeans_purity: purity is structurally
     // >= the global majority-label share and <= 1. The Spark side
@@ -83,9 +88,12 @@ object MlQueries {
     // IEEE division of the same two integers on both sides).
     "ml_kmeans_purity_check" -> ((s, d) => {
       import s.implicits._
-      val purity = Classifiers.kmeansPurity(
-        Classifiers.featuresFrame(Tables.embeddings(s, d), "embedding", "label"),
-        k = 10).collect()(0).getDouble(2)
+      // reuses ml_kmeans_purity's published fit when it ran this session
+      val purity = FitCache.getOrFit(s, s"kmeansPurity:$d")(
+        Classifiers.kmeansPurity(
+          Classifiers.featuresFrame(Tables.embeddings(s, d),
+            "embedding", "label"),
+          k = 10).localCheckpoint()).collect()(0).getDouble(2)
       val share = Tables.embeddings(s, d)
         .groupBy(col("label")).agg(count(lit(1)).as("c"))
         .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))

@@ -320,7 +320,10 @@ object AnnQueries {
       import s.implicits._
       val feat = emb(s, d).select(col("vec_id"), col("label"),
         array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat)
+      // publishes the fit for emb_kmeans_check (FitCache): the companion
+      // verifies THIS model's invariants without re-training it
+      val model = graft.ml.FitCache.put(s, s"embKmeans:$d")(
+        new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat))
       val pts = model.transform(feat)
         .select(lit("pt").as("kind"), col("vec_id").as("id"),
           col("prediction").cast("long").as("cluster"),
@@ -345,7 +348,8 @@ object AnnQueries {
       val e = emb(s, d).select(col("vec_id"),
         col("embedding").cast("array<double>").as("embv"))
       val feat = e.select(col("vec_id"), array_to_vector(col("embv")).as("features"))
-      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat)
+      val model = graft.ml.FitCache.getOrFit(s, s"embKmeans:$d")(
+        new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat))
       val assigned = model.transform(feat)
         .select(col("vec_id"), col("prediction").cast("long").as("own"))
       val ctrs = broadcast(model.clusterCenters.zipWithIndex.toSeq

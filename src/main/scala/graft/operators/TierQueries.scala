@@ -311,8 +311,54 @@ object TierQueries {
           min(col("signal_id")).as("first_sig"))
         .filter(col("n_segs") >= 2L)),
 
-    "storage_codec_cr" -> ((s, d) =>
-      graft.sources.CodecStore.compressionMatrix(r(s, d))),
+    "storage_codec_cr" -> ((s, d) => graft.ml.FitCache.put(s, s"codecMatrix:$d")(
+      graft.sources.CodecStore.compressionMatrix(r(s, d)).localCheckpoint())),
+
+    // hash-exact companion to storage_codec_cr (the same treatment the
+    // three ML dumps got): the matrix's BYTES stay machine-measured (no
+    // SQL oracle can re-measure a file), but its structure is pinned —
+    // every (codec, repr) cell present, every byte count positive, the
+    // cr column exactly bytes/baseline-bytes (same IEEE operands on both
+    // computations), and the three native segment codecs decode back
+    // bit-exactly over every segment. Reuses storage_codec_cr's
+    // published matrix when that query already ran this session.
+    "storage_codec_cr_check" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.CodecFunctions._
+      val matrix = graft.ml.FitCache.getOrFit(s, s"codecMatrix:$d")(
+        graft.sources.CodecStore.compressionMatrix(r(s, d)).localCheckpoint())
+      val expected = (for {
+        repr <- Seq("double", "fixed_q", "delta_q")
+        codec <- graft.sources.CodecStore.Codecs
+      } yield (codec, repr)) ++ Seq(
+        ("uncompressed", "buff_planes"), ("zstd", "buff_planes"),
+        ("uncompressed", "buff_outlier"), ("zstd", "buff_outlier"),
+        ("native", "gorilla_seg"), ("native", "sprintz_seg"),
+        ("native", "fcm_seg"))
+      val nExpected = expected.size.toLong
+      val missing = expected.toDF("codec", "repr")
+        .join(matrix, Seq("codec", "repr"), "left_anti").count()
+      val nonPositive = matrix.where(col("bytes") <= 0L).count()
+      val baseline = matrix
+        .where(col("codec") === "uncompressed" && col("repr") === "double")
+        .select(col("bytes")).head().getLong(0).toDouble
+      val crBad = matrix
+        .where(col("cr") =!= col("bytes").cast("double") / lit(baseline))
+        .count()
+      val q = transform(col("values"), v => floor(v * lit(100)).cast("long"))
+      val rt = Segments.of(r(s, d)).select(
+          ((gorillaDecode(gorillaEncode(col("values"))) === col("values")) &&
+            (sprintzDecode(sprintzEncode(q)) === q) &&
+            (fcmDecode(fcmEncode(q)) === q)).as("ok"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("v")).head()
+      Seq(
+        ("expected_rows_present", missing, nExpected),
+        ("bytes_positive", nonPositive, nExpected),
+        ("cr_arithmetic_closes", crBad, nExpected),
+        ("native_roundtrip_bitexact", rt.getLong(1), rt.getLong(0)))
+        .toDF("invariant", "violations", "support")
+    }),
 
     // OPTIMIZE-style compaction lifecycle (buffer_pool.rs persistence +
     // file_handler.rs): land a deliberately fragmented store, compact it
@@ -1154,6 +1200,24 @@ object TierQueries {
     "storage_compact" ->
       s"""$OracleCte SELECT signal_id, CAST(sum(value_q) AS BIGINT) AS sum_q,
          |  CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY signal_id""".stripMargin,
+
+    // pins the codec matrix's structure: zero violations everywhere, with
+    // the constant supports (3 reprs x 4 parquet codecs + 4 BUFF plane
+    // rows + 3 native rows = 19) and the roundtrip support recomputed as
+    // the segment count from the base table — the bytes themselves stay
+    // machine-measured in storage_codec_cr
+    "storage_codec_cr_check" ->
+      s"""$OracleCte, segs AS (
+         |  SELECT signal_id, CAST(floor((seq_no - 1) / 16.0) AS BIGINT) AS seg
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT 'expected_rows_present' AS invariant,
+         |       CAST(0 AS BIGINT) AS violations, CAST(19 AS BIGINT) AS support
+         |UNION ALL SELECT 'bytes_positive', CAST(0 AS BIGINT), CAST(19 AS BIGINT)
+         |UNION ALL SELECT 'cr_arithmetic_closes', CAST(0 AS BIGINT),
+         |  CAST(19 AS BIGINT)
+         |UNION ALL SELECT 'native_roundtrip_bitexact', CAST(0 AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM segs)""".stripMargin,
 
     "storage_upsert" ->
       s"""$OracleCte SELECT signal_id,

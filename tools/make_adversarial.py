@@ -73,6 +73,6 @@ m = con.sql(f"""SELECT count(*) FROM (
       CAST(floor((row_number() OVER (PARTITION BY user_id
         ORDER BY ts, event_id) - 1) / 16) AS BIGINT) AS seg
     FROM read_parquet('{dst}/events.parquet')
-    WHERE user_id IN (777777, 888888))
+    WHERE user_id IN (777777, 888888, 999999))
   GROUP BY 1, 2 HAVING count(*) = 16)""").fetchone()[0]
 print(f"events {n} rows; adversarial complete segments {m}")
