@@ -1,0 +1,45 @@
+#!/bin/bash
+# Second-decade (factor-100, ~sf10) scaling check for the SUPERLINEAR
+# family — the queries whose output grows faster than their input by
+# construction (near-dup families), plus the ANN and routed-profile
+# rows. Regenerates the factor-100 set and measures wall time AND output
+# rows at each decade, so growth is attributed to output, not guessed.
+#
+#   tools/run_scale100.sh [srcDir] [workDir]
+#
+# Produces <workDir>/scale100.json with per-decade {sec, rows}. The
+# linear-core decades live in ARCHITECTURE.md's 100x table; this script
+# covers the family the r10/r11 rounds left unmeasured at the second
+# decade.
+set -e
+SRC=${1:-/root/testdata/sf0.1}
+WORK=${2:-/tmp/graft_scale100}
+QUERIES="o1_scan,dedup_minhash,ann_ivf,seg_profile_auto"
+cd "$(dirname "$0")/.."
+mkdir -p "$WORK"
+python3 tools/make_scale10.py "$SRC" "$WORK/x10" 10
+python3 tools/make_scale10.py "$SRC" "$WORK/x100" 100
+for tag in base x10 x100; do
+  case $tag in
+    base) dir="$SRC";;
+    *)    dir="$WORK/$tag";;
+  esac
+  SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_REPS=2 \
+    SPARK_GRAFT_BENCH_OUT="$WORK/bench_$tag.json" \
+    tools/run_bench.sh "$dir" 32 > /dev/null 2>&1
+  SPARK_GRAFT_VERIFY_ONLY="$QUERIES" SPARK_GRAFT_VERIFY_COUNT=1 \
+    tools/run_verify.sh "$dir" "$WORK/ignore" 2>/dev/null \
+    | grep '\[count\]' > "$WORK/counts_$tag.txt"
+done
+python3 - "$WORK" <<'EOF'
+import json, sys, os
+w = sys.argv[1]
+out = {}
+for tag in ("base", "x10", "x100"):
+    bench = json.load(open(f"{w}/bench_{tag}.json"))["queries"]
+    rows = dict(l.split()[1:3] for l in open(f"{w}/counts_{tag}.txt"))
+    out[tag] = {q: {"sec": v["t"], "rows": int(rows.get(q, -1))}
+                for q, v in bench.items()}
+json.dump(out, open(f"{w}/scale100.json", "w"), indent=1)
+print(json.dumps(out, indent=1))
+EOF
