@@ -20,8 +20,8 @@ object MlQueries {
     // scale checker can verify the reported accuracy IS the prediction
     // dump's hit rate — the ML fit stays engine-specific, its accounting
     // does not (ScaleInvariants)
-    "ml_classifiers" -> ((s, d) => FitCache.put(s, s"classifiersDump:$d")(
-      classifiersDump(s, d).localCheckpoint())),
+    "ml_classifiers" -> ((s, d) => FitCache.putDf(s, s"classifiersDump:$d")(
+      classifiersDump(s, d))),
 
     // hash-exact companion to ml_classifiers: the Spark side recomputes
     // the dump's accounting invariants as a violations table (the fit
@@ -34,8 +34,8 @@ object MlQueries {
     // training once, not once per companion
     "ml_classifiers_check" -> ((s, d) => {
       import s.implicits._
-      val dump = FitCache.getOrFit(s, s"classifiersDump:$d")(
-        classifiersDump(s, d).localCheckpoint())
+      val dump = FitCache.getOrFitDf(s, s"classifiersDump:$d")(
+        classifiersDump(s, d))
       val acc = dump.where(col("kind") === "acc").select("model", "accuracy")
       val unit = acc
         .agg(sum(when(col("accuracy") < 0.0 || col("accuracy") > 1.0, 1L)
@@ -76,10 +76,10 @@ object MlQueries {
       unit.unionByName(dtMatch).unionByName(present).unionByName(coverage)
     }),
 
-    "ml_kmeans_purity" -> ((s, d) => FitCache.put(s, s"kmeansPurity:$d")(
+    "ml_kmeans_purity" -> ((s, d) => FitCache.putDf(s, s"kmeansPurity:$d")(
       Classifiers.kmeansPurity(
         Classifiers.featuresFrame(Tables.embeddings(s, d), "embedding", "label"),
-        k = 10).localCheckpoint())),
+        k = 10))),
 
     // hash-exact companion to ml_kmeans_purity: purity is structurally
     // >= the global majority-label share and <= 1. The Spark side
@@ -89,11 +89,11 @@ object MlQueries {
     "ml_kmeans_purity_check" -> ((s, d) => {
       import s.implicits._
       // reuses ml_kmeans_purity's published fit when it ran this session
-      val purity = FitCache.getOrFit(s, s"kmeansPurity:$d")(
+      val purity = FitCache.getOrFitDf(s, s"kmeansPurity:$d")(
         Classifiers.kmeansPurity(
           Classifiers.featuresFrame(Tables.embeddings(s, d),
             "embedding", "label"),
-          k = 10).localCheckpoint()).collect()(0).getDouble(2)
+          k = 10)).collect()(0).getDouble(2)
       val share = Tables.embeddings(s, d)
         .groupBy(col("label")).agg(count(lit(1)).as("c"))
         .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))

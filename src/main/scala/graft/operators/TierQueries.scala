@@ -311,8 +311,8 @@ object TierQueries {
           min(col("signal_id")).as("first_sig"))
         .filter(col("n_segs") >= 2L)),
 
-    "storage_codec_cr" -> ((s, d) => graft.ml.FitCache.put(s, s"codecMatrix:$d")(
-      graft.sources.CodecStore.compressionMatrix(r(s, d)).localCheckpoint())),
+    "storage_codec_cr" -> ((s, d) => graft.ml.FitCache.putDf(s, s"codecMatrix:$d")(
+      graft.sources.CodecStore.compressionMatrix(r(s, d)))),
 
     // hash-exact companion to storage_codec_cr (the same treatment the
     // three ML dumps got): the matrix's BYTES stay machine-measured (no
@@ -325,8 +325,8 @@ object TierQueries {
     "storage_codec_cr_check" -> ((s, d) => {
       import s.implicits._
       import graft.functions.CodecFunctions._
-      val matrix = graft.ml.FitCache.getOrFit(s, s"codecMatrix:$d")(
-        graft.sources.CodecStore.compressionMatrix(r(s, d)).localCheckpoint())
+      val matrix = graft.ml.FitCache.getOrFitDf(s, s"codecMatrix:$d")(
+        graft.sources.CodecStore.compressionMatrix(r(s, d)))
       val expected = (for {
         repr <- Seq("double", "fixed_q", "delta_q")
         codec <- graft.sources.CodecStore.Codecs
