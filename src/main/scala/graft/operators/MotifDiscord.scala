@@ -611,18 +611,47 @@ object MotifDiscord {
     val dGrp = nBase
       .groupBy(col("signal_id"), xxhash64(col("qvals")).as("h"))
       .agg(count(lit(1)).as("cnt"), min(chunk0Sum(col("qvals"))).as("s0"))
-    val sigMerged = sigState.join(nSig, Seq("signal_id"), "full")
-      .withColumn("touched", col("dm").isNotNull)
-      .withColumn("ordered",
-        coalesce(col("ordered"), lit(true)) &&
-          (col("last_seg").isNull || col("first_seg").isNull ||
-            col("last_seg") < col("first_seg")))
-      .withColumn("bd", sqDistQ(col("last_qvals"), col("first_qvals")))
-      .withColumn("t", greatest(col("t"), col("bd"), col("dt")))
-      .withColumn("m", coalesce(col("m"), lit(0L)) + coalesce(col("dm"), lit(0L)))
-      .withColumn("last_seg", coalesce(col("dlast_seg"), col("last_seg")))
-      .withColumn("last_qvals", coalesce(col("dlast_qvals"), col("last_qvals")))
-      .withColumn("exact_prior", coalesce(col("exact"), lit(true)))
+    // the per-signal fold is a UNION + one hash aggregation, not an
+    // outer join: a full-outer SMJ would exchange AND sort both sides
+    // (AQE cannot broadcast a full outer), while each folded column here
+    // has at most one non-null contributor per side, so max/first
+    // aggregates reassemble the pair exactly
+    val nullLong = lit(null).cast("long")
+    val nullArr = lit(null).cast("array<bigint>")
+    val sigSrc = sigState.select(col("signal_id"),
+      col("m").as("m0"), col("t").as("t0"), col("last_seg").as("ls0"),
+      col("last_qvals").as("lq0"), col("exact").as("ex0"),
+      col("ordered").as("od0"), nullLong.as("dm"), nullLong.as("fs"),
+      nullArr.as("fq"), nullLong.as("dls"), nullArr.as("dlq"),
+      nullLong.as("dt"))
+    val deltaSrc = nSig.select(col("signal_id"),
+      nullLong.as("m0"), nullLong.as("t0"), nullLong.as("ls0"),
+      nullArr.as("lq0"), lit(null).cast("boolean").as("ex0"),
+      lit(null).cast("boolean").as("od0"), col("dm"),
+      col("first_seg").as("fs"), col("first_qvals").as("fq"),
+      col("dlast_seg").as("dls"), col("dlast_qvals").as("dlq"), col("dt"))
+    val sigMerged = sigSrc.unionByName(deltaSrc)
+      .groupBy(col("signal_id"))
+      .agg(max(col("m0")).as("m0"), max(col("dm")).as("dm"),
+        max(col("t0")).as("t0"), max(col("dt")).as("dt"),
+        first(col("lq0"), ignoreNulls = true).as("lq0"),
+        first(col("fq"), ignoreNulls = true).as("fq"),
+        max(col("ls0")).as("ls0"), max(col("fs")).as("fs"),
+        max(col("dls")).as("dls"),
+        first(col("dlq"), ignoreNulls = true).as("dlq"),
+        min(col("ex0").cast("int")).as("exi"),
+        min(col("od0").cast("int")).as("odi"))
+      .select(col("signal_id"),
+        (coalesce(col("m0"), lit(0L)) + coalesce(col("dm"), lit(0L))).as("m"),
+        greatest(col("t0"), col("dt"),
+          sqDistQ(col("lq0"), col("fq"))).as("t"),
+        coalesce(col("dls"), col("ls0")).as("last_seg"),
+        coalesce(col("dlq"), col("lq0")).as("last_qvals"),
+        col("dm").isNotNull.as("touched"),
+        (coalesce(col("odi") === 1, lit(true)) &&
+          (col("ls0").isNull || col("fs").isNull ||
+            col("ls0") < col("fs"))).as("ordered"),
+        coalesce(col("exi") === 1, lit(true)).as("exact_prior"))
       // LAZY local checkpoints on the two shared frames: the grid's
       // broadcast thresholds and the output rows both consume sigMerged,
       // the grid and the output grp rows both consume grpNew — lazy
@@ -643,7 +672,14 @@ object MotifDiscord {
     // pass — a group row contributes (cb = 1) at its own cell and, when
     // it is a singleton, (ca = 1) at its three neighbor cells — so the
     // grid needs one aggregation chain, not an aCells × bCells join
-    val withW = sigMerged.filter(col("touched") && col("t").isNotNull)
+    // the grid only runs for signals ABOVE the size threshold: below it
+    // the route is exact regardless of grid_pairs (dense requires
+    // m > pruneAbove), so sub-threshold signals skip the cell pass and
+    // their persisted grid_pairs stays null ("not computed below the
+    // routing threshold") — on a fleet of ordinary signals the grid
+    // branch therefore folds an empty frame
+    val withW = sigMerged.filter(col("touched") && col("t").isNotNull &&
+        col("m") > pruneAbove)
       .select(col("signal_id"),
         (floor(lit(2.0) * sqrt(col("t").cast("double"))) + 1)
           .cast("long").as("w"))
@@ -668,9 +704,11 @@ object MotifDiscord {
       .agg(sum(col("ca") * col("cb")).as("gp"))
     val sigNew = sigMerged.join(grid, Seq("signal_id"), "left")
       .withColumn("grid_pairs",
-        when(col("touched"), coalesce(col("gp"), lit(0L))))
+        when(col("touched") && col("m") > pruneAbove,
+          coalesce(col("gp"), lit(0L))))
       .withColumn("dense", when(col("touched"),
-        col("m") > pruneAbove && col("grid_pairs") > budget))
+        col("m") > pruneAbove &&
+          coalesce(col("grid_pairs"), lit(0L)) > budget))
       .withColumn("exact",
         when(col("touched"), col("exact_prior") && !col("dense"))
           .otherwise(col("exact_prior")))
