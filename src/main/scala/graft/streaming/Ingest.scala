@@ -520,21 +520,31 @@ object Ingest {
         val s = spark
         import s.implicits._
         import graft.operators.MotifDiscord
-        // JOB 1 — land δ in the segment store FIRST (same fixed-point
-        // mapping as the batch Segments.completeQuantized). This is the
-        // ONLY action on the stream-side lineage, so the stateful
-        // segmentation executes exactly once per trigger, and the landed
-        // partition doubles as δ's materialization: every later pass
-        // re-reads the tiny batch=<id> parquet instead of a checkpoint
-        batch
+        // JOB 1 — materialize δ (same fixed-point mapping as the batch
+        // Segments.completeQuantized). The localCheckpoint is the ONLY
+        // action on the stream-side lineage, so the stateful
+        // segmentation executes exactly once per trigger; the
+        // checkpointed rows are re-bound to the outer session, and the
+        // segment-store append runs CONCURRENTLY with the route-state
+        // fold below (both consume the materialized δ, neither depends
+        // on the other)
+        val newSegsClone = batch
           .withColumn("qvals",
             transform(col("values"), v => floor(v * lit(100)).cast("long")))
           .select(col("signal_id"), col("seg"), col("qvals"))
-          .withColumn("batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch")
-          .parquet(segsDir)
+          .localCheckpoint()
+        val newSegs =
+          s.createDataFrame(newSegsClone.rdd, newSegsClone.schema)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val segsWrite = Future {
+          newSegs.withColumn("batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(segsDir)
+        }
         // resolve the FS from the workDir path itself — FileSystem.get
         // returns the DEFAULT fs, which is the wrong one whenever the
         // workDir's scheme differs (e.g. local workDir under an HDFS
@@ -551,13 +561,6 @@ object Ingest {
         // all snapshot reads use the KNOWN static schemas — a per-batch
         // footer/schema-inference pass per directory is pure driver
         // latency the fold doesn't need
-        val newSegs =
-          if (fs.exists(new org.apache.hadoop.fs.Path(
-              s"$segsDir/batch=$batchId")))
-            s.read.schema(SegSnapshotSchema)
-              .parquet(s"$segsDir/batch=$batchId")
-          else Seq.empty[(Long, Long, Seq[Long])]
-            .toDF("signal_id", "seg", "qvals")
         val prior = snapshots(profDir).filter(_ < batchId)
         // a work dir written before the routed increment carries
         // 3-column snapshots (no exact flag): the static schema reads the
@@ -569,11 +572,14 @@ object Ingest {
           case None => Seq.empty[(Long, Long, Long, Boolean)]
             .toDF("signal_id", "seg", "nnd_q", "exact")
         }
+        // read history from the PRIOR batch dirs listed explicitly: the
+        // whole-directory read would list segsDir while the concurrent
+        // δ append is mid-write
+        val priorSegDirs = snapshots(segsDir).filter(_ < batchId).sorted
+          .map(b => s"$segsDir/batch=$b")
         val existingSegs =
-          if (snapshots(segsDir).exists(_ < batchId))
-            s.read.schema(SegSnapshotSchema.add("batch", "long"))
-              .parquet(segsDir).filter(col("batch") < batchId)
-              .select(col("signal_id"), col("seg"), col("qvals"))
+          if (priorSegDirs.nonEmpty)
+            s.read.schema(SegSnapshotSchema).parquet(priorSegDirs: _*)
           else Seq.empty[(Long, Long, Seq[Long])]
             .toDF("signal_id", "seg", "qvals")
         // prior route state (newest snapshot before this batch); absent —
@@ -585,25 +591,36 @@ object Ingest {
             .parquet(s"$stateDir/batch=$pb")
           case None => MotifDiscord.routeStateOf(existingSegs, existingProfile)
         }
-        // JOB 2 — fold δ into the route state and persist the snapshot
-        // (state + this batch's route flags, one file)
-        MotifDiscord.foldRouteState(priorState, newSegs, budget)
-          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
-        val state = s.read.schema(RouteStateSchema)
-          .parquet(s"$stateDir/batch=$batchId")
-        // JOB 3 — one bounded-scalar probe of the materialized state
+        // JOB 2 — fold δ into the route state and materialize it ONCE
+        // (eager local checkpoint): the probe then reads local blocks
+        // (driver-cheap), the profile fold's flag joins broadcast them,
+        // and the state-parquet snapshot re-writes them without
+        // recomputing the fold
+        val state = MotifDiscord.foldRouteState(priorState, newSegs, budget)
+          .localCheckpoint()
         val probe = MotifDiscord.probeRouteState(state)
         if (probe.unordered > 0)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"profileStream batch $batchId: out-of-order append detected; " +
               "routed profile equality degrades to an upper bound " +
               "for the affected signals")
-        // JOB 4 — the routed profile fold, written as this batch's
-        // versioned snapshot
+        // JOBS 3+4 CONCURRENTLY — the state snapshot (a copy-out of the
+        // checkpointed blocks) and the routed profile fold are
+        // independent given the materialized state, so they overlap;
+        // everything (segs/state/profile writes) completes before the
+        // batch returns, so the replay discipline (prior = newest
+        // snapshot < batchId, overwrite on replay) is exactly the
+        // sequential one
+        val stateWrite = Future {
+          state.write.mode("overwrite")
+            .parquet(s"$stateDir/batch=$batchId")
+        }
         MotifDiscord
           .routedProfileFrom(existingSegs, existingProfile, newSegs,
             state, probe, mod)
           .write.mode("overwrite").parquet(s"$profDir/batch=$batchId")
+        Await.result(stateWrite, Duration.Inf)
+        Await.result(segsWrite, Duration.Inf)
       }
       .start()
   }
