@@ -536,7 +536,14 @@ object MotifDiscord {
     * approximation vs [[routePlan]] is vector identity by 64-bit hash
     * instead of exact array equality — a collision merely perturbs the
     * plan's counts (the routing is a cost decision; both routes are
-    * valid), never a profile value.
+    * valid), never a profile value. Unlike the batch [[routePlan]],
+    * where a collision is recomputed (and so re-perturbed) per run, a
+    * collision in the PERSISTED state is sticky: once two distinct
+    * vectors of one signal merge under a hash, the merged group keeps
+    * cnt >= 2 (no singleton status) and min(s0) for every later batch,
+    * so the fold-vs-batch route-count equality silently weakens forever
+    * for that signal. Still routing-only — grid_pairs/dense shift, the
+    * folded profile values don't.
     */
   private[graft] def routeStateOf(segs: DataFrame,
                                   profile: DataFrame): DataFrame = {
@@ -733,6 +740,64 @@ object MotifDiscord {
       allExact = r.isNullAt(5) || r.getLong(5) == 1L)
   }
 
+  /** Prune the HISTORY side of the exact incremental fold to δ's grid-cell
+    * neighborhoods under the persisted per-signal threshold — the cut
+    * that makes exact streaming maintenance O(local·δ) distances per
+    * batch instead of O(m·δ): without it, every micro-batch cross-joins
+    * the FULL landed segment history against δ even when δ lands far
+    * from almost all of it.
+    *
+    * Exactness (the class doc's cell arithmetic, applied incrementally):
+    * under seg-ordered appends the folded `t` is the union's max
+    * adjacent distance, so every segment's true nnd <= t and every
+    * exactly-folded profile value p(a) <= t. A history segment a outside
+    * every δ cell neighborhood has, for all b in δ,
+    * (s0_a - s0_b)² > 4t => d(a,b) > t >= p(a) — δ cannot improve a, so
+    * passing a's old profile row through unchanged is exact. A new
+    * segment b whose true nearest neighbor a* lies in history has
+    * d(b,a*) <= t => |s0_b - s0_a*| <= 2·sqrt(t) < w — a* sits in b's
+    * own 3-cell neighborhood and survives. Duplicate groups prune
+    * atomically (identical vectors share s0), so the rep fold's
+    * group-rank election is unperturbed. For signals whose prior rows
+    * are sampled bounds (possibly > t) or whose appends were unordered,
+    * pruning only REMOVES candidates from a min-fold, so those rows stay
+    * the valid upper bounds they already were — the same contract the
+    * unpruned fold gives them.
+    *
+    * The caller keeps the FULL existingProfile as the fold's
+    * pass-through rows; only the distance fan-out side shrinks. The hot
+    * cell set is δ-derived (<= 3·δ rows after distinct) and broadcast,
+    * so history filters map-side — no history-wide shuffle is added.
+    */
+  private[graft] def gridPruneHistory(existingSegs: DataFrame,
+                                      newSegs: DataFrame,
+                                      state: DataFrame): DataFrame = {
+    val withW = state
+      .filter(col("kind") === "sig" && col("touched") && col("t").isNotNull)
+      .select(col("signal_id"),
+        (floor(lit(2.0) * sqrt(col("t").cast("double"))) + 1)
+          .cast("long").as("w"))
+    def cellOf(s0: Column, w: Column): Column =
+      ((s0 - pmod(s0, w)) / w).cast("long")
+    val hot = newSegs.join(broadcast(withW), Seq("signal_id"))
+      .select(col("signal_id"),
+        cellOf(chunk0Sum(col("qvals")), col("w")).as("cell"))
+      .select(col("signal_id"),
+        explode(array(col("cell") - 1, col("cell"), col("cell") + 1))
+          .as("cell"))
+      .distinct()
+    existingSegs.join(broadcast(withW), Seq("signal_id"), "left")
+      .withColumn("cell",
+        when(col("w").isNotNull, cellOf(chunk0Sum(col("qvals")), col("w"))))
+      .join(broadcast(hot.withColumn("hit", lit(true))),
+        Seq("signal_id", "cell"), "left")
+      // a touched signal with t null has no history rows (t is non-null
+      // the moment a boundary pair exists); the w-null branch keeps any
+      // unforeseen remainder unpruned rather than silently dropping it
+      .filter(col("w").isNull || col("hit").isNotNull)
+      .select(col("signal_id"), col("seg"), col("qvals"))
+  }
+
   /** The routed profile fold over a MATERIALIZED route state + its probe:
     * the exact incremental fold ([[profileIncrement]]) on the
     * exact-routed side, the sampled fold ([[sampledIncrement]]) on the
@@ -751,11 +816,20 @@ object MotifDiscord {
     val outProfile = existingProfile.select(col("signal_id"), col("seg"),
       col("nnd_q"), col("exact"))
     if (probe.touched == 0) return outProfile
+    // grid-prune the exact side's history fan-out only past the member
+    // route's size cap: below it the cross join is already bounded at
+    // <= pruneAbove·δ pairs per signal and the prune's extra joins would
+    // be pure per-batch latency; past it the rep route would otherwise
+    // pay O(m·δ) rep distances AND an O(m log m) group-rank window over
+    // the full history every batch — pruning first cuts both to δ's
+    // cell neighborhoods (see [[gridPruneHistory]] for exactness)
+    def eForCross(e: DataFrame, n: DataFrame): DataFrame =
+      if (probe.maxMExact > pruneAbove) gridPruneHistory(e, n, state) else e
     // FAST PATH — every signal touched, exact-routed, and historically
     // exact (the budget-clean steady state): the fold needs no per-signal
     // flag joins at all, and the exact column is a literal
     if (probe.dense == 0 && probe.untouched == 0 && probe.allExact)
-      return profileIncrementWithMax(existingSegs,
+      return profileIncrementWithMax(eForCross(existingSegs, newSegs),
         existingProfile.select(col("signal_id"), col("seg"), col("nnd_q")),
         newSegs, pruneAbove, probe.maxMExact)
         .withColumn("exact", lit(true))
@@ -768,10 +842,12 @@ object MotifDiscord {
     val prof = existingProfile.select(col("signal_id"), col("seg"),
       col("nnd_q"))
     val exactPart =
-      if (probe.touched > probe.dense) Some(profileIncrementWithMax(
-        side(existingSegs, dense = false), side(prof, dense = false),
-        side(newSegs, dense = false), pruneAbove, probe.maxMExact))
-      else None
+      if (probe.touched > probe.dense) {
+        val nExact = side(newSegs, dense = false)
+        Some(profileIncrementWithMax(
+          eForCross(side(existingSegs, dense = false), nExact),
+          side(prof, dense = false), nExact, pruneAbove, probe.maxMExact))
+      } else None
     val densePart =
       if (probe.dense > 0) Some(sampledIncrement(
         side(existingSegs, dense = true), side(prof, dense = true),

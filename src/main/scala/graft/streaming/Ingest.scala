@@ -545,6 +545,17 @@ object Ingest {
             .partitionBy("batch")
             .parquet(segsDir)
         }
+        // every background write below is tracked here and awaited before
+        // the batch function returns OR rethrows: if the profile fold or
+        // write throws while a future is still writing, foreachBatch
+        // would otherwise propagate immediately and an in-JVM restart's
+        // replay could overwrite segs/state/batch=<id> WHILE the zombie
+        // write is still appending to the same directory — a mixed
+        // snapshot. On a failure path the futures' own errors are
+        // swallowed (the primary failure propagates); on the success path
+        // a failed future fails the batch.
+        val inFlight = scala.collection.mutable.ListBuffer[Future[Unit]](
+          segsWrite.map(_ => ()))
         // resolve the FS from the workDir path itself — FileSystem.get
         // returns the DEFAULT fs, which is the wrong one whenever the
         // workDir's scheme differs (e.g. local workDir under an HDFS
@@ -591,36 +602,41 @@ object Ingest {
             .parquet(s"$stateDir/batch=$pb")
           case None => MotifDiscord.routeStateOf(existingSegs, existingProfile)
         }
-        // JOB 2 — fold δ into the route state and materialize it ONCE
-        // (eager local checkpoint): the probe then reads local blocks
-        // (driver-cheap), the profile fold's flag joins broadcast them,
-        // and the state-parquet snapshot re-writes them without
-        // recomputing the fold
-        val state = MotifDiscord.foldRouteState(priorState, newSegs, budget)
-          .localCheckpoint()
-        val probe = MotifDiscord.probeRouteState(state)
-        if (probe.unordered > 0)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"profileStream batch $batchId: out-of-order append detected; " +
-              "routed profile equality degrades to an upper bound " +
-              "for the affected signals")
-        // JOBS 3+4 CONCURRENTLY — the state snapshot (a copy-out of the
-        // checkpointed blocks) and the routed profile fold are
-        // independent given the materialized state, so they overlap;
-        // everything (segs/state/profile writes) completes before the
-        // batch returns, so the replay discipline (prior = newest
-        // snapshot < batchId, overwrite on replay) is exactly the
-        // sequential one
-        val stateWrite = Future {
-          state.write.mode("overwrite")
-            .parquet(s"$stateDir/batch=$batchId")
+        try {
+          // JOB 2 — fold δ into the route state and materialize it ONCE
+          // (eager local checkpoint): the probe then reads local blocks
+          // (driver-cheap), the profile fold's flag joins broadcast them,
+          // and the state-parquet snapshot re-writes them without
+          // recomputing the fold
+          val state = MotifDiscord.foldRouteState(priorState, newSegs, budget)
+            .localCheckpoint()
+          val probe = MotifDiscord.probeRouteState(state)
+          if (probe.unordered > 0)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"profileStream batch $batchId: out-of-order append detected; " +
+                "routed profile equality degrades to an upper bound " +
+                "for the affected signals")
+          // JOBS 3+4 CONCURRENTLY — the state snapshot (a copy-out of the
+          // checkpointed blocks) and the routed profile fold are
+          // independent given the materialized state, so they overlap;
+          // everything (segs/state/profile writes) completes before the
+          // batch returns, so the replay discipline (prior = newest
+          // snapshot < batchId, overwrite on replay) is exactly the
+          // sequential one
+          inFlight += Future {
+            state.write.mode("overwrite")
+              .parquet(s"$stateDir/batch=$batchId")
+          }
+          MotifDiscord
+            .routedProfileFrom(existingSegs, existingProfile, newSegs,
+              state, probe, mod)
+            .write.mode("overwrite").parquet(s"$profDir/batch=$batchId")
+        } catch { case t: Throwable =>
+          inFlight.toList.foreach(f =>
+            scala.util.Try(Await.result(f, Duration.Inf)))
+          throw t
         }
-        MotifDiscord
-          .routedProfileFrom(existingSegs, existingProfile, newSegs,
-            state, probe, mod)
-          .write.mode("overwrite").parquet(s"$profDir/batch=$batchId")
-        Await.result(stateWrite, Duration.Inf)
-        Await.result(segsWrite, Duration.Inf)
+        inFlight.toList.foreach(f => Await.result(f, Duration.Inf))
       }
       .start()
   }

@@ -478,6 +478,68 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("grid-pruned exact increment: tiny δ against a long spread history folds exactly, and the prune cuts the history fan-out") {
+    import spark.implicits._
+    def emptyProf = Seq.empty[(Long, Long, Long, Boolean)]
+      .toDF("signal_id", "seg", "nnd_q", "exact")
+    def emptySegs = Seq.empty[(Long, Long, Array[Long])]
+      .toDF("signal_id", "seg", "qvals")
+    // one long, spread, exact-routed signal (m = 600 > PruneAbove, s0
+    // values ~1000 apart so the grid prunes well), including a duplicate
+    // group (segs 40/41 identical) so the rep election's prune-atomicity
+    // is exercised; δ = 3 segments near the history's far end, one of
+    // them an exact twin of history seg 599
+    def q(k: Long, jitter: Long): Array[Long] =
+      (0 until 16).map(j => k * 1000L + (j % 3) + jitter).toArray
+    val histSegs = ((0 until 600).map { k =>
+      val kk = k.toLong
+      val vec = if (k == 41) q(40L, 0L) else q(kk, 0L)
+      (1L, kk, vec)
+    }).toDF("signal_id", "seg", "qvals").localCheckpoint()
+    // δ continues the drift locally: a jump (e.g. to the middle of the
+    // range) would legitimately inflate the max-adjacent threshold and
+    // degrade the grid to keep-all — correct, just not the locality this
+    // test measures
+    val delta = Seq(
+      (1L, 600L, q(599L, 0L)),           // twin of history seg 599
+      (1L, 601L, q(598L, 7L)),           // near history seg 598
+      (1L, 602L, q(601L, 3L)))           // one step past the history end
+      .toDF("signal_id", "seg", "qvals").localCheckpoint()
+    val p0 = MotifDiscord.profileIncrementAuto(emptySegs, emptyProf,
+      histSegs).localCheckpoint()
+    val p1 = MotifDiscord.profileIncrementAuto(histSegs, p0, delta)
+      .localCheckpoint()
+    // exact equality with the brute-force profile over the union
+    val union = histSegs.unionByName(delta)
+    val a = union.select(col("signal_id"), col("seg"), col("qvals").as("qa"))
+    val b = union.select(col("signal_id"), col("seg").as("seg_b"),
+      col("qvals").as("qb"))
+    val truth = a.join(b, Seq("signal_id"))
+      .where(col("seg") =!= col("seg_b"))
+      .groupBy(col("signal_id"), col("seg"))
+      .agg(min(sqDistQ(col("qa"), col("qb"))).as("nnd_q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = p1.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.size == truth.size, s"${got.size} vs ${truth.size} rows")
+    got.foreach { case (k, (v, ex)) =>
+      assert(ex, s"spread signal must stay exact at $k")
+      assert(v == truth(k), s"pruned fold diverges at $k: $v vs ${truth(k)}")
+    }
+    // the prune itself: δ's 3 cell neighborhoods keep only a local slice
+    // of the 600-segment history (each hot cell is ~1-2 wide at this
+    // spread), and duplicate groups survive or prune atomically
+    val st = MotifDiscord.foldRouteState(
+      MotifDiscord.routeStateOf(histSegs, p0), delta).localCheckpoint()
+    val kept = MotifDiscord.gridPruneHistory(histSegs, delta, st)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept.size < 60,
+      s"prune kept ${kept.size}/600 history rows — not a local cut")
+    assert(Seq(598L, 599L).forall(kept),
+      s"δ's neighbor segments must survive the prune: $kept")
+  }
+
   test("route state: out-of-order appends latch ordered=false and surface in the probe; untouched batches preserve exact=false") {
     import spark.implicits._
     def emptyProf = Seq.empty[(Long, Long, Long, Boolean)]
