@@ -223,15 +223,20 @@ object Bench {
             Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
           val add = prog.map(ms(_, "addBatch")).sum
           val trig = prog.map(ms(_, "triggerExecution")).sum
-          // steady_state_sec = the LAST batch's fold time — the marginal
-          // per-micro-batch cost a long-lived stream pays at 100 TB,
-          // as opposed to the cold-ladder total the row time reports
+          // steady_state_sec = the MEDIAN post-warmup batch fold time —
+          // the marginal per-micro-batch cost a long-lived stream pays at
+          // 100 TB, as opposed to the cold-ladder total the row time
+          // reports. The first batch is warmup (stream/source init), and
+          // the LAST batch under AvailableNow can be a smaller tail — so
+          // neither endpoint alone is representative
+          val perBatch = prog.map(ms(_, "addBatch") / 1e3)
+          val post = if (perBatch.length > 1) perBatch.tail.sorted
+                     else perBatch.sorted
           profileStreamBreakdown = Some(
             s"""{"n_batches":${prog.length},"addBatch_sec":${add / 1e3},""" +
               s""""triggerExecution_sec":${trig / 1e3},""" +
-              s""""steady_state_sec":${ms(prog.last, "addBatch") / 1e3},""" +
-              s""""batch_addBatch_sec":[${prog.map(ms(_, "addBatch") / 1e3)
-                .mkString(",")}]}""")
+              s""""steady_state_sec":${post(post.length / 2)},""" +
+              s""""batch_addBatch_sec":[${perBatch.mkString(",")}]}""")
         }
         ()
       })
@@ -358,8 +363,25 @@ object Bench {
         Prior(qs, ing)
       } catch { case _: Throwable => Prior(Map.empty, None) }
     val priorMap: Map[String, Double] = prior.queries
+    // canary-relative trip threshold: this host family shows 1.5-2x
+    // wall-clock swings between rounds (Firecracker noisy neighbor), and
+    // a flat 2x-prior guard on a slow host both (a) trips a storm of
+    // clean rows and (b) lets a real regression hide just under the
+    // inflated breach line (r12: four >2x rows escaped while 11 clean
+    // rows tripped). o1_scan is the stable scan canary — scale every
+    // row's threshold by its current/prior ratio, clamped >= 1 so a FAST
+    // host never loosens the guard below the plain 2x.
+    val canaryRatio: Double = (for {
+      cur <- results.find(_.name == "o1_scan").filter(_.err.isEmpty).map(_.med)
+      p <- priorMap.get("o1_scan")
+      if p > 0.0
+    } yield math.max(1.0, cur / p)).getOrElse(1.0)
+    if (canaryRatio > 1.05) System.err.println(
+      f"[bench] o1_scan canary at ${canaryRatio}%.2fx prior - " +
+        "trip thresholds scaled accordingly")
     val tripped = results.filter(r =>
-      priorMap.get(r.name).exists(p => r.err.isEmpty && r.med > 2 * p + 0.25))
+      priorMap.get(r.name).exists(p =>
+        r.err.isEmpty && r.med > 2 * p * canaryRatio + 0.25))
     // storm guard: when MANY queries trip at once the cause is a global
     // host slowdown (Firecracker noisy neighbor — measured 2-3x swings),
     // not per-query regressions; isolated reruns would also run slow and
@@ -369,7 +391,8 @@ object Bench {
     val hostSlow = priorMap.nonEmpty &&
       tripped.size > math.max(5, results.size / 10)
     if (hostSlow) System.err.println(
-      s"[bench] ${tripped.size}/${results.size} queries above 2x prior - " +
+      f"[bench] ${tripped.size}/${results.size} queries above the " +
+        f"canary-scaled 2x prior (o1_scan ratio $canaryRatio%.2fx) - " +
         "global host slowdown, skipping per-query isolation reruns")
     val adjudicated: Map[String, (Double, Double)] =
       if (hostSlow) Map.empty
@@ -479,12 +502,24 @@ object Bench {
       case r if r.err.isEmpty => s""""${r.name}":${f3(r.med)}"""
       case r => s""""${r.name}":{"err":"${esc(r.err.get.take(200))}"}"""
     }.mkString("{", ",", "}")
+    // adjudicated rows commit the ADJUDICATED number as the primary t
+    // (min of sweep and resweep — both real runs of the same binary, the
+    // faster one is the cleaner cost bound) and keep the contended sweep
+    // median as metadata: a next-round guard comparing against t must see
+    // the honest prior, not the contention artifact (r12: q1_agg t=0.846
+    // vs true 0.19 would have masked a 4x regression)
     def qmapFull(rs: Seq[QRes]): String = rs.map {
       case r if r.err.isEmpty =>
-        val extra = adjudicated.get(r.name).map { case (iso, p) =>
-          s""","resweep":${f3(iso)},"prior":${f3(p)}""" }.getOrElse("")
-        s""""${r.name}":{"t":${f3(r.med)},"mean":${f3(r.mean)},""" +
-          s""""sd":${f3(r.sd)},"reps":${r.nOk}$extra}"""
+        adjudicated.get(r.name) match {
+          case Some((iso, p)) =>
+            s""""${r.name}":{"t":${f3(math.min(r.med, iso))},""" +
+              s""""sweep":${f3(r.med)},"mean":${f3(r.mean)},""" +
+              s""""sd":${f3(r.sd)},"reps":${r.nOk},""" +
+              s""""resweep":${f3(iso)},"prior":${f3(p)}}"""
+          case None =>
+            s""""${r.name}":{"t":${f3(r.med)},"mean":${f3(r.mean)},""" +
+              s""""sd":${f3(r.sd)},"reps":${r.nOk}}"""
+        }
       case r => s""""${r.name}":{"err":"${esc(r.err.get.take(200))}"}"""
     }.mkString("{", ",", "}")
     val isoField =

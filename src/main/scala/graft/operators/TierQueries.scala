@@ -338,13 +338,25 @@ object TierQueries {
       val nExpected = expected.size.toLong
       val missing = expected.toDF("codec", "repr")
         .join(matrix, Seq("codec", "repr"), "left_anti").count()
+      // extra/unexpected matrix rows are a violation too — left_anti in
+      // the other direction only catches ABSENT rows
+      val extra = matrix
+        .join(expected.toDF("codec", "repr"), Seq("codec", "repr"),
+          "left_anti").count()
       val nonPositive = matrix.where(col("bytes") <= 0L).count()
-      val baseline = matrix
+      // an absent uncompressed/double baseline must surface as the
+      // expected_rows_present violation it already counts as, not kill
+      // the check with NoSuchElementException — with no baseline every
+      // cr is unverifiable, so the arithmetic invariant flags all rows
+      val baselineOpt = matrix
         .where(col("codec") === "uncompressed" && col("repr") === "double")
-        .select(col("bytes")).head().getLong(0).toDouble
-      val crBad = matrix
-        .where(col("cr") =!= col("bytes").cast("double") / lit(baseline))
-        .count()
+        .select(col("bytes")).collect().headOption.map(_.getLong(0).toDouble)
+      val crBad = baselineOpt match {
+        case Some(baseline) => matrix
+          .where(col("cr") =!= col("bytes").cast("double") / lit(baseline))
+          .count()
+        case None => matrix.count()
+      }
       val q = transform(col("values"), v => floor(v * lit(100)).cast("long"))
       val rt = Segments.of(r(s, d)).select(
           ((gorillaDecode(gorillaEncode(col("values"))) === col("values")) &&
@@ -354,6 +366,7 @@ object TierQueries {
           sum(when(!col("ok"), 1L).otherwise(0L)).as("v")).head()
       Seq(
         ("expected_rows_present", missing, nExpected),
+        ("no_unexpected_rows", extra, nExpected),
         ("bytes_positive", nonPositive, nExpected),
         ("cr_arithmetic_closes", crBad, nExpected),
         ("native_roundtrip_bitexact", rt.getLong(1), rt.getLong(0)))
@@ -1213,6 +1226,8 @@ object TierQueries {
          |)
          |SELECT 'expected_rows_present' AS invariant,
          |       CAST(0 AS BIGINT) AS violations, CAST(19 AS BIGINT) AS support
+         |UNION ALL SELECT 'no_unexpected_rows', CAST(0 AS BIGINT),
+         |  CAST(19 AS BIGINT)
          |UNION ALL SELECT 'bytes_positive', CAST(0 AS BIGINT), CAST(19 AS BIGINT)
          |UNION ALL SELECT 'cr_arithmetic_closes', CAST(0 AS BIGINT),
          |  CAST(19 AS BIGINT)
