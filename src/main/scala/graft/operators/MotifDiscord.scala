@@ -475,7 +475,8 @@ object MotifDiscord {
     */
   final case class RoutePlanProbe(touched: Long, dense: Long,
                                   unordered: Long, untouched: Long,
-                                  maxMExact: Long, allExact: Boolean)
+                                  maxMExact: Long, allExact: Boolean,
+                                  maxMTouched: Long)
 
   /** First-chunk integer sum of a qvals array — the only chunk statistic
     * the routing grid keys on (cells bucket s_0 alone; see routePlanOf).
@@ -589,10 +590,22 @@ object MotifDiscord {
     * the folded threshold may diverge from the batch one (the routing
     * stays a valid cost decision and sampled rows stay valid upper
     * bounds).
+    *
+    * `skipGrid = true` is the caller's PROOF that no touched signal's
+    * folded m can exceed pruneAbove this batch (e.g. prior global max m
+    * + δ row count <= pruneAbove, both driver-held scalars): the grid
+    * only runs for signals above the threshold, so under that bound it
+    * would fold an empty frame anyway — skipping it removes its whole
+    * subplan (broadcast build, cell explode, two aggregations, the join
+    * back onto the sig rows) plus the shared-frame checkpoints, which at
+    * tiny δ are a fixed multi-stage scheduling premium paid for nothing.
+    * The output is bit-identical to the unskipped fold under the bound;
+    * an unsound hint would only mis-route (cost, not correctness).
     */
   private[graft] def foldRouteState(state: DataFrame, newSegs: DataFrame,
                                     budget: Long = RouteBudget,
-                                    pruneAbove: Int = PruneAbove): DataFrame = {
+                                    pruneAbove: Int = PruneAbove,
+                                    skipGrid: Boolean = false): DataFrame = {
     val sigState = state.filter(col("kind") === "sig")
       .select(col("signal_id"), col("m"), col("t"), col("last_seg"),
         col("last_qvals"), col("exact"), col("ordered"))
@@ -637,7 +650,7 @@ object MotifDiscord {
       lit(null).cast("boolean").as("od0"), col("dm"),
       col("first_seg").as("fs"), col("first_qvals").as("fq"),
       col("dlast_seg").as("dls"), col("dlast_qvals").as("dlq"), col("dt"))
-    val sigMerged = sigSrc.unionByName(deltaSrc)
+    val sigMergedPlan = sigSrc.unionByName(deltaSrc)
       .groupBy(col("signal_id"))
       .agg(max(col("m0")).as("m0"), max(col("dm")).as("dm"),
         max(col("t0")).as("t0"), max(col("dt")).as("dt"),
@@ -659,20 +672,34 @@ object MotifDiscord {
           (col("ls0").isNull || col("fs").isNull ||
             col("ls0") < col("fs"))).as("ordered"),
         coalesce(col("exi") === 1, lit(true)).as("exact_prior"))
-      // LAZY local checkpoints on the two shared frames: the grid's
-      // broadcast thresholds and the output rows both consume sigMerged,
-      // the grid and the output grp rows both consume grpNew — lazy
-      // materialization dedupes each without the extra eager job an
-      // eager checkpoint would cost
-      .localCheckpoint(eager = false)
+    // LAZY local checkpoints on the two shared frames — but only when
+    // the grid runs: the grid's broadcast thresholds and the output rows
+    // both consume sigMerged, the grid and the output grp rows both
+    // consume grpNew, and lazy materialization dedupes each without the
+    // extra eager job an eager checkpoint would cost. Under skipGrid
+    // each frame has exactly one consumer, so a checkpoint would be a
+    // pure block-write premium.
+    val sigMerged =
+      if (skipGrid) sigMergedPlan else sigMergedPlan.localCheckpoint(eager = false)
     // ONE signal-hash exchange feeds the group fold and the whole grid:
     // every grouping key downstream is a superset of signal_id, so
     // Catalyst adds no further shuffles past this repartition
-    val grpNew = grpState.unionByName(dGrp)
+    val grpNewPlan = grpState.unionByName(dGrp)
       .repartition(col("signal_id"))
       .groupBy(col("signal_id"), col("h"))
       .agg(sum(col("cnt")).as("cnt"), min(col("s0")).as("s0"))
-      .localCheckpoint(eager = false)
+    val grpNew =
+      if (skipGrid) grpNewPlan else grpNewPlan.localCheckpoint(eager = false)
+    if (skipGrid) {
+      // the caller certified no touched m can exceed pruneAbove: the
+      // grid would fold an empty frame, so its flag columns are the
+      // literals the empty join would produce — bit-identical output
+      val sigNew = sigMerged
+        .withColumn("grid_pairs", nullLong)
+        .withColumn("dense", when(col("touched"), lit(false)))
+        .withColumn("exact", col("exact_prior"))
+      return tagState(sigNew, grpNew)
+    }
     // routePlan's grid over the folded state, touched signals only: same
     // cell arithmetic as candidatePairs, but from (cnt, s0) pairs, and
     // with BOTH sides of the per-cell product emitted in one exploded
@@ -733,11 +760,13 @@ object MotifDiscord {
       sum(when(col("touched") && !col("ordered"), 1L).otherwise(0L)),
       sum(when(!col("touched"), 1L).otherwise(0L)),
       max(when(col("touched") && !col("dense"), col("m"))),
-      min(when(col("touched"), col("exact").cast("long")))).first()
+      min(when(col("touched"), col("exact").cast("long"))),
+      max(when(col("touched"), col("m")))).first()
     def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
     RoutePlanProbe(touched = l(0), dense = l(1), unordered = l(2),
       untouched = l(3), maxMExact = l(4),
-      allExact = r.isNullAt(5) || r.getLong(5) == 1L)
+      allExact = r.isNullAt(5) || r.getLong(5) == 1L,
+      maxMTouched = l(6))
   }
 
   /** Prune the HISTORY side of the exact incremental fold to δ's grid-cell

@@ -502,6 +502,14 @@ object Ingest {
     val segsDir = s"$workDir/segs"
     val profDir = s"$workDir/profile"
     val stateDir = s"$workDir/state"
+    // query-lifetime upper bound on the per-signal segment count (m),
+    // carried across micro-batches so each batch can certify the
+    // foldRouteState skipGrid hint (prior max m + δ rows <= PruneAbove
+    // => no signal can cross the grid threshold this batch) without an
+    // extra aggregation over the state. -1 = derive once from the prior
+    // state at (re)start; batch replays only ever see a LARGER bound,
+    // which is conservative (the grid runs when it might not need to).
+    var maxMAll = -1L
     segmentStream(spark, srcDir, segRows, maxFilesPerTrigger)
       .writeStream
       .outputMode(OutputMode.Append)
@@ -520,6 +528,17 @@ object Ingest {
         val s = spark
         import s.implicits._
         import graft.operators.MotifDiscord
+        // per-phase wall-clock attribution, stderr-only and off by
+        // default: the per-batch cost at tiny δ is stage-count-bound,
+        // and optimizing it blind is guesswork
+        val dbg = sys.env.contains("SPARK_GRAFT_PROFILE_DEBUG")
+        var t0 = System.nanoTime()
+        def lap(phase: String): Unit = if (dbg) {
+          val t1 = System.nanoTime()
+          System.err.println(
+            f"[profileStream] batch $batchId $phase ${(t1 - t0) / 1e9}%.3fs")
+          t0 = t1
+        }
         // JOB 1 — materialize δ (same fixed-point mapping as the batch
         // Segments.completeQuantized). The localCheckpoint is the ONLY
         // action on the stream-side lineage, so the stateful
@@ -535,6 +554,7 @@ object Ingest {
           .localCheckpoint()
         val newSegs =
           s.createDataFrame(newSegsClone.rdd, newSegsClone.schema)
+        lap("delta-ckpt")
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
@@ -602,15 +622,35 @@ object Ingest {
             .parquet(s"$stateDir/batch=$pb")
           case None => MotifDiscord.routeStateOf(existingSegs, existingProfile)
         }
+        lap("snapshot-setup")
         try {
           // JOB 2 — fold δ into the route state and materialize it ONCE
           // (eager local checkpoint): the probe then reads local blocks
           // (driver-cheap), the profile fold's flag joins broadcast them,
           // and the state-parquet snapshot re-writes them without
           // recomputing the fold
-          val state = MotifDiscord.foldRouteState(priorState, newSegs, budget)
+          if (maxMAll < 0L) {
+            val r = priorState.filter(col("kind") === "sig")
+              .agg(max(col("m"))).first()
+            maxMAll = if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
+          // per-SIGNAL δ bound (the grid threshold is per signal, so the
+          // total δ row count would never certify the skip on a wide
+          // fleet); one small agg job over the checkpointed δ blocks
+          val dRow = newSegs.groupBy(col("signal_id"))
+            .agg(count(lit(1)).as("c")).agg(max(col("c"))).first()
+          val maxDeltaPerSig = if (dRow.isNullAt(0)) 0L else dRow.getLong(0)
+          val skipGrid =
+            maxMAll + maxDeltaPerSig <= MotifDiscord.PruneAbove.toLong
+          if (dbg) System.err.println(s"[profileStream] batch $batchId " +
+            s"skipGrid=$skipGrid maxMAll=$maxMAll maxDeltaPerSig=$maxDeltaPerSig")
+          val state = MotifDiscord.foldRouteState(priorState, newSegs,
+              budget, MotifDiscord.PruneAbove, skipGrid)
             .localCheckpoint()
+          lap("state-fold")
           val probe = MotifDiscord.probeRouteState(state)
+          maxMAll = math.max(maxMAll, probe.maxMTouched)
+          lap("probe")
           if (probe.unordered > 0)
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"profileStream batch $batchId: out-of-order append detected; " +
@@ -631,12 +671,14 @@ object Ingest {
             .routedProfileFrom(existingSegs, existingProfile, newSegs,
               state, probe, mod)
             .write.mode("overwrite").parquet(s"$profDir/batch=$batchId")
+          lap("profile-fold-write")
         } catch { case t: Throwable =>
           inFlight.toList.foreach(f =>
             scala.util.Try(Await.result(f, Duration.Inf)))
           throw t
         }
         inFlight.toList.foreach(f => Await.result(f, Duration.Inf))
+        lap("await-bg-writes")
       }
       .start()
   }
