@@ -145,6 +145,19 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] profile-stream setup failed (no seg_profile_stream row): $e"); None }
 
+    // untimed IVF index build for the serving-cost row: at 100 TB the
+    // index is built once by the ingest pipeline and amortized over every
+    // query, so ann_ivf_store's build+probe number misattributes the
+    // scale cost — ann_ivf_probe times ONLY the partition-pruned serve
+    val ivfIdxDir: Option[String] =
+      if (!needed("ann_ivf_probe")) None
+      else try {
+        val dir = tempDir("graft-bench-ivfidx") + "/ivf"
+        graft.operators.AnnQueries.ivfBuildStore(spark, sfDir, dir)
+        Some(dir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ivf index setup failed (no ann_ivf_probe row): $e"); None }
+
     // untimed histogram-sketch materialization for the *_tier percentile
     val histDir: Option[String] =
       if (!needed("o8_percentile_sketch_tier")) None
@@ -239,6 +252,10 @@ object Bench {
               s""""batch_addBatch_sec":[${perBatch.mkString(",")}]}""")
         }
         ()
+      })
+    } ++ ivfIdxDir.toSeq.map { dir =>
+      ("ann_ivf_probe", () => {
+        graft.operators.AnnQueries.ivfProbeStore(spark, sfDir, dir).count(); ()
       })
     } ++ histDir.toSeq.map { hd =>
       // percentile served from the PERSISTED histogram sketch — the

@@ -50,6 +50,23 @@ object AnnQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
 
+  /** The ann_ivf_store query split at the index boundary, so the bench
+    * can attribute serving cost separately from the one-time build — at
+    * 100 TB the index is built once by the ingest pipeline and amortized
+    * over every query, so BUILD+PROBE as one number misattributes the
+    * scale cost (SCALE100 r12: 119 s at x100 for a fixed 100-row answer,
+    * unattributed).
+    */
+  private[graft] def ivfBuildStore(s: SparkSession, d: String,
+                                   path: String): Unit =
+    graft.sources.IvfStore.write(emb(s, d), "vec_id", "embedding",
+      ivfCentroids(s, d), path)
+
+  private[graft] def ivfProbeStore(s: SparkSession, d: String,
+                                   path: String): DataFrame =
+    graft.sources.IvfStore.topK(s, path, probes(s, d), TopK,
+      ivfCentroids(s, d), NProbe)
+
   // PQ layout: 8 subspaces x 8 dims, 16 centroids per subspace taken from
   // the first 16 corpus vectors' subvectors (deterministic sample — k-means
   // init without the iteration, same trick as the IVF codebook, so the SQL
@@ -170,10 +187,8 @@ object AnnQueries {
     // — same scoring arithmetic as ann_ivf, so the same oracle checks it
     "ann_ivf_store" -> ((s, d) => {
       val path = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
-      graft.sources.IvfStore.write(emb(s, d), "vec_id", "embedding",
-        ivfCentroids(s, d), path)
-      graft.sources.IvfStore.topK(s, path, probes(s, d), TopK,
-        ivfCentroids(s, d), NProbe)
+      ivfBuildStore(s, d, path)
+      ivfProbeStore(s, d, path)
     }),
 
     // embedding-cosine near-duplicate pairs (LSH-bucketed candidates,

@@ -14,7 +14,10 @@
 set -e
 SRC=${1:-/root/testdata/sf0.1}
 WORK=${2:-/tmp/graft_scale100}
-QUERIES="o1_scan,dedup_minhash,ann_ivf,seg_profile_auto"
+# ann_ivf_store/ann_ivf_probe attribute the IVF row's scale cost between
+# the one-time index build and the amortized partition-pruned serve (the
+# number that matters at 100 TB, where the index is built once)
+QUERIES="o1_scan,dedup_minhash,ann_ivf,ann_ivf_store,ann_ivf_probe,seg_profile_auto"
 cd "$(dirname "$0")/.."
 mkdir -p "$WORK"
 python3 tools/make_scale10.py "$SRC" "$WORK/x10" 10
@@ -31,6 +34,10 @@ for tag in base x10 x100; do
     tools/run_verify.sh "$dir" "$WORK/ignore" 2>/dev/null \
     | grep '\[count\]' > "$WORK/counts_$tag.txt"
 done
+# streaming-profile marginal-cost-vs-history curve (exact route): the
+# committed evidence that the grid-pruned fold's per-batch cost does not
+# grow with history size m
+tools/run_profile_growth.sh 40000 10 "$WORK/profile_growth.json" 2>/dev/null >/dev/null
 python3 - "$WORK" <<'EOF'
 import json, sys, os
 w = sys.argv[1]
@@ -40,6 +47,7 @@ for tag in ("base", "x10", "x100"):
     rows = dict(l.split()[1:3] for l in open(f"{w}/counts_{tag}.txt"))
     out[tag] = {q: {"sec": v["t"], "rows": int(rows.get(q, -1))}
                 for q, v in bench.items()}
+out["profile_growth"] = json.load(open(f"{w}/profile_growth.json"))
 json.dump(out, open(f"{w}/scale100.json", "w"), indent=1)
 print(json.dumps(out, indent=1))
 EOF
