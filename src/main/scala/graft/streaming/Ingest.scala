@@ -555,11 +555,26 @@ object Ingest {
         val newSegs =
           s.createDataFrame(newSegsClone.rdd, newSegsClone.schema)
         lap("delta-ckpt")
+        // one tiny agg over the checkpointed δ blocks feeds two driver
+        // decisions: the per-SIGNAL max count certifies the skipGrid
+        // hint below, and the total row count sizes the landing write —
+        // a tiny δ written at the stream's full shuffle width lands 32
+        // near-empty files per batch dir and every later batch re-pays
+        // their listing+footer cost when it re-reads history, while a
+        // bulk δ keeps its width (≈64k segment rows ≈ 10 MB per file)
+        val dRow = newSegs.groupBy(col("signal_id"))
+          .agg(count(lit(1)).as("c"))
+          .agg(max(col("c")), sum(col("c"))).first()
+        val maxDeltaPerSig = if (dRow.isNullAt(0)) 0L else dRow.getLong(0)
+        val deltaRows = if (dRow.isNullAt(1)) 0L else dRow.getLong(1)
+        val segFiles = math.max(1L, math.min(
+          newSegsClone.rdd.getNumPartitions.toLong,
+          (deltaRows + 65535L) / 65536L)).toInt
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
         val segsWrite = Future {
-          newSegs.withColumn("batch", lit(batchId))
+          newSegs.coalesce(segFiles).withColumn("batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch")
@@ -636,10 +651,7 @@ object Ingest {
           }
           // per-SIGNAL δ bound (the grid threshold is per signal, so the
           // total δ row count would never certify the skip on a wide
-          // fleet); one small agg job over the checkpointed δ blocks
-          val dRow = newSegs.groupBy(col("signal_id"))
-            .agg(count(lit(1)).as("c")).agg(max(col("c"))).first()
-          val maxDeltaPerSig = if (dRow.isNullAt(0)) 0L else dRow.getLong(0)
+          // fleet); computed by the landing-write sizing agg above
           val skipGrid =
             maxMAll + maxDeltaPerSig <= MotifDiscord.PruneAbove.toLong
           if (dbg) System.err.println(s"[profileStream] batch $batchId " +

@@ -491,10 +491,18 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     // them an exact twin of history seg 599
     def q(k: Long, jitter: Long): Array[Long] =
       (0 until 16).map(j => k * 1000L + (j % 3) + jitter).toArray
+    // signal 2 ramps through all-NEGATIVE quantized values (floor-based
+    // fixed-point quantization of negative readings): the pmod cell
+    // arithmetic must bucket negative chunk sums identically on the
+    // hot-cell and history sides
+    def qn(k: Long, jitter: Long): Array[Long] =
+      (0 until 16).map(j => (k - 700L) * 1000L + (j % 3) + jitter).toArray
     val histSegs = ((0 until 600).map { k =>
       val kk = k.toLong
       val vec = if (k == 41) q(40L, 0L) else q(kk, 0L)
       (1L, kk, vec)
+    } ++ (0 until 600).map { k =>
+      (2L, k.toLong, qn(k.toLong, 0L))
     }).toDF("signal_id", "seg", "qvals").localCheckpoint()
     // δ continues the drift locally: a jump (e.g. to the middle of the
     // range) would legitimately inflate the max-adjacent threshold and
@@ -503,7 +511,9 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     val delta = Seq(
       (1L, 600L, q(599L, 0L)),           // twin of history seg 599
       (1L, 601L, q(598L, 7L)),           // near history seg 598
-      (1L, 602L, q(601L, 3L)))           // one step past the history end
+      (1L, 602L, q(601L, 3L)),           // one step past the history end
+      (2L, 600L, qn(599L, 0L)),          // δ lands in NEGATIVE-s0 cells
+      (2L, 601L, qn(600L, 3L)))
       .toDF("signal_id", "seg", "qvals").localCheckpoint()
     val p0 = MotifDiscord.profileIncrementAuto(emptySegs, emptyProf,
       histSegs).localCheckpoint()
@@ -533,10 +543,10 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     val st = MotifDiscord.foldRouteState(
       MotifDiscord.routeStateOf(histSegs, p0), delta).localCheckpoint()
     val kept = MotifDiscord.gridPruneHistory(histSegs, delta, st)
-      .collect().map(_.getLong(1)).toSet
-    assert(kept.size < 60,
-      s"prune kept ${kept.size}/600 history rows — not a local cut")
-    assert(Seq(598L, 599L).forall(kept),
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.size < 80,
+      s"prune kept ${kept.size}/1200 history rows — not a local cut")
+    assert(Seq((1L, 598L), (1L, 599L), (2L, 598L), (2L, 599L)).forall(kept),
       s"δ's neighbor segments must survive the prune: $kept")
   }
 
