@@ -481,6 +481,14 @@ object Ingest {
     *    r11 scale defect). A work dir from before this layout falls back
     *    to a one-time batch derivation from the landed segments.
     *
+    * Profile and state snapshots older than `retainSnapshots` batches
+    * are deleted after each batch's writes commit (retention >= 1 keeps
+    * the replay invariant: prior = newest snapshot < batchId) — a
+    * long-lived stream would otherwise leak one O(m)-sized snapshot
+    * directory per micro-batch forever. The segment store is never
+    * pruned; it is the data, not a derived view. retainSnapshots <= 0
+    * disables pruning.
+    *
     * Exactness: profileIncrement over disjoint batches equals the batch
     * profile over the union (MotifDiscordSpec); segment ids from
     * segmentStream are per-signal monotone, so batches never overlap.
@@ -498,7 +506,8 @@ object Ingest {
                     segRows: Int = 16,
                     maxFilesPerTrigger: Int = 1,
                     budget: Long = graft.operators.MotifDiscord.RouteBudget,
-                    mod: Int = 4): StreamingQuery = {
+                    mod: Int = 4,
+                    retainSnapshots: Int = 8): StreamingQuery = {
     val segsDir = s"$workDir/segs"
     val profDir = s"$workDir/profile"
     val stateDir = s"$workDir/state"
@@ -690,6 +699,21 @@ object Ingest {
           throw t
         }
         inFlight.toList.foreach(f => Await.result(f, Duration.Inf))
+        // bounded snapshot RETENTION: profile/state are full snapshots
+        // per batch, so without pruning a long-lived stream leaks one
+        // O(m)-sized directory per micro-batch forever. Only snapshots
+        // older than (current - retainSnapshots) go — replay needs the
+        // newest snapshot < batchId, which retention >= 1 preserves, and
+        // the prune runs strictly AFTER this batch's writes committed,
+        // so a crash mid-prune replays against intact newer snapshots.
+        // The segment store is NOT pruned: it is the data, not a view.
+        if (retainSnapshots > 0) {
+          val cutoff = batchId - retainSnapshots.toLong
+          for (dir <- Seq(profDir, stateDir); b <- snapshots(dir)
+               if b < cutoff)
+            try fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$b"), true)
+            catch { case _: Throwable => () } // retry next batch
+        }
         lap("await-bg-writes")
       }
       .start()

@@ -153,14 +153,15 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     streamed.foreach { case (k, v) => assert(v == batch(k), s"segment $k differs") }
   }
 
-  test("streamed incremental matrix profile equals the batch profile") {
-    import graft.operators.MotifDiscord
+  /** Stage the events table as FOUR files quartiled by global
+    * (ts, event_id) order with ascending modification times: arrival
+    * order across micro-batches then matches seq_no order, so the
+    * streamed segmentation equals the batch segmentation and profile
+    * parity is end-to-end.
+    */
+  private def stageTiles(): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    // stage FOUR files quartiled by global (ts, event_id) order with
-    // ascending modification times: arrival order across micro-batches
-    // then matches seq_no order, so the streamed segmentation equals the
-    // batch segmentation and the profile parity is end-to-end
     val tiled = raw.withColumn("tile",
       ntile(4).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("ts"), col("event_id"))))
@@ -175,6 +176,12 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       Files.move(part.toPath, dst)
       dst.toFile.setLastModified(1700000000000L + t * 60000L)
     }
+    in
+  }
+
+  test("streamed incremental matrix profile equals the batch profile") {
+    import graft.operators.MotifDiscord
+    val in = stageTiles()
     val work = Files.createTempDirectory("graft-mp-work").toString
     val q = Ingest.profileStream(spark, in, work,
       Readings.SegmentRows.toInt, maxFilesPerTrigger = 1)
@@ -193,6 +200,37 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == batch,
       s"streamed profile (${streamed.size}) != batch profile (${batch.size})")
+  }
+
+  test("snapshot retention prunes old profile/state dirs and the served profile stays exact") {
+    import graft.operators.MotifDiscord
+    val in = stageTiles()
+    val work = Files.createTempDirectory("graft-mp-ret").toString
+    val q = Ingest.profileStream(spark, in, work,
+      Readings.SegmentRows.toInt, maxFilesPerTrigger = 1,
+      retainSnapshots = 1)
+    q.awaitTermination()
+    // 4 micro-batches, retain=1: after batch 3 the cutoff is 2, so only
+    // snapshot dirs batch=2 and batch=3 may remain for profile AND
+    // state; the segment store keeps ALL batch dirs (it is the data)
+    def ids(sub: String): Set[Long] =
+      new java.io.File(s"$work/$sub").listFiles()
+        .filter(_.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong).toSet
+    assert(ids("profile") == Set(2L, 3L),
+      s"profile snapshots not pruned to the retention window: ${ids("profile")}")
+    assert(ids("state") == Set(2L, 3L),
+      s"state snapshots not pruned to the retention window: ${ids("state")}")
+    assert(ids("segs") == Set(0L, 1L, 2L, 3L),
+      s"the segment store must never be pruned: ${ids("segs")}")
+    // the newest retained snapshot is the full, exact profile
+    val streamed = Ingest.readProfile(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = MotifDiscord.profile(
+        Segments.completeQuantized(Readings.of(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"retained snapshot (${streamed.size}) != batch profile (${batch.size})")
   }
 
   test("streamed profile on a dense signal under a tight budget equals the batch-routed profileAuto") {
