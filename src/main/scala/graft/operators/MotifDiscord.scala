@@ -256,10 +256,12 @@ object MotifDiscord {
   private def profileIncrementWithMax(existingSegs: DataFrame,
                                       existingProfile: DataFrame,
                                       newSegs: DataFrame,
-                                      pruneAbove: Int, maxM: Long): DataFrame =
+                                      pruneAbove: Int, maxM: Long,
+                                      thresh: Option[DataFrame] = None)
+      : DataFrame =
     if (maxM <= pruneAbove)
       memberIncrement(existingSegs, existingProfile, newSegs)
-    else repIncrement(existingSegs, existingProfile, newSegs)
+    else repIncrement(existingSegs, existingProfile, newSegs, thresh)
 
   /** The direct incremental route: member-level existing x new cross
     * join plus all-pairs among the batch — bounded by the router's
@@ -301,7 +303,8 @@ object MotifDiscord {
     */
   private def repIncrement(existingSegs: DataFrame,
                            existingProfile: DataFrame,
-                           newSegs: DataFrame): DataFrame = {
+                           newSegs: DataFrame,
+                           thresh: Option[DataFrame] = None): DataFrame = {
     // the new-batch ranked frame is checkpointed (the [[profile]]
     // pattern): nReps feeds three branches below, and without the cut
     // every reference re-executes the array-keyed sort window. The
@@ -313,14 +316,27 @@ object MotifDiscord {
     val nReps = n.filter(col("grk") === 1)
       .select(col("signal_id"), col("seg"), col("qvals"))
     // rep-level cross distances (equal vectors across sides meet as
-    // d = 0); each side's reps take their min keyed by their own seg
-    val cross = eReps
-      .select(col("signal_id"), col("seg").as("seg_a"), col("qvals").as("qa"))
-      .join(nReps.select(col("signal_id"), col("seg").as("seg_b"),
-          col("qvals").as("qb")),
-        Seq("signal_id"))
-      .select(col("signal_id"), col("seg_a"), col("seg_b"),
-        sqDistQ(col("qa"), col("qb")).as("d"))
+    // d = 0); each side's reps take their min keyed by their own seg.
+    // With a per-signal threshold available (the routed caller's folded
+    // max-adjacent t), the enumeration goes through the GRID instead of
+    // the full e x n / n x n products: a pair with chunk-sum lower
+    // bound > 4t has d > t >= every final minimum this fold can emit
+    // (an exact signal's nnd and old profile values are <= t; a
+    // once-sampled signal's rows only need to stay valid upper bounds),
+    // so pruning it changes nothing — the same argument, candidate
+    // superset and integer cell arithmetic as the batch pruned route.
+    // Without a threshold (the stateless profileIncrement API) the
+    // naive products stand.
+    val cross = thresh match {
+      case Some(t) => candidatePairs(eReps, nReps, t)
+      case None => eReps
+        .select(col("signal_id"), col("seg").as("seg_a"), col("qvals").as("qa"))
+        .join(nReps.select(col("signal_id"), col("seg").as("seg_b"),
+            col("qvals").as("qb")),
+          Seq("signal_id"))
+        .select(col("signal_id"), col("seg_a"), col("seg_b"),
+          sqDistQ(col("qa"), col("qb")).as("d"))
+    }
     val crossE = cross.groupBy(col("signal_id"), col("seg_a"))
       .agg(min(col("d")).as("d"))
       .select(col("signal_id"), col("seg_a").as("seg"), col("d"))
@@ -329,16 +345,23 @@ object MotifDiscord {
       .select(col("signal_id"), col("seg_b").as("seg"), col("d"))
     // within the new batch: every member of a duplicate group (rep
     // included) has an identical twin (d = 0); reps additionally take
-    // the min over the OTHER new reps, keyed by their own seg
+    // the min over the OTHER new reps, keyed by their own seg — the
+    // O(δ²)-per-signal product that the grid bounds for bulk batches
     val dupZero = n.filter(col("gcnt") >= 2)
       .select(col("signal_id"), col("seg"), lit(0L).as("d"))
-    val withinNew = nReps
-      .select(col("signal_id"), col("seg"), col("qvals").as("qa"))
-      .join(nReps.select(col("signal_id"), col("qvals").as("qb")),
-        Seq("signal_id"))
-      .where(col("qa") =!= col("qb"))
-      .groupBy(col("signal_id"), col("seg"))
-      .agg(min(sqDistQ(col("qa"), col("qb"))).as("d"))
+    val withinNew = thresh match {
+      case Some(t) => candidatePairs(nReps, nReps, t)
+        .groupBy(col("signal_id"), col("seg_a"))
+        .agg(min(col("d")).as("d"))
+        .select(col("signal_id"), col("seg_a").as("seg"), col("d"))
+      case None => nReps
+        .select(col("signal_id"), col("seg"), col("qvals").as("qa"))
+        .join(nReps.select(col("signal_id"), col("qvals").as("qb")),
+          Seq("signal_id"))
+        .where(col("qa") =!= col("qb"))
+        .groupBy(col("signal_id"), col("seg"))
+        .agg(min(sqDistQ(col("qa"), col("qb"))).as("d"))
+    }
     val oldRows = existingProfile
       .select(col("signal_id"), col("seg"), col("nnd_q").as("d"))
     oldRows.unionByName(crossE).unionByName(crossN)
@@ -854,13 +877,23 @@ object MotifDiscord {
     // cell neighborhoods (see [[gridPruneHistory]] for exactness)
     def eForCross(e: DataFrame, n: DataFrame): DataFrame =
       if (probe.maxMExact > pruneAbove) gridPruneHistory(e, n, state) else e
+    // the folded per-signal threshold also routes the rep fold's pair
+    // enumeration through the grid (see repIncrement) past the member
+    // cap — the within-batch δ² product and the e x n rep cross both
+    // become candidate-bounded
+    val repThresh: Option[DataFrame] =
+      if (probe.maxMExact > pruneAbove)
+        Some(state.filter(col("kind") === "sig" && col("touched") &&
+            col("t").isNotNull)
+          .select(col("signal_id"), col("t")))
+      else None
     // FAST PATH — every signal touched, exact-routed, and historically
     // exact (the budget-clean steady state): the fold needs no per-signal
     // flag joins at all, and the exact column is a literal
     if (probe.dense == 0 && probe.untouched == 0 && probe.allExact)
       return profileIncrementWithMax(eForCross(existingSegs, newSegs),
         existingProfile.select(col("signal_id"), col("seg"), col("nnd_q")),
-        newSegs, pruneAbove, probe.maxMExact)
+        newSegs, pruneAbove, probe.maxMExact, repThresh)
         .withColumn("exact", lit(true))
     val flags = broadcast(state
       .filter(col("kind") === "sig" && col("touched"))
@@ -875,7 +908,8 @@ object MotifDiscord {
         val nExact = side(newSegs, dense = false)
         Some(profileIncrementWithMax(
           eForCross(side(existingSegs, dense = false), nExact),
-          side(prof, dense = false), nExact, pruneAbove, probe.maxMExact))
+          side(prof, dense = false), nExact, pruneAbove, probe.maxMExact,
+          repThresh))
       } else None
     val densePart =
       if (probe.dense > 0) Some(sampledIncrement(
