@@ -388,17 +388,26 @@ object Bench {
     // rows tripped). o1_scan is the stable scan canary — scale every
     // row's threshold by its current/prior ratio, clamped >= 1 so a FAST
     // host never loosens the guard below the plain 2x.
+    // the ratio is clamped to [1, 3]: below 1 a FAST host must not
+    // loosen the guard, and above 3 the "host factor" explanation is
+    // itself suspect (measured swings are 1.5-2x) — a larger reading
+    // caps the scaling so a genuinely broken scan path cannot grant
+    // every other query a free pass. The canary NEVER scales its own
+    // threshold (it would be self-certifying: med > 2*med is never
+    // true), so an o1_scan regression still trips at the plain 2x.
     val canaryRatio: Double = (for {
       cur <- results.find(_.name == "o1_scan").filter(_.err.isEmpty).map(_.med)
       p <- priorMap.get("o1_scan")
       if p > 0.0
-    } yield math.max(1.0, cur / p)).getOrElse(1.0)
+    } yield math.min(3.0, math.max(1.0, cur / p))).getOrElse(1.0)
     if (canaryRatio > 1.05) System.err.println(
       f"[bench] o1_scan canary at ${canaryRatio}%.2fx prior - " +
-        "trip thresholds scaled accordingly")
+        "trip thresholds scaled accordingly (canary itself unscaled)")
     val tripped = results.filter(r =>
-      priorMap.get(r.name).exists(p =>
-        r.err.isEmpty && r.med > 2 * p * canaryRatio + 0.25))
+      priorMap.get(r.name).exists { p =>
+        val scale = if (r.name == "o1_scan") 1.0 else canaryRatio
+        r.err.isEmpty && r.med > 2 * p * scale + 0.25
+      })
     // storm guard: when MANY queries trip at once the cause is a global
     // host slowdown (Firecracker noisy neighbor — measured 2-3x swings),
     // not per-query regressions; isolated reruns would also run slow and

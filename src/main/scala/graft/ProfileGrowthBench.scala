@@ -21,6 +21,11 @@ object ProfileGrowthBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // recentProgress is a bounded ring (default 100): a replay with
+      // more slices than that would silently drop the EARLIEST batches
+      // and mislabel m_before from the truncated head — raise the cap
+      // far past any growth-curve replay this harness stages
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()

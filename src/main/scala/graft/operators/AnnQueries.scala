@@ -336,9 +336,15 @@ object AnnQueries {
       val feat = emb(s, d).select(col("vec_id"), col("label"),
         array_to_vector(col("embedding").cast("array<double>")).as("features"))
       // publishes the fit for emb_kmeans_check (FitCache): the companion
-      // verifies THIS model's invariants without re-training it
+      // verifies THIS model's invariants without re-training it. The
+      // published copy is SUMMARY-FREE: the fitted model's training
+      // summary holds a predictions DataFrame that strongly references
+      // the owning SparkSession, and a WeakHashMap value that references
+      // its key pins the entry forever — the copy keeps uid, params and
+      // cluster centers (all the companion reads) and drops the summary
       val model = graft.ml.FitCache.put(s, s"embKmeans:$d")(
-        new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat))
+        new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat)
+          .copy(org.apache.spark.ml.param.ParamMap.empty))
       val pts = model.transform(feat)
         .select(lit("pt").as("kind"), col("vec_id").as("id"),
           col("prediction").cast("long").as("cluster"),

@@ -40,6 +40,19 @@ object MotifDiscord {
   private val ChunkRows = 4
   private def nChunks: Int = (Readings.SegmentRows / ChunkRows).toInt
 
+  /** Grid width under a (squared-L2) threshold t and the cell of a
+    * first-chunk sum under that width — THE single implementation of
+    * the class doc's cell arithmetic. Every grid site (candidatePairs,
+    * routePlanOf, foldRouteState, gridPruneHistory) must share these
+    * two formulas: the exactness proofs rest on all sides of every
+    * grid join bucketing identically, and a drifted copy would break
+    * the candidate-superset guarantee silently rather than visibly.
+    */
+  private def gridWidth(t: Column): Column =
+    (floor(lit(2.0) * sqrt(t.cast("double"))) + 1).cast("long")
+  private def gridCell(s0: Column, w: Column): Column =
+    ((s0 - pmod(s0, w)) / w).cast("long")
+
   /** Segment rows + integer chunk sums s_0..s_{k-1} of qvals. */
   private[graft] def withChunkSums(segs: DataFrame): DataFrame =
     (0 until nChunks).foldLeft(segs) { (df, i) =>
@@ -75,12 +88,10 @@ object MotifDiscord {
     */
   private[graft] def candidatePairs(aSegs: DataFrame, bSegs: DataFrame,
                                     thresh: DataFrame): DataFrame = {
-    val withW = thresh.withColumn("w",
-      (floor(lit(2.0) * sqrt(col("t").cast("double"))) + 1).cast("long"))
+    val withW = thresh.withColumn("w", gridWidth(col("t")))
     def sumsOf(df: DataFrame) =
       withChunkSums(df).join(broadcast(withW), "signal_id")
-        .withColumn("cell",
-          ((col("s_0") - pmod(col("s_0"), col("w"))) / col("w")).cast("long"))
+        .withColumn("cell", gridCell(col("s_0"), col("w")))
     val aCols = Seq(col("signal_id"), col("seg").as("seg_a"),
       col("qvals").as("qa"), col("t")) ++
       (0 until nChunks).map(i => col(s"s_$i").as(s"sa_$i")) :+
@@ -737,13 +748,10 @@ object MotifDiscord {
     // branch therefore folds an empty frame
     val withW = sigMerged.filter(col("touched") && col("t").isNotNull &&
         col("m") > pruneAbove)
-      .select(col("signal_id"),
-        (floor(lit(2.0) * sqrt(col("t").cast("double"))) + 1)
-          .cast("long").as("w"))
+      .select(col("signal_id"), gridWidth(col("t")).as("w"))
     val cellStruct = "array<struct<cell:bigint,ca:bigint,cb:bigint>>"
     val grid = grpNew.join(broadcast(withW), Seq("signal_id"))
-      .withColumn("cell",
-        ((col("s0") - pmod(col("s0"), col("w"))) / col("w")).cast("long"))
+      .withColumn("cell", gridCell(col("s0"), col("w")))
       .select(col("signal_id"), explode(concat(
         array(struct(col("cell").as("cell"), lit(0L).as("ca"),
           lit(1L).as("cb"))),
@@ -826,21 +834,17 @@ object MotifDiscord {
                                       state: DataFrame): DataFrame = {
     val withW = state
       .filter(col("kind") === "sig" && col("touched") && col("t").isNotNull)
-      .select(col("signal_id"),
-        (floor(lit(2.0) * sqrt(col("t").cast("double"))) + 1)
-          .cast("long").as("w"))
-    def cellOf(s0: Column, w: Column): Column =
-      ((s0 - pmod(s0, w)) / w).cast("long")
+      .select(col("signal_id"), gridWidth(col("t")).as("w"))
     val hot = newSegs.join(broadcast(withW), Seq("signal_id"))
       .select(col("signal_id"),
-        cellOf(chunk0Sum(col("qvals")), col("w")).as("cell"))
+        gridCell(chunk0Sum(col("qvals")), col("w")).as("cell"))
       .select(col("signal_id"),
         explode(array(col("cell") - 1, col("cell"), col("cell") + 1))
           .as("cell"))
       .distinct()
     existingSegs.join(broadcast(withW), Seq("signal_id"), "left")
       .withColumn("cell",
-        when(col("w").isNotNull, cellOf(chunk0Sum(col("qvals")), col("w"))))
+        when(col("w").isNotNull, gridCell(chunk0Sum(col("qvals")), col("w"))))
       .join(broadcast(hot.withColumn("hit", lit(true))),
         Seq("signal_id", "cell"), "left")
       // a touched signal with t null has no history rows (t is non-null
@@ -993,13 +997,11 @@ object MotifDiscord {
         sum(when(col("grk") === 1, 1L).otherwise(0L)).as("n_reps"))
     val withW = adjacentPairs(sc).groupBy(col("signal_id"))
       .agg(max(col("adj_d")).as("t"))
-      .withColumn("w",
-        (floor(lit(2.0) * sqrt(col("t").cast("double"))) + 1).cast("long"))
+      .withColumn("w", gridWidth(col("t")))
     // same cell arithmetic as candidatePairs, but folded to counts
     def cells(df: DataFrame) =
       withChunkSums(df).join(broadcast(withW), "signal_id")
-        .withColumn("cell",
-          ((col("s_0") - pmod(col("s_0"), col("w"))) / col("w")).cast("long"))
+        .withColumn("cell", gridCell(col("s_0"), col("w")))
     val aCells = cells(ranked.filter(col("gcnt") === 1))
       .select(col("signal_id"),
         explode(array(col("cell") - 1, col("cell"), col("cell") + 1))
