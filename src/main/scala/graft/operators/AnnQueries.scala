@@ -45,6 +45,14 @@ object AnnQueries {
   // sf0.001/0.01/0.1 (floor 0.85 in AnnSpec)
   private val QuantScale = 64.0
 
+  // Johnson–Lindenstrauss random projection: 64 -> 16 dims over the same
+  // deterministic integer LCG plane family as sign-LSH (oracle-exact).
+  // The reduced space alone is the shortlist pass; the production shape
+  // is rerank (RpShortlist reduced-space candidates re-ranked by exact
+  // full-space cosine — recall floors asserted in AnnSpec).
+  private val RpDim = 32
+  private val RpShortlist = 100
+
   private def ivfCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Double])] =
     emb(s, d).filter(col("vec_id") < NCells).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -265,6 +273,43 @@ object AnnQueries {
         .select(col("probe_id"), col("cand_id")),
       Seq("probe_id", "cand_id"))),
 
+    // JL random projection of every embedding, dumped one component per
+    // row (the array itself would be unsortable in the harness's
+    // canonical-sort compare) — pins the map-only reduction transform
+    // itself, independent of any downstream ranking
+    "emb_project" -> ((s, d) =>
+      emb(s, d).select(col("vec_id"),
+          posexplode(Similarity.rpProject(col("embedding"),
+            Similarity.lcgPlanes(RpDim, Dim))).as(Seq("dim_j", "comp")))
+        .select(col("vec_id"), col("dim_j").cast("long").as("dim_j"),
+          round(col("comp"), 6).as("comp"))),
+
+    // top-k ranked entirely in the 16-dim reduced space (the shortlist
+    // pass measured alone)
+    "ann_rp" -> ((s, d) =>
+      Similarity.rpTopK(probes(s, d), corpus(s, d), TopK, RpDim, Dim)),
+
+    "ann_rp_recall" -> ((s, d) => recallSummary(
+      Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id")),
+      Similarity.rpTopK(probes(s, d), corpus(s, d), TopK, RpDim, Dim)
+        .select(col("probe_id"), col("cand_id")),
+      Seq("probe_id", "cand_id"))),
+
+    // coarse-to-fine: reduced-space shortlist, exact full-space rerank —
+    // the deployment shape (arithmetic set by r, recall by the shortlist)
+    "ann_rp_rerank" -> ((s, d) =>
+      Similarity.rpRerankTopK(probes(s, d), corpus(s, d), TopK,
+        RpShortlist, RpDim, Dim)),
+
+    "ann_rp_rerank_recall" -> ((s, d) => recallSummary(
+      Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id")),
+      Similarity.rpRerankTopK(probes(s, d), corpus(s, d), TopK,
+          RpShortlist, RpDim, Dim)
+        .select(col("probe_id"), col("cand_id")),
+      Seq("probe_id", "cand_id"))),
+
     "emb_norm" -> ((s, d) =>
       emb(s, d).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
@@ -456,6 +501,39 @@ object AnnQueries {
        |  SELECT probe_id, cand_id, sim,
        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk
        |  FROM ls
+       |)""".stripMargin
+
+  // RP oracle: regenerate the deterministic 16x64 projection planes and
+  // the reduced vectors in DuckDB (list_dot_product per component is the
+  // same sequential fold as graft_dot, so the reduced doubles are
+  // bit-identical), then rank in the reduced space
+  private def rpPlanesSql: String =
+    Similarity.lcgPlanes(RpDim, Dim)
+      .map(p => p.map(_.toLong).mkString("[", ",", "]::DOUBLE[]"))
+      .mkString("[", ", ", "]")
+
+  private def rpCte: String =
+    s"""WITH rpt AS (SELECT $rpPlanesSql AS rp),
+       |p AS (
+       |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+       |  FROM embeddings WHERE vec_id < 10
+       |), c AS (
+       |  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce FROM embeddings
+       |), pr AS (
+       |  SELECT probe_id, pe,
+       |    [list_dot_product(pe, rp[i]) for i in range(1, ${RpDim + 1})] AS rpv
+       |  FROM p CROSS JOIN rpt
+       |), cr AS (
+       |  SELECT cand_id, ce,
+       |    [list_dot_product(ce, rp[i]) for i in range(1, ${RpDim + 1})] AS rcv
+       |  FROM c CROSS JOIN rpt
+       |), rs AS (
+       |  SELECT probe_id, cand_id, ${cosSql("rpv", "rcv")} AS sim_r
+       |  FROM pr, cr WHERE probe_id <> cand_id
+       |), rr AS (
+       |  SELECT probe_id, cand_id, sim_r, CAST(row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY sim_r DESC, cand_id) AS BIGINT) AS rnk
+       |  FROM rs
        |)""".stripMargin
 
   // shared CTE for the pair queries: every embedding with its exact
@@ -680,6 +758,64 @@ object AnnQueries {
          |  SELECT probe_id, cand_id FROM fr WHERE rnk <= $TopK
          |)
          |${recallTailSql("quant", "probe_id", "cand_id")}""".stripMargin,
+
+    "emb_project" ->
+      s"""WITH rpt AS (SELECT $rpPlanesSql AS rp),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         |SELECT vec_id, CAST(t.j AS BIGINT) AS dim_j,
+         |  round(list_dot_product(e, rp[t.j + 1]), 6) AS comp
+         |FROM e CROSS JOIN rpt, range(0, $RpDim) t(j)""".stripMargin,
+
+    "ann_rp" ->
+      s"$rpCte\nSELECT probe_id, cand_id, sim_r, rnk FROM rr WHERE rnk <= $TopK",
+
+    "ann_rp_recall" ->
+      s"""$rpCte, rp10 AS (
+         |  SELECT probe_id, cand_id FROM rr WHERE rnk <= $TopK
+         |), bs AS (
+         |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+         |  FROM p, c WHERE probe_id <> cand_id
+         |), br AS (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM bs
+         |), brute AS (SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK)
+         |${recallTailSql("rp10", "probe_id", "cand_id")}""".stripMargin,
+
+    "ann_rp_rerank" ->
+      s"""$rpCte, sl AS (
+         |  SELECT probe_id, cand_id FROM rr WHERE rnk <= $RpShortlist
+         |), fx AS (
+         |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+         |  FROM sl JOIN p USING (probe_id) JOIN c USING (cand_id)
+         |), fr AS (
+         |  SELECT probe_id, cand_id, sim, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM fx
+         |)
+         |SELECT probe_id, cand_id, sim, rnk FROM fr WHERE rnk <= $TopK""".stripMargin,
+
+    "ann_rp_rerank_recall" ->
+      s"""$rpCte, sl AS (
+         |  SELECT probe_id, cand_id FROM rr WHERE rnk <= $RpShortlist
+         |), fx AS (
+         |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+         |  FROM sl JOIN p USING (probe_id) JOIN c USING (cand_id)
+         |), fr AS (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM fx
+         |), rrk AS (
+         |  SELECT probe_id, cand_id FROM fr WHERE rnk <= $TopK
+         |), bs AS (
+         |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+         |  FROM p, c WHERE probe_id <> cand_id
+         |), br AS (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM bs
+         |), brute AS (SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK)
+         |${recallTailSql("rrk", "probe_id", "cand_id")}""".stripMargin,
 
     "ann_ivf" ->
       s"$ivfCte\nSELECT probe_id, cand_id, sim, rnk FROM ivr WHERE rnk <= $TopK",

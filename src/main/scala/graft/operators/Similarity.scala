@@ -399,6 +399,67 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Johnson–Lindenstrauss random projection: reduced[i] = <v, plane_i>
+    * over the SAME deterministic integer LCG plane family as sign-LSH
+    * (lcgPlanes), so the SQL oracle regenerates the projection exactly —
+    * a seeded-Gaussian matrix would not be cross-engine reproducible.
+    * JL lemma: r = O(log n / eps²) mean-zero random directions preserve
+    * pairwise angles to within eps; the integer planes are mean-zero and
+    * independent across coordinates, which is what the bound needs.
+    *
+    * Scale shape: map-only (no shuffle, no row amplification), vectors
+    * shrink d -> r, every downstream dot product costs r instead of d
+    * multiply-adds. At 100 TB the projection runs ONCE at ingest and the
+    * ANN tier stores/scans only the reduced vectors; the full-resolution
+    * column is touched again only by the rerank fetch.
+    */
+  def rpProject(v: Column, planes: Seq[Seq[Double]]): Column =
+    array(planes.map(p => dot(v.cast("array<double>"), typedLit(p))): _*)
+
+  /** Brute-force cosine top-k entirely in the reduced space — the
+    * shortlist pass of a coarse-to-fine deployment, registered alone so
+    * its rank quality is oracle-visible. Only (probe, cand, sim_r) rows
+    * reach the ranking shuffle: the d-dim originals never leave the scan.
+    */
+  def rpTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+             rDim: Int, dim: Int): DataFrame = {
+    val planes = lcgPlanes(rDim, dim)
+    val pr = probes.select(col("probe_id"), rpProject(col("pe"), planes).as("rp"))
+      .withColumn("pn", l2(col("rp")))
+    val cr = corpus.select(col("cand_id"), rpProject(col("ce"), planes).as("rc"))
+      .withColumn("cn", l2(col("rc")))
+    val joined = cr.join(broadcast(pr), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(dot(col("rp"), col("rc")) / (col("pn") * col("cn")), 6).as("sim_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim_r").desc, col("cand_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Coarse-to-fine ANN: shortlist `shortlist` candidates per probe in
+    * the reduced space, then rank ONLY the shortlist by exact full-space
+    * cosine. The reduced pass scans r-dim vectors; the full-space fetch
+    * is a broadcast semi-join of the tiny (probe, cand) shortlist against
+    * the corpus — map-only over the second scan, so the d-dim vectors are
+    * read for shortlist·|probes| rows, never shuffled corpus-wide. This
+    * is the production shape the ann_rp row alone would misrepresent:
+    * recall is set by the shortlist width, arithmetic by r.
+    */
+  def rpRerankTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                   shortlist: Int, rDim: Int, dim: Int): DataFrame = {
+    val shortIds = rpTopK(probes, corpus, shortlist, rDim, dim)
+      .select(col("probe_id"), col("cand_id"))
+    val fetched = corpus.join(broadcast(shortIds), Seq("cand_id"))
+      .join(broadcast(probes.withColumn("pn", l2(col("pe")))), Seq("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(dot(col("pe"), col("ce")) / (col("pn") * l2(col("ce"))), 6).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    fetched.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** M1 — 1-NN classification: each test vector takes the label of its
     * nearest train vector (squared-euclidean, tiebreak smallest id) —
     * reference knn/mod.rs:310 `classify` semantics on Spark primitives.
