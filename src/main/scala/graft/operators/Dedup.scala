@@ -415,16 +415,57 @@ object Dedup {
         (col("doc_id") === col("component")).as("keeper"))
   }
 
-  /** Size-routed components: plain propagation below `starThreshold`
-    * edges (diameter-bounded dup clusters — fewer jobs), star steps
-    * above (diameter-independent O(log² n) rounds). The routing count is
-    * a single scalar aggregate over the pair set.
+  /** Driver union-find for SMALL pair sets — the third routing tier.
+    * Every distributed CC pass costs a fixed scheduler/shuffle overhead
+    * per iteration regardless of data size; below ~1e5 edges that
+    * overhead IS the cost (a 2k-edge dup graph pays 4 multi-job passes
+    * to move kilobytes). Union-find over one bounded collect computes
+    * the identical min-label components in milliseconds. The collect is
+    * gated by the caller's exact edge COUNT (never a guess), so at
+    * 100 TB — where near-dup pair sets are billions — the router sends
+    * the graph to propagation/star and this path is never entered:
+    * the same bounded-route discipline as TsQuery.percentileAuto.
+    * Union-by-min-root = component id is the min reachable doc id,
+    * byte-identical to the distributed routes (DedupSpec asserts).
+    */
+  def connectedComponentsLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.sorted.map(d => (d, find(d))).toDF("doc_id", "component")
+      .withColumn("keeper", col("doc_id") === col("component"))
+  }
+
+  /** Size-routed components: driver union-find below `localThreshold`
+    * edges (fixed per-pass scheduler overhead dominates there), plain
+    * propagation up to `starThreshold` (diameter-bounded dup clusters —
+    * fewer jobs), star steps above (diameter-independent O(log² n)
+    * rounds). The routing counts are a single scalar aggregate over the
+    * pair set — routing happens IN CODE on measured size, never by
+    * configuration faith.
     */
   def connectedComponentsAuto(pairs: DataFrame,
-                              starThreshold: Long = 10000000L): DataFrame = {
+                              starThreshold: Long = 10000000L,
+                              localThreshold: Long = 100000L): DataFrame = {
     val cached = pairs.cache()
     val edgeCount = cached.count()
     if (edgeCount >= starThreshold) connectedComponentsStar(cached)
+    else if (edgeCount <= math.min(localThreshold, starThreshold - 1))
+      connectedComponentsLocal(cached)
     else connectedComponents(cached)
   }
 }

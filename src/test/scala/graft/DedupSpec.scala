@@ -195,6 +195,16 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     // the size router picks propagation below threshold, star above
     assert(norm(Dedup.connectedComponentsAuto(mixed, starThreshold = 1L)) ==
       norm(Dedup.connectedComponents(mixed)))
+    // the driver union-find route equals both distributed routes on
+    // every stress shape and on the real LSH pairs (it is the route the
+    // auto router takes below localThreshold)
+    for (pairs <- Seq(chain, star, mixed, lsh))
+      assert(norm(Dedup.connectedComponentsLocal(pairs)) ==
+        norm(Dedup.connectedComponents(pairs)))
+    // router boundaries: local below localThreshold, propagation between
+    assert(norm(Dedup.connectedComponentsAuto(mixed,
+        starThreshold = 1000L, localThreshold = 0L)) ==
+      norm(Dedup.connectedComponentsLocal(mixed)))
   }
 
   test("quality-aware dedup keeps the longest cluster member, not the min id") {
