@@ -261,6 +261,274 @@ case class Fnv32(left: Expression, right: Expression) extends BinaryExpression {
   * Codegen'd nested loop; the squared-L2 fold is index-ascending, so the
   * DuckDB oracle reproduces the argmin bit-for-bit.
   */
+/** Johnson–Lindenstrauss projection as ONE native expression: out[i] =
+  * <v, planes[i]> for every plane, computed in a single tight loop pair.
+  * The per-plane accumulation is the same sequential left fold as
+  * [[VecDot]] / DuckDB's list_dot_product (j ascending, float widened to
+  * double before multiply), so the projected doubles are bit-identical
+  * to the oracle's.
+  *
+  * Why an expression and not `array(dot, dot, ...)`: the 32-column array
+  * form is re-INLINED by projection collapse into every downstream
+  * consumer (a Voronoi assignment references its input ~2·ncells times),
+  * exploding the generated code past the JIT/codegen limits and dropping
+  * the stage to interpreted evaluation — measured 10x on the RP-IVF
+  * shortlist join. One opaque expression keeps each re-evaluation a
+  * single compiled loop.
+  */
+case class RpProject(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_rp_project"
+  private def r = planes.length
+  private def dim = planes(0).length
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elementType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${child.dataType.catalogString}")
+  }
+
+  private def containsNull: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  // short vectors and null elements fail loudly (the PqEncode policy):
+  // primitive getters would read a null slot as 0.0 and project silently
+  // wrong values
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector has ${a.numElements()} elements, planes need $dim")
+    if (containsNull) {
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i")
+        i += 1
+      }
+    }
+    val isFloat = elementType == FloatType
+    val out = new Array[Double](r)
+    var pi = 0
+    while (pi < r) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        s += x * planes(pi)(j)
+        j += 1
+      }
+      out(pi) = s
+      pi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = elementType match {
+      case FloatType => "getFloat"
+      case _ => "getDouble"
+    }
+    val pl = ctx.addReferenceObj("rpPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val pi = ctx.freshName("pi")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val nullCheck = if (containsNull) {
+        val ni = ctx.freshName("ni")
+        s"""
+           |for (int $ni = 0; $ni < $dim; $ni++) {
+           |  if ($a.isNullAt($ni)) throw new IllegalArgumentException(
+           |    "graft_rp_project: null element at index " + $ni);
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |if ($a.numElements() < $dim) {
+         |  throw new IllegalArgumentException(
+         |    "graft_rp_project: vector has " + $a.numElements() +
+         |    " elements, planes need $dim");
+         |}
+         |$nullCheck
+         |double[] $out = new double[$r];
+         |for (int $pi = 0; $pi < $r; $pi++) {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    $s += ((double) $a.$getter($j)) * $pl[$pi][$j];
+         |  }
+         |  $out[$pi] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): RpProject =
+    copy(child = c)
+}
+
+/** Voronoi cell assignment as ONE native expression: argmax over cells
+  * of round(<v,c_i>/(|v|·|c_i|), 6), ties to the SMALLEST index —
+  * bit-identical to the `array_max(array(struct(cosine, -i)))` column
+  * formula it replaces (same sequential dot fold, centroid norms
+  * precomputed with the same fold Catalyst const-folds `l2(lit(c))` to,
+  * and the same HALF_UP decimal rounding Spark's Round applies to
+  * doubles; VoronoiCellSpec asserts equality row-for-row).
+  *
+  * Why an expression: the cell is a JOIN KEY in every IVF-family path,
+  * and the inferred `isnotnull(cell)` predicate is pushed below the
+  * projection with the FULL column formula substituted — 16 struct
+  * cosines each re-inlining their input's derivation (~50 evaluations of
+  * the projection per row) — which blows past the codegen method limit
+  * and drops the scan stage to interpreted evaluation (measured 10x on
+  * the RP-IVF shortlist join, and a tax on every ann_ivf* row). As one
+  * opaque expression the pushed filter costs one compiled loop.
+  */
+case class VoronoiCell(child: Expression, centroids: Array[Array[Double]],
+                       cnorms: Array[Double], ids: Array[Int])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_voronoi_cell"
+  private def k = centroids.length
+  private def dim = centroids(0).length
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private def elementType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${child.dataType.catalogString}")
+  }
+
+  private def containsNull: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector has ${a.numElements()} elements, centroids need $dim")
+    if (containsNull) {
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i")
+        i += 1
+      }
+    }
+    val isFloat = elementType == FloatType
+    var vn = 0.0
+    var j = 0
+    while (j < dim) {
+      val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      vn += x * x
+      j += 1
+    }
+    vn = math.sqrt(vn)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var ci = 0
+    while (ci < k) {
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        d += x * centroids(ci)(i)
+        i += 1
+      }
+      val s = VoronoiCell.round6(d / (vn * cnorms(ci)))
+      if (s > bestScore) { bestScore = s; best = ci }
+      ci += 1
+    }
+    ids(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = elementType match {
+      case FloatType => "getFloat"
+      case _ => "getDouble"
+    }
+    val cents = ctx.addReferenceObj("voronoiCents", centroids, "double[][]")
+    val norms = ctx.addReferenceObj("voronoiNorms", cnorms, "double[]")
+    val idArr = ctx.addReferenceObj("voronoiIds", ids, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val vn = ctx.freshName("vn")
+      val j = ctx.freshName("j")
+      val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val nullCheck = if (containsNull) {
+        val ni = ctx.freshName("ni")
+        s"""
+           |for (int $ni = 0; $ni < $dim; $ni++) {
+           |  if ($a.isNullAt($ni)) throw new IllegalArgumentException(
+           |    "graft_voronoi_cell: null element at index " + $ni);
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |if ($a.numElements() < $dim) {
+         |  throw new IllegalArgumentException(
+         |    "graft_voronoi_cell: vector has " + $a.numElements() +
+         |    " elements, centroids need $dim");
+         |}
+         |$nullCheck
+         |double $vn = 0.0;
+         |for (int $j = 0; $j < $dim; $j++) {
+         |  double __x = ((double) $a.$getter($j));
+         |  $vn += __x * __x;
+         |}
+         |$vn = Math.sqrt($vn);
+         |int $best = 0;
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |for (int $ci = 0; $ci < $k; $ci++) {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $d += ((double) $a.$getter($i)) * $cents[$ci][$i];
+         |  }
+         |  double $s = graft.functions.VoronoiCell.round6($d / ($vn * $norms[$ci]));
+         |  if ($s > $bestScore) { $bestScore = $s; $best = $ci; }
+         |}
+         |${ev.value} = $idArr[$best];
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): VoronoiCell =
+    copy(child = c)
+}
+
+object VoronoiCell {
+  /** Spark's Round(_, 6) on a double: HALF_UP decimal rounding, with
+    * NaN/Infinity passed through (BigDecimal.valueOf would throw).
+    */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
 case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
     extends UnaryExpression {
   override def prettyName: String = "graft_pq_encode"

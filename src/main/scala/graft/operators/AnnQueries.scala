@@ -45,17 +45,34 @@ object AnnQueries {
   // sf0.001/0.01/0.1 (floor 0.85 in AnnSpec)
   private val QuantScale = 64.0
 
-  // Johnson–Lindenstrauss random projection: 64 -> 16 dims over the same
+  // Johnson–Lindenstrauss random projection: 64 -> 32 dims over the same
   // deterministic integer LCG plane family as sign-LSH (oracle-exact).
-  // The reduced space alone is the shortlist pass; the production shape
-  // is rerank (RpShortlist reduced-space candidates re-ranked by exact
-  // full-space cosine — recall floors asserted in AnnSpec).
+  // The reduced space alone is the shortlist pass; the production shapes
+  // are rerank (RpShortlist reduced-space candidates re-ranked by exact
+  // full-space cosine) and RP-IVF (reduced Voronoi cells prune WHICH
+  // vectors are scanned, RP shrinks WHAT is scanned per vector) —
+  // measured recalls 0.42-0.51 / 0.39-0.43 on the isotropic worst case,
+  // floors asserted in AnnSpec.
   private val RpDim = 32
   private val RpShortlist = 100
 
   private def ivfCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Double])] =
     emb(s, d).filter(col("vec_id") < NCells).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+
+  /** Reduced-space IVF centroids: the projections of the SAME first
+    * NCells vectors the flat codebook uses, computed through the SAME
+    * codegen'd projection expressions the query path runs (a bounded
+    * NCells-row collect) — so the SQL oracle's projected-codebook is
+    * double-identical by construction, with zero driver-side arithmetic
+    * to keep in sync.
+    */
+  private def rpIvfCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Double])] =
+    emb(s, d).filter(col("vec_id") < NCells).orderBy(col("vec_id"))
+      .select(col("vec_id"),
+        Similarity.rpProject(col("embedding"),
+          Similarity.lcgPlanes(RpDim, Dim)).as("r"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
 
   /** The ann_ivf_store query split at the index boundary, so the bench
@@ -310,6 +327,24 @@ object AnnQueries {
         .select(col("probe_id"), col("cand_id")),
       Seq("probe_id", "cand_id"))),
 
+    // RP-IVF: reduced vectors Voronoi-bucketed against reduced centroids,
+    // probes search nProbe reduced cells for the shortlist, exact
+    // full-space rerank — IVF prunes WHICH vectors are scanned, RP
+    // shrinks WHAT is scanned per vector
+    "ann_rp_ivf" -> ((s, d) =>
+      Similarity.rpIvfTopK(probes(s, d), corpus(s, d), TopK,
+        Similarity.lcgPlanes(RpDim, Dim), rpIvfCentroids(s, d),
+        NProbe, RpShortlist)),
+
+    "ann_rp_ivf_recall" -> ((s, d) => recallSummary(
+      Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id")),
+      Similarity.rpIvfTopK(probes(s, d), corpus(s, d), TopK,
+          Similarity.lcgPlanes(RpDim, Dim), rpIvfCentroids(s, d),
+          NProbe, RpShortlist)
+        .select(col("probe_id"), col("cand_id")),
+      Seq("probe_id", "cand_id"))),
+
     "emb_norm" -> ((s, d) =>
       emb(s, d).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
@@ -534,6 +569,44 @@ object AnnQueries {
        |  SELECT probe_id, cand_id, sim_r, CAST(row_number() OVER (
        |    PARTITION BY probe_id ORDER BY sim_r DESC, cand_id) AS BIGINT) AS rnk
        |  FROM rs
+       |)""".stripMargin
+
+  // RP-IVF oracle: reduced centroids = the projected first-NCells vectors
+  // (taken straight from cr, so they are the very same list_dot_product
+  // folds), reduced Voronoi assignment + probe-cell ranking with the
+  // ivfCte tie-breaks, reduced-cosine shortlist, exact full-space rerank
+  private def rpIvfCte: String =
+    s"""$rpCte, rcents AS (
+       |  SELECT CAST(cand_id AS BIGINT) AS cell, rcv AS rcent
+       |  FROM cr WHERE cand_id < $NCells
+       |), rasg AS (
+       |  SELECT cand_id, rcv, cell, row_number() OVER (
+       |    PARTITION BY cand_id ORDER BY ${cosSql("rcv", "rcent")} DESC, cell) AS arnk
+       |  FROM cr CROSS JOIN rcents
+       |), ra1 AS (
+       |  SELECT cand_id, rcv, cell FROM rasg WHERE arnk = 1
+       |), rpcell AS (
+       |  SELECT probe_id, rpv, cell, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY ${cosSql("rpv", "rcent")} DESC, cell) AS prnk
+       |  FROM pr CROSS JOIN rcents
+       |), rpq AS (
+       |  SELECT probe_id, rpv, cell FROM rpcell WHERE prnk <= $NProbe
+       |), rivs AS (
+       |  SELECT probe_id, cand_id, ${cosSql("rpv", "rcv")} AS sim_r
+       |  FROM ra1 JOIN rpq USING (cell) WHERE probe_id <> cand_id
+       |), rivr AS (
+       |  SELECT probe_id, cand_id, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY sim_r DESC, cand_id) AS rnk
+       |  FROM rivs
+       |), risl AS (
+       |  SELECT probe_id, cand_id FROM rivr WHERE rnk <= $RpShortlist
+       |), rifx AS (
+       |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+       |  FROM risl JOIN p USING (probe_id) JOIN c USING (cand_id)
+       |), rifr AS (
+       |  SELECT probe_id, cand_id, sim, CAST(row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk
+       |  FROM rifx
        |)""".stripMargin
 
   // shared CTE for the pair queries: every embedding with its exact
@@ -816,6 +889,22 @@ object AnnQueries {
          |  FROM bs
          |), brute AS (SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK)
          |${recallTailSql("rrk", "probe_id", "cand_id")}""".stripMargin,
+
+    "ann_rp_ivf" ->
+      s"$rpIvfCte\nSELECT probe_id, cand_id, sim, rnk FROM rifr WHERE rnk <= $TopK",
+
+    "ann_rp_ivf_recall" ->
+      s"""$rpIvfCte, rivf AS (
+         |  SELECT probe_id, cand_id FROM rifr WHERE rnk <= $TopK
+         |), bs AS (
+         |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+         |  FROM p, c WHERE probe_id <> cand_id
+         |), br AS (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM bs
+         |), brute AS (SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK)
+         |${recallTailSql("rivf", "probe_id", "cand_id")}""".stripMargin,
 
     "ann_ivf" ->
       s"$ivfCte\nSELECT probe_id, cand_id, sim, rnk FROM ivr WHERE rnk <= $TopK",

@@ -175,8 +175,26 @@ object Similarity {
         lit(-i).as("negCell"))
     }: _*))
 
-  def bestCell(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
-    -cellScore(v, centroids).getField("negCell")
+  /** Native argmax-cosine cell assignment (graft.functions.VoronoiCell),
+    * bit-identical to `-cellScore(v, cents).getField("negCell")` — see
+    * the expression's scaladoc for why the column formula was a
+    * pushdown-inlining hazard on join keys. Centroids iterate in
+    * ascending-id order so equal rounded scores keep the smallest id,
+    * exactly the struct-max tiebreak; centroid norms are precomputed
+    * with the same sequential fold Catalyst const-folds `l2(lit(c))` to.
+    */
+  def bestCell(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val sorted = centroids.sortBy(_._1)
+    val cents = sorted.map(_._2.toArray).toArray
+    val norms = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    column(graft.functions.VoronoiCell(expression(v), cents, norms,
+      sorted.map(_._1).toArray))
+  }
 
   /** Each probe's `nProbe` nearest cells (probes are the small side: the
     * per-probe cell ranking is a broadcast-size window, never a shuffle
@@ -243,17 +261,23 @@ object Similarity {
                       targetFrac: Double): DataFrame = {
     val assigned = corpus.withColumn("cn", l2(col("ce")))
       .withColumn("cell", bestCell(col("ce"), centroids))
-    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
-    val total = sizes.agg(sum(col("csz"))).head().getLong(0)
+    // the cell-size histogram is ncells rows — fetch it ONCE as a bounded
+    // driver dictionary (the ivfCentroids discipline) instead of a
+    // broadcast join plus a separate total-count action: one corpus pass
+    // serves both the per-cell sizes and their sum
+    val csz: Map[Int, Long] = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = csz.values.sum
     val pc = probes.select(col("probe_id"), col("pe"),
         explode(array(centroids.map { case (i, c) =>
           struct(lit(i).as("cell"),
-            cosine(col("pe").cast("array<double>"), typedLit(c)).as("pcos"))
+            cosine(col("pe").cast("array<double>"), typedLit(c)).as("pcos"),
+            lit(csz.getOrElse(i, 0L)).as("csz"))
         }: _*)).as("e"))
       .select(col("probe_id"), col("pe"),
-        col("e.cell").as("cell"), col("e.pcos").as("pcos"))
-      .join(broadcast(sizes), Seq("cell"), "left")
-      .withColumn("csz", coalesce(col("csz"), lit(0L)))
+        col("e.cell").as("cell"), col("e.pcos").as("pcos"),
+        col("e.csz").as("csz"))
     val wCum = Window.partitionBy(col("probe_id"))
       .orderBy(col("pcos").desc, col("cell"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -413,8 +437,11 @@ object Similarity {
     * ANN tier stores/scans only the reduced vectors; the full-resolution
     * column is touched again only by the rerank fetch.
     */
-  def rpProject(v: Column, planes: Seq[Seq[Double]]): Column =
-    array(planes.map(p => dot(v.cast("array<double>"), typedLit(p))): _*)
+  def rpProject(v: Column, planes: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(graft.functions.RpProject(expression(v),
+      planes.map(_.toArray).toArray))
+  }
 
   /** Brute-force cosine top-k entirely in the reduced space — the
     * shortlist pass of a coarse-to-fine deployment, registered alone so
@@ -447,9 +474,20 @@ object Similarity {
     * recall is set by the shortlist width, arithmetic by r.
     */
   def rpRerankTopK(probes: DataFrame, corpus: DataFrame, k: Int,
-                   shortlist: Int, rDim: Int, dim: Int): DataFrame = {
-    val shortIds = rpTopK(probes, corpus, shortlist, rDim, dim)
-      .select(col("probe_id"), col("cand_id"))
+                   shortlist: Int, rDim: Int, dim: Int): DataFrame =
+    rerankFull(
+      rpTopK(probes, corpus, shortlist, rDim, dim)
+        .select(col("probe_id"), col("cand_id")),
+      probes, corpus, k)
+
+  /** Exact full-space rerank of a (probe_id, cand_id) shortlist: the
+    * tiny shortlist broadcasts against the corpus (map-only fetch of the
+    * d-dim vectors — shortlist·|probes| rows read, nothing corpus-wide
+    * shuffled), then ranks by exact cosine. Shared tail of every
+    * coarse-to-fine path.
+    */
+  private[operators] def rerankFull(shortIds: DataFrame, probes: DataFrame,
+                                    corpus: DataFrame, k: Int): DataFrame = {
     val fetched = corpus.join(broadcast(shortIds), Seq("cand_id"))
       .join(broadcast(probes.withColumn("pn", l2(col("pe")))), Seq("probe_id"))
       .select(col("probe_id"), col("cand_id"),
@@ -458,6 +496,45 @@ object Similarity {
       .orderBy(col("sim").desc, col("cand_id"))
     fetched.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** RP-IVF: the 100 TB serving shape of the reduced tier — the corpus's
+    * REDUCED vectors are Voronoi-bucketed against REDUCED centroids (the
+    * same map-only assignment as ivfTopK, at r-dim arithmetic), probes
+    * search their nProbe reduced cells for a reduced-cosine shortlist,
+    * and the shortlist alone is re-ranked by exact full-space cosine.
+    * Composes the two orthogonal scale moves: IVF prunes WHICH vectors
+    * are scanned (partition pruning), RP shrinks WHAT is scanned per
+    * vector (r/d bandwidth + arithmetic); the full-resolution column is
+    * touched only by the rerank fetch. `rpCentroids` must be the
+    * projections of the SAME vectors ivfTopK's codebook uses, computed
+    * through the same projection expressions (callers collect them
+    * bounded, the ivfCentroids discipline).
+    */
+  def rpIvfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                planes: Seq[Seq[Double]],
+                rpCents: Seq[(Int, Seq[Double])],
+                nProbe: Int, shortlist: Int): DataFrame = {
+    val pr = probes.select(col("probe_id"),
+      rpProject(col("pe"), planes).as("pe"))
+    val pc = probeCells(pr, rpCents, nProbe)
+      .select(col("probe_id"), col("pe").as("rp"), col("cell"))
+      .withColumn("pn_r", l2(col("rp")))
+    val cr = corpus.select(col("cand_id"),
+        rpProject(col("ce"), planes).as("rc"))
+      .withColumn("cell", bestCell(col("rc"), rpCents))
+      .withColumn("cn_r", l2(col("rc")))
+    val short = cr.join(broadcast(pc), Seq("cell"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(dot(col("rp"), col("rc")) / (col("pn_r") * col("cn_r")), 6)
+          .as("sim_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim_r").desc, col("cand_id"))
+    val shortIds = short.withColumn("srnk", row_number().over(w))
+      .filter(col("srnk") <= shortlist)
+      .select(col("probe_id"), col("cand_id"))
+    rerankFull(shortIds, probes, corpus, k)
   }
 
   /** M1 — 1-NN classification: each test vector takes the label of its

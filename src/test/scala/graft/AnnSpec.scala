@@ -82,6 +82,20 @@ class AnnSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("RP-IVF recall@10 meets the 0.3 floor") {
+    // reduced-space IVF composes the two prunes: 4-of-16 reduced cells
+    // cut WHICH vectors are scanned (~25% of corpus), RP cuts WHAT is
+    // scanned per vector (r/d); measured 0.43 (sf0.001) / 0.39 (sf0.01)
+    // vs rerank-without-IVF's 0.42/0.51 — the cell prune costs a few
+    // shortlist hits on the isotropic worst case, as expected
+    assume(sfDirs.nonEmpty, "no testdata present")
+    for (d <- sfDirs) {
+      val row = AnnQueries.queries("ann_rp_ivf_recall")(spark, d).collect()(0)
+      val recall = row.getAs[Double]("recall")
+      assert(recall >= 0.3, s"RP-IVF recall $recall < 0.3 at $d")
+    }
+  }
+
   test("JL rerank with a corpus-wide shortlist equals the exact brute top-k") {
     // exactness property: when the shortlist covers the whole corpus the
     // rerank IS the brute-force ranking (same rounding, same tiebreak), so
