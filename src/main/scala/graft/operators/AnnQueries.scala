@@ -345,6 +345,23 @@ object AnnQueries {
         .select(col("probe_id"), col("cand_id")),
       Seq("probe_id", "cand_id"))),
 
+    // the persisted reduced-vector index — "project once at ingest" as an
+    // on-disk artifact: r-dim payloads partitioned by reduced cell, probes
+    // read only their nProbe cell partitions (static pruning over vectors
+    // already d/r times smaller), rerank fetches full resolution from the
+    // base table. Same arithmetic as ann_rp_ivf, so the same oracle.
+    "ann_rp_ivf_store" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-rpivf-store").toString
+      val planes = Similarity.lcgPlanes(RpDim, Dim)
+      graft.sources.IvfStore.write(
+        emb(s, d).select(col("vec_id"),
+          Similarity.rpProject(col("embedding"), planes).as("rvec")),
+        "vec_id", "rvec", rpIvfCentroids(s, d), path)
+      graft.sources.IvfStore.topKReduced(s, path, probes(s, d),
+        corpus(s, d), TopK, planes, rpIvfCentroids(s, d), NProbe, RpShortlist)
+    }),
+
     "emb_norm" -> ((s, d) =>
       emb(s, d).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
@@ -891,6 +908,11 @@ object AnnQueries {
          |${recallTailSql("rrk", "probe_id", "cand_id")}""".stripMargin,
 
     "ann_rp_ivf" ->
+      s"$rpIvfCte\nSELECT probe_id, cand_id, sim, rnk FROM rifr WHERE rnk <= $TopK",
+
+    // the persisted reduced store reproduces ann_rp_ivf bit-for-bit
+    // (doubles round-trip parquet exactly), so it shares the oracle
+    "ann_rp_ivf_store" ->
       s"$rpIvfCte\nSELECT probe_id, cand_id, sim, rnk FROM rifr WHERE rnk <= $TopK",
 
     "ann_rp_ivf_recall" ->

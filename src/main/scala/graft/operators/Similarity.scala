@@ -486,8 +486,8 @@ object Similarity {
     * shuffled), then ranks by exact cosine. Shared tail of every
     * coarse-to-fine path.
     */
-  private[operators] def rerankFull(shortIds: DataFrame, probes: DataFrame,
-                                    corpus: DataFrame, k: Int): DataFrame = {
+  private[graft] def rerankFull(shortIds: DataFrame, probes: DataFrame,
+                                corpus: DataFrame, k: Int): DataFrame = {
     val fetched = corpus.join(broadcast(shortIds), Seq("cand_id"))
       .join(broadcast(probes.withColumn("pn", l2(col("pe")))), Seq("probe_id"))
       .select(col("probe_id"), col("cand_id"),

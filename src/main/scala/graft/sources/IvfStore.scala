@@ -207,4 +207,44 @@ object IvfStore {
     joined.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Coarse-to-fine serve from a REDUCED-vector store (written by
+    * [[write]] over JL-projected vectors bucketed by reduced centroids —
+    * "project once at ingest" as a persisted artifact): probes read only
+    * their nProbe reduced cells (the same static partition pruning as
+    * [[topK]], over r-dim payloads — the RP bandwidth cut lands on the
+    * serving scan itself), shortlist by reduced cosine, then rerank the
+    * shortlist by exact full-space cosine against `corpus`. Arithmetic
+    * matches `Similarity.rpIvfTopK` exactly (doubles round-trip parquet
+    * bit-for-bit), so the two paths share one oracle.
+    */
+  def topKReduced(spark: SparkSession, path: String, probes: DataFrame,
+                  corpus: DataFrame, k: Int, planes: Seq[Seq[Double]],
+                  rpCents: Seq[(Int, Seq[Double])], nProbe: Int,
+                  shortlist: Int): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val pr = probes.select(col("probe_id"),
+      Similarity.rpProject(col("pe"), planes).as("pe"))
+    val pc = Similarity.probeCells(pr, rpCents, nProbe)
+      .select(col("probe_id"), col("pe").as("rp"),
+        col("cell").cast("long").as("cell"))
+      .withColumn("pn_r", Similarity.l2(col("rp")))
+    val cells = pc.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val stored = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(x => x: Any): _*))
+      .select(col("vec_id").as("cand_id"), col("e").as("rc"), col("cell"))
+      .withColumn("cn_r", Similarity.l2(col("rc")))
+    val short = stored.join(broadcast(pc), Seq("cell"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(Similarity.dot(col("rp"), col("rc")) / (col("pn_r") * col("cn_r")), 6)
+          .as("sim_r"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim_r").desc, col("cand_id"))
+    val shortIds = short.withColumn("srnk", row_number().over(w))
+      .filter(col("srnk") <= shortlist)
+      .select(col("probe_id"), col("cand_id"))
+    Similarity.rerankFull(shortIds, probes, corpus, k)
+  }
 }

@@ -166,4 +166,33 @@ class IvfStoreSpec extends AnyFunSuite with SparkTest
       s"scan read ${scan.selectedPartitions.partitionCount} partitions, " +
       s"expected $probeCells probe cells")
   }
+
+  test("reduced-vector store serves rpIvfTopK exactly with pruned r-dim scans") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val planes = Similarity.lcgPlanes(32, 64)
+    val rpCents = emb.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
+      .select(col("vec_id"), Similarity.rpProject(col("embedding"), planes).as("r"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val p = Files.createTempDirectory("graft-rpivfstore").toString
+    IvfStore.write(
+      emb.select(col("vec_id"), Similarity.rpProject(col("embedding"), planes).as("rvec")),
+      "vec_id", "rvec", rpCents, p)
+    val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val fromStore = IvfStore.topKReduced(spark, p, probes, corpus, 10,
+      planes, rpCents, nProbe, shortlist = 100)
+    val inMemory = Similarity.rpIvfTopK(probes, corpus, 10, planes, rpCents,
+      nProbe, 100)
+    assert(fromStore.exceptAll(inMemory).count() === 0)
+    assert(inMemory.exceptAll(fromStore).count() === 0)
+    // the reduced scan is partition-pruned to the probes' reduced cells
+    fromStore.count()
+    val scans = collect(fromStore.queryExecution.executedPlan) {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("graft-rpivfstore")) => s
+    }
+    assert(scans.nonEmpty, "no scan over the reduced store in the plan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "reduced-cell filter did not reach the scan as a PartitionFilter")
+  }
 }
