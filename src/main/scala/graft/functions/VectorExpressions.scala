@@ -455,7 +455,10 @@ case class VoronoiCell(child: Expression, centroids: Array[Array[Double]],
         i += 1
       }
       val s = VoronoiCell.round6(d / (vn * cnorms(ci)))
-      if (s > bestScore) { bestScore = s; best = ci }
+      // Double.compare, not '>': the struct-max formula and the oracle's
+      // ORDER BY DESC both order NaN GREATEST (a zero-norm centroid's
+      // NaN cosine wins there) — primitive '>' would never let NaN win
+      if (java.lang.Double.compare(s, bestScore) > 0) { bestScore = s; best = ci }
       ci += 1
     }
     ids(best)
@@ -508,7 +511,7 @@ case class VoronoiCell(child: Expression, centroids: Array[Array[Double]],
          |    $d += ((double) $a.$getter($i)) * $cents[$ci][$i];
          |  }
          |  double $s = graft.functions.VoronoiCell.round6($d / ($vn * $norms[$ci]));
-         |  if ($s > $bestScore) { $bestScore = $s; $best = $ci; }
+         |  if (java.lang.Double.compare($s, $bestScore) > 0) { $bestScore = $s; $best = $ci; }
          |}
          |${ev.value} = $idArr[$best];
        """.stripMargin

@@ -301,7 +301,7 @@ object AnnQueries {
         .select(col("vec_id"), col("dim_j").cast("long").as("dim_j"),
           round(col("comp"), 6).as("comp"))),
 
-    // top-k ranked entirely in the 16-dim reduced space (the shortlist
+    // top-k ranked entirely in the 32-dim reduced space (the shortlist
     // pass measured alone)
     "ann_rp" -> ((s, d) =>
       Similarity.rpTopK(probes(s, d), corpus(s, d), TopK, RpDim, Dim)),
@@ -354,12 +354,13 @@ object AnnQueries {
       val path = java.nio.file.Files
         .createTempDirectory("graft-rpivf-store").toString
       val planes = Similarity.lcgPlanes(RpDim, Dim)
+      val cents = rpIvfCentroids(s, d)
       graft.sources.IvfStore.write(
         emb(s, d).select(col("vec_id"),
           Similarity.rpProject(col("embedding"), planes).as("rvec")),
-        "vec_id", "rvec", rpIvfCentroids(s, d), path)
+        "vec_id", "rvec", cents, path)
       graft.sources.IvfStore.topKReduced(s, path, probes(s, d),
-        corpus(s, d), TopK, planes, rpIvfCentroids(s, d), NProbe, RpShortlist)
+        corpus(s, d), TopK, planes, cents, NProbe, RpShortlist)
     }),
 
     "emb_norm" -> ((s, d) =>
@@ -555,7 +556,7 @@ object AnnQueries {
        |  FROM ls
        |)""".stripMargin
 
-  // RP oracle: regenerate the deterministic 16x64 projection planes and
+  // RP oracle: regenerate the deterministic 32x64 projection planes and
   // the reduced vectors in DuckDB (list_dot_product per component is the
   // same sequential fold as graft_dot, so the reduced doubles are
   // bit-identical), then rank in the reduced space

@@ -464,8 +464,7 @@ object Dedup {
     val cached = pairs.cache()
     val edgeCount = cached.count()
     if (edgeCount >= starThreshold) connectedComponentsStar(cached)
-    else if (edgeCount <= math.min(localThreshold, starThreshold - 1))
-      connectedComponentsLocal(cached)
+    else if (edgeCount <= localThreshold) connectedComponentsLocal(cached)
     else connectedComponents(cached)
   }
 }

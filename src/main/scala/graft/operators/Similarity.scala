@@ -264,11 +264,15 @@ object Similarity {
     // the cell-size histogram is ncells rows — fetch it ONCE as a bounded
     // driver dictionary (the ivfCentroids discipline) instead of a
     // broadcast join plus a separate total-count action: one corpus pass
-    // serves both the per-cell sizes and their sum
-    val csz: Map[Int, Long] = assigned.groupBy(col("cell"))
+    // serves both the per-cell sizes and their sum. A null-vector row
+    // groups under a null cell: it still counts toward the corpus total
+    // (as the replaced sum-over-sizes did) but gets no dictionary entry
+    // (the replaced left join never matched the null key either).
+    val szRows = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("csz")).collect()
+    val csz: Map[Int, Long] = szRows.filterNot(_.isNullAt(0))
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = csz.values.sum
+    val total = szRows.map(_.getLong(1)).sum
     val pc = probes.select(col("probe_id"), col("pe"),
         explode(array(centroids.map { case (i, c) =>
           struct(lit(i).as("cell"),
@@ -450,18 +454,15 @@ object Similarity {
     */
   def rpTopK(probes: DataFrame, corpus: DataFrame, k: Int,
              rDim: Int, dim: Int): DataFrame = {
+    // bruteTopK over the projected frames IS the reduced-space ranking
+    // (same norms, join, rounding, tie-break) — the reduced pass is
+    // defined by matching the exact baseline's arithmetic, so it
+    // delegates rather than re-stating it
     val planes = lcgPlanes(rDim, dim)
-    val pr = probes.select(col("probe_id"), rpProject(col("pe"), planes).as("rp"))
-      .withColumn("pn", l2(col("rp")))
-    val cr = corpus.select(col("cand_id"), rpProject(col("ce"), planes).as("rc"))
-      .withColumn("cn", l2(col("rc")))
-    val joined = cr.join(broadcast(pr), col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"),
-        round(dot(col("rp"), col("rc")) / (col("pn") * col("cn")), 6).as("sim_r"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim_r").desc, col("cand_id"))
-    joined.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    bruteTopK(
+      probes.select(col("probe_id"), rpProject(col("pe"), planes).as("pe")),
+      corpus.select(col("cand_id"), rpProject(col("ce"), planes).as("ce")),
+      k).withColumnRenamed("sim", "sim_r")
   }
 
   /** Coarse-to-fine ANN: shortlist `shortlist` candidates per probe in
@@ -515,16 +516,31 @@ object Similarity {
                 planes: Seq[Seq[Double]],
                 rpCents: Seq[(Int, Seq[Double])],
                 nProbe: Int, shortlist: Int): DataFrame = {
+    val cr = corpus.select(col("cand_id"),
+        rpProject(col("ce"), planes).as("rc"))
+      .withColumn("cell", bestCell(col("rc"), rpCents))
+      .withColumn("cn_r", l2(col("rc")))
+    reducedCellShortlistRerank(cr, probes, corpus, k, planes, rpCents,
+      nProbe, shortlist)
+  }
+
+  /** Shared tail of the in-memory RP-IVF path and the persisted reduced
+    * store (IvfStore.topKReduced): probe-cell ranking in the reduced
+    * space, cell equi-join against a (cand_id, rc, cn_r, cell) reduced
+    * corpus, reduced-cosine shortlist, exact full-space rerank. One body
+    * so the two paths cannot drift off the "bit-identical, one oracle"
+    * contract.
+    */
+  private[graft] def reducedCellShortlistRerank(
+      reducedCorpus: DataFrame, probes: DataFrame, corpus: DataFrame,
+      k: Int, planes: Seq[Seq[Double]], rpCents: Seq[(Int, Seq[Double])],
+      nProbe: Int, shortlist: Int): DataFrame = {
     val pr = probes.select(col("probe_id"),
       rpProject(col("pe"), planes).as("pe"))
     val pc = probeCells(pr, rpCents, nProbe)
       .select(col("probe_id"), col("pe").as("rp"), col("cell"))
       .withColumn("pn_r", l2(col("rp")))
-    val cr = corpus.select(col("cand_id"),
-        rpProject(col("ce"), planes).as("rc"))
-      .withColumn("cell", bestCell(col("rc"), rpCents))
-      .withColumn("cn_r", l2(col("rc")))
-    val short = cr.join(broadcast(pc), Seq("cell"))
+    val short = reducedCorpus.join(broadcast(pc), Seq("cell"))
       .where(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         round(dot(col("rp"), col("rc")) / (col("pn_r") * col("cn_r")), 6)

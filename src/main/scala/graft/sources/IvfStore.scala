@@ -223,28 +223,21 @@ object IvfStore {
                   rpCents: Seq[(Int, Seq[Double])], nProbe: Int,
                   shortlist: Int): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // the probes' reduced cell set is bounded — collect it to a literal
+    // isin so the cell filter reaches the scan as a STATIC partition
+    // filter (IvfStoreSpec asserts), then hand the pruned reduced frame
+    // to the same shortlist+rerank body the in-memory rpIvfTopK runs
     val pr = probes.select(col("probe_id"),
       Similarity.rpProject(col("pe"), planes).as("pe"))
-    val pc = Similarity.probeCells(pr, rpCents, nProbe)
-      .select(col("probe_id"), col("pe").as("rp"),
-        col("cell").cast("long").as("cell"))
-      .withColumn("pn_r", Similarity.l2(col("rp")))
-    val cells = pc.select(col("cell")).distinct()
+    val cells = Similarity.probeCells(pr, rpCents, nProbe)
+      .select(col("cell").cast("long").as("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val stored = spark.read.parquet(path)
       .filter(col("cell").isin(cells.map(x => x: Any): _*))
-      .select(col("vec_id").as("cand_id"), col("e").as("rc"), col("cell"))
+      .select(col("vec_id").as("cand_id"), col("e").as("rc"),
+        col("cell").cast("int").as("cell"))
       .withColumn("cn_r", Similarity.l2(col("rc")))
-    val short = stored.join(broadcast(pc), Seq("cell"))
-      .where(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"),
-        round(Similarity.dot(col("rp"), col("rc")) / (col("pn_r") * col("cn_r")), 6)
-          .as("sim_r"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim_r").desc, col("cand_id"))
-    val shortIds = short.withColumn("srnk", row_number().over(w))
-      .filter(col("srnk") <= shortlist)
-      .select(col("probe_id"), col("cand_id"))
-    Similarity.rerankFull(shortIds, probes, corpus, k)
+    Similarity.reducedCellShortlistRerank(stored, probes, corpus, k,
+      planes, rpCents, nProbe, shortlist)
   }
 }

@@ -200,10 +200,12 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     // auto router takes below localThreshold)
     for (pairs <- Seq(chain, star, mixed, lsh))
       assert(norm(Dedup.connectedComponentsLocal(pairs)) ==
-        norm(Dedup.connectedComponents(pairs)))
-    // router boundaries: local below localThreshold, propagation between
+        norm(Dedup.connectedComponentsStar(pairs)))
+    // router boundary: mixed (6 edges) <= localThreshold=10 actually
+    // TAKES the local tier through the router (a 0 threshold would fall
+    // through to propagation and vacuously pass on output equality)
     assert(norm(Dedup.connectedComponentsAuto(mixed,
-        starThreshold = 1000L, localThreshold = 0L)) ==
+        starThreshold = 1000L, localThreshold = 10L)) ==
       norm(Dedup.connectedComponentsLocal(mixed)))
   }
 
