@@ -19,6 +19,9 @@ object PipelineQueries {
   private val MinToks = 5L
   private val MaxToks = 1000L
   private val VocabK = 100
+  // chunking: 64-token windows at stride 48 (16 tokens of overlap)
+  private val ChunkWindow = 64
+  private val ChunkStride = 48
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
@@ -44,6 +47,11 @@ object PipelineQueries {
       PipelineOps.decontaminateBloom(docs(s, d), col("doc_id") % 50 === 0)),
 
     "pipe_vocab" -> ((s, d) => PipelineOps.vocabTopK(docs(s, d), VocabK)),
+
+    // sliding-window chunking: overlapping context windows for embedding
+    // or training consumers (map-only; left-aligned, last chunk short)
+    "pipe_chunk" -> ((s, d) =>
+      PipelineOps.chunkDocs(docs(s, d), ChunkWindow, ChunkStride)),
 
     // the contamination-rate headline: how much of the train split shares
     // benchmark shingles — the one-row summary the decontam pass reports.
@@ -350,6 +358,31 @@ object PipelineQueries {
          |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
          |      FROM documents)
          |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT $VocabK""".stripMargin,
+
+    // sliding-window chunking: same whitespace tokens, same integer
+    // chunk-count arithmetic, DuckDB's inclusive 1-based list slice =
+    // Spark's slice(arr, start, window) clipped at the end
+    "pipe_chunk" ->
+      raw"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk,
+         |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, tk, n,
+         |    CASE WHEN n <= $ChunkWindow THEN 1
+         |         ELSE (n - $ChunkWindow + ${ChunkStride - 1}) // $ChunkStride + 1
+         |    END AS n_chunks
+         |  FROM t WHERE n > 0
+         |), e AS (
+         |  SELECT doc_id, tk,
+         |    CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_idx
+         |  FROM g
+         |)
+         |SELECT doc_id, chunk_idx,
+         |  chunk_idx * $ChunkStride AS start_tok,
+         |  CAST(len(tk[chunk_idx*$ChunkStride + 1 : chunk_idx*$ChunkStride + $ChunkWindow]) AS BIGINT) AS chunk_toks,
+         |  array_to_string(tk[chunk_idx*$ChunkStride + 1 : chunk_idx*$ChunkStride + $ChunkWindow], ' ') AS chunk_text
+         |FROM e""".stripMargin,
 
     // the same xent computation as text_xent, gated at the per-lang
     // quantile_cont median (Spark's exact interpolated percentile over

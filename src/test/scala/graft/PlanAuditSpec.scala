@@ -60,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     // emb_knn_confusion wraps emb_knn_1nn's bounded broadcast probe set
     // (the by-design nested-loop baseline) — excluded like seg_knn
     "text_langid_confusion", "ts_forecast_backtest",
-    "asof_native_tolerance", "emb_project")
+    "asof_native_tolerance", "emb_project", "pipe_chunk")
   // ann_rp / ann_rp_rerank / ann_rp_*_recall are excluded like ann_quant:
   // the reduced-space pass ranks a bounded broadcast probe set against the
   // corpus by design (the JL shortlist baseline), and the recall rows
