@@ -158,6 +158,18 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ivf index setup failed (no ann_ivf_probe row): $e"); None }
 
+    // untimed reduced-store build: ann_rp_ivf_probe times the serve alone
+    // (the reduced tier's amortized cost — projection + bucketing happen
+    // at ingest in production)
+    val rpIvfIdxDir: Option[String] =
+      if (!needed("ann_rp_ivf_probe")) None
+      else try {
+        val dir = tempDir("graft-bench-rpivfidx") + "/rpivf"
+        graft.operators.AnnQueries.rpIvfBuildStore(spark, sfDir, dir)
+        Some(dir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] rp-ivf index setup failed (no ann_rp_ivf_probe row): $e"); None }
+
     // untimed histogram-sketch materialization for the *_tier percentile
     val histDir: Option[String] =
       if (!needed("o8_percentile_sketch_tier")) None
@@ -256,6 +268,10 @@ object Bench {
     } ++ ivfIdxDir.toSeq.map { dir =>
       ("ann_ivf_probe", () => {
         graft.operators.AnnQueries.ivfProbeStore(spark, sfDir, dir).count(); ()
+      })
+    } ++ rpIvfIdxDir.toSeq.map { dir =>
+      ("ann_rp_ivf_probe", () => {
+        graft.operators.AnnQueries.rpIvfProbeStore(spark, sfDir, dir).count(); ()
       })
     } ++ histDir.toSeq.map { hd =>
       // percentile served from the PERSISTED histogram sketch — the

@@ -75,6 +75,26 @@ object AnnQueries {
           Similarity.lcgPlanes(RpDim, Dim)).as("r"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
 
+  /** The ann_rp_ivf_store query split at the index boundary (the
+    * ivfBuildStore/ivfProbeStore pattern): the bench builds the reduced
+    * store once untimed and times the serve alone — the amortized
+    * reduced-tier serving cost at 100 TB, where projection + bucketing
+    * happen at ingest.
+    */
+  private[graft] def rpIvfBuildStore(s: SparkSession, d: String,
+                                     path: String): Unit =
+    graft.sources.IvfStore.write(
+      emb(s, d).select(col("vec_id"),
+        Similarity.rpProject(col("embedding"),
+          Similarity.lcgPlanes(RpDim, Dim)).as("rvec")),
+      "vec_id", "rvec", rpIvfCentroids(s, d), path)
+
+  private[graft] def rpIvfProbeStore(s: SparkSession, d: String,
+                                     path: String): DataFrame =
+    graft.sources.IvfStore.topKReduced(s, path, probes(s, d), corpus(s, d),
+      TopK, Similarity.lcgPlanes(RpDim, Dim), rpIvfCentroids(s, d),
+      NProbe, RpShortlist)
+
   /** The ann_ivf_store query split at the index boundary, so the bench
     * can attribute serving cost separately from the one-time build — at
     * 100 TB the index is built once by the ingest pipeline and amortized

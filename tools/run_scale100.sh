@@ -17,7 +17,7 @@ WORK=${2:-/tmp/graft_scale100}
 # ann_ivf_store/ann_ivf_probe attribute the IVF row's scale cost between
 # the one-time index build and the amortized partition-pruned serve (the
 # number that matters at 100 TB, where the index is built once)
-QUERIES="o1_scan,dedup_minhash,ann_ivf,ann_ivf_store,ann_ivf_probe,ann_rp_ivf_store,seg_profile_auto"
+QUERIES="o1_scan,dedup_minhash,ann_ivf,ann_ivf_store,ann_ivf_probe,ann_rp_ivf_store,ann_rp_ivf_probe,seg_profile_auto"
 cd "$(dirname "$0")/.."
 mkdir -p "$WORK"
 python3 tools/make_scale10.py "$SRC" "$WORK/x10" 10
