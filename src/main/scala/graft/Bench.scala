@@ -170,6 +170,23 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] rp-ivf index setup failed (no ann_rp_ivf_probe row): $e"); None }
 
+    // untimed segment-array materialization: seg_profile_auto_tier times
+    // the routed profile over PERSISTED (signal_id, seg, qvals) arrays —
+    // the shape the streaming ingest already lands (profileStream's segs
+    // store) — attributing seg_profile_auto's cost between the one-time
+    // readings->arrays derivation shuffle and the profile compute itself
+    val segArrDir: Option[String] =
+      if (!needed("seg_profile_auto_tier")) None
+      else try {
+        val dir = tempDir("graft-bench-segarr") + "/segs"
+        graft.operators.Segments.completeQuantized(
+            graft.operators.Readings.of(spark, sfDir))
+          .select(col("signal_id"), col("seg"), col("qvals"))
+          .write.mode("overwrite").parquet(dir)
+        Some(dir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] segment-array setup failed (no seg_profile_auto_tier row): $e"); None }
+
     // untimed histogram-sketch materialization for the *_tier percentile
     val histDir: Option[String] =
       if (!needed("o8_percentile_sketch_tier")) None
@@ -272,6 +289,11 @@ object Bench {
     } ++ rpIvfIdxDir.toSeq.map { dir =>
       ("ann_rp_ivf_probe", () => {
         graft.operators.AnnQueries.rpIvfProbeStore(spark, sfDir, dir).count(); ()
+      })
+    } ++ segArrDir.toSeq.map { dir =>
+      ("seg_profile_auto_tier", () => {
+        graft.operators.MotifDiscord.profileAuto(
+          spark.read.parquet(dir)).count(); ()
       })
     } ++ histDir.toSeq.map { hd =>
       // percentile served from the PERSISTED histogram sketch — the
