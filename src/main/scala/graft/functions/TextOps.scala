@@ -15,9 +15,16 @@ object TextOps {
   def tokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
+  /** Whitespace tokens as an array — the ONE definition of the
+    * whitespace-token convention (wsTokenCount and the chunker both
+    * derive from it, so the convention cannot fork).
+    */
+  def wsTokens(c: Column): Column =
+    regexp_extract_all(c, lit("\\S+"), lit(0))
+
   /** Whitespace token count (the cheap "how many words" metric). */
   def wsTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("\\S+"), lit(0))).cast("long")
+    size(wsTokens(c)).cast("long")
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single symbols. */
   def bpeTokenCount(c: Column): Column =

@@ -373,14 +373,8 @@ object AnnQueries {
     "ann_rp_ivf_store" -> ((s, d) => {
       val path = java.nio.file.Files
         .createTempDirectory("graft-rpivf-store").toString
-      val planes = Similarity.lcgPlanes(RpDim, Dim)
-      val cents = rpIvfCentroids(s, d)
-      graft.sources.IvfStore.write(
-        emb(s, d).select(col("vec_id"),
-          Similarity.rpProject(col("embedding"), planes).as("rvec")),
-        "vec_id", "rvec", cents, path)
-      graft.sources.IvfStore.topKReduced(s, path, probes(s, d),
-        corpus(s, d), TopK, planes, cents, NProbe, RpShortlist)
+      rpIvfBuildStore(s, d, path)
+      rpIvfProbeStore(s, d, path)
     }),
 
     "emb_norm" -> ((s, d) =>

@@ -221,24 +221,26 @@ object PipelineOps {
     * overlap so no boundary context is lost). Left-aligned convention:
     * chunk i covers whitespace tokens [i·stride, i·stride + window); the
     * chunk count is 1 for docs at or under the window, else
-    * ⌈(n − window)/stride⌉ + 1 (integer arithmetic end to end, so the
-    * SQL oracle reproduces it exactly); the final chunk is the only
-    * possibly-short one (length in (window − stride, window]). Token-less
-    * docs emit nothing. Map-only: tokenize → explode chunk indices →
-    * slice; no shuffle, no state — at 100 TB this is a pure scan stage.
+    * ⌈(n − window)/stride⌉ + 1 (integer arithmetic end to end — SQL
+    * `div`, matching the oracle's `//` — so the two engines agree at any
+    * magnitude); past the first chunk every chunk is longer than
+    * window − stride, and a multi-chunk doc's final chunk is the only
+    * short one (a single-chunk doc's one chunk is simply all n ≤ window
+    * tokens). Token-less docs emit nothing. Map-only: tokenize → explode
+    * chunk indices → slice; no shuffle, no state — at 100 TB this is a
+    * pure scan stage.
     * Output: (doc_id, chunk_idx, start_tok, chunk_toks, chunk_text).
     */
   def chunkDocs(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(stride >= 1 && window >= stride,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
-    docs.select(col("doc_id"),
-        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("tk"))
+    docs.select(col("doc_id"), TextOps.wsTokens(col("text")).as("tk"))
       .withColumn("n", size(col("tk")).cast("long"))
       .filter(col("n") > 0)
       .withColumn("n_chunks",
         when(col("n") <= window, lit(1L))
-          .otherwise(floor((col("n") - window + (stride - 1)) /
-            lit(stride.toDouble)).cast("long") + lit(1L)))
+          .otherwise(expr(s"(n - $window + ${stride - 1}) div $stride") +
+            lit(1L)))
       .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
       .withColumn("start_tok", col("chunk_idx") * stride)
       .withColumn("chunk",

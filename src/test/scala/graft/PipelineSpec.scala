@@ -112,6 +112,35 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("chunkDocs boundary arithmetic: counts, starts, lengths, empty docs") {
+    import spark.implicits._
+    // window 4, stride 3: n=4 -> 1 chunk; n=5 -> 2 (second = tokens 4..5);
+    // n=7 -> 2 (exact (n-w) divisible by s); n=8 -> 3; n=2 -> 1 short
+    // chunk; whitespace-only -> nothing
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val fixture = Seq(
+      (4L, words(4)), (5L, words(5)), (7L, words(7)), (8L, words(8)),
+      (2L, words(2)), (0L, "   \t  ")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.chunkDocs(fixture, window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val perDoc = out.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perDoc == Map(4L -> 1, 5L -> 2, 7L -> 2, 8L -> 3, 2L -> 1),
+      s"chunk counts wrong: $perDoc")
+    // full-window first chunks, correct starts, short tails
+    assert(out((4L, 0L)) == (0L, 4L, "w1 w2 w3 w4"))
+    assert(out((5L, 1L)) == (3L, 2L, "w4 w5"))
+    assert(out((7L, 1L)) == (3L, 4L, "w4 w5 w6 w7"))
+    assert(out((8L, 2L)) == (6L, 2L, "w7 w8"))
+    assert(out((2L, 0L)) == (0L, 2L, "w1 w2"))
+    // every non-final chunk of a multi-chunk doc is the full window
+    for (((doc, ci), (_, len, _)) <- out
+         if ci < perDoc(doc) - 1)
+      assert(len == 4L, s"non-final chunk ($doc, $ci) length $len != 4")
+  }
+
   test("decontaminate flags exactly the train docs sharing bench shingles") {
     import spark.implicits._
     val fixture = Seq(
