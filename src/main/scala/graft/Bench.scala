@@ -458,23 +458,108 @@ object Bench {
       f"[bench] ${tripped.size}/${results.size} queries above the " +
         f"canary-scaled 2x prior (o1_scan ratio $canaryRatio%.2fx) - " +
         "global host slowdown, skipping per-query isolation reruns")
+    // FORKED re-adjudication (r13 verdict #1): the old rerun executed in
+    // the SAME JVM right after the 250-query storm and inherited its
+    // GC/scheduler residue — r13 committed pipe_dedup_quality t=4.577 as
+    // the new prior when a fresh process measured ~1.6 s host-normalized,
+    // so a future 2.5x real regression would have passed silently.
+    // Tripped queries now rerun in ONE fresh child JVM (same java, same
+    // flags, same classpath, SPARK_GRAFT_ONLY=<tripped>+o1_scan) and the
+    // child's numbers are the adjudicated ones; the child also times
+    // o1_scan so the artifact records the fork's own host canary. The
+    // same-JVM rerun survives only as the fallback when the fork cannot
+    // run (and is labeled as such in the artifact).
+    def forkBench(names: Seq[String]): Option[Map[String, Double]] = {
+      if (sys.env.contains("SPARK_GRAFT_NO_FORK")) return None
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        // inherit this JVM's flags (the --add-opens set, -Xmx, -D confs)
+        // minus debug agents, so the child is the same runtime
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-agentlib:") ||
+            a.startsWith("-javaagent:") || a.startsWith("-Xrunjdwp"))
+        val outFile = java.nio.file.Files.createTempFile("graft-fork-bench", ".json")
+        // the child prints its own summary JSON line on stdout, which
+        // must not corrupt THIS process's parsed stdout — file-redirect it
+        val childOut = java.nio.file.Files.createTempFile("graft-fork-stdout", ".txt")
+        val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp",
+          System.getProperty("java.class.path"), "graft.Bench")).asJava
+        val pb = new ProcessBuilder(cmd)
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_ONLY", (names :+ "o1_scan").distinct.mkString(","))
+        env.put("SPARK_GRAFT_SF_DIR", sfDir)
+        env.put("SPARK_GRAFT_CPUS", cpus)
+        env.put("SPARK_GRAFT_REPS", reps.toString)
+        env.put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+        env.put("SPARK_GRAFT_NO_FORK", "1")
+        pb.redirectOutput(ProcessBuilder.Redirect.to(childOut.toFile))
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        System.err.println(s"[bench] forking fresh JVM for " +
+          s"${names.mkString(",")} (+o1_scan canary)")
+        val p = pb.start()
+        val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) {
+          p.destroyForcibly()
+          System.err.println("[bench] fork timed out after 30 min"); return None
+        }
+        if (p.exitValue() != 0) {
+          System.err.println(s"[bench] fork exited ${p.exitValue()}"); return None
+        }
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(outFile))
+        val qs = Option(root.get("queries")).toSeq
+          .flatMap(_.fields().asScala)
+          .flatMap { e =>
+            val v = e.getValue
+            val t = if (v.isNumber) Some(v.asDouble)
+                    else Option(v.get("t")).filter(_.isNumber).map(_.asDouble)
+            t.map(e.getKey -> _)
+          }.toMap
+        val ing = Option(root.get("ingest_pts_per_sec")).filter(_.isNumber)
+          .map(n => "ingest_pts_per_sec" -> n.asDouble)
+        java.nio.file.Files.deleteIfExists(childOut)
+        java.nio.file.Files.deleteIfExists(outFile)
+        Some(qs ++ ing)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fork failed: $e"); None }
+    }
+    // child runs (SPARK_GRAFT_ONLY set) never self-adjudicate: they ARE
+    // the isolated measurement, and recursion must terminate
+    var resweepMode = "fork"
+    var forkCanary: Option[Double] = None
     val adjudicated: Map[String, (Double, Double)] =
-      if (hostSlow) Map.empty
-      else tripped.flatMap { r =>
-        priorMap.get(r.name).map { p =>
+      if (hostSlow || tripped.isEmpty || only.nonEmpty) Map.empty
+      else {
+        tripped.foreach(r => priorMap.get(r.name).foreach(p =>
           System.err.println(
             f"[bench] ${r.name}: sweep ${r.med}%.2fs > 2x prior $p%.2fs " +
-              "- re-running after the sweep (same JVM)")
-          // NOTE: this rerun executes in the SAME JVM right after the
-          // 200+-query sweep — residual GC/scheduler state can still
-          // inflate it, so the artifact calls it `resweep`, not an
-          // isolated measurement; a true isolation run is a fresh
-          // process with SPARK_GRAFT_ONLY=<name> + SPARK_GRAFT_BENCH_OUT
-          val iso = timeQuery(r.name, r.run)
-          System.err.println(f"[bench] ${r.name}: resweep ${iso.med}%.2fs")
-          r.name -> (iso.med, p)
+              "- re-adjudicating in a fresh JVM")))
+        forkBench(tripped.map(_.name)) match {
+          case Some(forked) =>
+            forkCanary = forked.get("o1_scan")
+            tripped.flatMap { r =>
+              for { p <- priorMap.get(r.name); t <- forked.get(r.name) }
+                yield {
+                  System.err.println(f"[bench] ${r.name}: fork ${t}%.2fs")
+                  r.name -> (t, p)
+                }
+            }.toMap
+          case None =>
+            resweepMode = "same_jvm"
+            tripped.flatMap { r =>
+              priorMap.get(r.name).map { p =>
+                val iso = timeQuery(r.name, r.run)
+                System.err.println(
+                  f"[bench] ${r.name}: same-JVM resweep ${iso.med}%.2fs " +
+                    "(fork unavailable)")
+                r.name -> (iso.med, p)
+              }
+            }.toMap
         }
-      }.toMap
+      }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -495,8 +580,13 @@ object Bench {
     val ingestFiles = 32
     val ingestCfg = s"files=$ingestFiles,maxFilesPerTrigger=$ingestFiles," +
       "trigger=AvailableNow,warm=true"
+    // "ingest" is an addressable row like any query: SPARK_GRAFT_ONLY
+    // runs skip it unless named (an isolated query rerun must not pay —
+    // or be perturbed by — a streaming replay it didn't ask for), and
+    // the forked ingest adjudication below reaches it by name
     val ingestPps: Option[Double] =
-      try {
+      if (!needed("ingest")) None
+      else try {
         val in = tempDir("graft-bench-ingest")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$sfDir/events.parquet")
@@ -525,29 +615,42 @@ object Bench {
         // cfg while the 10x replay said 843k — host noise and code
         // regressions were indistinguishable because only queries were
         // adjudicated. When the number lands >1.5x BELOW the committed
-        // prior, re-run best-of-2 (throughput is a max-estimator: noise
-        // only slows it) and record the o1_scan canary ratio so a reader
-        // can attribute the slide (canary also slow => host; canary at
-        // prior => streaming-path code).
+        // prior, rerun it in a FRESH JVM (r13 verdict #2: the in-sweep
+        // measurement swung 3x from storm residue) and COMMIT the forked
+        // number as the primary — the in-sweep reading stays in the
+        // artifact as ingest_sweep. Fallback when the fork cannot run:
+        // same-JVM best-of-2 (throughput is a max-estimator).
+        var committed = pps
         prior.ingest.filter(pi => pps < pi / 1.5).foreach { pi =>
           def fmt(v: Double): String =
             "%.3f".formatLocal(java.util.Locale.ROOT, v)
-          val best = math.max(pps, (1 to 2).map(_ => pts / runOnce()).max)
+          val forked = forkBench(Seq("ingest"))
+            .flatMap(_.get("ingest_pts_per_sec"))
+          val (best, mode) = forked match {
+            case Some(f) => (f, "fork")
+            case None =>
+              (math.max(pps, (1 to 2).map(_ => pts / runOnce()).max),
+                "same_jvm")
+          }
           val canary = for {
             cur <- results.find(_.name == "o1_scan")
               .filter(_.err.isEmpty).map(_.med)
             cp <- priorMap.get("o1_scan")
           } yield cur / cp
           ingestExtra =
-            s""""ingest_prior":${fmt(pi)},"ingest_resweep":${fmt(best)},""" +
+            s""""ingest_prior":${fmt(pi)},"ingest_sweep":${fmt(pps)},""" +
+              s""""ingest_resweep":${fmt(best)},""" +
+              s""""ingest_resweep_mode":"$mode",""" +
               canary.map(c => s""""ingest_canary_ratio":${fmt(c)},""")
                 .getOrElse("")
+          committed = math.max(pps, best)
           System.err.println(
             f"[bench] ingest adjudication: prior $pi%.0f pts/s, " +
-              f"resweep best-of $best%.0f pts/s, o1_scan canary " +
+              f"$mode rerun $best%.0f pts/s (committed $committed%.0f), " +
+              "o1_scan canary " +
               s"${canary.map(c => f"$c%.2fx").getOrElse("n/a")}")
         }
-        Some(pps)
+        Some(committed)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ingest throughput failed: $e"); None }
 
@@ -588,11 +691,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val isoField =
       if (adjudicated.isEmpty) ""
-      else s""""adjudicated":${adjudicated.toSeq.sortBy(_._1).map {
-        case (n, (iso, p)) =>
-          val sweep = results.find(_.name == n).map(_.med).getOrElse(0.0)
-          s""""$n":{"sweep":${f3(sweep)},"resweep":${f3(iso)},"prior":${f3(p)}}"""
-      }.mkString("{", ",", "}")},"""
+      else {
+        // the fork's own o1_scan vs prior: the honest host factor of the
+        // adjudication run itself (reader normalizes by it, not by the
+        // storm-contended sweep canary)
+        val forkCanaryField = (for {
+          fc <- forkCanary; p <- priorMap.get("o1_scan") if p > 0.0
+        } yield s""""resweep_canary_ratio":${f3(fc / p)},""").getOrElse("")
+        s""""resweep_mode":"$resweepMode",$forkCanaryField""" +
+          s""""adjudicated":${adjudicated.toSeq.sortBy(_._1).map {
+            case (n, (iso, p)) =>
+              val sweep = results.find(_.name == n).map(_.med).getOrElse(0.0)
+              s""""$n":{"sweep":${f3(sweep)},"resweep":${f3(iso)},"prior":${f3(p)}}"""
+          }.mkString("{", ",", "}")},"""
+      }
     val headline = Set(
       "q1_agg", "q3_join", "q5_join", "q6_filter_agg", "o1_scan", "o3_range",
       "o6_window_pos", "tsbs_last_loc", "influx_max_groupby", "dedup_minhash",
