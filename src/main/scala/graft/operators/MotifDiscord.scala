@@ -525,14 +525,30 @@ object MotifDiscord {
     */
   private val StateCols: Seq[String] = Seq("kind", "signal_id", "m", "t",
     "last_seg", "last_qvals", "exact", "ordered", "touched", "dense",
-    "grid_pairs", "h", "cnt", "s0")
+    "grid_pairs", "h", "cnt", "s0", "salt")
 
-  private def tagState(sig: DataFrame, grp: DataFrame): DataFrame = {
+  /** Group-identity hash for the route state, SALTED so a periodic
+    * rebuild can re-key it: `h = hash(salt, qvals)`. Two distinct
+    * vectors that collide under one salt do not collide under another
+    * (w.p. 1 - 2^-64), so the sticky-collision drift documented on
+    * [[routeStateOf]] survives at most one rebuild period. salt = 0
+    * reproduces the historical unsalted xxhash64, which is what a
+    * pre-salt persisted snapshot (salt column read as null -> 0) was
+    * built with. Injectable in tests (the default hash is
+    * collision-free in practice, so a spec forcing the drift needs a
+    * deliberately weak stand-in).
+    */
+  private[graft] def groupHash(salt: Long, qvals: Column): Column =
+    if (salt == 0L) xxhash64(qvals) else xxhash64(lit(salt), qvals)
+
+  private def tagState(sig: DataFrame, grp: DataFrame,
+                       salt: Long): DataFrame = {
     val sigRows = sig
       .withColumn("kind", lit("sig"))
       .withColumn("h", lit(null).cast("long"))
       .withColumn("cnt", lit(null).cast("long"))
       .withColumn("s0", lit(null).cast("long"))
+      .withColumn("salt", lit(salt))
     val grpRows = grp
       .withColumn("kind", lit("grp"))
       .withColumn("m", lit(null).cast("long"))
@@ -544,6 +560,7 @@ object MotifDiscord {
       .withColumn("touched", lit(null).cast("boolean"))
       .withColumn("dense", lit(null).cast("boolean"))
       .withColumn("grid_pairs", lit(null).cast("long"))
+      .withColumn("salt", lit(salt))
     sigRows.select(StateCols.map(col): _*)
       .unionByName(grpRows.select(StateCols.map(col): _*))
   }
@@ -579,9 +596,23 @@ object MotifDiscord {
     * so the fold-vs-batch route-count equality silently weakens forever
     * for that signal. Still routing-only — grid_pairs/dense shift, the
     * folded profile values don't.
+    *
+    * HEALING (r13 verdict #3): the stickiness is bounded by the salted
+    * hash + periodic rebuild. The landed segment store retains full
+    * vector fidelity, so recomputing this state from it under a FRESH
+    * `salt` ([[groupHash]]) re-keys every group identity — a pair that
+    * collided under the old salt separates under the new one, and the
+    * rebuilt state equals the batch-derived truth again. profileStream
+    * does this every `rebuildEvery` micro-batches (also clearing any
+    * latched `ordered` flag: the landed store is re-sorted exactly, so
+    * the rebuilt threshold t is the true max adjacent distance even
+    * after an out-of-order append perturbed the folded one).
     */
   private[graft] def routeStateOf(segs: DataFrame,
-                                  profile: DataFrame): DataFrame = {
+                                  profile: DataFrame,
+                                  salt: Long = 0L,
+                                  hashFn: (Long, Column) => Column = groupHash)
+      : DataFrame = {
     val t = adjacentPairs(segs).groupBy(col("signal_id"))
       .agg(max(col("adj_d")).as("t"))
     val sig = segs.groupBy(col("signal_id"))
@@ -597,9 +628,9 @@ object MotifDiscord {
       .withColumn("dense", lit(null).cast("boolean"))
       .withColumn("grid_pairs", lit(null).cast("long"))
     val grp = segs
-      .groupBy(col("signal_id"), xxhash64(col("qvals")).as("h"))
+      .groupBy(col("signal_id"), hashFn(salt, col("qvals")).as("h"))
       .agg(count(lit(1)).as("cnt"), min(chunk0Sum(col("qvals"))).as("s0"))
-    tagState(sig, grp)
+    tagState(sig, grp, salt)
   }
 
   /** Fold a batch δ into the kind-tagged route state and re-derive the
@@ -639,7 +670,10 @@ object MotifDiscord {
   private[graft] def foldRouteState(state: DataFrame, newSegs: DataFrame,
                                     budget: Long = RouteBudget,
                                     pruneAbove: Int = PruneAbove,
-                                    skipGrid: Boolean = false): DataFrame = {
+                                    skipGrid: Boolean = false,
+                                    salt: Long = 0L,
+                                    hashFn: (Long, Column) => Column = groupHash)
+      : DataFrame = {
     val sigState = state.filter(col("kind") === "sig")
       .select(col("signal_id"), col("m"), col("t"), col("last_seg"),
         col("last_qvals"), col("exact"), col("ordered"))
@@ -662,8 +696,13 @@ object MotifDiscord {
         min_by(col("qvals"), col("seg")).as("first_qvals"),
         max_by(col("qvals"), col("seg")).as("dlast_qvals"),
         max(sqDistQ(col("qvals"), col("nq"))).as("dt"))
+    // δ vectors hash under the CALLER-SUPPLIED salt, which must be the
+    // one the persisted state was built with — a mismatched salt would
+    // file every δ occurrence under a key its own group can't match
+    // (profileStream persists the salt in the state and recovers it at
+    // restart, so the contract is structural there)
     val dGrp = nBase
-      .groupBy(col("signal_id"), xxhash64(col("qvals")).as("h"))
+      .groupBy(col("signal_id"), hashFn(salt, col("qvals")).as("h"))
       .agg(count(lit(1)).as("cnt"), min(chunk0Sum(col("qvals"))).as("s0"))
     // the per-signal fold is a UNION + one hash aggregation, not an
     // outer join: a full-outer SMJ would exchange AND sort both sides
@@ -732,7 +771,7 @@ object MotifDiscord {
         .withColumn("grid_pairs", nullLong)
         .withColumn("dense", when(col("touched"), lit(false)))
         .withColumn("exact", col("exact_prior"))
-      return tagState(sigNew, grpNew)
+      return tagState(sigNew, grpNew, salt)
     }
     // routePlan's grid over the folded state, touched signals only: same
     // cell arithmetic as candidatePairs, but from (cnt, s0) pairs, and
@@ -777,7 +816,7 @@ object MotifDiscord {
       .withColumn("exact",
         when(col("touched"), col("exact_prior") && !col("dense"))
           .otherwise(col("exact_prior")))
-    tagState(sigNew, grpNew)
+    tagState(sigNew, grpNew, salt)
   }
 
   /** One aggregation pass over a MATERIALIZED route-state frame →

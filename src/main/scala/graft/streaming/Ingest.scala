@@ -41,7 +41,10 @@ object Ingest {
     StructField("exact", BooleanType), StructField("ordered", BooleanType),
     StructField("touched", BooleanType), StructField("dense", BooleanType),
     StructField("grid_pairs", LongType), StructField("h", LongType),
-    StructField("cnt", LongType), StructField("s0", LongType)))
+    StructField("cnt", LongType), StructField("s0", LongType),
+    // group-hash salt (MotifDiscord.groupHash): pre-salt snapshots read
+    // it as null -> recovered as 0, the historical unsalted hash
+    StructField("salt", LongType)))
 
   /** Normalized streaming readings from raw event files (schema must be
     * supplied for a file stream; ns timestamps arrive as longs).
@@ -501,13 +504,27 @@ object Ingest {
     * segment store against the δ new segments plus a δ² self-join —
     * both partition-parallel; profile snapshots are one row per segment
     * (compact); nothing collects on the driver.
+    *
+    * Every `rebuildEvery` micro-batches the route state is NOT folded
+    * but rebuilt from the landed segment store under a fresh group-hash
+    * salt (MotifDiscord.routeStateOf; r13 verdict #3): the landed
+    * segments retain full vector fidelity, so the rebuild discards any
+    * drift the folded state accumulated — a sticky 64-bit hash collision
+    * (re-keyed by the new salt), a latched `ordered` flag after an
+    * out-of-order append, or a min-merged s0 — restoring exact
+    * fold-vs-batch route equality. The rebuild batch pays one O(m) pass
+    * (the same cost as the first batch of a restarted stream); amortized
+    * over the period it adds O(m / rebuildEvery) per batch, which for
+    * the default 64 is far below the fold's own O(δ + |state|).
+    * rebuildEvery <= 0 disables it.
     */
   def profileStream(spark: SparkSession, srcDir: String, workDir: String,
                     segRows: Int = 16,
                     maxFilesPerTrigger: Int = 1,
                     budget: Long = graft.operators.MotifDiscord.RouteBudget,
                     mod: Int = 4,
-                    retainSnapshots: Int = 8): StreamingQuery = {
+                    retainSnapshots: Int = 8,
+                    rebuildEvery: Int = 64): StreamingQuery = {
     val segsDir = s"$workDir/segs"
     val profDir = s"$workDir/profile"
     val stateDir = s"$workDir/state"
@@ -519,6 +536,12 @@ object Ingest {
     // state at (re)start; batch replays only ever see a LARGER bound,
     // which is conservative (the grid runs when it might not need to).
     var maxMAll = -1L
+    // group-hash salt of the persisted route state (MotifDiscord
+    // .groupHash): -1 = recover from the prior snapshot at (re)start
+    // (null column on a pre-salt snapshot -> 0, the unsalted hash).
+    // Advanced to the batch id whenever the state is rebuilt from the
+    // landed segments, so rebuilt group identities are freshly keyed.
+    var stateSalt = -1L
     segmentStream(spark, srcDir, segRows, maxFilesPerTrigger)
       .writeStream
       .outputMode(OutputMode.Append)
@@ -639,12 +662,30 @@ object Ingest {
             .toDF("signal_id", "seg", "qvals")
         // prior route state (newest snapshot before this batch); absent —
         // first batch, or a pre-routed-state work dir — derive it from
-        // the landed history once
+        // the landed history once. Every rebuildEvery batches the fold
+        // is bypassed deliberately: rebuild from the landed segments
+        // under a FRESH salt (see the class doc's healing paragraph).
+        // Replay-safe: a replayed rebuild batch re-derives the same
+        // salt (= batchId), so the rewritten snapshot is identical.
         val statePrior = snapshots(stateDir).filter(_ < batchId)
+        val doRebuild = rebuildEvery > 0 && batchId > 0 &&
+          batchId % rebuildEvery == 0
         val priorState = statePrior.sorted.lastOption match {
-          case Some(pb) => s.read.schema(RouteStateSchema)
-            .parquet(s"$stateDir/batch=$pb")
-          case None => MotifDiscord.routeStateOf(existingSegs, existingProfile)
+          case Some(pb) if !doRebuild =>
+            val st = s.read.schema(RouteStateSchema)
+              .parquet(s"$stateDir/batch=$pb")
+            if (stateSalt < 0L) {
+              val r = st.agg(max(col("salt"))).first()
+              stateSalt = if (r.isNullAt(0)) 0L else r.getLong(0)
+            }
+            st
+          case _ =>
+            stateSalt = batchId
+            if (dbg && doRebuild) System.err.println(
+              s"[profileStream] batch $batchId: periodic route-state " +
+                s"rebuild from landed segments (salt=$stateSalt)")
+            MotifDiscord.routeStateOf(existingSegs, existingProfile,
+              stateSalt)
         }
         lap("snapshot-setup")
         try {
@@ -666,7 +707,7 @@ object Ingest {
           if (dbg) System.err.println(s"[profileStream] batch $batchId " +
             s"skipGrid=$skipGrid maxMAll=$maxMAll maxDeltaPerSig=$maxDeltaPerSig")
           val state = MotifDiscord.foldRouteState(priorState, newSegs,
-              budget, MotifDiscord.PruneAbove, skipGrid)
+              budget, MotifDiscord.PruneAbove, skipGrid, stateSalt)
             .localCheckpoint()
           lap("state-fold")
           val probe = MotifDiscord.probeRouteState(state)

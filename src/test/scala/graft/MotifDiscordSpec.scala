@@ -636,4 +636,80 @@ class MotifDiscordSpec extends AnyFunSuite with SparkTest {
     assert(tk == Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)),
       s"tiny-signal top-k wrong: $tk")
   }
+
+  test("salted rebuild heals a sticky group-hash collision: the collided fold's grid stays perturbed forever, the rebuilt state matches the batch plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    def emptyProf = Seq.empty[(Long, Long, Long, Boolean)]
+      .toDF("signal_id", "seg", "nnd_q", "exact")
+    def emptySegs = Seq.empty[(Long, Long, Array[Long])]
+      .toDF("signal_id", "seg", "qvals")
+    // one spread signal above the routing threshold: 600 distinct
+    // vectors, s0 ~ChunkRows*1000 apart, so the exact grid is
+    // well-populated (each singleton meets its own rep in-cell)
+    def q(k: Long): Array[Long] =
+      (0 until 16).map(j => k * 1000L + (j % 3)).toArray
+    val rows = (0 until 600).map(k => (1L, k.toLong, q(k.toLong)))
+    val b0 = rows.take(300).toDF("signal_id", "seg", "qvals").localCheckpoint()
+    val b1 = rows.drop(300).toDF("signal_id", "seg", "qvals").localCheckpoint()
+    // a production-xxhash64 collision cannot be constructed, so the
+    // forced collision is a degenerate stand-in under salt 0 (every
+    // vector files under one key — the worst-case sticky merge); under
+    // any other salt it is the production hash, which is exactly the
+    // healing mechanism profileStream's periodic rebuild relies on
+    val weak: (Long, Column) => Column =
+      (s, c) => if (s == 0L) lit(7L) else MotifDiscord.groupHash(s, c)
+    val st0 = MotifDiscord.foldRouteState(
+      MotifDiscord.routeStateOf(emptySegs, emptyProf, 0L, weak), b0,
+      hashFn = weak).localCheckpoint()
+    val st1 = MotifDiscord.foldRouteState(st0, b1, hashFn = weak)
+      .localCheckpoint()
+    def sigRow(st: DataFrame): (Long, Long, Boolean) = {
+      val r = st.filter(col("kind") === "sig").head()
+      (r.getAs[Long]("m"), r.getAs[Long]("grid_pairs"),
+        r.getAs[Boolean]("dense"))
+    }
+    val allDf = b0.unionByName(b1)
+    val planRow = MotifDiscord.routePlan(allDf)
+      .filter(col("signal_id") === 1L).head()
+    val truePairs = planRow.getAs[Long]("grid_pairs")
+    // the collision's perturbation: every vector merged into one group
+    // means NO singletons, so the folded grid collapses to 0 pairs while
+    // the exact batch plan counts a populated grid
+    val (mC, gpC, _) = sigRow(st1)
+    assert(mC == 600L, s"fold must still count m exactly: $mC")
+    assert(truePairs > 0L, s"test needs a populated exact grid: $truePairs")
+    assert(gpC != truePairs,
+      s"collided fold should be perturbed: $gpC vs $truePairs")
+    // ...and it IS sticky: a later clean δ folded into the collided
+    // state inherits the merged groups — the drift never self-heals
+    val b2 = (600 until 603).map(k => (1L, k.toLong, q(k.toLong)))
+      .toDF("signal_id", "seg", "qvals").localCheckpoint()
+    val stStuck = MotifDiscord.foldRouteState(st1, b2, hashFn = weak)
+      .localCheckpoint()
+    val plan2Row = MotifDiscord.routePlan(allDf.unionByName(b2))
+      .filter(col("signal_id") === 1L).head()
+    val truePairs2 = plan2Row.getAs[Long]("grid_pairs")
+    assert(sigRow(stStuck)._2 != truePairs2,
+      "without a rebuild the collided grid must stay perturbed")
+    // the HEAL: rebuild from the landed segments under a fresh salt
+    // (profileStream's periodic-rebuild branch), then continue folding —
+    // the state now matches the batch-derived plan exactly
+    val rebuilt = MotifDiscord.routeStateOf(allDf, emptyProf, salt = 1L)
+      .localCheckpoint()
+    // rebuilt group identity is exact again: one group per distinct
+    // vector, all singletons
+    val grpCnts = rebuilt.filter(col("kind") === "grp")
+      .agg(count(lit(1)), max(col("cnt")), max(col("salt"))).head()
+    assert(grpCnts.getLong(0) == 600L && grpCnts.getLong(1) == 1L,
+      s"rebuild must restore exact groups: $grpCnts")
+    assert(grpCnts.getLong(2) == 1L, "rebuilt state must carry the new salt")
+    val stHealed = MotifDiscord.foldRouteState(rebuilt, b2, salt = 1L)
+      .localCheckpoint()
+    val (mH, gpH, denseH) = sigRow(stHealed)
+    assert(mH == 603L && gpH == truePairs2,
+      s"healed fold must match the batch plan: m=$mH gp=$gpH vs $truePairs2")
+    assert(denseH == (plan2Row.getAs[String]("route") == "sampled"),
+      "healed route flag must match the batch plan's route")
+  }
 }

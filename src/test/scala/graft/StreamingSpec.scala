@@ -233,6 +233,52 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       s"retained snapshot (${streamed.size}) != batch profile (${batch.size})")
   }
 
+  test("periodic route-state rebuild fires mid-stream, re-salts the group identities, and the profile stays exact") {
+    import graft.operators.MotifDiscord
+    val in = stageTiles()
+    val work = Files.createTempDirectory("graft-mp-rebuild").toString
+    // 4 micro-batches with rebuildEvery=2: batch 2 bypasses the fold and
+    // rebuilds from the landed segments under salt=2, batch 3 folds onto
+    // the rebuilt state
+    val q = Ingest.profileStream(spark, in, work,
+      Readings.SegmentRows.toInt, maxFilesPerTrigger = 1, rebuildEvery = 2)
+    q.awaitTermination()
+    val st = spark.read.parquet(s"$work/state/batch=3")
+    val salt = st.agg(max(col("salt"))).head().getLong(0)
+    assert(salt == 2L, s"rebuild salt not persisted through the fold: $salt")
+    // the re-salted state folded through batch 3 equals a fresh batch
+    // derivation from ALL landed segments under the same salt: group
+    // identity (h, cnt, s0) and the per-signal threshold agree exactly
+    val landed = spark.read.parquet(s"$work/segs")
+      .select(col("signal_id"), col("seg"), col("qvals"))
+    val fresh = MotifDiscord.routeStateOf(landed,
+      Ingest.readProfile(spark, work), salt = 2L).localCheckpoint()
+    def grpSet(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("kind") === "grp")
+        .select(col("signal_id"), col("h"), col("cnt"), col("s0"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(grpSet(st) == grpSet(fresh),
+      "folded-after-rebuild groups must equal the batch-derived state")
+    def sigMap(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("kind") === "sig")
+        .select(col("signal_id"), col("m"), col("t"), col("last_seg"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    assert(sigMap(st) == sigMap(fresh),
+      "folded-after-rebuild signal scalars must equal the batch-derived state")
+    // end-to-end: the served profile is still the exact batch profile
+    val streamed = Ingest.readProfile(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = MotifDiscord.profile(
+        Segments.completeQuantized(Readings.of(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"rebuild run's profile (${streamed.size}) != batch (${batch.size})")
+  }
+
   test("streamed profile on a dense signal under a tight budget equals the batch-routed profileAuto") {
     import graft.operators.MotifDiscord
     import spark.implicits._
