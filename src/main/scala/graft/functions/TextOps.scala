@@ -49,8 +49,30 @@ object TextOps {
 
   /** 3-token word shingles (distinct), the unit for MinHash/Jaccard dedup.
     * Takes the raw text column (tokenizes internally, one pass).
+    * HOT-PATH NOTE: the dedup family consumes [[shingleHashes3]] (the
+    * native expression emitting the element HASHES directly); this
+    * string form remains for consumers that need the text (and as the
+    * spec baseline the hash form is asserted against).
     */
   def shingles3OfText(text: Column): Column = shingles3Udf(text)
+
+  /** Distinct 3-token-shingle xxhash64s straight from the text — the
+    * native codegen'd scan-stage form: values are bit-identical to
+    * `xxhash64` over [[shingles3OfText]] elements (TextHashSpec), with
+    * no UDF boundary and no `array<string>` materialization.
+    */
+  def shingleHashes3(text: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(ShingleHashes3(expression(text)))
+  }
+
+  /** Distinct char-n-gram xxhash64s straight from the text — native
+    * twin of `xxhash64` over [[charGrams]] elements.
+    */
+  def charGramHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(CharGramHashes(expression(text), n))
+  }
 
   private def charGramsUdf(n: Int) = udf((text: String) => {
     if (text == null) Array.empty[String]

@@ -52,14 +52,25 @@ object Dedup {
       .select(col("doc_id"), col("lang"))
   }
 
-  /** (doc_id, sh) word-3-shingle sets with non-empty sets. */
+  /** (doc_id, sh) word-3-shingle sets with non-empty sets — `sh` is the
+    * array of DISTINCT element xxhash64s (one native codegen'd pass over
+    * the text; values identical to hashing the shingle strings, see
+    * TextHash). Every downstream consumer (MinHash minima, Jaccard
+    * intersect/union, span counting, decontamination joins) needs only
+    * element identity, which the hash carries at 8 bytes/element instead
+    * of a ~25-byte string — both a scan-stage CPU win (no UDF boundary,
+    * no array<string> row) and a shuffle-bandwidth win at 100 TB. The
+    * collision bound is documented on [[graft.functions.TextHash]].
+    */
   def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextOps.shingles3OfText(col("text")).as("sh"))
+    docs.select(col("doc_id"), TextOps.shingleHashes3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** (doc_id, sh) char-n-gram sets with non-empty sets. */
+  /** (doc_id, sh) char-n-gram sets with non-empty sets (element hashes,
+    * same convention as [[shingleSets]]).
+    */
   def ngramSets(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), TextOps.charGrams(col("text"), n).as("sh"))
+    docs.select(col("doc_id"), TextOps.charGramHashes(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** MinHash signature aggregator: one pass over (doc, element-hash) rows,
@@ -129,8 +140,9 @@ object Dedup {
     */
   def minhashSignatures(sets: DataFrame): DataFrame = {
     val mh = udaf(MinHashAgg, Encoders.scalaLong)
-    sets.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("b"))
+    // `sh` elements ARE the xxhash64s (shingleSets/ngramSets emit them
+    // natively), so the exploded element feeds the aggregator directly
+    sets.select(col("doc_id"), explode(col("sh")).as("b"))
       .groupBy(col("doc_id"))
       .agg(mh(col("b")).as("sig"))
   }
@@ -427,8 +439,13 @@ object Dedup {
     * the same bounded-route discipline as TsQuery.percentileAuto.
     * Union-by-min-root = component id is the min reachable doc id,
     * byte-identical to the distributed routes (DedupSpec asserts).
+    *
+    * `private[graft]`: only [[connectedComponentsAuto]] may call this —
+    * it gates the collect by the measured edge count, and a direct
+    * external call on an unmeasured graph would OOM the driver (the
+    * bounded-route discipline must not be bypassable).
     */
-  def connectedComponentsLocal(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponentsLocal(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
@@ -463,8 +480,17 @@ object Dedup {
                               localThreshold: Long = 100000L): DataFrame = {
     val cached = pairs.cache()
     val edgeCount = cached.count()
-    if (edgeCount >= starThreshold) connectedComponentsStar(cached)
-    else if (edgeCount <= localThreshold) connectedComponentsLocal(cached)
-    else connectedComponents(cached)
+    val route =
+      if (edgeCount >= starThreshold) "star"
+      else if (edgeCount <= localThreshold) "local"
+      else "propagation"
+    // the choice is part of the scale evidence (SCALE100 logs it per
+    // decade): stderr-only, one line per routed graph
+    System.err.println(s"[cc-route] edges=$edgeCount route=$route")
+    route match {
+      case "star" => connectedComponentsStar(cached)
+      case "local" => connectedComponentsLocal(cached)
+      case _ => connectedComponents(cached)
+    }
   }
 }

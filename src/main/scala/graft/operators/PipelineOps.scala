@@ -139,7 +139,9 @@ object PipelineOps {
     val expected = math.max(1L, bench.count())
     val bloom = bench.stat.bloomFilter("s", expected, fpp)
     val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bloomBc.value.mightContainString(s))
+    // shingle elements are their xxhash64s (shingleSets), so the probe
+    // is the long-keyed sketch path — no string rehash inside the probe
+    val mightContain = udf((s: Long) => bloomBc.value.mightContainLong(s))
     val candidates = sh.filter(!benchPred)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .filter(mightContain(col("s")))
@@ -249,4 +251,5 @@ object PipelineOps {
         size(col("chunk")).cast("long").as("chunk_toks"),
         array_join(col("chunk"), " ").as("chunk_text"))
   }
+
 }

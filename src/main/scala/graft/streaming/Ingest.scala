@@ -227,15 +227,15 @@ object Ingest {
       col("sh").as("shb"))
       .persist()
 
-    // per-row signature: element hashes via the same xxhash64 expression
-    // as the batch path, then the shared splitmix64 minima fold
+    // per-row signature: the native shingle-hash expression (same
+    // xxhash64 values as the batch path's shingleSets), then the shared
+    // splitmix64 minima fold — no interpreted transform() hop
     val sigs = docs
       .select(col("doc_id"), col("ts"),
-        graft.functions.TextOps.shingles3OfText(col("text")).as("sh"))
+        graft.functions.TextOps.shingleHashes3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
-      .as[(Long, java.sql.Timestamp, Seq[String], Seq[Long])]
-      .map { case (id, ts, sh, hs) => (id, ts, sh, Dedup.signatureOfHashes(hs)) }
+      .as[(Long, java.sql.Timestamp, Seq[Long])]
+      .map { case (id, ts, sh) => (id, ts, sh, Dedup.signatureOfHashes(sh)) }
       .toDF("doc_id", "ts", "sh", "sig")
 
     val jac = size(array_intersect(col("sh"), col("shb"))).cast("double") /

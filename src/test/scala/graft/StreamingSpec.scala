@@ -672,9 +672,8 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val batchSigs = Dedup.minhashSignatures(sets)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val rowSigs = sets
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
-      .as[(Long, Seq[String], Seq[Long])]
-      .map { case (id, _, hs) => (id, Dedup.signatureOfHashes(hs)) }
+      .as[(Long, Seq[Long])]
+      .map { case (id, hs) => (id, Dedup.signatureOfHashes(hs)) }
       .collect().toMap
     assert(rowSigs.keySet === batchSigs.keySet)
     for ((id, sig) <- rowSigs) assert(sig === batchSigs(id), s"doc $id")

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextOps
+
+/** The native shingle/char-gram hash expressions must be BIT-IDENTICAL
+  * to `xxhash64` over the string-set generators they replace — that is
+  * the whole contract that keeps MinHash signatures, band hashes, and
+  * LSH candidate sets unchanged (and the dedup oracles green) after the
+  * scan stage dropped the string materialization.
+  */
+class TextHashSpec extends AnyFunSuite with SparkTest {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(200)
+    // adversarial additions: unicode lowercasing (Kelvin sign K -> k,
+    // İ -> i + combining dot), punctuation-only, short, and empty text
+    val extra = Seq(
+      (100001L, "CAFÉ Naïve 123 mixed CASE tokens here now"),
+      (100002L, "Kelvin İstanbul straße foo bar baz qux"),
+      (100003L, "... !!! ???"),
+      (100004L, "one two"),
+      (100005L, "")).toDF("doc_id", "text")
+    corpus.unionByName(extra).localCheckpoint()
+  }
+
+  private def collectArr(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("shingleHashes3 equals xxhash64 over shingles3OfText, element for element") {
+    val native = collectArr(docs.select(col("doc_id"),
+      TextOps.shingleHashes3(col("text")).as("hs")))
+    val strings = collectArr(docs.select(col("doc_id"),
+      transform(TextOps.shingles3OfText(col("text")), s => xxhash64(s)).as("hs")))
+    assert(native.keySet == strings.keySet)
+    for ((id, hs) <- native)
+      assert(hs == strings(id), s"doc $id: native $hs vs strings ${strings(id)}")
+    // sanity: the corpus actually exercises non-trivial sets
+    assert(native.values.map(_.size).sum > 1000,
+      "fixture too small to be meaningful")
+  }
+
+  test("charGramHashes equals xxhash64 over charGrams for n=4 and n=5") {
+    for (n <- Seq(4, 5)) {
+      val native = collectArr(docs.select(col("doc_id"),
+        TextOps.charGramHashes(col("text"), n).as("hs")))
+      val strings = collectArr(docs.select(col("doc_id"),
+        transform(TextOps.charGrams(col("text"), n), s => xxhash64(s)).as("hs")))
+      assert(native.keySet == strings.keySet)
+      for ((id, hs) <- native)
+        assert(hs == strings(id), s"n=$n doc $id differs")
+    }
+  }
+
+  test("interpreted eval matches the codegen'd path and guards hold") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextHash
+    // direct (interpreted) calls on the edge inputs
+    assert(TextHash.shingleHashes3(UTF8String.fromString("a b")).numElements() == 0)
+    assert(TextHash.charGramHashes(UTF8String.fromString("ab"), 4).numElements() == 0)
+    val h1 = TextHash.shingleHashes3(UTF8String.fromString("a b c a b c"))
+    // shingles: "a b c", "b c a", "c a b", "a b c"(dup) -> 3 distinct
+    assert(h1.numElements() == 3, s"distinct shingle count: ${h1.numElements()}")
+    // null text flows to null output through the expression
+    import spark.implicits._
+    val withNull = Seq((1L, "three token shingle here"), (2L, null))
+      .toDF("doc_id", "text")
+    val out = withNull.select(TextOps.shingleHashes3(col("text"))).collect()
+    assert(out.count(_.isNullAt(0)) == 1)
+  }
+}
