@@ -252,4 +252,66 @@ object PipelineOps {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** Single-char marker of BPE merge round `k` (0-based): 'A' + k.
+    * Uppercase letters are outside the `[a-z0-9]+` token alphabet, so a
+    * merged pair becomes a fresh single-char symbol that later rounds
+    * pair over like any other — the invariant that keeps every round's
+    * merge a plain leftmost-non-overlapping `replace()` in BOTH engines.
+    */
+  def bpeMarker(k: Int): String = ('A' + k).toChar.toString
+
+  /** Greedy BPE merge training (Sennrich et al., ACL 2016 — public
+    * algorithm), generalized from the hand-unrolled 2-round demo to N
+    * rounds (r13 verdict #4). Each round is ONE distributed keyed
+    * pair-count aggregation + ONE driver-bounded top-1 fetch (the same
+    * bounded-scalar discipline as the bandit policy walks); the
+    * accumulated merges re-apply as a chain of broadcast-literal
+    * `replace()` maps over the original words — map-only narrow stages,
+    * nothing materialized between rounds, so at 100 TB each round costs
+    * one corpus pass and the merge table stays a driver-side literal
+    * (real BPE vocabularies are a few 10k merges — still a literal).
+    * Rounds stop early if no pair remains. Returns (pair, marker, cnt)
+    * in round order, where cnt is the pair's count at selection time.
+    */
+  def bpeTrain(words: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
+    require(rounds >= 1 && rounds <= 26, s"rounds must be in [1,26]: $rounds")
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var cur = words.select(col("w"))
+    var k = 0
+    var exhausted = false
+    while (k < rounds && !exhausted) {
+      val top = cur.select(explode(TextOps.charPairsRaw(col("w"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val mk = bpeMarker(k)
+        merges += ((pair, mk, top(0).getLong(1)))
+        // only the NEW merge applies — `cur` already carries rounds
+        // 0..k-1, and re-applying them would be a provable no-op
+        cur = cur.select(
+          call_function("replace", col("w"), lit(pair), lit(mk)).as("w"))
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply a learned merge table: chained leftmost-non-overlapping
+    * replaces in round order (each pair may contain earlier markers).
+    */
+  def bpeEncode(w: Column, merges: Seq[(String, String, Long)]): Column =
+    merges.foldLeft(w) { case (c, (pair, mk, _)) =>
+      call_function("replace", c, lit(pair), lit(mk))
+    }
+
+  /** Invert [[bpeEncode]]: expand markers back to their pairs in REVERSE
+    * round order (a later pair may contain earlier markers, so the
+    * earlier expansions must run after it).
+    */
+  def bpeDecode(w: Column, merges: Seq[(String, String, Long)]): Column =
+    merges.reverse.foldLeft(w) { case (c, (pair, mk, _)) =>
+      call_function("replace", c, lit(mk), lit(pair))
+    }
 }

@@ -334,4 +334,25 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     assert(out(1L)._1 == 8L && math.abs(out(1L)._2 - math.log(2.0)) < 1e-3)
     assert(out(2L)._1 == 4L, "newline must not count as a character")
   }
+
+  test("bpeTrain: greedy merges are deterministic, encode/decode invert, exhaustion stops early") {
+    import spark.implicits._
+    val words = Seq("aba", "ab", "ba", "abab").toDF("w")
+    // pair counts round 1: ab=4 (aba, ab, abab x2), ba=3 -> merge "ab"->A
+    // then "Aa"/"ba"/"AA" all count 1 -> ASCII tie-break walks
+    // AA -> B, Aa -> C, ba -> D, then no pairs remain: 4 merges, not 26
+    val merges = PipelineOps.bpeTrain(words, 26)
+    assert(merges.map(t => (t._1, t._2)) ==
+      Seq(("ab", "A"), ("AA", "B"), ("Aa", "C"), ("ba", "D")),
+      s"unexpected merge table: $merges")
+    assert(merges.head._3 == 4L, "round-1 pair count must ride along")
+    val rt = words
+      .withColumn("e", PipelineOps.bpeEncode(col("w"), merges))
+      .withColumn("d", PipelineOps.bpeDecode(col("e"), merges))
+    assert(rt.filter(col("d") =!= col("w")).count() == 0,
+      "decode must invert encode exactly")
+    // encoded forms actually compress: "abab" -> "AA" -> "B"
+    val enc = rt.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(enc("abab") == "B", s"greedy chain should fold abab: $enc")
+  }
 }
