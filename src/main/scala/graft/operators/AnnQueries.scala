@@ -365,6 +365,25 @@ object AnnQueries {
         .select(col("probe_id"), col("cand_id")),
       Seq("probe_id", "cand_id"))),
 
+    // the serving-knob curve for the reduced tier (r13 verdict #8):
+    // recall@TopK vs nProbe at the deployed shortlist — committed
+    // evidence that recall is monotone in probe width and the default
+    // operating point (NProbe = 4) is not a cliff edge. Mirrors
+    // ann_ivf_curve; the reduced assignment is shared across the sweep.
+    "ann_rp_ivf_curve" -> ((s, d) => {
+      val brute = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id"))
+      Seq(1, 2, 4, 8).map { np =>
+        recallSummary(brute,
+          Similarity.rpIvfTopK(probes(s, d), corpus(s, d), TopK,
+              Similarity.lcgPlanes(RpDim, Dim), rpIvfCentroids(s, d),
+              np, RpShortlist)
+            .select(col("probe_id"), col("cand_id")),
+          Seq("probe_id", "cand_id"))
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+    }),
+
     // the persisted reduced-vector index — "project once at ingest" as an
     // on-disk artifact: r-dim payloads partitioned by reduced cell, probes
     // read only their nProbe cell partitions (static pruning over vectors
@@ -606,8 +625,11 @@ object AnnQueries {
   // RP-IVF oracle: reduced centroids = the projected first-NCells vectors
   // (taken straight from cr, so they are the very same list_dot_product
   // folds), reduced Voronoi assignment + probe-cell ranking with the
-  // ivfCte tie-breaks, reduced-cosine shortlist, exact full-space rerank
-  private def rpIvfCte: String =
+  // ivfCte tie-breaks, reduced-cosine shortlist, exact full-space rerank.
+  // Split into the shared base (assignment + probe-cell ranking) and a
+  // per-(nProbe, shortlist) tail so the curve oracle sweeps the serving
+  // knobs over one shared assignment.
+  private def rpIvfBaseCte: String =
     s"""$rpCte, rcents AS (
        |  SELECT CAST(cand_id AS BIGINT) AS cell, rcv AS rcent
        |  FROM cr WHERE cand_id < $NCells
@@ -621,25 +643,31 @@ object AnnQueries {
        |  SELECT probe_id, rpv, cell, row_number() OVER (
        |    PARTITION BY probe_id ORDER BY ${cosSql("rpv", "rcent")} DESC, cell) AS prnk
        |  FROM pr CROSS JOIN rcents
-       |), rpq AS (
-       |  SELECT probe_id, rpv, cell FROM rpcell WHERE prnk <= $NProbe
-       |), rivs AS (
+       |)""".stripMargin
+
+  private def rpIvfTailCte(nProbe: Int, shortlist: Int, sfx: String): String =
+    s""", rpq$sfx AS (
+       |  SELECT probe_id, rpv, cell FROM rpcell WHERE prnk <= $nProbe
+       |), rivs$sfx AS (
        |  SELECT probe_id, cand_id, ${cosSql("rpv", "rcv")} AS sim_r
-       |  FROM ra1 JOIN rpq USING (cell) WHERE probe_id <> cand_id
-       |), rivr AS (
+       |  FROM ra1 JOIN rpq$sfx USING (cell) WHERE probe_id <> cand_id
+       |), rivr$sfx AS (
        |  SELECT probe_id, cand_id, row_number() OVER (
        |    PARTITION BY probe_id ORDER BY sim_r DESC, cand_id) AS rnk
-       |  FROM rivs
-       |), risl AS (
-       |  SELECT probe_id, cand_id FROM rivr WHERE rnk <= $RpShortlist
-       |), rifx AS (
+       |  FROM rivs$sfx
+       |), risl$sfx AS (
+       |  SELECT probe_id, cand_id FROM rivr$sfx WHERE rnk <= $shortlist
+       |), rifx$sfx AS (
        |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
-       |  FROM risl JOIN p USING (probe_id) JOIN c USING (cand_id)
-       |), rifr AS (
+       |  FROM risl$sfx JOIN p USING (probe_id) JOIN c USING (cand_id)
+       |), rifr$sfx AS (
        |  SELECT probe_id, cand_id, sim, CAST(row_number() OVER (
        |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk
-       |  FROM rifx
+       |  FROM rifx$sfx
        |)""".stripMargin
+
+  private def rpIvfCte: String =
+    rpIvfBaseCte + rpIvfTailCte(NProbe, RpShortlist, "")
 
   // shared CTE for the pair queries: every embedding with its exact
   // sign-LSH bucket; candidate pairs = bucket hamming <= PairFlip
@@ -942,6 +970,30 @@ object AnnQueries {
          |  FROM bs
          |), brute AS (SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK)
          |${recallTailSql("rivf", "probe_id", "cand_id")}""".stripMargin,
+
+    "ann_rp_ivf_curve" -> {
+      val tails = Seq(1, 2, 4, 8)
+        .map(n => rpIvfTailCte(n, RpShortlist, s"_$n")).mkString
+      val rows = Seq(1, 2, 4, 8).map { n =>
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_brute,
+           |  CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  round(CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 4) AS recall,
+           |  CAST($n AS BIGINT) AS nprobe
+           |FROM brute b LEFT JOIN (
+           |  SELECT probe_id, cand_id FROM rifr_$n WHERE rnk <= $TopK) l
+           |  ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$rpIvfBaseCte$tails, bs AS (
+         |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+         |  FROM p, c WHERE probe_id <> cand_id
+         |), br AS (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM bs
+         |), brute AS (SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK)
+         |$rows""".stripMargin
+    },
 
     "ann_ivf" ->
       s"$ivfCte\nSELECT probe_id, cand_id, sim, rnk FROM ivr WHERE rnk <= $TopK",
