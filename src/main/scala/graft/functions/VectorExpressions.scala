@@ -303,7 +303,11 @@ case class RpProject(child: Expression, planes: Array[Array[Double]])
 
   // short vectors and null elements fail loudly (the PqEncode policy):
   // primitive getters would read a null slot as 0.0 and project silently
-  // wrong values
+  // wrong values. OVER-length vectors project on the first `dim`
+  // elements (prefix semantics — parity with the min-length fold of the
+  // VecDot/list_dot_product pair these expressions replaced, and with
+  // VoronoiCell, which assigns on the same prefix so cell keys never
+  // disagree with the projection)
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     if (a.numElements() < dim)
@@ -481,6 +485,7 @@ case class VoronoiCell(child: Expression, centroids: Array[Array[Double]],
       val s = ctx.freshName("s")
       val best = ctx.freshName("best")
       val bestScore = ctx.freshName("bestScore")
+      val x = ctx.freshName("x")
       val nullCheck = if (containsNull) {
         val ni = ctx.freshName("ni")
         s"""
@@ -499,8 +504,8 @@ case class VoronoiCell(child: Expression, centroids: Array[Array[Double]],
          |$nullCheck
          |double $vn = 0.0;
          |for (int $j = 0; $j < $dim; $j++) {
-         |  double __x = ((double) $a.$getter($j));
-         |  $vn += __x * __x;
+         |  double $x = ((double) $a.$getter($j));
+         |  $vn += $x * $x;
          |}
          |$vn = Math.sqrt($vn);
          |int $best = 0;

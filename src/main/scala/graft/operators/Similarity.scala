@@ -253,8 +253,10 @@ object Similarity {
     * large cells read fewer cells, probes near sparse cells read more,
     * equalizing per-query candidate I/O under skewed cell occupancy (the
     * recall/cost dial Faiss tunes with nprobe, made size-aware). Cell
-    * sizes are a |cells|-row frame (broadcast); the total is one bounded
-    * scalar. Same scoring/ranking as ivfTopK.
+    * sizes are collected into a |cells|-bounded driver dictionary and
+    * embedded in the plan as a literal lookup (|cells| is the codebook
+    * size — a deliberate constant, never corpus-sized); the corpus total
+    * is one bounded scalar. Same scoring/ranking as ivfTopK.
     */
   def ivfTopKAdaptive(probes: DataFrame, corpus: DataFrame, k: Int,
                       centroids: Seq[(Int, Seq[Double])],

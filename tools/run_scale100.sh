@@ -16,8 +16,13 @@ SRC=${1:-/root/testdata/sf0.1}
 WORK=${2:-/tmp/graft_scale100}
 # ann_ivf_store/ann_ivf_probe attribute the IVF row's scale cost between
 # the one-time index build and the amortized partition-pruned serve (the
-# number that matters at 100 TB, where the index is built once)
-QUERIES="o1_scan,dedup_minhash,ann_ivf,ann_ivf_store,ann_ivf_probe,ann_rp_ivf_store,ann_rp_ivf_probe,seg_profile_auto"
+# number that matters at 100 TB, where the index is built once).
+# pipe_near_dedup/pipe_dedup_quality/text_bm25 (r13 verdict #5) are the
+# text/dedup workhorses a 100 TB curation run actually spends time in:
+# near-dup adds CC + the keeper window over the banded pairs, and the
+# bench stderr's [cc-route] lines record which component tier the router
+# chose per decade (captured into the artifact below).
+QUERIES="o1_scan,dedup_minhash,ann_ivf,ann_ivf_store,ann_ivf_probe,ann_rp_ivf_store,ann_rp_ivf_probe,seg_profile_auto,pipe_near_dedup,pipe_dedup_quality,text_bm25"
 cd "$(dirname "$0")/.."
 mkdir -p "$WORK"
 python3 tools/make_scale10.py "$SRC" "$WORK/x10" 10
@@ -29,7 +34,9 @@ for tag in base x10 x100; do
   esac
   SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_REPS=2 \
     SPARK_GRAFT_BENCH_OUT="$WORK/bench_$tag.json" \
-    tools/run_bench.sh "$dir" 32 > /dev/null 2>&1
+    tools/run_bench.sh "$dir" 32 > /dev/null 2> "$WORK/bench_stderr_$tag.txt"
+  grep '\[cc-route\]' "$WORK/bench_stderr_$tag.txt" | sort -u \
+    > "$WORK/cc_routes_$tag.txt" || true
   SPARK_GRAFT_VERIFY_ONLY="$QUERIES" SPARK_GRAFT_VERIFY_COUNT=1 \
     tools/run_verify.sh "$dir" "$WORK/ignore" 2>/dev/null \
     | grep '\[count\]' > "$WORK/counts_$tag.txt"
@@ -47,6 +54,11 @@ for tag in ("base", "x10", "x100"):
     rows = dict(l.split()[1:3] for l in open(f"{w}/counts_{tag}.txt"))
     out[tag] = {q: {"sec": v["t"], "rows": int(rows.get(q, -1))}
                 for q, v in bench.items()}
+    try:
+        out[tag]["cc_routes"] = [l.strip() for l in
+                                 open(f"{w}/cc_routes_{tag}.txt") if l.strip()]
+    except FileNotFoundError:
+        pass
 out["profile_growth"] = json.load(open(f"{w}/profile_growth.json"))
 json.dump(out, open(f"{w}/scale100.json", "w"), indent=1)
 print(json.dumps(out, indent=1))
