@@ -131,6 +131,48 @@ object TextHash {
       if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) in one
+    * compiled pass: fnv32 of each positional char 8-gram of the
+    * lowercased text, min per sliding window of 4, distinct mins in
+    * first-occurrence order — exactly the UDF it replaces (fnv32 folds
+    * UTF-16 chars, so the String walk IS the hash's domain). The 8-char
+    * rehash per gram is 8 multiply-xors — cheaper than a dequeue-based
+    * rolling scheme at this width and branch-free.
+    */
+  def winnowFingerprints(text: UTF8String): ArrayData = {
+    val lc = text.toString.toLowerCase(java.util.Locale.ROOT)
+    if (lc.length < 8) return new GenericArrayData(Array.emptyLongArray)
+    val n = lc.length - 7
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 2166136261L
+      var j = i
+      while (j < i + 8) {
+        h = ((h ^ lc.charAt(j)) * 16777619L) & 0xffffffffL
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    val m = if (n < 4) n else n - 3
+    val seen = new LongSet(m)
+    val out = new Array[Long](m)
+    var nOut = 0
+    var w = 0
+    while (w < m) {
+      var v = hashes(w)
+      if (n >= 4) {
+        var k = w + 1
+        while (k < w + 4) { if (hashes(k) < v) v = hashes(k); k += 1 }
+      }
+      if (seen.add(v)) { out(nOut) = v; nOut += 1 }
+      w += 1
+    }
+    new GenericArrayData(
+      if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
+  }
+
   /** Distinct character-n-gram hashes of the lowercased text in
     * first-occurrence order — `xxhash64(charGrams(text, n)[i])` without
     * the strings. Grams may contain arbitrary characters, so each
@@ -179,6 +221,30 @@ case class ShingleHashes3(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashes3($c)")
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes3 =
+    copy(child = c)
+}
+
+/** `array<bigint>` of winnowing fingerprints of a text column — see
+  * [[TextHash.winnowFingerprints]].
+  */
+case class WinnowFingerprints(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_winnow_fingerprints"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.winnowFingerprints(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.winnowFingerprints($c)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
     copy(child = c)
 }
 

@@ -287,9 +287,19 @@ object TextOps {
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — public
     * algorithm): fnv32 of each positional char 8-gram, min per sliding
-    * window of 4, distinct mins = the fingerprint set. One compiled pass
-    * per document (HOF expressions would re-run the gram extraction per
-    * element); fnv32 keeps it oracle-expressible.
+    * window of 4, distinct mins = the fingerprint set. A native codegen'd
+    * expression since round 14 (same values as the retired UDF —
+    * TextHashSpec asserts equality against [[fingerprintsUdfBaseline]]);
+    * fnv32 keeps it oracle-expressible.
     */
-  def fingerprints(c: Column): Column = fingerprintUdf(c)
+  def fingerprints(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(WinnowFingerprints(expression(c)))
+  }
+
+  /** The retired UDF form, kept ONLY as the spec baseline for
+    * [[fingerprints]].
+    */
+  private[graft] def fingerprintsUdfBaseline(c: Column): Column =
+    fingerprintUdf(c)
 }

@@ -252,13 +252,20 @@ object PipelineOps {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
-  /** Single-char marker of BPE merge round `k` (0-based): 'A' + k.
-    * Uppercase letters are outside the `[a-z0-9]+` token alphabet, so a
-    * merged pair becomes a fresh single-char symbol that later rounds
-    * pair over like any other — the invariant that keeps every round's
-    * merge a plain leftmost-non-overlapping `replace()` in BOTH engines.
+  /** Single-char marker of BPE merge round `k` (0-based): 'A'..'Z' for
+    * the first 26 rounds, then consecutive BMP codepoints from U+00C0
+    * ('À') — all outside the `[a-z0-9]+` token alphabet, so a merged
+    * pair becomes a fresh single-char symbol that later rounds pair over
+    * like any other: the invariant that keeps every round's merge a
+    * plain leftmost-non-overlapping `replace()` in BOTH engines
+    * (Spark and DuckDB `replace`/`substr`/`len` are all
+    * character-based). Single UTF-16 chars below the surrogate range
+    * give ~55k distinct markers; the practical round bound is job
+    * latency (one distributed pair-count pass per round), not markers.
     */
-  def bpeMarker(k: Int): String = ('A' + k).toChar.toString
+  def bpeMarker(k: Int): String =
+    if (k < 26) ('A' + k).toChar.toString
+    else (0xC0 + (k - 26)).toChar.toString
 
   /** Greedy BPE merge training (Sennrich et al., ACL 2016 — public
     * algorithm), generalized from the hand-unrolled 2-round demo to N
@@ -274,7 +281,8 @@ object PipelineOps {
     * in round order, where cnt is the pair's count at selection time.
     */
   def bpeTrain(words: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
-    require(rounds >= 1 && rounds <= 26, s"rounds must be in [1,26]: $rounds")
+    require(rounds >= 1 && rounds <= 1000,
+      s"rounds must be in [1,1000] (one distributed pass each): $rounds")
     val merges = Seq.newBuilder[(String, String, Long)]
     var cur = words.select(col("w"))
     var k = 0

@@ -355,4 +355,24 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
     val enc = rt.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(enc("abab") == "B", s"greedy chain should fold abab: $enc")
   }
+
+  test("bpeTrain past 26 rounds: BMP markers stay distinct single chars and the deep roundtrip is lossless") {
+    import spark.implicits._
+    // one 36-symbol word has 35 distinct adjacent pairs, so 30 greedy
+    // rounds always find a pair; rounds 26..29 use the U+00C0+ markers
+    val words = Seq("abcdefghijklmnopqrstuvwxyz0123456789").toDF("w")
+    val merges = PipelineOps.bpeTrain(words, 30)
+    assert(merges.size == 30, s"expected 30 merges: ${merges.size}")
+    val markers = merges.map(_._2)
+    assert(markers.distinct.size == 30 && markers.forall(_.length == 1),
+      s"markers must be 30 distinct single chars: $markers")
+    assert(markers(26) == "À", s"round 27 marker: ${markers(26)}")
+    val rt = words
+      .withColumn("e", PipelineOps.bpeEncode(col("w"), merges))
+      .withColumn("d", PipelineOps.bpeDecode(col("e"), merges))
+      .head()
+    assert(rt.getString(2) == rt.getString(0), "deep roundtrip must invert")
+    assert(rt.getString(1).length == 36 - 30,
+      s"30 merges on one word shrink it by 30 symbols: '${rt.getString(1)}'")
+  }
 }

@@ -55,6 +55,25 @@ class TextHashSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("native winnowing fingerprints equal the UDF baseline, element for element") {
+    val native = collectArr(docs.select(col("doc_id"),
+      TextOps.fingerprints(col("text")).as("fp")))
+    val baseline = collectArr(docs.select(col("doc_id"),
+      TextOps.fingerprintsUdfBaseline(col("text")).as("fp")))
+    assert(native.keySet == baseline.keySet)
+    for ((id, fp) <- native)
+      assert(fp == baseline(id), s"doc $id: native $fp vs udf ${baseline(id)}")
+    // edge widths: <8 chars -> empty; 8..10 chars -> fewer grams than the
+    // window (the distinct-all branch); exactly 11 -> one full window
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextHash
+    assert(TextHash.winnowFingerprints(UTF8String.fromString("abcdefg")).numElements() == 0)
+    val short = TextHash.winnowFingerprints(UTF8String.fromString("abcdefghij"))
+    assert(short.numElements() == 3, s"3 grams, all distinct: ${short.numElements()}")
+    val one = TextHash.winnowFingerprints(UTF8String.fromString("abcdefghijk"))
+    assert(one.numElements() == 1, "4 grams -> one window min")
+  }
+
   test("interpreted eval matches the codegen'd path and guards hold") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.TextHash
