@@ -485,80 +485,85 @@ object Bench {
         // the child prints its own summary JSON line on stdout, which
         // must not corrupt THIS process's parsed stdout — file-redirect it
         val childOut = java.nio.file.Files.createTempFile("graft-fork-stdout", ".txt")
-        val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp",
-          System.getProperty("java.class.path"), "graft.Bench")).asJava
-        val pb = new ProcessBuilder(cmd)
-        val env = pb.environment()
-        env.put("SPARK_GRAFT_ONLY", (names :+ "o1_scan").distinct.mkString(","))
-        env.put("SPARK_GRAFT_SF_DIR", sfDir)
-        env.put("SPARK_GRAFT_CPUS", cpus)
-        env.put("SPARK_GRAFT_REPS", reps.toString)
-        env.put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
-        env.put("SPARK_GRAFT_NO_FORK", "1")
-        pb.redirectOutput(ProcessBuilder.Redirect.to(childOut.toFile))
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-        System.err.println(s"[bench] forking fresh JVM for " +
-          s"${names.mkString(",")} (+o1_scan canary)")
-        val p = pb.start()
-        val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
-        if (!done) {
-          p.destroyForcibly()
-          System.err.println("[bench] fork timed out after 30 min"); return None
+        try {
+          val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp",
+            System.getProperty("java.class.path"), "graft.Bench")).asJava
+          val pb = new ProcessBuilder(cmd)
+          val env = pb.environment()
+          env.put("SPARK_GRAFT_ONLY", (names :+ "o1_scan").distinct.mkString(","))
+          env.put("SPARK_GRAFT_SF_DIR", sfDir)
+          env.put("SPARK_GRAFT_CPUS", cpus)
+          env.put("SPARK_GRAFT_REPS", reps.toString)
+          env.put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+          env.put("SPARK_GRAFT_NO_FORK", "1")
+          pb.redirectOutput(ProcessBuilder.Redirect.to(childOut.toFile))
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          System.err.println(s"[bench] forking fresh JVM for " +
+            s"${names.mkString(",")} (+o1_scan canary)")
+          val p = pb.start()
+          val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+          if (!done) {
+            p.destroyForcibly()
+            System.err.println("[bench] fork timed out after 30 min"); return None
+          }
+          if (p.exitValue() != 0) {
+            System.err.println(s"[bench] fork exited ${p.exitValue()}"); return None
+          }
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readAllBytes(outFile))
+          val qs = Option(root.get("queries")).toSeq
+            .flatMap(_.fields().asScala)
+            .flatMap { e =>
+              val v = e.getValue
+              val t = if (v.isNumber) Some(v.asDouble)
+                      else Option(v.get("t")).filter(_.isNumber).map(_.asDouble)
+              t.map(e.getKey -> _)
+            }.toMap
+          val ing = Option(root.get("ingest_pts_per_sec")).filter(_.isNumber)
+            .map(n => "ingest_pts_per_sec" -> n.asDouble)
+          Some(qs ++ ing)
+        } finally {
+          // unconditional: timeout/exit/parse failures must not leak the
+          // two temp files across repeated adjudication runs
+          java.nio.file.Files.deleteIfExists(childOut)
+          java.nio.file.Files.deleteIfExists(outFile)
         }
-        if (p.exitValue() != 0) {
-          System.err.println(s"[bench] fork exited ${p.exitValue()}"); return None
-        }
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readAllBytes(outFile))
-        val qs = Option(root.get("queries")).toSeq
-          .flatMap(_.fields().asScala)
-          .flatMap { e =>
-            val v = e.getValue
-            val t = if (v.isNumber) Some(v.asDouble)
-                    else Option(v.get("t")).filter(_.isNumber).map(_.asDouble)
-            t.map(e.getKey -> _)
-          }.toMap
-        val ing = Option(root.get("ingest_pts_per_sec")).filter(_.isNumber)
-          .map(n => "ingest_pts_per_sec" -> n.asDouble)
-        java.nio.file.Files.deleteIfExists(childOut)
-        java.nio.file.Files.deleteIfExists(outFile)
-        Some(qs ++ ing)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fork failed: $e"); None }
     }
     // child runs (SPARK_GRAFT_ONLY set) never self-adjudicate: they ARE
-    // the isolated measurement, and recursion must terminate
-    var resweepMode = "fork"
+    // the isolated measurement, and recursion must terminate.
+    // Per-row mode: "fork" (fresh-JVM child) or "same_jvm" (fallback —
+    // fork unavailable, or the query errored IN the child: it must not
+    // silently keep its storm-inflated sweep median as the committed
+    // prior, which is the exact failure this machinery closes).
     var forkCanary: Option[Double] = None
-    val adjudicated: Map[String, (Double, Double)] =
+    val adjudicated: Map[String, (Double, Double, String)] =
       if (hostSlow || tripped.isEmpty || only.nonEmpty) Map.empty
       else {
         tripped.foreach(r => priorMap.get(r.name).foreach(p =>
           System.err.println(
             f"[bench] ${r.name}: sweep ${r.med}%.2fs > 2x prior $p%.2fs " +
               "- re-adjudicating in a fresh JVM")))
-        forkBench(tripped.map(_.name)) match {
-          case Some(forked) =>
-            forkCanary = forked.get("o1_scan")
-            tripped.flatMap { r =>
-              for { p <- priorMap.get(r.name); t <- forked.get(r.name) }
-                yield {
-                  System.err.println(f"[bench] ${r.name}: fork ${t}%.2fs")
-                  r.name -> (t, p)
-                }
-            }.toMap
-          case None =>
-            resweepMode = "same_jvm"
-            tripped.flatMap { r =>
-              priorMap.get(r.name).map { p =>
-                val iso = timeQuery(r.name, r.run)
-                System.err.println(
-                  f"[bench] ${r.name}: same-JVM resweep ${iso.med}%.2fs " +
-                    "(fork unavailable)")
-                r.name -> (iso.med, p)
-              }
-            }.toMap
+        val forked = forkBench(tripped.map(_.name)).getOrElse(Map.empty)
+        forkCanary = forked.get("o1_scan")
+        def sameJvm(name: String, run: () => Unit): Double = {
+          val iso = timeQuery(name, run)
+          System.err.println(
+            f"[bench] $name: same-JVM resweep ${iso.med}%.2fs " +
+              "(fork unavailable or query errored in the child)")
+          iso.med
         }
+        tripped.flatMap { r =>
+          priorMap.get(r.name).map { p =>
+            forked.get(r.name) match {
+              case Some(t) =>
+                System.err.println(f"[bench] ${r.name}: fork ${t}%.2fs")
+                r.name -> (t, p, "fork")
+              case None => r.name -> (sameJvm(r.name, r.run), p, "same_jvm")
+            }
+          }
+        }.toMap
       }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -678,11 +683,12 @@ object Bench {
     def qmapFull(rs: Seq[QRes]): String = rs.map {
       case r if r.err.isEmpty =>
         adjudicated.get(r.name) match {
-          case Some((iso, p)) =>
+          case Some((iso, p, mode)) =>
             s""""${r.name}":{"t":${f3(math.min(r.med, iso))},""" +
               s""""sweep":${f3(r.med)},"mean":${f3(r.mean)},""" +
               s""""sd":${f3(r.sd)},"reps":${r.nOk},""" +
-              s""""resweep":${f3(iso)},"prior":${f3(p)}}"""
+              s""""resweep":${f3(iso)},"resweep_mode":"$mode",""" +
+              s""""prior":${f3(p)}}"""
           case None =>
             s""""${r.name}":{"t":${f3(r.med)},"mean":${f3(r.mean)},""" +
               s""""sd":${f3(r.sd)},"reps":${r.nOk}}"""
@@ -698,11 +704,12 @@ object Bench {
         val forkCanaryField = (for {
           fc <- forkCanary; p <- priorMap.get("o1_scan") if p > 0.0
         } yield s""""resweep_canary_ratio":${f3(fc / p)},""").getOrElse("")
-        s""""resweep_mode":"$resweepMode",$forkCanaryField""" +
+        forkCanaryField +
           s""""adjudicated":${adjudicated.toSeq.sortBy(_._1).map {
-            case (n, (iso, p)) =>
+            case (n, (iso, p, mode)) =>
               val sweep = results.find(_.name == n).map(_.med).getOrElse(0.0)
-              s""""$n":{"sweep":${f3(sweep)},"resweep":${f3(iso)},"prior":${f3(p)}}"""
+              s""""$n":{"sweep":${f3(sweep)},"resweep":${f3(iso)},""" +
+                s""""resweep_mode":"$mode","prior":${f3(p)}}"""
           }.mkString("{", ",", "}")},"""
       }
     val headline = Set(

@@ -87,9 +87,12 @@ object TextHash {
     */
   def shingleHashes3(text: UTF8String): ArrayData = {
     val lc = text.toString.toLowerCase(java.util.Locale.ROOT)
-    // token spans [start, end) of [a-z0-9] runs over lc
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
+    // token spans [start, end) of [a-z0-9] runs over lc — primitive
+    // grow-by-doubling arrays (this is the per-row hot loop; boxed
+    // collections would allocate two objects per token per document)
+    var starts = new Array[Int](32)
+    var ends = new Array[Int](32)
+    var nTok = 0
     var i = 0
     val len = lc.length
     while (i < len) {
@@ -101,10 +104,13 @@ object TextHash {
           val d = lc.charAt(i)
           (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
         }) i += 1
-        starts.add(s); ends.add(i)
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s; ends(nTok) = i; nTok += 1
       } else i += 1
     }
-    val nTok = starts.size
     if (nTok < 3) return new GenericArrayData(Array.emptyLongArray)
     val seen = new LongSet(nTok)
     val out = new Array[Long](nTok - 2)
@@ -116,8 +122,8 @@ object TextHash {
       var w = t
       while (w <= t + 2) {
         if (w > t) { buf(bl) = ' '; bl += 1 }
-        var p = starts.get(w).intValue()
-        val e = ends.get(w).intValue()
+        var p = starts(w)
+        val e = ends(w)
         if (bl + (e - p) + 1 > buf.length)
           buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, bl + (e - p) + 1))
         while (p < e) { buf(bl) = lc.charAt(p).toByte; bl += 1; p += 1 }

@@ -59,19 +59,22 @@ object TextOps {
   /** Distinct 3-token-shingle xxhash64s straight from the text — the
     * native codegen'd scan-stage form: values are bit-identical to
     * `xxhash64` over [[shingles3OfText]] elements (TextHashSpec), with
-    * no UDF boundary and no `array<string>` materialization.
+    * no UDF boundary and no `array<string>` materialization. The
+    * coalesce preserves the retired UDFs' null-text semantics (empty
+    * set, not NULL) so no consumer's output shape changed.
     */
   def shingleHashes3(text: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-    column(ShingleHashes3(expression(text)))
+    coalesce(column(ShingleHashes3(expression(text))), lit(Array.empty[Long]))
   }
 
   /** Distinct char-n-gram xxhash64s straight from the text — native
-    * twin of `xxhash64` over [[charGrams]] elements.
+    * twin of `xxhash64` over [[charGrams]] elements (null-text -> empty
+    * set, the UDF convention).
     */
   def charGramHashes(text: Column, n: Int): Column = {
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-    column(CharGramHashes(expression(text), n))
+    coalesce(column(CharGramHashes(expression(text), n)), lit(Array.empty[Long]))
   }
 
   private def charGramsUdf(n: Int) = udf((text: String) => {
@@ -294,7 +297,9 @@ object TextOps {
     */
   def fingerprints(c: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-    column(WinnowFingerprints(expression(c)))
+    // null-text -> empty set: the retired UDF's convention, so
+    // text_fingerprint's output shape is unchanged on null input
+    coalesce(column(WinnowFingerprints(expression(c))), lit(Array.empty[Long]))
   }
 
   /** The retired UDF form, kept ONLY as the spec baseline for

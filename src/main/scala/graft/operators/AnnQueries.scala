@@ -369,7 +369,11 @@ object AnnQueries {
     // recall@TopK vs nProbe at the deployed shortlist — committed
     // evidence that recall is monotone in probe width and the default
     // operating point (NProbe = 4) is not a cliff edge. Mirrors
-    // ann_ivf_curve; the reduced assignment is shared across the sweep.
+    // ann_ivf_curve. NOTE on cost shape: the ORACLE shares one reduced
+    // assignment across its four tails (rpIvfBaseCte); the engine side
+    // deliberately runs the full self-contained serve per knob — this
+    // is a correctness-evidence row, and each point measuring the whole
+    // pipeline keeps it an honest 4x serve, not a perf row.
     "ann_rp_ivf_curve" -> ((s, d) => {
       val brute = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
         .select(col("probe_id"), col("cand_id"))

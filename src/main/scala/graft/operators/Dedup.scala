@@ -480,17 +480,16 @@ object Dedup {
                               localThreshold: Long = 100000L): DataFrame = {
     val cached = pairs.cache()
     val edgeCount = cached.count()
-    val route =
-      if (edgeCount >= starThreshold) "star"
-      else if (edgeCount <= localThreshold) "local"
-      else "propagation"
-    // the choice is part of the scale evidence (SCALE100 logs it per
-    // decade): stderr-only, one line per routed graph
+    // name and implementation decided together — one three-way branch
+    // (the choice is part of the scale evidence: SCALE100 captures the
+    // stderr line per decade)
+    val (route, impl) =
+      if (edgeCount >= starThreshold)
+        ("star", () => connectedComponentsStar(cached))
+      else if (edgeCount <= localThreshold)
+        ("local", () => connectedComponentsLocal(cached))
+      else ("propagation", () => connectedComponents(cached))
     System.err.println(s"[cc-route] edges=$edgeCount route=$route")
-    route match {
-      case "star" => connectedComponentsStar(cached)
-      case "local" => connectedComponentsLocal(cached)
-      case _ => connectedComponents(cached)
-    }
+    impl()
   }
 }

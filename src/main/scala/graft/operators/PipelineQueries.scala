@@ -307,14 +307,20 @@ object PipelineQueries {
     for (k <- 0 until rounds) {
       val mk = PipelineOps.bpeMarker(k)
       val keep = if (carryOrig) "orig, " else ""
+      // LEFT JOIN ON TRUE + CASE, not CROSS JOIN: when a round exhausts
+      // (t_k empty — no word has two symbols left), the words must pass
+      // through unchanged, exactly as the engine's early-stopped
+      // bpeTrain leaves them; a CROSS JOIN against the empty t_k would
+      // silently empty every later CTE and the roundtrip's word count
       sb ++= s""", t$k AS (
          |  SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (
          |    SELECT substr(w, CAST(i AS INT), 2) AS pair
          |    FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w$k WHERE len(w) >= 2))
          |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
          |), w${k + 1} AS (
-         |  SELECT ${keep}replace(w$k.w, t$k.pair, '$mk') AS w
-         |  FROM w$k CROSS JOIN t$k
+         |  SELECT ${keep}CASE WHEN t$k.pair IS NULL THEN w$k.w
+         |    ELSE replace(w$k.w, t$k.pair, '$mk') END AS w
+         |  FROM w$k LEFT JOIN t$k ON TRUE
          |)""".stripMargin
     }
     sb.toString
@@ -328,10 +334,13 @@ object PipelineQueries {
           .mkString("", " UNION ALL ", "")),
 
     "pipe_bpe_round8_rt" -> {
+      // exhausted rounds (NULL pair from the LEFT JOIN) decode as
+      // identity — their marker never occurs in the encoded words
       val dec = (BpeRounds - 1 to 0 by -1).foldLeft("w") { (e, k) =>
-        s"replace($e, '${PipelineOps.bpeMarker(k)}', t$k.pair)"
+        val mk = PipelineOps.bpeMarker(k)
+        s"CASE WHEN t$k.pair IS NULL THEN $e ELSE replace($e, '$mk', t$k.pair) END"
       }
-      val crosses = (0 until BpeRounds).map(k => s"CROSS JOIN t$k").mkString(" ")
+      val crosses = (0 until BpeRounds).map(k => s"LEFT JOIN t$k ON TRUE").mkString(" ")
       bpeChainSql(BpeRounds, carryOrig = true) +
         s""", dec AS (
            |  SELECT orig, $dec AS dec FROM w$BpeRounds $crosses

@@ -83,11 +83,18 @@ class TextHashSpec extends AnyFunSuite with SparkTest {
     val h1 = TextHash.shingleHashes3(UTF8String.fromString("a b c a b c"))
     // shingles: "a b c", "b c a", "c a b", "a b c"(dup) -> 3 distinct
     assert(h1.numElements() == 3, s"distinct shingle count: ${h1.numElements()}")
-    // null text flows to null output through the expression
+    // null text yields the EMPTY set through the public wrapper — the
+    // retired UDFs' convention, preserved so no consumer's output shape
+    // changed (the bare expression itself is null-propagating)
     import spark.implicits._
     val withNull = Seq((1L, "three token shingle here"), (2L, null))
       .toDF("doc_id", "text")
-    val out = withNull.select(TextOps.shingleHashes3(col("text"))).collect()
-    assert(out.count(_.isNullAt(0)) == 1)
+    for (c <- Seq(TextOps.shingleHashes3(col("text")),
+        TextOps.charGramHashes(col("text"), 4),
+        TextOps.fingerprints(col("text")))) {
+      val out = withNull.select(c).collect()
+      assert(out.forall(!_.isNullAt(0)), "null text must map to empty set")
+      assert(out.map(_.getSeq[Long](0).size).min == 0)
+    }
   }
 }
