@@ -246,6 +246,16 @@ object Bench {
         graft.operators.Readings.of(spark, sfDir).groupBy(col("signal_id"))
           .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
                expr("approx_percentile(value, 0.9, 1000)").as("p90")).count(); ()
+      }),
+      // SCAN-STAGE attribution for the dedup family (bench-only row, no
+      // oracle — the values feed the oracle-checked dedup rows): text ->
+      // native shingle hashes -> MinHash signatures, nothing else. The
+      // per-round dial that shows whether the dedup scan stage itself
+      // moved, separate from band-join/confirm/CC costs downstream.
+      ("dedup_sigs", () => {
+        graft.operators.Dedup.minhashSignatures(
+          graft.operators.Dedup.shingleSets(
+            graft.Tables.documents(spark, sfDir))).count(); ()
       })) ++ profileIn.toSeq.map { in =>
       // STAMPI-style streaming profile maintenance: 4 micro-batches of
       // sealed segments each fold into the persisted per-signal profile
