@@ -28,11 +28,18 @@ object ProfileGrowthBench {
       .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_REBUILD_EVERY overrides profileStream's periodic
+    // route-state rebuild interval, so the harness can also measure the
+    // rebuild batch's cost against a large folded history (a small
+    // interval forces rebuilds INSIDE the replay window; the default 64
+    // keeps the growth curve rebuild-free, matching production cadence)
+    val rebuildEvery =
+      sys.env.getOrElse("SPARK_GRAFT_REBUILD_EVERY", "64").toInt
     val t0 = System.nanoTime()
     val q = graft.streaming.Ingest.profileStream(spark, inDir,
       s"$workDir/w${System.nanoTime()}",
       segRows = graft.operators.Readings.SegmentRows.toInt,
-      maxFilesPerTrigger = 1)
+      maxFilesPerTrigger = 1, rebuildEvery = rebuildEvery)
     q.awaitTermination()
     val total = (System.nanoTime() - t0) / 1e9
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
