@@ -89,35 +89,25 @@ object TextOps {
   /** Distinct character n-grams of the lowercased text. */
   def charGrams(c: Column, n: Int): Column = charGramsUdf(n)(c)
 
-  private val charPairsUdf = udf((text: String) => {
-    if (text == null) Array.empty[String]
-    else {
-      val words = TokenRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT))
-      val out = Array.newBuilder[String]
-      for (w <- words; if w.length >= 2; i <- 0 until w.length - 1)
-        out += w.substring(i, i + 2)
-      out.result()
-    }
-  })
-
-  /** Adjacent character pairs WITH multiplicity, within each word token —
-    * the merge-candidate stream of BPE's first iteration (Sennrich et al.,
-    * "Neural Machine Translation of Rare Words with Subword Units").
-    * One pass over the raw text (same HOF-avoidance rationale as above).
+  /** Adjacent character pairs WITH multiplicity over the RAW string (no
+    * tokenization) — the pair-count step of every BPE round, where merged
+    * symbols are placeholder characters outside the token alphabet and
+    * must not be split away. Native codegen'd expression since round 15
+    * (the coalesce preserves the retired UDF's null -> empty-array
+    * convention; BpeSpec pins value equality against the baseline).
     */
-  def charPairsOfText(text: Column): Column = charPairsUdf(text)
+  def charPairsRaw(w: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    coalesce(column(CharPairs(expression(w))), lit(Array.empty[String]))
+  }
 
-  private val charPairsRawUdf = udf((w: String) => {
+  /** The retired UDF form, kept ONLY as the spec baseline for
+    * [[charPairsRaw]].
+    */
+  private[graft] val charPairsRawUdfBaseline = udf((w: String) => {
     if (w == null || w.length < 2) Array.empty[String]
     else Array.tabulate(w.length - 1)(i => w.substring(i, i + 2))
   })
-
-  /** Adjacent character pairs WITH multiplicity over the RAW string (no
-    * tokenization) — the pair-count step of BPE rounds >= 2, where merged
-    * symbols are placeholder characters outside the token alphabet and
-    * must not be split away.
-    */
-  def charPairsRaw(w: Column): Column = charPairsRawUdf(w)
 
   /** Standard pre-tokenization normalization: lowercase, strip
     * punctuation, collapse whitespace runs, trim. The SQL twin is

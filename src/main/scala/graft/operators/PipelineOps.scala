@@ -268,58 +268,71 @@ object PipelineOps {
     else (0xC0 + (k - 26)).toChar.toString
 
   /** Greedy BPE merge training (Sennrich et al., ACL 2016 — public
-    * algorithm), generalized from the hand-unrolled 2-round demo to N
-    * rounds (r13 verdict #4). Each round is ONE distributed keyed
-    * pair-count aggregation + ONE driver-bounded top-1 fetch (the same
-    * bounded-scalar discipline as the bandit policy walks); the
-    * accumulated merges re-apply as a chain of broadcast-literal
-    * `replace()` maps over the original words — map-only narrow stages,
-    * nothing materialized between rounds, so at 100 TB each round costs
-    * one corpus pass and the merge table stays a driver-side literal
-    * (real BPE vocabularies are a few 10k merges — still a literal).
-    * Rounds stop early if no pair remains. Returns (pair, marker, cnt)
-    * in round order, where cnt is the pair's count at selection time.
+    * algorithm), in the 100 TB corpus shape (r14 verdict #2): the token
+    * stream collapses ONCE to the weighted vocabulary `(word, cnt)` —
+    * distinct words are millions where corpus tokens are trillions — and
+    * every round trains against that cached table, so per-round cost is
+    * O(|vocab|), not O(corpus). Pair counts with multiplicity over the
+    * token stream equal `sum(cnt)` over distinct words exactly (the
+    * standard textbook identity), so results are bit-identical to the
+    * retired corpus-rescanning formulation and the generated DuckDB
+    * CTE-chain oracle is unchanged. Each round is ONE keyed pair-count
+    * aggregation over the vocabulary + ONE driver-bounded top-1 fetch
+    * (the bandit policy walks' bounded-scalar discipline); the merges
+    * accumulated so far re-apply through ONE native [[graft.functions
+    * .BpeApply]] node — constant plan depth at any vocabulary size, no
+    * N-deep replace chain, no lineage growth, no checkpointing. Rounds
+    * stop early if no pair remains. Returns (pair, marker, cnt) in round
+    * order, where cnt is the pair's count at selection time.
     */
   def bpeTrain(words: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
-    require(rounds >= 1 && rounds <= 1000,
-      s"rounds must be in [1,1000] (one distributed pass each): $rounds")
-    val merges = Seq.newBuilder[(String, String, Long)]
-    var cur = words.select(col("w"))
-    var k = 0
-    var exhausted = false
-    while (k < rounds && !exhausted) {
-      val top = cur.select(explode(TextOps.charPairsRaw(col("w"))).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val pair = top(0).getString(0)
-        val mk = bpeMarker(k)
-        merges += ((pair, mk, top(0).getLong(1)))
-        // only the NEW merge applies — `cur` already carries rounds
-        // 0..k-1, and re-applying them would be a provable no-op
-        cur = cur.select(
-          call_function("replace", col("w"), lit(pair), lit(mk)).as("w"))
-        k += 1
+    // upper bound = the single-UTF16-char marker space (bpeMarker: 26
+    // letters + BMP codepoints below the surrogate range)
+    require(rounds >= 1 && rounds <= 50000,
+      s"rounds must be in [1,50000] (one vocabulary pass each): $rounds")
+    // the single corpus-wide pass: one keyed count (map-side combined)
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var k = 0
+      var exhausted = false
+      while (k < rounds && !exhausted) {
+        val applied =
+          if (merges.isEmpty) col("w") else bpeEncode(col("w"), merges.toSeq)
+        val top = vocab
+          .select(explode(TextOps.charPairsRaw(applied)).as("pair"), col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          merges += ((pair, bpeMarker(k), top(0).getLong(1)))
+          k += 1
+        }
       }
-    }
-    merges.result()
+      merges.toSeq
+    } finally { vocab.unpersist(false); () }
   }
 
-  /** Apply a learned merge table: chained leftmost-non-overlapping
-    * replaces in round order (each pair may contain earlier markers).
+  /** Apply a learned merge table in round order (each pair may contain
+    * earlier markers) — ONE native expression carrying the whole table
+    * (semantics: the fold of leftmost-non-overlapping replaces, which the
+    * oracles' replace() chains recompute; plan depth constant in table
+    * size, see [[graft.functions.BpeApply]]).
     */
-  def bpeEncode(w: Column, merges: Seq[(String, String, Long)]): Column =
-    merges.foldLeft(w) { case (c, (pair, mk, _)) =>
-      call_function("replace", c, lit(pair), lit(mk))
-    }
+  def bpeEncode(w: Column, merges: Seq[(String, String, Long)]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(graft.functions.BpeApply(expression(w),
+      merges.map { case (pair, mk, _) => (pair, mk) }))
+  }
 
   /** Invert [[bpeEncode]]: expand markers back to their pairs in REVERSE
     * round order (a later pair may contain earlier markers, so the
     * earlier expansions must run after it).
     */
-  def bpeDecode(w: Column, merges: Seq[(String, String, Long)]): Column =
-    merges.reverse.foldLeft(w) { case (c, (pair, mk, _)) =>
-      call_function("replace", c, lit(mk), lit(pair))
-    }
+  def bpeDecode(w: Column, merges: Seq[(String, String, Long)]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(graft.functions.BpeApply(expression(w),
+      merges.reverse.map { case (pair, mk, _) => (mk, pair) }))
+  }
 }

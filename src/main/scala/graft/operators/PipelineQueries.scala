@@ -94,13 +94,15 @@ object PipelineQueries {
 
     // BPE first-iteration merge candidates (Sennrich et al.): adjacent
     // char-pair counts with multiplicity within word tokens, top-K — the
-    // subword sequel to pipe_vocab's word-level table. One explode + one
-    // keyed agg + TakeOrderedAndProject; map-side combine keeps the
-    // shuffle at |pair alphabet| * partitions, corpus-size-independent
+    // subword sequel to pipe_vocab's word-level table. Two explodes + one
+    // keyed agg + TakeOrderedAndProject, all inside whole-stage codegen
+    // (native CharPairs, no UDF); map-side combine keeps the shuffle at
+    // |pair alphabet| * partitions, corpus-size-independent
     "pipe_bpe_pairs" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       docs(s, d)
-        .select(explode(TextOps.charPairsOfText(col("text"))).as("pair"))
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .select(explode(TextOps.charPairsRaw(col("w"))).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(VocabK)
     }),
