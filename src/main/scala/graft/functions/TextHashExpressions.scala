@@ -179,6 +179,30 @@ object TextHash {
       if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
   }
 
+  /** Distinct byte-n-gram xxhash64s of a BINARY payload in
+    * first-occurrence order — the byte-domain gram extractor that feeds
+    * the MinHash banding machinery for multimodal blob near-dedup
+    * (frame/payload locality, where there is no text to tokenize). Each
+    * window hashes IN PLACE from the payload array (seed 42, the same
+    * XXH64 Spark's `xxhash64` applies to a binary column), so the scan
+    * stage allocates nothing per window.
+    */
+  def byteGramHashes(bytes: Array[Byte], n: Int): ArrayData = {
+    if (bytes.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val nWin = bytes.length - n + 1
+    val seen = new LongSet(nWin)
+    val out = new Array[Long](nWin)
+    var nOut = 0
+    var i = 0
+    while (i < nWin) {
+      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, n, Seed)
+      if (seen.add(h)) { out(nOut) = h; nOut += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
+  }
+
   /** Distinct character-n-gram hashes of the lowercased text in
     * first-occurrence order — `xxhash64(charGrams(text, n)[i])` without
     * the strings. Grams may contain arbitrary characters, so each
@@ -251,6 +275,31 @@ case class WinnowFingerprints(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.winnowFingerprints($c)")
 
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+/** `array<bigint>` of distinct byte-n-gram xxhash64s of a BINARY column —
+  * see [[TextHash.byteGramHashes]].
+  */
+case class ByteGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram size must be positive: $n")
+  override def prettyName: String = "graft_byte_gram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.byteGramHashes(v.asInstanceOf[Array[Byte]], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.byteGramHashes($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): ByteGramHashes =
     copy(child = c)
 }
 

@@ -77,6 +77,15 @@ object TextOps {
     coalesce(column(CharGramHashes(expression(text), n)), lit(Array.empty[Long]))
   }
 
+  /** Distinct byte-n-gram xxhash64s of a BINARY payload — the byte-domain
+    * gram extractor for multimodal blob near-dedup (null payload -> empty
+    * set, the family convention).
+    */
+  def byteGramHashes(payload: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    coalesce(column(ByteGramHashes(expression(payload), n)), lit(Array.empty[Long]))
+  }
+
   private def charGramsUdf(n: Int) = udf((text: String) => {
     if (text == null) Array.empty[String]
     else {

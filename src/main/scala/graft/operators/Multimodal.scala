@@ -47,6 +47,38 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "hist16")
   }
 
+  /** Exact dedup over the binary payload (content-hash group-by): every
+    * group of byte-identical blobs with the kept (minimum) doc id and
+    * the duplicate count — Dedup.exact's shape on the binary column.
+    * One keyed shuffle on the 32-byte content hash; at 100 TB of media
+    * this is the cheapest dedup rung because only hashes shuffle, never
+    * payload bytes.
+    */
+  def contentDedup(withBin: DataFrame): DataFrame =
+    withBin.groupBy(sha2(col("payload"), 256).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+
+  /** (doc_id, sh) distinct byte-n-gram hash sets of the payload — the
+    * byte-domain twin of Dedup.shingleSets (one native codegen'd pass,
+    * elements are xxhash64s of each n-byte window).
+    */
+  def byteGramSets(withBin: DataFrame, n: Int): DataFrame =
+    withBin.select(col("doc_id"),
+        graft.functions.TextOps.byteGramHashes(col("payload"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Locality near-dup over payload bytes: MinHash-LSH banded candidate
+    * generation + exact byte-gram Jaccard confirm — the full Dedup
+    * banding machinery on the byte domain, so blob near-dedup is NEVER
+    * all-pairs (the 100 TB contract: shuffles are keyed by band hash,
+    * pairwise work is confirm-only). For real media, a decoder-derived
+    * perceptual byte stream (frame luma, downsampled PCM) feeds the same
+    * operator; here the payload bytes stand in (decode stub, file doc).
+    * Output: (doc_a, doc_b, jac).
+    */
+  def nearDupBlobs(withBin: DataFrame, n: Int, threshold: Double): DataFrame =
+    Dedup.nearDupBySets(byteGramSets(withBin, n), threshold)
+
   /** Frame sampling: slice the payload into fixed-size frames and keep
     * every `stride`-th one (video frame-sample shape: offsets + frame
     * checksums, not the frames themselves, leave the executor).

@@ -435,6 +435,21 @@ object TierQueries {
         .select(col("doc_id"), col("n_frames"), col("n_sampled"),
           concat_ws(",", col("frame_sums").cast("array<string>")).as("frames_csv"))),
 
+    // binary-blob exact dedup: content-hash group-by over the payload
+    // column (only 32-byte hashes shuffle, never blob bytes)
+    "mm_dedup_exact" -> ((s, d) =>
+      Multimodal.contentDedup(
+        Multimodal.withPayload(Tables.documents(s, d)))),
+
+    // binary-blob NEAR-dup: banded MinHash over byte-16-gram hash sets +
+    // exact Jaccard confirm — the locality rung above mm_dedup_exact
+    // (catches blobs differing in a few bytes); candidate generation is
+    // the band equi-join, never all-pairs
+    "mm_near_dup" -> ((s, d) =>
+      Multimodal.nearDupBlobs(
+        Multimodal.withPayload(Tables.documents(s, d)), n = 16,
+        threshold = 0.5)),
+
     // LTTB keypoint summary: endpoint/count columns are deterministic
     // (first/last always kept, n_pts = min(npts, len)) -> oracle-able,
     // unlike the float triangle-area err column in tier_lttb
@@ -1591,6 +1606,34 @@ object TierQueries {
         |                               (a, x) -> (a*31 + x) & 4294967295)
         |                   for fi in range(0, n_frames) if fi % 2 = 0], ',') AS frames_csv
         |FROM f""".stripMargin,
+
+    // payload = UTF-8 bytes of the pure-ASCII text (MultimodalSpec
+    // asserts), so sha256 over the blob equals sha256 over the string
+    "mm_dedup_exact" ->
+      """SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // brute-force all-pairs byte-16-gram Jaccard (ASCII: byte windows ==
+    // char windows of the RAW text — no lowercasing, unlike dedup_ngram);
+    // the size-ratio bound implied by jac >= t prunes the quadratic work
+    "mm_near_dup" ->
+      """WITH g0 AS (
+        |  SELECT doc_id,
+        |         list_distinct([substr(text, CAST(i AS INT), 16)
+        |                        for i in range(1, len(text) - 14)]) AS g
+        |  FROM documents
+        |), g1 AS (
+        |  SELECT doc_id, g, CAST(len(g) AS BIGINT) AS ng FROM g0 WHERE len(g) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jac
+        |FROM g1 a JOIN g1 b
+        |  ON a.doc_id < b.doc_id
+        | AND CAST(least(a.ng, b.ng) AS DOUBLE) >= 0.5 * CAST(greatest(a.ng, b.ng) AS DOUBLE)
+        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5""".stripMargin,
 
     "tier_lttb_summary" ->
       s"""$OracleCte, segs AS (

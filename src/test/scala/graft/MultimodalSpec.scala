@@ -44,6 +44,60 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     out.foreach { case (id, r) => assert(again(id) == r._4) }
   }
 
+  test("byteGramHashes equals xxhash64 over the byte windows, null/short safe") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val in = (Seq("hello world, a longer payload", "tiny", "", null): Seq[String])
+      .toDF("text").withColumn("payload", encode(col("text"), "UTF-8"))
+    val rows = in.select(col("text"),
+      graft.functions.TextOps.byteGramHashes(col("payload"), 8).as("hs")).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val expect =
+        if (t == null || t.length < 8) Seq.empty[Long]
+        else t.sliding(8).map(g =>
+          XXH64.hashUTF8String(UTF8String.fromString(g), 42L)).toSeq.distinct
+      assert(r.getSeq[Long](1) == expect, s"gram hashes diverge for '$t'")
+    }
+  }
+
+  test("contentDedup groups byte-identical payloads, keeper = min doc_id") {
+    import spark.implicits._
+    val d = Seq((0L, "same blob"), (1L, "same blob"), (2L, "other"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Multimodal.contentDedup(Multimodal.withPayload(d))
+      .as[(String, Long, Long)].collect().map(r => r._3 -> r._2).toMap
+    assert(out(0L) == 2L && out(2L) == 1L && out.size == 2)
+  }
+
+  test("nearDupBlobs finds planted byte near-dups via banding, never all-pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val d = Seq(
+      (0L, base), (1L, base + "tail!"),              // near-identical pair
+      (2L, "completely different content here " * 9),
+      (3L, ("zz" + base.drop(2))))                   // near-dup of 0 too
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val nd = Multimodal.nearDupBlobs(Multimodal.withPayload(d), 16, 0.5)
+    val pairs = nd.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // scale-shape guard: candidate generation must be the band equi-join —
+    // no cartesian/nested-loop anywhere in the physical plan
+    nd.collect()
+    val plan = nd.queryExecution.executedPlan
+    val bad = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"blob near-dup plan fell back to all-pairs: $bad")
+  }
+
   test("testdata documents are pure ASCII (mm oracle unicode==byte premise)") {
     // the mm_features/mm_frames oracles fold over unicode(char); they equal
     // the engine's UTF-8 byte folds only while every doc is single-byte
