@@ -388,6 +388,27 @@ object AnnQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // the OTHER serving knob of the reduced tier (r14 verdict #6):
+    // recall@TopK vs SHORTLIST at the deployed nProbe — together with
+    // ann_rp_ivf_curve this maps both axes of the (nProbe, shortlist)
+    // operating point. Same honesty note as the nprobe curve: the oracle
+    // sweeps the knob over one shared reduced assignment; the engine runs
+    // the full self-contained serve per point (correctness evidence, not
+    // a perf row).
+    "ann_rp_sl_curve" -> ((s, d) => {
+      val brute = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
+        .select(col("probe_id"), col("cand_id"))
+      Seq(10, 25, 50, 100).map { sl =>
+        recallSummary(brute,
+          Similarity.rpIvfTopK(probes(s, d), corpus(s, d), TopK,
+              Similarity.lcgPlanes(RpDim, Dim), rpIvfCentroids(s, d),
+              NProbe, sl)
+            .select(col("probe_id"), col("cand_id")),
+          Seq("probe_id", "cand_id"))
+          .withColumn("shortlist", lit(sl.toLong))
+      }.reduce(_ unionByName _)
+    }),
+
     // the persisted reduced-vector index — "project once at ingest" as an
     // on-disk artifact: r-dim payloads partitioned by reduced cell, probes
     // read only their nProbe cell partitions (static pruning over vectors
@@ -986,6 +1007,30 @@ object AnnQueries {
            |  CAST($n AS BIGINT) AS nprobe
            |FROM brute b LEFT JOIN (
            |  SELECT probe_id, cand_id FROM rifr_$n WHERE rnk <= $TopK) l
+           |  ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$rpIvfBaseCte$tails, bs AS (
+         |  SELECT probe_id, cand_id, ${cosSql("pe", "ce")} AS sim
+         |  FROM p, c WHERE probe_id <> cand_id
+         |), br AS (
+         |  SELECT probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM bs
+         |), brute AS (SELECT probe_id, cand_id FROM br WHERE rnk <= $TopK)
+         |$rows""".stripMargin
+    },
+
+    "ann_rp_sl_curve" -> {
+      val sls = Seq(10, 25, 50, 100)
+      val tails = sls.map(sl => rpIvfTailCte(NProbe, sl, s"_sl$sl")).mkString
+      val rows = sls.map { sl =>
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_brute,
+           |  CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  round(CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 4) AS recall,
+           |  CAST($sl AS BIGINT) AS shortlist
+           |FROM brute b LEFT JOIN (
+           |  SELECT probe_id, cand_id FROM rifr_sl$sl WHERE rnk <= $TopK) l
            |  ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""$rpIvfBaseCte$tails, bs AS (
