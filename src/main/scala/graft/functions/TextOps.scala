@@ -30,31 +30,13 @@ object TextOps {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
 
-  // Set-construction steps are compiled single-pass UDFs rather than
-  // higher-order-function expressions: Spark HOFs are CodegenFallback
-  // (interpreted), so `element_at(regexp_extract_all(...), i)` inside a
-  // transform() re-evaluates the regex PER ELEMENT (~300x per doc). The
-  // UDFs implement exactly the semantics the DuckDB oracles state.
-
-  private val TokenRe = "[a-z0-9]+".r
-
-  private val shingles3Udf = udf((text: String) => {
-    if (text == null) Array.empty[String]
-    else {
-      val tl = TokenRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
-      if (tl.length < 3) Array.empty[String]
-      else tl.sliding(3).map(_.mkString(" ")).toArray.distinct
-    }
-  })
-
-  /** 3-token word shingles (distinct), the unit for MinHash/Jaccard dedup.
-    * Takes the raw text column (tokenizes internally, one pass).
-    * HOT-PATH NOTE: the dedup family consumes [[shingleHashes3]] (the
-    * native expression emitting the element HASHES directly); this
-    * string form remains for consumers that need the text (and as the
-    * spec baseline the hash form is asserted against).
-    */
-  def shingles3OfText(text: Column): Column = shingles3Udf(text)
+  // Set-construction steps are NATIVE codegen'd expressions (TextHash)
+  // rather than higher-order-function trees: Spark HOFs are
+  // CodegenFallback (interpreted), so `element_at(regexp_extract_all(...),
+  // i)` inside a transform() re-evaluates the regex PER ELEMENT (~300x per
+  // doc). The expressions implement exactly the semantics the DuckDB
+  // oracles state; the retired string-form UDFs live on only as spec
+  // baselines (test scope, graft.TextUdfBaselines).
 
   /** Distinct 3-token-shingle xxhash64s straight from the text — the
     * native codegen'd scan-stage form: values are bit-identical to
@@ -86,18 +68,6 @@ object TextOps {
     coalesce(column(ByteGramHashes(expression(payload), n)), lit(Array.empty[Long]))
   }
 
-  private def charGramsUdf(n: Int) = udf((text: String) => {
-    if (text == null) Array.empty[String]
-    else {
-      val lc = text.toLowerCase(java.util.Locale.ROOT)
-      if (lc.length < n) Array.empty[String]
-      else lc.sliding(n).toArray.distinct
-    }
-  })
-
-  /** Distinct character n-grams of the lowercased text. */
-  def charGrams(c: Column, n: Int): Column = charGramsUdf(n)(c)
-
   /** Adjacent character pairs WITH multiplicity over the RAW string (no
     * tokenization) — the pair-count step of every BPE round, where merged
     * symbols are placeholder characters outside the token alphabet and
@@ -110,13 +80,6 @@ object TextOps {
     coalesce(column(CharPairs(expression(w))), lit(Array.empty[String]))
   }
 
-  /** The retired UDF form, kept ONLY as the spec baseline for
-    * [[charPairsRaw]].
-    */
-  private[graft] val charPairsRawUdfBaseline = udf((w: String) => {
-    if (w == null || w.length < 2) Array.empty[String]
-    else Array.tabulate(w.length - 1)(i => w.substring(i, i + 2))
-  })
 
   /** Standard pre-tokenization normalization: lowercase, strip
     * punctuation, collapse whitespace runs, trim. The SQL twin is
@@ -259,19 +222,6 @@ object TextOps {
       .select(col(idCol), sig("l").as("sig_lo"), sig("u").as("sig_hi"))
   }
 
-  private val fingerprintUdf = udf((text: String) => {
-    if (text == null) Array.empty[Long]
-    else {
-      val lc = text.toLowerCase(java.util.Locale.ROOT)
-      if (lc.length < 8) Array.empty[Long]
-      else {
-        val hashes = lc.sliding(8).map(fnv32).toArray
-        if (hashes.length < 4) hashes.distinct
-        else hashes.sliding(4).map(_.min).toArray.distinct
-      }
-    }
-  })
-
   // PII patterns — deliberately simple and identical in Java-regex (Spark)
   // and RE2 (DuckDB) semantics, so the scrub is oracle-exact. Real
   // pipelines extend the pattern set; the operator shape (codegen'd
@@ -300,10 +250,4 @@ object TextOps {
     // text_fingerprint's output shape is unchanged on null input
     coalesce(column(WinnowFingerprints(expression(c))), lit(Array.empty[Long]))
   }
-
-  /** The retired UDF form, kept ONLY as the spec baseline for
-    * [[fingerprints]].
-    */
-  private[graft] def fingerprintsUdfBaseline(c: Column): Column =
-    fingerprintUdf(c)
 }

@@ -27,7 +27,7 @@ class BpeSpec extends AnyFunSuite with SparkTest {
     val in = (Seq("banana", "", "q", "ab", "àbç", null): Seq[String]).toDF("w")
     val rows = in.select(
       TextOps.charPairsRaw(col("w")).as("native"),
-      TextOps.charPairsRawUdfBaseline(col("w")).as("udf")).collect()
+      TextUdfBaselines.charPairsRaw(col("w")).as("udf")).collect()
     rows.foreach { r =>
       assert(r.getSeq[String](0) == r.getSeq[String](1))
     }

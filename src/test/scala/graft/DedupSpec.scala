@@ -51,10 +51,10 @@ class DedupSpec extends AnyFunSuite with SparkTest {
   test("shingles/charGrams guards: short text yields empty sets, no crash") {
     import spark.implicits._
     val short = Seq((9L, "ab two")).toDF("doc_id", "text")
-    val sh = short.select(TextOps.shingles3OfText(col("text")).as("s"))
+    val sh = short.select(TextUdfBaselines.shingles3OfText(col("text")).as("s"))
       .collect()(0).getSeq[String](0)
     assert(sh.isEmpty)
-    val g = short.select(TextOps.charGrams(lit("abc"), 4).as("g"))
+    val g = short.select(TextUdfBaselines.charGrams(lit("abc"), 4).as("g"))
       .collect()(0).getSeq[String](0)
     assert(g.isEmpty)
   }

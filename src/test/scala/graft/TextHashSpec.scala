@@ -34,7 +34,7 @@ class TextHashSpec extends AnyFunSuite with SparkTest {
     val native = collectArr(docs.select(col("doc_id"),
       TextOps.shingleHashes3(col("text")).as("hs")))
     val strings = collectArr(docs.select(col("doc_id"),
-      transform(TextOps.shingles3OfText(col("text")), s => xxhash64(s)).as("hs")))
+      transform(TextUdfBaselines.shingles3OfText(col("text")), s => xxhash64(s)).as("hs")))
     assert(native.keySet == strings.keySet)
     for ((id, hs) <- native)
       assert(hs == strings(id), s"doc $id: native $hs vs strings ${strings(id)}")
@@ -48,7 +48,7 @@ class TextHashSpec extends AnyFunSuite with SparkTest {
       val native = collectArr(docs.select(col("doc_id"),
         TextOps.charGramHashes(col("text"), n).as("hs")))
       val strings = collectArr(docs.select(col("doc_id"),
-        transform(TextOps.charGrams(col("text"), n), s => xxhash64(s)).as("hs")))
+        transform(TextUdfBaselines.charGrams(col("text"), n), s => xxhash64(s)).as("hs")))
       assert(native.keySet == strings.keySet)
       for ((id, hs) <- native)
         assert(hs == strings(id), s"n=$n doc $id differs")
@@ -59,7 +59,7 @@ class TextHashSpec extends AnyFunSuite with SparkTest {
     val native = collectArr(docs.select(col("doc_id"),
       TextOps.fingerprints(col("text")).as("fp")))
     val baseline = collectArr(docs.select(col("doc_id"),
-      TextOps.fingerprintsUdfBaseline(col("text")).as("fp")))
+      TextUdfBaselines.fingerprints(col("text")).as("fp")))
     assert(native.keySet == baseline.keySet)
     for ((id, fp) <- native)
       assert(fp == baseline(id), s"doc $id: native $fp vs udf ${baseline(id)}")
