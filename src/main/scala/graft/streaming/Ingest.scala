@@ -182,6 +182,73 @@ object Ingest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Incremental streaming near-dedup against a GROWING landed signature
+    * store — the live-curation pipeline shape (a continuously-arriving
+    * corpus dedups each batch against EVERYTHING landed before it, then
+    * lands itself). [[nearDupStream]] serves a FIXED corpus; this is the
+    * growth regime, and the shape whose per-batch cost curve the scale
+    * harness commits (r14 verdict #5, `DedupGrowthBench`). Per
+    * micro-batch:
+    *
+    *  1. per-row native shingle hashes -> per-row MinHash signature (the
+    *     shared splitmix64 fold — no stream-side aggregation, no
+    *     unbounded state, identical hashes to the batch path);
+    *  2. the batch's band rows probe the PERSISTED band store for
+    *     near-dup candidates landed by any earlier batch — the batch
+    *     side is the small side (broadcast), the store side is a keyed
+    *     scan (at 100 TB: bucket the store by band hash so the probe
+    *     reads only matching buckets);
+    *  3. the batch's bands APPEND to the store — the store grows by
+    *     O(batch), never rewritten.
+    *
+    * Candidate flags are logged per batch (`[dedup-grow]` stderr lines);
+    * the exact-Jaccard confirm is the same downstream join as
+    * nearDupStream and is not re-measured here — the growth question is
+    * the signature/band/probe path. Returns the started query; per-batch
+    * cost lives in `recentProgress` (addBatch).
+    */
+  def dedupGrowStream(spark: SparkSession, inDir: String, storeDir: String,
+                      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+    val bandDir = s"$storeDir/bands"
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$storeDir/_chk")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val sigs = batch
+          .select(col("doc_id"),
+            graft.functions.TextOps.shingleHashes3(col("text")).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .as[(Long, Seq[Long])]
+          .map { case (id, sh) =>
+            (id, graft.operators.Dedup.signatureOfHashes(sh))
+          }
+          .toDF("doc_id", "sig")
+        // probe + append both consume the band rows; compute them once
+        val bands = graft.operators.Dedup.bandsOfSignatures(sigs).persist()
+        try {
+          val hasStore = new java.io.File(bandDir).isDirectory
+          val nFlagged =
+            if (!hasStore) 0L
+            else sp.read.parquet(bandDir)
+              .select(col("doc_id").as("dup_of"), col("band"), col("bh"))
+              .join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
+                Seq("band", "bh"))
+              .select(col("new_id")).distinct().count()
+          System.err.println(
+            s"[dedup-grow] batch=$batchId flagged_candidates=$nFlagged")
+          bands.select(col("doc_id"), col("band"), col("bh"))
+            .write.mode("append").parquet(bandDir)
+        } finally { bands.unpersist(false); () }
+      }
+      .start()
+  }
+
   /** Streaming NEAR-dedup against the landed corpus — the MinHash-LSH
     * serving shape (stream-static, like [[anomalyStream]]): an arriving
     * document is flagged the moment it lands if it is a near-duplicate of

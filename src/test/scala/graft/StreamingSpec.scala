@@ -716,4 +716,53 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got === batch)
     assert(got.nonEmpty, "fixture must actually contain cross-split near-dups")
   }
+
+  test("dedup growth stream: each batch probes the landed store, then lands") {
+    import spark.implicits._
+    // three staged batch files: batch 1 near-dups batch 0 (salt prefix),
+    // batch 2 is unrelated text — its probe must flag nothing
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")).limit(60).collect()
+    val in = Files.createTempDirectory("graft-dg-in").toString
+    def stage(k: Int, rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-dg-tmp$k").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, f"batch_$k%03d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + k * 60000L)
+    }
+    val b0 = base.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq
+    stage(0, b0)
+    stage(1, b0.map { case (id, t, l, s, n) =>
+      (id + 1000000L, "growsalt " + t, l, s, n + 9L) })
+    stage(2, b0.map { case (id, _, l, s, _) =>
+      (id + 2000000L, s"totally unrelated content block number $id " +
+        s"with nothing shared across any shingle window $id $id", l, s, 0L) })
+    val work = Files.createTempDirectory("graft-dg-store").toString
+    val q = Ingest.dedupGrowStream(spark, in, s"$work/st", maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    // the store landed all three batches' bands
+    val store = spark.read.parquet(s"$work/st/bands")
+    assert(store.select("doc_id").distinct().count() == 3 * b0.size)
+    // re-derive batch 1's probe result against batch 0's landed bands:
+    // every salted copy must collide with its original in some band
+    val sets0 = graft.operators.Dedup.shingleSets(b0.toDF(
+      "doc_id", "text", "lang", "source", "n_chars"))
+    val bands0 = graft.operators.Dedup.bandTable(sets0)
+      .select(col("doc_id").as("dup_of"), col("band"), col("bh"))
+    val sets1 = graft.operators.Dedup.shingleSets(
+      b0.map { case (id, t, l, s, n) =>
+        (id + 1000000L, "growsalt " + t, l, s, n + 9L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val hits = graft.operators.Dedup.bandTable(sets1)
+      .join(bands0, Seq("band", "bh"))
+      .select("doc_id").distinct().count()
+    assert(hits > b0.size / 2,
+      "salted near-dup batch should collide with the landed originals")
+  }
 }

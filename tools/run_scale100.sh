@@ -50,6 +50,9 @@ done
 # committed evidence that the grid-pruned fold's per-batch cost does not
 # grow with history size m
 tools/run_profile_growth.sh 40000 10 "$WORK/profile_growth.json" 2>/dev/null >/dev/null
+# streaming near-dedup marginal-cost-vs-store-size curve: 10 corpus
+# copies replayed one per micro-batch onto a growing landed band store
+tools/run_dedup_growth.sh "$SRC" 10 "$WORK/dedup_growth.json" 2>/dev/null >/dev/null
 python3 - "$WORK" <<'EOF'
 import json, sys, os
 w = sys.argv[1]
@@ -65,6 +68,7 @@ for tag in ("base", "x10", "x100"):
     except FileNotFoundError:
         pass
 out["profile_growth"] = json.load(open(f"{w}/profile_growth.json"))
+out["dedup_growth"] = json.load(open(f"{w}/dedup_growth.json"))
 json.dump(out, open(f"{w}/scale100.json", "w"), indent=1)
 print(json.dumps(out, indent=1))
 EOF
