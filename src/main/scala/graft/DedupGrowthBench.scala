@@ -28,18 +28,30 @@ object DedupGrowthBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val q = graft.streaming.Ingest.dedupGrowStream(spark, inDir,
-      s"$workDir/store${System.nanoTime()}", maxFilesPerTrigger = 1)
+    val store = s"$workDir/store${System.nanoTime()}"
+    val q = graft.streaming.Ingest.dedupGrowStream(spark, inDir, store,
+      maxFilesPerTrigger = 1)
     q.awaitTermination()
     val total = (System.nanoTime() - t0) / 1e9
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // staged copies near-dup every earlier copy, so confirmed output
+    // grows linearly with the landed store BY CONSTRUCTION — report the
+    // per-batch confirmed count so cost growth attributes to output (the
+    // scale table's dedup_minhash discipline), not to the probe
+    import org.apache.spark.sql.functions.{col, count}
+    val confirmedByBatch: Map[Long, Long] =
+      if (!new java.io.File(s"$store/pairs").isDirectory) Map.empty
+      else spark.read.parquet(s"$store/pairs")
+        .groupBy(col("batch_id")).agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     var docsBefore = 0L
     val batches = q.recentProgress.toSeq.map { p =>
       val add = Option(p.durationMs.get("addBatch")).map(_.longValue)
         .getOrElse(0L) / 1e3
       val rowsIn = p.numInputRows
+      val confirmed = confirmedByBatch.getOrElse(p.batchId, 0L)
       val row = s"""{"docs_before":$docsBefore,"rows_in":$rowsIn,""" +
-        s""""addBatch_sec":${f3(add)}}"""
+        s""""confirmed_pairs":$confirmed,"addBatch_sec":${f3(add)}}"""
       docsBefore += rowsIn
       row
     }

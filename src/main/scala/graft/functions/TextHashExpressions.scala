@@ -60,6 +60,15 @@ object TextHash {
       if (n * 4 > cap * 3) grow()
       true
     }
+    def contains(k: Long): Boolean = {
+      if (k == 0L) return hasZero
+      var i = (java.lang.Long.hashCode(k) & (cap - 1))
+      while (keys(i) != 0L) {
+        if (keys(i) == k) return true
+        i = (i + 1) & (cap - 1)
+      }
+      false
+    }
     private def grow(): Unit = {
       val old = keys
       cap <<= 1
@@ -203,6 +212,30 @@ object TextHash {
       if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
   }
 
+  /** Jaccard similarity of two DISTINCT-element long arrays in one pass:
+    * |a∩b| by probing the larger array against a set built from the
+    * smaller, |a∪b| = |a|+|b|-|a∩b| (valid exactly because every producer
+    * in this file emits distinct elements). Replaces the confirm-join's
+    * `size(array_intersect)/size(array_union)` — two hash-set builds plus
+    * two materialized result arrays per candidate pair — with one set
+    * build and zero output allocation; values are identical (both are the
+    * integer counts divided as doubles). Both-empty inputs return 1.0
+    * (equal sets); every caller filters empty sets out before the join.
+    */
+  def jaccardDistinct(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    val (small, ns, big, nl) = if (na <= nb) (a, na, b, nb) else (b, nb, a, na)
+    val set = new LongSet(ns)
+    var i = 0
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nl) { if (set.contains(big.getLong(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** Distinct character-n-gram hashes of the lowercased text in
     * first-occurrence order — `xxhash64(charGrams(text, n)[i])` without
     * the strings. Grams may contain arbitrary characters, so each
@@ -326,4 +359,36 @@ case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): CharGramHashes =
     copy(child = c)
+}
+
+/** `double` Jaccard similarity of two distinct-element `array<bigint>`
+  * columns — see [[TextHash.jaccardDistinct]]. The near-dedup confirm
+  * join's hot expression: one compiled set-probe pass per candidate pair
+  * instead of `array_intersect` + `array_union` (two set builds + two
+  * materialized arrays whose only use is `size()`).
+  */
+case class JaccardLongSets(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_jaccard_long_sets"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaccardDistinct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.jaccardDistinct($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JaccardLongSets = copy(left = l, right = r)
 }

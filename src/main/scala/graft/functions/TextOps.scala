@@ -68,6 +68,14 @@ object TextOps {
     coalesce(column(ByteGramHashes(expression(payload), n)), lit(Array.empty[Long]))
   }
 
+  /** One-pass Jaccard of two distinct-element long-array columns — the
+    * near-dedup confirm expression (see [[JaccardLongSets]]).
+    */
+  def jaccardLongSets(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(JaccardLongSets(expression(a), expression(b)))
+  }
+
   /** Adjacent character pairs WITH multiplicity over the RAW string (no
     * tokenization) — the pair-count step of every BPE round, where merged
     * symbols are placeholder characters outside the token alphabet and

@@ -181,8 +181,11 @@ object Dedup {
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-      size(array_union(col("sa.sh"), col("sb.sh"))).cast("double")
+    // one-pass native confirm: |∩|/|∪| over the distinct element-hash
+    // arrays (identical values to size(array_intersect)/size(array_union)
+    // — see TextHash.jaccardDistinct — at one set build per pair instead
+    // of two builds + two materialized arrays)
+    val jac = TextOps.jaccardLongSets(col("sa.sh"), col("sb.sh"))
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -281,25 +281,44 @@ object PipelineOps {
     * (the bandit policy walks' bounded-scalar discipline); the merges
     * accumulated so far re-apply through ONE native [[graft.functions
     * .BpeApply]] node — constant plan depth at any vocabulary size, no
-    * N-deep replace chain, no lineage growth, no checkpointing. Rounds
-    * stop early if no pair remains. Returns (pair, marker, cnt) in round
+    * N-deep replace chain. Per-round APPLY work is also bounded
+    * independently of the round number: every `rebaseEvery` rounds the
+    * encoded vocabulary re-materializes (eager localCheckpoint — one
+    * vocab-sized write, lineage truncated) and later rounds apply only
+    * the merges learned since, so round k costs O(|vocab| * rebaseEvery)
+    * worst-case rather than O(|vocab| * k) — at a real 10k-merge
+    * vocabulary the difference between linear and quadratic training.
+    * Encoding a base vocab through later merges equals encoding the
+    * original through the full table (BpeApply IS the fold, and merges
+    * are injective — markers are fresh chars — so the re-materialized
+    * vocab stays distinct with counts intact; BpeSpec pins the rebased
+    * trainer's merge sequence against the unrebased one). Rounds stop
+    * early if no pair remains. Returns (pair, marker, cnt) in round
     * order, where cnt is the pair's count at selection time.
     */
-  def bpeTrain(words: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
+  def bpeTrain(words: DataFrame, rounds: Int): Seq[(String, String, Long)] =
+    bpeTrain(words, rounds, rebaseEvery = 64)
+
+  private[graft] def bpeTrain(words: DataFrame, rounds: Int,
+                              rebaseEvery: Int): Seq[(String, String, Long)] = {
     // upper bound = the single-UTF16-char marker space (bpeMarker: 26
     // letters + BMP codepoints below the surrogate range)
     require(rounds >= 1 && rounds <= 50000,
       s"rounds must be in [1,50000] (one vocabulary pass each): $rounds")
-    // the single corpus-wide pass: one keyed count (map-side combined)
-    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt")).persist()
+    require(rebaseEvery >= 1, s"rebaseEvery must be positive: $rebaseEvery")
+    // the single corpus-wide pass: one keyed count (map-side combined).
+    // `base` = the vocabulary encoded through merges[0, mBase).
+    var base = words.groupBy(col("w")).agg(count(lit(1)).as("cnt")).persist()
+    var mBase = 0
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       var k = 0
       var exhausted = false
       while (k < rounds && !exhausted) {
+        val pending = merges.slice(mBase, k)
         val applied =
-          if (merges.isEmpty) col("w") else bpeEncode(col("w"), merges.toSeq)
-        val top = vocab
+          if (pending.isEmpty) col("w") else bpeEncode(col("w"), pending.toSeq)
+        val top = base
           .select(explode(TextOps.charPairsRaw(applied)).as("pair"), col("cnt"))
           .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
           .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
@@ -308,10 +327,18 @@ object PipelineOps {
           val pair = top(0).getString(0)
           merges += ((pair, bpeMarker(k), top(0).getLong(1)))
           k += 1
+          if (k - mBase >= rebaseEvery && k < rounds) {
+            val next = base.select(
+              bpeEncode(col("w"), merges.slice(mBase, k).toSeq).as("w"),
+              col("cnt")).localCheckpoint(true)
+            base.unpersist(false)
+            base = next
+            mBase = k
+          }
         }
       }
       merges.toSeq
-    } finally { vocab.unpersist(false); () }
+    } finally { base.unpersist(false); () }
   }
 
   /** Apply a learned merge table in round order (each pair may contain

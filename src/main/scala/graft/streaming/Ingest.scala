@@ -198,32 +198,42 @@ object Ingest {
     *     side is the small side (broadcast), the store side is a keyed
     *     scan (at 100 TB: bucket the store by band hash so the probe
     *     reads only matching buckets);
-    *  3. the batch's bands APPEND to the store — the store grows by
-    *     O(batch), never rewritten.
+    *  3. candidates CONFIRM by exact Jaccard against the persisted
+    *     element-set store — candidate-bounded work: only the store rows
+    *     of flagged `dup_of` ids are read (join pruning), the batch's
+    *     sets broadcast, and confirmed pairs land in `<store>/pairs` —
+    *     the operator's output, same semantics as the batch path's
+    *     nearDupBySets confirm (StreamingSpec pins cross-batch pair
+    *     equality);
+    *  4. the batch's bands and element sets APPEND to their stores — the
+    *     stores grow by O(batch), never rewritten.
     *
-    * Candidate flags are logged per batch (`[dedup-grow]` stderr lines);
-    * the exact-Jaccard confirm is the same downstream join as
-    * nearDupStream and is not re-measured here — the growth question is
-    * the signature/band/probe path. Returns the started query; per-batch
-    * cost lives in `recentProgress` (addBatch).
+    * Per-batch counts are logged (`[dedup-grow]` stderr lines). Returns
+    * the started query; per-batch cost lives in `recentProgress`
+    * (addBatch).
     */
   def dedupGrowStream(spark: SparkSession, inDir: String, storeDir: String,
+                      threshold: Double = 0.5,
                       maxFilesPerTrigger: Int = 1): StreamingQuery = {
     val schema = spark.read.parquet(inDir).schema
     val docs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
     val bandDir = s"$storeDir/bands"
+    val setsDir = s"$storeDir/sets"
+    val pairsDir = s"$storeDir/pairs"
     docs.writeStream.outputMode("append")
       .option("checkpointLocation", s"$storeDir/_chk")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         import sp.implicits._
-        val sigs = batch
+        val batchSets = batch
           .select(col("doc_id"),
             graft.functions.TextOps.shingleHashes3(col("text")).as("sh"))
           .filter(size(col("sh")) > 0)
+          .persist()
+        val sigs = batchSets
           .as[(Long, Seq[Long])]
           .map { case (id, sh) =>
             (id, graft.operators.Dedup.signatureOfHashes(sh))
@@ -233,18 +243,48 @@ object Ingest {
         val bands = graft.operators.Dedup.bandsOfSignatures(sigs).persist()
         try {
           val hasStore = new java.io.File(bandDir).isDirectory
-          val nFlagged =
-            if (!hasStore) 0L
-            else sp.read.parquet(bandDir)
+          if (hasStore) {
+            val cand = sp.read.parquet(bandDir)
               .select(col("doc_id").as("dup_of"), col("band"), col("bh"))
               .join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
                 Seq("band", "bh"))
-              .select(col("new_id")).distinct().count()
-          System.err.println(
-            s"[dedup-grow] batch=$batchId flagged_candidates=$nFlagged")
+              .select(col("new_id"), col("dup_of")).distinct()
+            // exact confirm, candidate-bounded: the set store is read
+            // only at the flagged dup_of ids (join pruning), the batch's
+            // own sets broadcast, same size-ratio prune + one-pass
+            // Jaccard as the batch confirm
+            val confirmed = cand
+              .join(sp.read.parquet(setsDir)
+                  .select(col("doc_id").as("dup_of"), col("sh").as("shb")),
+                Seq("dup_of"))
+              .join(broadcast(batchSets.withColumnRenamed("doc_id", "new_id")),
+                Seq("new_id"))
+              .where(least(size(col("sh")), size(col("shb"))).cast("double") >=
+                lit(threshold) *
+                  greatest(size(col("sh")), size(col("shb"))).cast("double"))
+              .withColumn("jac",
+                graft.functions.TextOps.jaccardLongSets(col("sh"), col("shb")))
+              .filter(col("jac") >= threshold)
+              .select(col("new_id").as("doc_id"), col("dup_of"), col("jac"),
+                lit(batchId).as("batch_id"))
+              .persist()
+            try {
+              val nConfirmed = confirmed.count()
+              confirmed.write.mode("append").parquet(pairsDir)
+              System.err.println(s"[dedup-grow] batch=$batchId " +
+                s"confirmed_pairs=$nConfirmed")
+            } finally { confirmed.unpersist(false); () }
+          } else {
+            System.err.println(s"[dedup-grow] batch=$batchId store empty")
+          }
           bands.select(col("doc_id"), col("band"), col("bh"))
             .write.mode("append").parquet(bandDir)
-        } finally { bands.unpersist(false); () }
+          batchSets.write.mode("append").parquet(setsDir)
+        } finally {
+          bands.unpersist(false)
+          batchSets.unpersist(false)
+          ()
+        }
       }
       .start()
   }
@@ -305,8 +345,9 @@ object Ingest {
       .map { case (id, ts, sh) => (id, ts, sh, Dedup.signatureOfHashes(sh)) }
       .toDF("doc_id", "ts", "sh", "sig")
 
-    val jac = size(array_intersect(col("sh"), col("shb"))).cast("double") /
-      size(array_union(col("sh"), col("shb"))).cast("double")
+    // one-pass native confirm (same expression as the batch path's
+    // nearDupBySets — see TextHash.jaccardDistinct)
+    val jac = graft.functions.TextOps.jaccardLongSets(col("sh"), col("shb"))
     // candidate pairs dedup BEFORE the confirm join (the streaming twin of
     // the batch path's cand.distinct()): a pair colliding in all 16 bands
     // would otherwise evaluate the O(|sh|) exact Jaccard 16 times

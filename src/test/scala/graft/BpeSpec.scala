@@ -152,4 +152,18 @@ class BpeSpec extends AnyFunSuite with SparkTest {
     }
     assert(merges.map(m => (m._1, m._3)) == expect.toSeq)
   }
+
+  test("rebase-checkpointed trainer reproduces the unrebased merge sequence") {
+    val s = spark
+    import s.implicits._
+    // enough rounds to cross several rebase boundaries, with marker
+    // chaining (merged pairs containing earlier markers) in play
+    val stream = Seq("banana", "banana", "bandana", "ana", "nab",
+      "cabana", "abracadabra", "barbarian", "bananarama").toDF("w")
+    val unrebased = PipelineOps.bpeTrain(stream, 10, rebaseEvery = Int.MaxValue)
+    for (re <- Seq(1, 2, 3))
+      assert(PipelineOps.bpeTrain(stream, 10, rebaseEvery = re) == unrebased,
+        s"rebaseEvery=$re diverged")
+    assert(unrebased.size == 10, "fixture exhausted before 10 rounds")
+  }
 }

@@ -744,25 +744,35 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       (id + 2000000L, s"totally unrelated content block number $id " +
         s"with nothing shared across any shingle window $id $id", l, s, 0L) })
     val work = Files.createTempDirectory("graft-dg-store").toString
-    val q = Ingest.dedupGrowStream(spark, in, s"$work/st", maxFilesPerTrigger = 1)
+    val q = Ingest.dedupGrowStream(spark, in, s"$work/st", threshold = 0.5,
+      maxFilesPerTrigger = 1)
     q.awaitTermination()
-    // the store landed all three batches' bands
+    // the stores landed all three batches' bands + element sets
     val store = spark.read.parquet(s"$work/st/bands")
     assert(store.select("doc_id").distinct().count() == 3 * b0.size)
-    // re-derive batch 1's probe result against batch 0's landed bands:
-    // every salted copy must collide with its original in some band
-    val sets0 = graft.operators.Dedup.shingleSets(b0.toDF(
-      "doc_id", "text", "lang", "source", "n_chars"))
-    val bands0 = graft.operators.Dedup.bandTable(sets0)
-      .select(col("doc_id").as("dup_of"), col("band"), col("bh"))
-    val sets1 = graft.operators.Dedup.shingleSets(
-      b0.map { case (id, t, l, s, n) =>
-        (id + 1000000L, "growsalt " + t, l, s, n + 9L) }
-        .toDF("doc_id", "text", "lang", "source", "n_chars"))
-    val hits = graft.operators.Dedup.bandTable(sets1)
-      .join(bands0, Seq("band", "bh"))
-      .select("doc_id").distinct().count()
-    assert(hits > b0.size / 2,
-      "salted near-dup batch should collide with the landed originals")
+    assert(spark.read.parquet(s"$work/st/sets")
+      .select("doc_id").distinct().count() == 3 * b0.size)
+    // confirmed output pins against the BATCH path: near-dup pairs of
+    // (b0 union b1) restricted to cross-batch (the growth stream only
+    // flags new-vs-landed) must equal the landed pairs store exactly —
+    // candidate generation uses the same per-doc band hashes and the
+    // confirm the same exact Jaccard
+    val b1 = b0.map { case (id, t, l, s, n) =>
+      (id + 1000000L, "growsalt " + t, l, s, n + 9L) }
+    val batchPairs = graft.operators.Dedup.minhashNearDup(
+      (b0 ++ b1).toDF("doc_id", "text", "lang", "source", "n_chars"), 0.5)
+      .where(col("doc_a") < 1000000L && col("doc_b") >= 1000000L)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"), col("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val landedPairs = spark.read.parquet(s"$work/st/pairs")
+      .select("doc_id", "dup_of", "jac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(landedPairs == batchPairs,
+      s"growth-confirmed pairs diverge from the batch path " +
+        s"(${landedPairs.size} vs ${batchPairs.size})")
+    assert(landedPairs.nonEmpty, "fixture must actually confirm near-dups")
+    // batch 2 (unrelated text) must confirm nothing
+    assert(!landedPairs.exists(_._1 >= 2000000L),
+      "unrelated batch must not confirm any pair")
   }
 }

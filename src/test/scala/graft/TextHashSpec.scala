@@ -74,6 +74,31 @@ class TextHashSpec extends AnyFunSuite with SparkTest {
     assert(one.numElements() == 1, "4 grams -> one window min")
   }
 
+  test("jaccardLongSets equals the array_intersect/array_union formulation") {
+    // all shingle-set pairs over a small slice of the real corpus — the
+    // exact shape the confirm join evaluates
+    val sets = graft.operators.Dedup.shingleSets(docs).limit(40)
+      .localCheckpoint()
+    val pairs = sets.as("a").crossJoin(sets.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+    val out = pairs.select(
+      TextOps.jaccardLongSets(col("a.sh"), col("b.sh")).as("native"),
+      (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("ref"))
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out)
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"native ${r.getDouble(0)} vs ref ${r.getDouble(1)}")
+    // direct edge cases the DataFrame above can't produce
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.TextHash
+    def g(xs: Long*) = new GenericArrayData(xs.toArray)
+    assert(TextHash.jaccardDistinct(g(), g()) == 1.0)
+    assert(TextHash.jaccardDistinct(g(1L, 2L), g()) == 0.0)
+    assert(TextHash.jaccardDistinct(g(0L, 5L), g(0L)) == 0.5) // zero-key path
+  }
+
   test("interpreted eval matches the codegen'd path and guards hold") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.TextHash

@@ -117,4 +117,26 @@ object TransformProps extends Properties("graft.transforms") {
       // next value is pat(0): level/trend/seasonal are all at fixpoint
       math.abs(f - pat.head) <= 1e-6 * math.max(1.0, pat.map(math.abs).max)
     }
+
+  // distinct-element long arrays: a small domain (forces overlap and the
+  // zero-key out-of-band path) and the full 64-bit domain
+  private val distinctLongs: Gen[Array[Long]] = for {
+    n <- Gen.chooseNum(0, 60)
+    dom <- Gen.oneOf(Gen.chooseNum(0L, 20L),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    s <- Gen.containerOfN[Set, Long](n, dom)
+  } yield s.toArray
+
+  property("jaccardDistinct equals the set-algebra definition") =
+    forAll(distinctLongs, distinctLongs) { (a, b) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val j = graft.functions.TextHash.jaccardDistinct(
+        new GenericArrayData(a), new GenericArrayData(b))
+      val sa = a.toSet
+      val sb = b.toSet
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      j == expected
+    }
 }
