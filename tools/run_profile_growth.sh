@@ -21,7 +21,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 WORK=$(mktemp -d /tmp/graft_pg.XXXXXX)
-java $ADD_OPENS -Xmx16g \
+java $ADD_OPENS -Xms16g -Xmx16g -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" \
   graft.ProfileGrowthBench "$IN" "$WORK" | tee "$OUT"

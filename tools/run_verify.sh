@@ -13,7 +13,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 rm -rf "$OUT"
-exec java $ADD_OPENS -Xmx8g \
+exec java $ADD_OPENS -Xms8g -Xmx8g -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" \
   graft.Verify "$SF" "$OUT"
