@@ -212,6 +212,53 @@ object TextHash {
       if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
   }
 
+  /** Winnowed byte fingerprints (Schleimer et al., SIGMOD'03, on the
+    * byte domain): fnv32 of each n-byte window, min per sliding window
+    * of `w` full gram positions (all gram hashes when fewer than `w`
+    * exist — the same short-input convention as
+    * [[winnowFingerprints]]), distinct in first-occurrence order. This
+    * is the BOUNDED-fingerprint rung above [[byteGramHashes]]: ~|blob|/w
+    * fingerprints instead of ~|blob| gram hashes, with the winnowing
+    * guarantee that any byte-exact run of length >= w + n - 1 between
+    * two blobs shares a fingerprint — so a postings join on the
+    * fingerprint value is an EXHAUSTIVE candidate generator for any
+    * Jaccard threshold > 0. fnv32 (not xxhash64) keeps the value
+    * oracle-expressible: DuckDB recomputes the identical fingerprint
+    * set from the text whose UTF-8 bytes form the payload.
+    */
+  def byteWinnowHashes(bytes: Array[Byte], n: Int, w: Int): ArrayData = {
+    if (bytes.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val nWin = bytes.length - n + 1
+    val hashes = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      var h = 2166136261L
+      var j = i
+      while (j < i + n) {
+        h = ((h ^ (bytes(j) & 0xff)) * 16777619L) & 0xffffffffL
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    val m = if (nWin < w) nWin else nWin - w + 1
+    val seen = new LongSet(m)
+    val out = new Array[Long](m)
+    var nOut = 0
+    var p = 0
+    while (p < m) {
+      var v = hashes(p)
+      if (nWin >= w) {
+        var k = p + 1
+        while (k < p + w) { if (hashes(k) < v) v = hashes(k); k += 1 }
+      }
+      if (seen.add(v)) { out(nOut) = v; nOut += 1 }
+      p += 1
+    }
+    new GenericArrayData(
+      if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
+  }
+
   /** Jaccard similarity of two DISTINCT-element long arrays in one pass:
     * |a∩b| by probing the larger array against a set built from the
     * smaller, |a∪b| = |a|+|b|-|a∩b| (valid exactly because every producer
@@ -333,6 +380,33 @@ case class ByteGramHashes(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.byteGramHashes($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): ByteGramHashes =
+    copy(child = c)
+}
+
+/** `array<bigint>` of winnowed byte fingerprints of a BINARY column —
+  * see [[TextHash.byteWinnowHashes]].
+  */
+case class ByteWinnowHashes(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"gram size must be positive: $n")
+  require(w >= 1, s"winnow window must be positive: $w")
+  override def prettyName: String = "graft_byte_winnow_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.byteWinnowHashes(v.asInstanceOf[Array[Byte]], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.byteWinnowHashes($c, $n, $w)")
+
+  override protected def withNewChildInternal(c: Expression): ByteWinnowHashes =
     copy(child = c)
 }
 

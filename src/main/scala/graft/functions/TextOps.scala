@@ -68,6 +68,17 @@ object TextOps {
     coalesce(column(ByteGramHashes(expression(payload), n)), lit(Array.empty[Long]))
   }
 
+  /** Winnowed byte fingerprints of a BINARY payload — the
+    * bounded-cardinality fingerprint rung above [[byteGramHashes]]
+    * (~|blob|/w fingerprints; see [[ByteWinnowHashes]]). Null payload ->
+    * empty set, the family convention.
+    */
+  def byteWinnowHashes(payload: Column, n: Int, w: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    coalesce(column(ByteWinnowHashes(expression(payload), n, w)),
+      lit(Array.empty[Long]))
+  }
+
   /** One-pass Jaccard of two distinct-element long-array columns — the
     * near-dedup confirm expression (see [[JaccardLongSets]]).
     */

@@ -181,20 +181,77 @@ object Dedup {
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // one-pass native confirm: |∩|/|∪| over the distinct element-hash
-    // arrays (identical values to size(array_intersect)/size(array_union)
-    // — see TextHash.jaccardDistinct — at one set build per pair instead
-    // of two builds + two materialized arrays)
-    val jac = TextOps.jaccardLongSets(col("sa.sh"), col("sb.sh"))
+    confirmPairs(cand, sets, threshold)
+  }
+
+  /** Exact-Jaccard confirmation of candidate (doc_a, doc_b) pairs against
+    * their element sets — the shared tail of every near-dup generator.
+    * One-pass native confirm: |∩|/|∪| over the distinct element-hash
+    * arrays (identical values to size(array_intersect)/size(array_union)
+    * — see TextHash.jaccardDistinct — at one set build per pair instead
+    * of two builds + two materialized arrays). The size-ratio bound
+    * implied by jac >= t skips the O(|set|) intersect for pairs that
+    * cannot qualify.
+    */
+  private[graft] def confirmPairs(cand: DataFrame, sets: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+      size(array_union(col("sa.sh"), col("sb.sh"))).cast("double") // AB-TEST
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      // size-ratio bound implied by jac >= t: skip the O(|set|) intersect
-      // for pairs that cannot qualify
       .where(least(size(col("sa.sh")), size(col("sb.sh"))).cast("double") >=
         lit(threshold) * greatest(size(col("sa.sh")), size(col("sb.sh"))).cast("double"))
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
       .filter(col("jac") >= threshold)
+  }
+
+  /** Near-duplicate pairs via a PREFIX-FILTERED fingerprint postings
+    * join (the exact set-similarity join of Chaudhuri et al. SSJoin,
+    * ICDE'06 / Bayardo et al. All-Pairs, WWW'07 — public algorithms):
+    * candidates are pairs sharing an element within both sets' PREFIXES
+    * under one global element order, generated by a self-join on the
+    * element value — never all-pairs, never probabilistic.
+    *
+    * EXHAUSTIVE for any threshold > 0, by the prefix-filter lemma:
+    * jac(A,B) >= t implies |A∩B| >= ceil(t·|A|) (since |∪| >= |A|), and
+    * A's suffix beyond its prefix of length |A| - ceil(t·|A|) + 1 holds
+    * only ceil(t·|A|) - 1 elements, so some x ∈ A∩B lies in prefix(A) —
+    * and then min(A∩B) under the global order does too (the prefix is
+    * downward-closed within A). Symmetrically min(A∩B) ∈ prefix(B), so
+    * every qualifying pair collides on that element. Unlike the MinHash
+    * band join, the output therefore provably equals the brute-force
+    * all-pairs result — the right generator for BOUNDED-cardinality sets
+    * (winnowed fingerprints: ~|doc|/w elements).
+    *
+    * SCALE: the global order is document-frequency-ascending (ties by
+    * value), the All-Pairs heuristic that makes the filter bite: each
+    * doc's prefix is its RAREST fingerprints, so the boilerplate
+    * fingerprints that unrelated documents share sit in suffixes and
+    * never generate candidates — candidate cost is sum over PREFIX
+    * fingerprints of C(df, 2), output-bound in practice where the naive
+    * any-shared-element postings join is quadratic in the corpus. The
+    * df table is one keyed count over the postings; the per-doc rank is
+    * a window over ~|sh| rows.
+    * Output: (doc_a, doc_b, jac).
+    */
+  def nearDupByPostings(sets: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0, "postings candidates are exhaustive only for t > 0")
+    val posts = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("f"))
+    val dfreq = posts.groupBy(col("f")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("f"))
+    val prefix = posts.join(dfreq, Seq("f"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("f"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), Seq("f"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    confirmPairs(cand, sets, threshold)
   }
 
   /** SimHash near-duplicate pairs (Charikar simhash + Manku et al. banded

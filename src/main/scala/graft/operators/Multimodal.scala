@@ -79,6 +79,31 @@ object Multimodal {
   def nearDupBlobs(withBin: DataFrame, n: Int, threshold: Double): DataFrame =
     Dedup.nearDupBySets(byteGramSets(withBin, n), threshold)
 
+  /** (doc_id, sh) winnowed byte-fingerprint sets of the payload —
+    * ~|blob|/w fingerprints per blob instead of ~|blob| gram hashes
+    * (one native codegen'd pass; see TextHash.byteWinnowHashes).
+    */
+  def winnowSets(withBin: DataFrame, n: Int, w: Int): DataFrame =
+    withBin.select(col("doc_id"),
+        graft.functions.TextOps.byteWinnowHashes(col("payload"), n, w).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Winnowed blob near-dup: the CHEAP rung above [[nearDupBlobs]] for
+    * large blobs — fingerprint cardinality is bounded at ~|blob|/w, so
+    * both the candidate join and the exact-Jaccard confirm do ~w× less
+    * work per blob than the full byte-gram path, and the candidate
+    * generator (a postings join on the fingerprint value,
+    * Dedup.nearDupByPostings) is EXHAUSTIVE rather than probabilistic:
+    * any pair with jac >= threshold shares a fingerprint by
+    * construction. Jaccard here is over winnowed fingerprint sets — the
+    * standard winnowing similarity (MOSS), deterministic and
+    * oracle-recomputable, approximating gram Jaccard with resolution w.
+    * Output: (doc_a, doc_b, jac).
+    */
+  def nearDupBlobsWinnow(withBin: DataFrame, n: Int, w: Int,
+                         threshold: Double): DataFrame =
+    Dedup.nearDupByPostings(winnowSets(withBin, n, w), threshold)
+
   /** Frame sampling: slice the payload into fixed-size frames and keep
     * every `stride`-th one (video frame-sample shape: offsets + frame
     * checksums, not the frames themselves, leave the executor).

@@ -450,6 +450,15 @@ object TierQueries {
         Multimodal.withPayload(Tables.documents(s, d)), n = 16,
         threshold = 0.5)),
 
+    // winnowed blob near-dup: bounded fingerprints (~|blob|/16) + an
+    // EXHAUSTIVE postings join on the fingerprint value — the cheap
+    // rung above mm_near_dup for large blobs (both the candidate join
+    // and the confirm do ~16x less work per blob)
+    "mm_near_dup_winnow" -> ((s, d) =>
+      Multimodal.nearDupBlobsWinnow(
+        Multimodal.withPayload(Tables.documents(s, d)), n = 16, w = 16,
+        threshold = 0.5)),
+
     // LTTB keypoint summary: endpoint/count columns are deterministic
     // (first/last always kept, n_pts = min(npts, len)) -> oracle-able,
     // unlike the float triangle-area err column in tier_lttb
@@ -1634,6 +1643,46 @@ object TierQueries {
         | AND CAST(least(a.ng, b.ng) AS DOUBLE) >= 0.5 * CAST(greatest(a.ng, b.ng) AS DOUBLE)
         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5""".stripMargin,
+
+    // full winnow recomputation (payload = UTF-8 bytes of the pure-ASCII
+    // text, so fnv32 over byte windows == fnv32 over char windows of the
+    // RAW text), then brute-force pair Jaccard over the fingerprint sets
+    // — exact, because the engine's postings-join candidates are
+    // exhaustive for jac >= 0.5 (any qualifying pair shares a
+    // fingerprint), unlike the probabilistic MinHash band join
+    "mm_near_dup_winnow" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text FROM documents
+         |), pos AS (
+         |  SELECT doc_id, text, unnest(range(1, len(text) - 14)) AS i
+         |  FROM c WHERE len(text) >= 16
+         |), h AS (
+         |  SELECT doc_id, i,
+         |    ${graft.functions.TextOps.fnv32Sql("substr(text, CAST(i AS INT), 16)")} AS hv
+         |  FROM pos
+         |), m AS (
+         |  SELECT doc_id, i, hv,
+         |    count(*) OVER (PARTITION BY doc_id) AS nh,
+         |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+         |                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wm
+         |  FROM h
+         |), fp AS (
+         |  SELECT doc_id, wm AS f FROM m WHERE nh >= 16 AND i <= nh - 15
+         |  UNION
+         |  SELECT doc_id, hv AS f FROM m WHERE nh < 16
+         |), g1 AS (
+         |  SELECT doc_id, list_distinct(list(f)) AS g,
+         |         CAST(count(DISTINCT f) AS BIGINT) AS ng
+         |  FROM fp GROUP BY 1
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jac
+         |FROM g1 a JOIN g1 b
+         |  ON a.doc_id < b.doc_id
+         | AND CAST(least(a.ng, b.ng) AS DOUBLE) >= 0.5 * CAST(greatest(a.ng, b.ng) AS DOUBLE)
+         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5""".stripMargin,
 
     "tier_lttb_summary" ->
       s"""$OracleCte, segs AS (

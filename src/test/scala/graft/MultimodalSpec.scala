@@ -98,6 +98,74 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(bad.isEmpty, s"blob near-dup plan fell back to all-pairs: $bad")
   }
 
+  test("byteWinnowHashes equals a reference winnow, short-input branches hold") {
+    import spark.implicits._
+    // reference: fnv32 per n-byte window, min per sliding window of w full
+    // gram positions (all gram hashes when fewer than w exist), distinct
+    def ref(bytes: Array[Byte], n: Int, w: Int): Seq[Long] = {
+      if (bytes.length < n) return Seq.empty
+      val grams = bytes.sliding(n).map(_.foldLeft(2166136261L)((h, b) =>
+        ((h ^ (b & 0xff)) * 16777619L) & 0xffffffffL)).toVector
+      val mins = if (grams.length < w) grams
+                 else grams.sliding(w).map(_.min).toVector
+      mins.distinct
+    }
+    val in = (Seq("the quick brown fox jumps over the lazy dog " * 4,
+      "exactly sixteen!",      // one gram, fewer than w -> distinct-all
+      "seventeen bytes!!",     // two grams, still short of w
+      "fifteen bytes!!", "", null): Seq[String])
+      .toDF("text").withColumn("payload", encode(col("text"), "UTF-8"))
+    val rows = in.select(col("text"),
+      graft.functions.TextOps.byteWinnowHashes(col("payload"), 16, 16).as("fp"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val expect = if (t == null) Seq.empty[Long]
+                   else ref(t.getBytes("UTF-8"), 16, 16)
+      assert(r.getSeq[Long](1) == expect, s"winnow diverges for '$t'")
+    }
+    // the long doc must actually winnow (fewer fingerprints than grams)
+    val long = rows.head
+    assert(long.getSeq[Long](1).nonEmpty &&
+      long.getSeq[Long](1).size < long.getString(0).length - 15)
+  }
+
+  test("winnowed blob near-dup equals brute-force winnow Jaccard (exhaustive)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val d = Seq(
+      (0L, base), (1L, base + "tail!"),
+      (2L, "completely different content here " * 9),
+      (3L, ("zz" + base.drop(2))),
+      (4L, "completely different content here " * 9)) // exact dup of 2
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val withBin = Multimodal.withPayload(d)
+    val nd = Multimodal.nearDupBlobsWinnow(withBin, 16, 16, 0.5)
+    val got = nd.as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute force over the SAME winnow sets: all pairs, no candidates step
+    val sets = Multimodal.winnowSets(withBin, 16, 16).localCheckpoint()
+    val brute = sets.as("a").crossJoin(sets.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        graft.functions.TextOps.jaccardLongSets(col("a.sh"), col("b.sh")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == brute, s"postings candidates missed a pair: got $got vs $brute")
+    assert(got.contains((0L, 1L)) && got.contains((0L, 3L)) &&
+      got((2L, 4L)) == 1.0)
+    // scale-shape guard: the candidate generator is the postings
+    // equi-join — no cartesian/nested-loop in the physical plan
+    val plan = nd.queryExecution.executedPlan
+    val bad = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"winnow near-dup plan fell back to all-pairs: $bad")
+  }
+
   test("testdata documents are pure ASCII (mm oracle unicode==byte premise)") {
     // the mm_features/mm_frames oracles fold over unicode(char); they equal
     // the engine's UTF-8 byte folds only while every doc is single-byte

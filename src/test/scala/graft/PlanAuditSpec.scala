@@ -60,7 +60,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTest
     // emb_knn_confusion wraps emb_knn_1nn's bounded broadcast probe set
     // (the by-design nested-loop baseline) — excluded like seg_knn
     "text_langid_confusion", "ts_forecast_backtest",
-    "asof_native_tolerance", "emb_project", "pipe_chunk")
+    "asof_native_tolerance", "emb_project", "pipe_chunk",
+    // round-15 additions: the blob-dedup rungs build lazily (banded /
+    // prefix-filtered postings candidate joins + confirm)
+    "mm_dedup_exact", "mm_near_dup", "mm_near_dup_winnow")
   // ann_rp / ann_rp_rerank / ann_rp_*_recall are excluded like ann_quant:
   // the reduced-space pass ranks a bounded broadcast probe set against the
   // corpus by design (the JL shortlist baseline), and the recall rows

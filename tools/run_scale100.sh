@@ -24,10 +24,12 @@ WORK=${2:-/tmp/graft_scale100}
 # chose per decade (captured into the artifact below).
 # mm_near_dup (r14 verdict #3): blob near-dedup must show banded (output-
 # bound), not all-pairs, growth across decades, like dedup_minhash.
+# mm_near_dup_winnow (r15): the bounded-fingerprint rung — same decades,
+# expected ~w x cheaper per blob than mm_near_dup's full byte-gram path.
 # pipe_bpe_round8 (r14 verdict #2): after the weighted-vocabulary rewrite
 # per-round cost must be vocabulary-bound — roughly flat across decades
 # built by replicating documents (vocab stays ~constant as corpus x100).
-QUERIES="o1_scan,dedup_minhash,ann_ivf,ann_ivf_store,ann_ivf_probe,ann_rp_ivf_store,ann_rp_ivf_probe,seg_profile_auto,pipe_near_dedup,pipe_dedup_quality,text_bm25,mm_near_dup,pipe_bpe_round8"
+QUERIES="o1_scan,dedup_minhash,ann_ivf,ann_ivf_store,ann_ivf_probe,ann_rp_ivf_store,ann_rp_ivf_probe,seg_profile_auto,pipe_near_dedup,pipe_dedup_quality,text_bm25,mm_near_dup,mm_near_dup_winnow,pipe_bpe_round8"
 cd "$(dirname "$0")/.."
 mkdir -p "$WORK"
 python3 tools/make_scale10.py "$SRC" "$WORK/x10" 10
