@@ -209,12 +209,18 @@ object AnnQueries {
     // tuned from (recall rises with probed fraction; the curve makes the
     // cost of each recall point explicit)
     "ann_ivf_curve" -> ((s, d) => {
+      // the brute baseline is the REFERENCE, not the knob under sweep:
+      // materialize its tiny result (|probes|·TopK rows) once instead of
+      // re-inlining the full exact-scan subtree under all four union
+      // branches (r15: 4x brute executions for identical rows). Each
+      // knob's ivfTopK serve stays fully self-contained. The codebook
+      // collect is knob-independent — hoisted out of the loop.
       val brute = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
-        .select(col("probe_id"), col("cand_id"))
+        .select(col("probe_id"), col("cand_id")).localCheckpoint()
+      val cents = ivfCentroids(s, d)
       Seq(1, 2, 4, 8).map { np =>
         recallSummary(brute,
-          Similarity.ivfTopK(probes(s, d), corpus(s, d), TopK,
-              ivfCentroids(s, d), np)
+          Similarity.ivfTopK(probes(s, d), corpus(s, d), TopK, cents, np)
             .select(col("probe_id"), col("cand_id")),
           Seq("probe_id", "cand_id"))
           .withColumn("nprobe", lit(np.toLong))
@@ -375,12 +381,18 @@ object AnnQueries {
     // is a correctness-evidence row, and each point measuring the whole
     // pipeline keeps it an honest 4x serve, not a perf row.
     "ann_rp_ivf_curve" -> ((s, d) => {
+      // brute baseline materialized once (it is the shared reference,
+      // not the serve under sweep — see ann_ivf_curve); the reduced
+      // codebook collect is knob-independent and hoisted. Each knob's
+      // rpIvfTopK serve remains fully self-contained per the honesty
+      // note above.
       val brute = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
-        .select(col("probe_id"), col("cand_id"))
+        .select(col("probe_id"), col("cand_id")).localCheckpoint()
+      val cents = rpIvfCentroids(s, d)
       Seq(1, 2, 4, 8).map { np =>
         recallSummary(brute,
           Similarity.rpIvfTopK(probes(s, d), corpus(s, d), TopK,
-              Similarity.lcgPlanes(RpDim, Dim), rpIvfCentroids(s, d),
+              Similarity.lcgPlanes(RpDim, Dim), cents,
               np, RpShortlist)
             .select(col("probe_id"), col("cand_id")),
           Seq("probe_id", "cand_id"))
@@ -396,12 +408,15 @@ object AnnQueries {
     // the full self-contained serve per point (correctness evidence, not
     // a perf row).
     "ann_rp_sl_curve" -> ((s, d) => {
+      // same brute-baseline materialization + codebook hoist as the
+      // nprobe curve; each shortlist point's serve stays self-contained
       val brute = Similarity.bruteTopK(probes(s, d), corpus(s, d), TopK)
-        .select(col("probe_id"), col("cand_id"))
+        .select(col("probe_id"), col("cand_id")).localCheckpoint()
+      val cents = rpIvfCentroids(s, d)
       Seq(10, 25, 50, 100).map { sl =>
         recallSummary(brute,
           Similarity.rpIvfTopK(probes(s, d), corpus(s, d), TopK,
-              Similarity.lcgPlanes(RpDim, Dim), rpIvfCentroids(s, d),
+              Similarity.lcgPlanes(RpDim, Dim), cents,
               NProbe, sl)
             .select(col("probe_id"), col("cand_id")),
           Seq("probe_id", "cand_id"))

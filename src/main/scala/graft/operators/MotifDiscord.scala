@@ -206,16 +206,28 @@ object MotifDiscord {
     * segments still bounds every singleton's nnd, so the grid's
     * exactness argument is unchanged.
     */
-  private def prunedProfile(sc: DataFrame): DataFrame = {
-    val ranked = withGroupRank(sc).localCheckpoint()
+  private def prunedProfile(sc: DataFrame): DataFrame =
+    prunedProfileFrom(withGroupRank(sc).localCheckpoint(),
+      adjacentPairs(sc).groupBy(col("signal_id"))
+        .agg(max(col("adj_d")).as("t")))
+
+  /** The pruned route over a PRE-RANKED frame (withGroupRank columns) and
+    * a per-signal adjacent-pair threshold — shared with [[profileAuto]],
+    * which already holds both from its route-plan computation (r15: the
+    * auto path used to re-rank and re-derive adjacent pairs over its
+    * pruned split, duplicating two window passes the plan had just run).
+    * `thresh` may cover extra signals (it joins by signal_id; unmatched
+    * signals contribute no pairs), and per-signal values are unchanged
+    * under whole-signal filtering, so results are identical.
+    */
+  private def prunedProfileFrom(ranked: DataFrame,
+                                thresh: DataFrame): DataFrame = {
     val dupRows = ranked.filter(col("gcnt") >= 2)
       .select(col("signal_id"), col("seg"), lit(0L).as("nnd_q"))
     val reps = ranked.filter(col("grk") === 1)
       .select(col("signal_id"), col("seg"), col("qvals"))
     val singles = ranked.filter(col("gcnt") === 1)
       .select(col("signal_id"), col("seg"), col("qvals"))
-    val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
-      .agg(max(col("adj_d")).as("t"))
     candidatePairs(singles, reps, thresh)
       .groupBy(col("signal_id"), col("seg_a"))
       .agg(min(col("d")).as("nnd_q"))
@@ -1028,15 +1040,23 @@ object MotifDiscord {
     routePlanOf(segs.localCheckpoint(), budget, pruneAbove)
 
   private def routePlanOf(sc: DataFrame, budget: Long,
-                          pruneAbove: Int): DataFrame = {
-    val ranked = withGroupRank(sc)
+                          pruneAbove: Int): DataFrame =
+    routePlanFrom(withGroupRank(sc),
+      adjacentPairs(sc).groupBy(col("signal_id"))
+        .agg(max(col("adj_d")).as("t")),
+      budget, pruneAbove)
+
+  /** [[routePlanOf]] over pre-computed ranked/threshold frames — shared
+    * with [[profileAuto]] so the rank window and the adjacent-pair pass
+    * are built once and reused by both the plan and the pruned branch.
+    */
+  private def routePlanFrom(ranked: DataFrame, thresh: DataFrame,
+                            budget: Long, pruneAbove: Int): DataFrame = {
     val counts = ranked.groupBy(col("signal_id"))
       .agg(count(lit(1)).as("m"),
         sum(when(col("gcnt") >= 2, 1L).otherwise(0L)).as("n_dup"),
         sum(when(col("grk") === 1, 1L).otherwise(0L)).as("n_reps"))
-    val withW = adjacentPairs(sc).groupBy(col("signal_id"))
-      .agg(max(col("adj_d")).as("t"))
-      .withColumn("w", gridWidth(col("t")))
+    val withW = thresh.withColumn("w", gridWidth(col("t")))
     // same cell arithmetic as candidatePairs, but folded to counts
     def cells(df: DataFrame) =
       withChunkSums(df).join(broadcast(withW), "signal_id")
@@ -1075,12 +1095,25 @@ object MotifDiscord {
                   mod: Int = 4,
                   pruneAbove: Int = PruneAbove): DataFrame = {
     val sc = segs.localCheckpoint()
-    val routes = routePlanOf(sc, budget, pruneAbove)
-      .select(col("signal_id"), col("route"))
+    // materialize the rank window, the per-signal threshold and the tiny
+    // route table ONCE: the three route branches below each reference
+    // them (plus discordAuto's window on top), and without the
+    // checkpoints the whole routePlanOf DAG — rank windows + adjacent
+    // pairs + grid-cell counts, ~8 exchanges — was re-inlined under
+    // every branch of the union (measured r15: 278-Exchange / 4.7k-line
+    // physical plan for seg_profile_auto), and the pruned branch re-ran
+    // the same two window passes over its split
+    val ranked = withGroupRank(sc).localCheckpoint()
+    val thresh = adjacentPairs(sc).groupBy(col("signal_id"))
+      .agg(max(col("adj_d")).as("t")).localCheckpoint()
+    val routes = routePlanFrom(ranked, thresh, budget, pruneAbove)
+      .select(col("signal_id"), col("route")).localCheckpoint()
     val routed = sc.join(broadcast(routes), "signal_id")
     def side(r: String) = routed.filter(col("route") === r).drop("route")
+    val prunedRanked = ranked.join(broadcast(routes), "signal_id")
+      .filter(col("route") === "pruned").drop("route")
     directProfile(side("direct"))
-      .unionByName(prunedProfile(side("pruned")))
+      .unionByName(prunedProfileFrom(prunedRanked, thresh))
       .withColumn("exact", lit(true))
       .unionByName(
         profileSampled(side("sampled"), mod)
