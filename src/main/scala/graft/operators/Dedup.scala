@@ -175,6 +175,14 @@ object Dedup {
     * Output: (doc_a, doc_b, jac).
     */
   def nearDupBySets(sets: DataFrame, threshold: Double): DataFrame = {
+    // deliberately NOT materialized (r15, measured): checkpointing the
+    // band table (or the element-hash sets) regressed dedup_ngram
+    // ~20-25% — at bench scale the scan->sets->signature pipeline fuses
+    // into a single-partition codegen pass per join side, and an eager
+    // checkpoint replaces one cheap recompute with a serial job plus
+    // two block-manager crossings. Re-evaluate if the signature stage
+    // ever stops being scan-fused (the simhash path, whose signature
+    // pass is genuinely expensive per doc, DOES checkpoint).
     val bands = bandTable(sets)
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band", "bh"))
@@ -290,7 +298,10 @@ object Dedup {
       else shiftright(col("sig_hi"), s - 32).bitwiseAND(lit(mask))
     }
     val combos = (0 until blocks).combinations(keyBlocks).toSeq
-    val sig = TextOps.simhash(docs, "doc_id", "text")
+    // materialized once: the signature table feeds both sides of the
+    // band self-join — unmaterialized, the tokenize+per-bit-sum simhash
+    // scan executed twice (doc_id + two longs per doc, tiny to hold)
+    val sig = TextOps.simhash(docs, "doc_id", "text").localCheckpoint()
     val bands = sig.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
       explode(array(combos.zipWithIndex.map { case (combo, ci) =>
         val bv = combo.map(blockVal).reduce((acc, v) => shiftleft(acc, w).bitwiseOR(v))

@@ -225,7 +225,11 @@ object PipelineQueries {
       val x = Relevance.unigramCrossEntropy(dd)
       val tc = dd.select(col("doc_id"), col("lang"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
-      val j = tc.join(x, Seq("doc_id"))
+      // materialized once: j feeds the per-lang median AND the final
+      // filter join — unmaterialized, the xent pipeline + tokenizer
+      // executed twice (the CCNet-style two-pass filter is inherent; the
+      // second pass should read the scores, not recompute them)
+      val j = tc.join(x, Seq("doc_id")).localCheckpoint()
       val med = j.groupBy(col("lang"))
         .agg(org.apache.spark.sql.functions.expr("percentile(xent, 0.5)").as("med"))
       j.join(broadcast(med), Seq("lang"))

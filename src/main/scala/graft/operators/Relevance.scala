@@ -78,8 +78,13 @@ object Relevance {
     */
   def unigramCrossEntropy(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    // materialized once: tf feeds the LM aggregation, the scalar fetch
+    // below AND the final join — without it the tokenize+explode+count
+    // subtree executes three times (the post-optimization subtrees differ
+    // in pruned columns, so exchange reuse never fires on them; measured
+    // r15 in the text_xent plan)
     val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf")).localCheckpoint()
     val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     // Two bounded scalars: total token mass and vocabulary size.
     val st = lm.agg(sum(col("cnt")).as("t"), count(lit(1)).cast("double").as("v")).head()
@@ -124,8 +129,12 @@ object Relevance {
       .withColumn("nxt", lead(col("term"), 1).over(w))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"), col("term").as("w1"), col("nxt").as("w2"))
+    // materialized once: bf feeds both LM tables and the final join —
+    // without it the tokenize+window+count subtree executes three times
+    // (no exchange reuse fires across the differently-pruned copies;
+    // measured r15: text_xent2's plan scanned+tokenized the corpus 3x)
     val bf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).cast("double").as("bf"))
+      .agg(count(lit(1)).cast("double").as("bf")).localCheckpoint()
     val lm2 = bf.groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("c12"))
     val lm1 = lm2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val st = toks.agg(countDistinct(col("term")).cast("double").as("v")).head()

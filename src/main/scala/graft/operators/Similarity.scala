@@ -329,9 +329,13 @@ object Similarity {
                      threshold: Double, nPlanes: Int = 4, dim: Int = 64,
                      maxFlip: Int = 2): DataFrame = {
     val planes = lcgPlanes(nPlanes, dim)
+    // materialized once: the bucketed table feeds both sides of the
+    // band self-join — unmaterialized, the corpus scan + nPlanes
+    // hyperplane dots per vector executed twice
     val b = vecs.select(col(idCol), col(vecCol),
       l2(col(vecCol)).as("nrm"),
       lshBucket(col(vecCol), planes).as("bucket"))
+      .localCheckpoint()
     val a = b.select(col(idCol).as("vec_a"), col(vecCol).as("ea"), col("nrm").as("na"),
         explode(multiProbeBuckets(col("bucket"), nPlanes, maxFlip)).as("bucket"))
     val bb = b.select(col(idCol).as("vec_b"), col(vecCol).as("eb"),
@@ -378,10 +382,14 @@ object Similarity {
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[(Int, Seq[Double])],
                     threshold: Double): DataFrame = {
+    // materialized once: the assignment feeds both sides of the
+    // within-cell pair join AND the final keeper join — unmaterialized,
+    // the |centroids| Voronoi dots per vector executed 3x
     val assigned = vecs.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("e"))
       .withColumn("cell", bestCell(col("e"), centroids).cast("long"))
       .withColumn("nrm", l2(col("e")))
+      .localCheckpoint()
     val a = assigned.select(col("vec_id").as("doc_a"), col("e").as("ea"),
       col("nrm").as("na"), col("cell"))
     val b = assigned.select(col("vec_id").as("doc_b"), col("e").as("eb"),

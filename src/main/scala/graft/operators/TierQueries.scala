@@ -400,7 +400,10 @@ object TierQueries {
       val root = java.nio.file.Files
         .createTempDirectory("graft-upsert-q").toString
       val tm = new TierManager(s, root)
-      val rr = r(s, d)
+      // one seq_no derivation: rr feeds the tier0 land (data + stats
+      // passes) and the correction batch — unmaterialized, the
+      // window-over-events subtree executed three times in this query
+      val rr = r(s, d).localCheckpoint()
       tm.landTier0(rr)
       val corr = rr.filter(col("signal_id") < 3 && col("seq_no") === 1L)
         .withColumn("value", col("value") + 1000.0)

@@ -878,9 +878,15 @@ object TsQueries {
     "ts_outlier_mad" -> ((s, d) => {
       val med = r(s, d).groupBy(col("signal_id"))
         .agg(expr("percentile(value_q, 0.5)").as("med_q"))
+      // materialized once: dev feeds the MAD aggregation AND the final
+      // flag join — unmaterialized, the whole median+deviation subtree
+      // (including the seq_no window beneath it) executed twice. The
+      // two-pass shape is inherent to MAD; the second pass should read
+      // the deviations, not recompute them.
       val dev = r(s, d).join(med, "signal_id")
         .select(col("signal_id"), col("seq_no"), col("value_q"), col("med_q"),
           abs(col("value_q").cast("double") - col("med_q")).as("dev"))
+        .localCheckpoint()
       val mad = dev.groupBy(col("signal_id"))
         .agg(expr("percentile(dev, 0.5)").as("mad_q"))
       dev.join(mad, "signal_id")

@@ -123,7 +123,13 @@ object ZoneMap {
   def percentileFromHistogram(hist: DataFrame, ps: Seq[Double],
                               scale: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = foldHistogram(hist)
+    // materialized once: the folded histogram feeds the cumulative window
+    // (referenced by BOTH bracket sides) and the per-signal rank-index
+    // table — unmaterialized, the upstream histogram build (and for
+    // o8_percentile_sketch the whole readings seq_no window beneath it)
+    // executed 3x; the sketch is per-signal-cell-sized, the exact thing
+    // the stats tier persists anyway
+    val h = foldHistogram(hist).localCheckpoint()
     val w = Window.partitionBy(col("signal_id")).orderBy(col("value_q"))
     val cum = h.select(col("signal_id").as("c_sig"), col("value_q"),
         sum(col("cnt")).over(w).as("cume"),
