@@ -241,7 +241,9 @@ object MlQueries {
     // overlap between the raw 16-dim forest and the PAA-4 forest — does
     // the lossy tier preserve outlier structure?
     "ml_iforest_lossy_agree" -> ((s, d) => {
-      val rr = Readings.of(s, d)
+      // one seq_no derivation: rr feeds BOTH the PAA and raw feature
+      // scoring paths (unmaterialized, the window-over-events ran twice)
+      val rr = Readings.of(s, d).localCheckpoint()
       def top(df: org.apache.spark.sql.DataFrame, fc: Seq[String]) =
         IsolationForest.scores(df, Seq("signal_id", "seg"), fc)
           .orderBy(col("score").desc, col("signal_id"), col("seg"))

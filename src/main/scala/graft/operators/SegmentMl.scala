@@ -50,10 +50,15 @@ object SegmentMl {
     * squared euclidean — the UCR-archive classification shape.
     */
   def knnSegments(segments: DataFrame, testSignals: Seq[Long]): DataFrame = {
-    val test = segments.filter(col("signal_id").isin(testSignals: _*))
+    // materialized once: the segment frame feeds BOTH the test and train
+    // sides — unmaterialized, the upstream derivation (readings window +
+    // segment fold, or the kernel/PAA/FFT feature pass for the reduced
+    // flavors) executed twice
+    val segsM = segments.localCheckpoint()
+    val test = segsM.filter(col("signal_id").isin(testSignals: _*))
       .select(col("signal_id").as("test_sig"), col("seg").as("test_seg"),
         col("values").as("tv"))
-    val train = segments.filter(!col("signal_id").isin(testSignals: _*))
+    val train = segsM.filter(!col("signal_id").isin(testSignals: _*))
       .select(col("signal_id").as("train_sig"), col("seg").as("train_seg"),
         col("values").as("rv"))
     val joined = train.join(broadcast(test), lit(true))
@@ -87,14 +92,20 @@ object SegmentMl {
     */
   def dtwKnn(segmentsQ: DataFrame, testSignals: Seq[Long], band: Int): DataFrame = {
     import graft.functions.DtwFunctions._
-    val test = segmentsQ.filter(col("signal_id").isin(testSignals: _*))
+    // segment derivation materialized once (feeds test and train), and
+    // the train side WITH its band envelopes once (it feeds the beta
+    // probe pass and the survivor pass — unmaterialized, the O(n)
+    // envelope build per train segment executed twice)
+    val segsM = segmentsQ.localCheckpoint()
+    val test = segsM.filter(col("signal_id").isin(testSignals: _*))
       .select(col("signal_id").as("test_sig"), col("seg").as("test_seg"),
         col("qvals").as("tq"))
-    val train = segmentsQ.filter(!col("signal_id").isin(testSignals: _*))
+    val train = segsM.filter(!col("signal_id").isin(testSignals: _*))
       .select(col("signal_id").as("train_sig"), col("seg").as("train_seg"),
         col("qvals").as("rq"))
       .withColumn("up", dtwEnvUp(col("rq"), band))
       .withColumn("dn", dtwEnvDn(col("rq"), band))
+      .localCheckpoint()
     val pairs = train.join(broadcast(test), lit(true))
       .withColumn("lb", lbKeogh(col("tq"), col("up"), col("dn")))
     val wLb = Window.partitionBy(col("test_sig"), col("test_seg"))

@@ -520,7 +520,12 @@ object TierQueries {
     // equal to the raw predicate, proving the outlier-coded store serves
     // the same compressed-domain queries
     "buff_range_outlier" -> ((s, d) => {
-      val rd = r(s, d)
+      // one seq_no derivation, KEPT only on the outlier-coded rows
+      // (measured r15: the majority/exception encoding consumes the
+      // plane frame 4-5x so materializing wins; on the plain-plane rows
+      // the checkpoint cost exceeded the one saved window and was
+      // reverted)
+      val rd = r(s, d).localCheckpoint()
       val base = rd.agg(min(col("value_q"))).first().getLong(0)
       val pl = graft.sources.BuffStore.planes(rd, base, 3)
       val (enc, maj) = graft.sources.BuffStore.outlierEncode(pl, 3)
@@ -544,7 +549,12 @@ object TierQueries {
     // plane fold over coalesce(exception, majority byte) — no restore
     // projection, scan I/O is exception bytes + definition levels only
     "buff_max_outlier" -> ((s, d) => {
-      val rd = r(s, d)
+      // one seq_no derivation, KEPT only on the outlier-coded rows
+      // (measured r15: the majority/exception encoding consumes the
+      // plane frame 4-5x so materializing wins; on the plain-plane rows
+      // the checkpoint cost exceeded the one saved window and was
+      // reverted)
+      val rd = r(s, d).localCheckpoint()
       val base = rd.agg(min(col("value_q"))).first().getLong(0)
       val pl = graft.sources.BuffStore.planes(rd, base, 3)
       val (enc, maj) = graft.sources.BuffStore.outlierEncode(pl, 3)
