@@ -482,7 +482,12 @@ object Dedup {
         .select(col("v").as("src"), col("m").as("dst"))
       val next = hangNbrs.union(hangSelf)
         .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // fixpoint check: both frames are distinct sets (the .distinct()
+      // above), so |next| = |edges| plus next ⊆ edges is set equality —
+      // one cheap count over checkpointed blocks replaces the second
+      // full exceptAll anti-join per round
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
       edges = next
       round += 1
     }
