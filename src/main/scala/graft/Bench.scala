@@ -334,6 +334,29 @@ object Bench {
         graft.operators.Dedup.minhashSignatures(
           graft.operators.Dedup.shingleSets(
             graft.Tables.documents(spark, sfDir))).count(); ()
+      }),
+      // SHUFFLE-PATH canary (r15 verdict #2): o1_scan measures scan-path
+      // health only — this host class's page-fault storms hit the shuffle
+      // path hardest (r15: a fork JVM's o1_scan read 1.42x while the
+      // sweep's read 0.89x, and shuffle-heavy rows sat 3-4x over prior on
+      // untouched code), so one scan canary cannot distinguish a scan
+      // slowdown from a fault storm. This row is scan-light and
+      // shuffle-heavy by construction: a deterministic 8x row explode ->
+      // full hash exchange -> two-level aggregation. Bench-only row (no
+      // oracle — its value is a host measurement, not a query result);
+      // its current/prior ratio is emitted as sweep_shuffle_canary_ratio
+      // and the fork's as resweep_shuffle_canary_ratio, EVIDENCE for
+      // adjudication readers, deliberately not wired into the trip
+      // thresholds (one control canary stays o1_scan).
+      ("shuffle_canary", () => {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"),
+            explode(sequence(lit(0L), lit(7L))).as("i"))
+          .select(xxhash64(col("l_orderkey"), col("l_partkey"), col("i")).as("k"))
+          .repartition(col("k"))
+          .groupBy(pmod(col("k"), lit(65536L)).as("g"))
+          .agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).count(); ()
       })) ++ profileIn.toSeq.map { in =>
       // STAMPI-style streaming profile maintenance: 4 micro-batches of
       // sealed segments each fold into the persisted per-signal profile
@@ -554,7 +577,8 @@ object Bench {
             System.getProperty("java.class.path"), "graft.Bench")).asJava
           val pb = new ProcessBuilder(cmd)
           val env = pb.environment()
-          env.put("SPARK_GRAFT_ONLY", (names :+ "o1_scan").distinct.mkString(","))
+          env.put("SPARK_GRAFT_ONLY",
+            (names :+ "o1_scan" :+ "shuffle_canary").distinct.mkString(","))
           env.put("SPARK_GRAFT_SF_DIR", sfDir)
           env.put("SPARK_GRAFT_CPUS", cpus)
           env.put("SPARK_GRAFT_REPS", reps.toString)
@@ -602,6 +626,7 @@ object Bench {
     // silently keep its storm-inflated sweep median as the committed
     // prior, which is the exact failure this machinery closes).
     var forkCanary: Option[Double] = None
+    var forkShuffleCanary: Option[Double] = None
     val adjudicated: Map[String, (Double, Double, String)] =
       if (hostSlow || tripped.isEmpty || only.nonEmpty) Map.empty
       else {
@@ -611,6 +636,7 @@ object Bench {
               "- re-adjudicating in a fresh JVM")))
         val forked = forkBench(tripped.map(_.name)).getOrElse(Map.empty)
         forkCanary = forked.get("o1_scan")
+        forkShuffleCanary = forked.get("shuffle_canary")
         def sameJvm(name: String, run: () => Unit): Double = {
           val iso = timeQuery(name, run)
           System.err.println(
@@ -768,7 +794,14 @@ object Bench {
         val forkCanaryField = (for {
           fc <- forkCanary; p <- priorMap.get("o1_scan") if p > 0.0
         } yield s""""resweep_canary_ratio":${f3(fc / p)},""").getOrElse("")
-        forkCanaryField +
+        // the fork's shuffle-path health, for the same reader (see the
+        // shuffle_canary row comment): scan vs fault-storm attribution
+        val forkShuffleField = (for {
+          fc <- forkShuffleCanary; p <- priorMap.get("shuffle_canary")
+          if p > 0.0
+        } yield s""""resweep_shuffle_canary_ratio":${f3(fc / p)},""")
+          .getOrElse("")
+        forkCanaryField + forkShuffleField +
           s""""adjudicated":${adjudicated.toSeq.sortBy(_._1).map {
             case (n, (iso, p, mode)) =>
               val sweep = results.find(_.name == n).map(_.med).getOrElse(0.0)
@@ -799,8 +832,17 @@ object Bench {
       .map(b => s""""seg_profile_stream_batches":$b,""").getOrElse("")
     val sweepCanaryField = rawSweepCanary
       .map(r => s""""sweep_canary_ratio":${f3(r)},""").getOrElse("")
+    val rawShuffleCanary: Option[Double] = for {
+      cur <- results.find(_.name == "shuffle_canary")
+        .filter(_.err.isEmpty).map(_.med)
+      p <- priorMap.get("shuffle_canary")
+      if p > 0.0
+    } yield cur / p
+    val shuffleCanaryField = rawShuffleCanary
+      .map(r => s""""sweep_shuffle_canary_ratio":${f3(r)},""").getOrElse("")
     val summary =
-      s"""$hostSlowField$mpStreamField$ingestField$sweepCanaryField""" +
+      s"""$hostSlowField$mpStreamField$ingestField""" +
+        s"""$sweepCanaryField$shuffleCanaryField""" +
         s""""value":${f3(total)},"n_ok":${ok.size},"n_err":$nerr"""
     val prefix = s""""metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir""""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -8,13 +8,27 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: graft.ExplainMain <sfDir> <outDir> <tag> <query>[,<query>...]
   * Query names are `SparkEntry.queries` keys; `all` dumps every declared
-  * query. Plans are captured BEFORE execution (AdaptiveSparkPlan
-  * isFinalPlan=false) — the shape facts quoted in OPTIMIZATION_r15.md
-  * (Exchange count, join strategy, PushedFilters/ReadSchema) are static
-  * plan properties.
+  * query. Plans are captured BEFORE the query's own action
+  * (AdaptiveSparkPlan isFinalPlan=false) — the shape facts quoted in
+  * OPTIMIZATION_r*.md (Exchange count, join strategy,
+  * PushedFilters/ReadSchema) are static plan properties. NOTE: building
+  * a query is not free of execution — operators that eagerly
+  * localCheckpoint a shared intermediate (or .head() a bounded scalar,
+  * e.g. codebook collects) run real Spark jobs at construction, so
+  * `all` can take minutes, and checkpointed subtrees appear in the
+  * captured plan as `Scan ExistingRDD` leaves in place of the
+  * materialized upstream pipeline.
   */
 object ExplainMain {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: graft.ExplainMain <sfDir> <outDir> <tag> <query>[,<query>...]|all")
+      sys.exit(2)
+    }
+    if (args.length > 4)
+      System.err.println(
+        s"[explain] ignoring extra args: ${args.drop(4).mkString(" ")}")
     val Array(sfDir, outDir, tag, sel) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

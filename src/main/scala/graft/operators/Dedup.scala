@@ -300,7 +300,8 @@ object Dedup {
     val combos = (0 until blocks).combinations(keyBlocks).toSeq
     // materialized once: the signature table feeds both sides of the
     // band self-join — unmaterialized, the tokenize+per-bit-sum simhash
-    // scan executed twice (doc_id + two longs per doc, tiny to hold)
+    // scan executed twice (doc_id + two longs per doc, tiny to hold;
+    // cluster-scale caveat of localCheckpoint: see Materialize's doc)
     val sig = TextOps.simhash(docs, "doc_id", "text").localCheckpoint()
     val bands = sig.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
       explode(array(combos.zipWithIndex.map { case (combo, ci) =>
@@ -435,10 +436,11 @@ object Dedup {
     *    neighbor (and u itself) off the minimum — same shape.
     * Both are one hash-partitioned aggregation + one keyed join per
     * round, no broadcast of anything unbounded, the same shuffle shape
-    * as the propagation loop. Fixpoint = the edge set stops changing
-    * (checked with exceptAll on the cached frames, one extra job per
-    * round — the count-based fold-in trick does not apply because star
-    * rounds rewrite edges, not labels).
+    * as the propagation loop. Fixpoint = the edge set stops changing:
+    * both rounds' frames are distinct checkpointed sets, so
+    * |next| == |edges| plus one-direction containment (next ⊆ edges via
+    * a single exceptAll) is set equality — one cheap count over
+    * checkpointed blocks replaces the second anti-join per round.
     *
     * Output contract is identical to `connectedComponents` (doc_id,
     * component = reachable min, keeper) — `DedupSpec` asserts equality

@@ -53,8 +53,10 @@ object SegmentMl {
     // materialized once: the segment frame feeds BOTH the test and train
     // sides — unmaterialized, the upstream derivation (readings window +
     // segment fold, or the kernel/PAA/FFT feature pass for the reduced
-    // flavors) executed twice
-    val segsM = segments.localCheckpoint()
+    // flavors) executed twice. SIZE-GATED (Materialize.shared): segment
+    // arrays are O(corpus), so past the threshold the materialization
+    // stages to parquet instead of pinning executor storage
+    val segsM = Materialize.shared(segments)
     val test = segsM.filter(col("signal_id").isin(testSignals: _*))
       .select(col("signal_id").as("test_sig"), col("seg").as("test_seg"),
         col("values").as("tv"))
@@ -95,8 +97,9 @@ object SegmentMl {
     // segment derivation materialized once (feeds test and train), and
     // the train side WITH its band envelopes once (it feeds the beta
     // probe pass and the survivor pass — unmaterialized, the O(n)
-    // envelope build per train segment executed twice)
-    val segsM = segmentsQ.localCheckpoint()
+    // envelope build per train segment executed twice). Both frames are
+    // O(corpus) — size-gated via Materialize.shared (see its caveat doc)
+    val segsM = Materialize.shared(segmentsQ)
     val test = segsM.filter(col("signal_id").isin(testSignals: _*))
       .select(col("signal_id").as("test_sig"), col("seg").as("test_seg"),
         col("qvals").as("tq"))
@@ -105,8 +108,8 @@ object SegmentMl {
         col("qvals").as("rq"))
       .withColumn("up", dtwEnvUp(col("rq"), band))
       .withColumn("dn", dtwEnvDn(col("rq"), band))
-      .localCheckpoint()
-    val pairs = train.join(broadcast(test), lit(true))
+    val trainM = Materialize.shared(train)
+    val pairs = trainM.join(broadcast(test), lit(true))
       .withColumn("lb", lbKeogh(col("tq"), col("up"), col("dn")))
     val wLb = Window.partitionBy(col("test_sig"), col("test_seg"))
       .orderBy(col("lb"), col("train_sig"), col("train_seg"))

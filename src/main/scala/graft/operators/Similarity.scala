@@ -331,7 +331,8 @@ object Similarity {
     val planes = lcgPlanes(nPlanes, dim)
     // materialized once: the bucketed table feeds both sides of the
     // band self-join — unmaterialized, the corpus scan + nPlanes
-    // hyperplane dots per vector executed twice
+    // hyperplane dots per vector executed twice (cluster-scale caveat
+    // of localCheckpoint: see Materialize's object doc)
     val b = vecs.select(col(idCol), col(vecCol),
       l2(col(vecCol)).as("nrm"),
       lshBucket(col(vecCol), planes).as("bucket"))
@@ -384,7 +385,8 @@ object Similarity {
                     threshold: Double): DataFrame = {
     // materialized once: the assignment feeds both sides of the
     // within-cell pair join AND the final keeper join — unmaterialized,
-    // the |centroids| Voronoi dots per vector executed 3x
+    // the |centroids| Voronoi dots per vector executed 3x (cluster-scale
+    // caveat of localCheckpoint: see Materialize's object doc)
     val assigned = vecs.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("e"))
       .withColumn("cell", bestCell(col("e"), centroids).cast("long"))

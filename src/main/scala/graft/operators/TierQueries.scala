@@ -402,8 +402,11 @@ object TierQueries {
       val tm = new TierManager(s, root)
       // one seq_no derivation: rr feeds the tier0 land (data + stats
       // passes) and the correction batch — unmaterialized, the
-      // window-over-events subtree executed three times in this query
-      val rr = r(s, d).localCheckpoint()
+      // window-over-events subtree executed three times in this query.
+      // SIZE-GATED (Materialize.shared): the landed readings are
+      // O(corpus), so past the threshold the materialization stages to
+      // parquet instead of pinning executor storage
+      val rr = Materialize.shared(r(s, d))
       tm.landTier0(rr)
       val corr = rr.filter(col("signal_id") < 3 && col("seq_no") === 1L)
         .withColumn("value", col("value") + 1000.0)

@@ -128,7 +128,8 @@ object ZoneMap {
     // table — unmaterialized, the upstream histogram build (and for
     // o8_percentile_sketch the whole readings seq_no window beneath it)
     // executed 3x; the sketch is per-signal-cell-sized, the exact thing
-    // the stats tier persists anyway
+    // the stats tier persists anyway (cluster-scale caveat of
+    // localCheckpoint: see Materialize's object doc)
     val h = foldHistogram(hist).localCheckpoint()
     val w = Window.partitionBy(col("signal_id")).orderBy(col("value_q"))
     val cum = h.select(col("signal_id").as("c_sig"), col("value_q"),

@@ -36,9 +36,11 @@ object CodecStore {
     // jobs (3 representations x 4 codecs, the segment encoders, the
     // plane layouts, the base-min scalar) — unmaterialized, each write
     // re-ran the seq_no window-over-events upstream. Row values and
-    // per-partition order are unchanged, so the measured bytes are the
-    // same; only the recompute disappears.
-    val rd = readings.localCheckpoint()
+    // per-partition order are unchanged at bench scale (local
+    // checkpoint); these frames are O(corpus), so the materialization is
+    // SIZE-GATED (Materialize.shared): past the threshold it stages to
+    // parquet instead of pinning data-sized blocks in executor storage.
+    val rd = graft.operators.Materialize.shared(readings)
     // delta_q: per-signal first differences of the fixed-point column —
     // the Sprintz/Gorilla insight (deltas of slowly-varying signals are
     // small ints that dictionary/bit-pack encodings crush) expressed as a
@@ -46,9 +48,9 @@ object CodecStore {
     val w = Window.partitionBy(col("signal_id")).orderBy(col("seq_no"))
     // the delta representation is written under 4 codecs — one window
     // pass, not four
-    val deltas = rd.select(col("signal_id"), col("seq_no"),
-      (col("value_q") - coalesce(lag(col("value_q"), 1).over(w), lit(0L))).as("dq"))
-      .localCheckpoint()
+    val deltas = graft.operators.Materialize.shared(
+      rd.select(col("signal_id"), col("seq_no"),
+        (col("value_q") - coalesce(lag(col("value_q"), 1).over(w), lit(0L))).as("dq")))
     val reprs = Seq(
       "double" -> rd.select(col("signal_id"), col("seq_no"), col("value")),
       "fixed_q" -> rd.select(col("signal_id"), col("seq_no"), col("value_q")),
@@ -97,9 +99,11 @@ object CodecStore {
     // printout) — never copy this into a data-path writer.
     val baseQ = rd.agg(min(col("value_q"))).first().getLong(0)
     // plane/outlier layouts each written under 2 codecs — derive once
-    val pl = BuffStore.planes(rd, baseQ, 3).localCheckpoint()
+    // (size-gated like rd/deltas above: these are O(corpus) too)
+    val pl = graft.operators.Materialize.shared(BuffStore.planes(rd, baseQ, 3))
     val (encL, majL) = BuffStore.outlierEncode(pl, 3)
-    val (enc, maj) = (encL.localCheckpoint(), majL.localCheckpoint())
+    val (enc, maj) = (graft.operators.Materialize.shared(encL),
+      graft.operators.Materialize.shared(majL))
     val planeRowsF = Future.sequence(
       for (codec <- Seq("uncompressed", "zstd")) yield Future {
         val d1 = base.resolve(s"buff_planes-$codec")
