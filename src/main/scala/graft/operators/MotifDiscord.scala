@@ -831,25 +831,78 @@ object MotifDiscord {
     tagState(sigNew, grpNew, salt)
   }
 
+  /** The probe's aggregate expressions with the `kind = 'sig'` restriction
+    * folded in, so they can ride ANY action over the full kind-tagged
+    * state frame via `Dataset.observe` (the streaming path attaches them
+    * to the state-snapshot write — the probe then costs zero extra jobs)
+    * as well as the standalone [[probeRouteState]] aggregation. The extra
+    * `all_exact_all` metric (min exact over ALL sig rows, not just the
+    * touched ones) is what lets the streaming caller certify its
+    * literal-exact fast lane for the NEXT batch without another pass.
+    */
+  private[graft] def probeMetricCols: Seq[Column] = {
+    val sig = col("kind") === "sig"
+    Seq(
+      sum(when(sig && col("touched"), 1L).otherwise(0L)).as("touched"),
+      sum(when(sig && col("touched") && col("dense"), 1L).otherwise(0L))
+        .as("dense"),
+      sum(when(sig && col("touched") && !col("ordered"), 1L).otherwise(0L))
+        .as("unordered"),
+      sum(when(sig && !col("touched"), 1L).otherwise(0L)).as("untouched"),
+      max(when(sig && col("touched") && !col("dense"), col("m")))
+        .as("max_m_exact"),
+      min(when(sig && col("touched"), col("exact").cast("long")))
+        .as("all_exact_touched"),
+      max(when(sig && col("touched"), col("m"))).as("max_m_touched"),
+      min(when(sig, col("exact").cast("long"))).as("all_exact_all"))
+  }
+
+  /** Rebuild ([[RoutePlanProbe]], all-sig-rows-exact) from the named
+    * metric map an observed action produced (see [[probeMetricCols]]).
+    */
+  private[graft] def probeFromMetrics(m: Map[String, Any])
+      : (RoutePlanProbe, Boolean) = {
+    def l(k: String): Long = m.get(k) match {
+      case Some(v: Long) => v
+      case Some(v: Number) => v.longValue
+      case _ => 0L
+    }
+    def allExact(k: String): Boolean = m.get(k) match {
+      case Some(v: Number) => v.longValue == 1L
+      case _ => true // no sig rows at all => vacuously exact
+    }
+    (RoutePlanProbe(touched = l("touched"), dense = l("dense"),
+      unordered = l("unordered"), untouched = l("untouched"),
+      maxMExact = l("max_m_exact"), allExact = allExact("all_exact_touched"),
+      maxMTouched = l("max_m_touched")), allExact("all_exact_all"))
+  }
+
   /** One aggregation pass over a MATERIALIZED route-state frame →
     * [[RoutePlanProbe]]. Bounded driver fetch (a handful of scalars),
     * same class as the member/rep router's max-count probe.
     */
   private[graft] def probeRouteState(state: DataFrame): RoutePlanProbe = {
-    val r = state.filter(col("kind") === "sig").agg(
-      sum(when(col("touched"), 1L).otherwise(0L)),
-      sum(when(col("touched") && col("dense"), 1L).otherwise(0L)),
-      sum(when(col("touched") && !col("ordered"), 1L).otherwise(0L)),
-      sum(when(!col("touched"), 1L).otherwise(0L)),
-      max(when(col("touched") && !col("dense"), col("m"))),
-      min(when(col("touched"), col("exact").cast("long"))),
-      max(when(col("touched"), col("m")))).first()
-    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-    RoutePlanProbe(touched = l(0), dense = l(1), unordered = l(2),
-      untouched = l(3), maxMExact = l(4),
-      allExact = r.isNullAt(5) || r.getLong(5) == 1L,
-      maxMTouched = l(6))
+    val r = state.agg(probeMetricCols.head, probeMetricCols.tail: _*).first()
+    probeFromMetrics(r.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      n -> (if (r.isNullAt(i)) null else r.get(i))
+    }.toMap)._1
   }
+
+  /** The member-route exact incremental fold, exposed for a caller that
+    * has CERTIFIED the routing on the driver (the streaming fast lane:
+    * skipGrid's `prior max m + δ's per-signal max <= pruneAbove` bound
+    * proves every touched signal stays on the member route, and the
+    * carried all-sig-rows-exact flag makes the output's `exact` column a
+    * literal). Untouched signals' profile rows pass through the min-fold
+    * unchanged (they contribute no cross/within rows), so the caller may
+    * hand the FULL history/profile without the per-signal flag joins
+    * [[routedProfileFrom]] needs in the general case.
+    * Output: signal_id, seg, nnd_q (caller stamps `exact`).
+    */
+  private[graft] def memberProfileIncrement(existingSegs: DataFrame,
+                                            existingProfile: DataFrame,
+                                            newSegs: DataFrame): DataFrame =
+    memberIncrement(existingSegs, existingProfile, newSegs)
 
   /** Prune the HISTORY side of the exact incremental fold to δ's grid-cell
     * neighborhoods under the persisted per-signal threshold — the cut

@@ -613,6 +613,20 @@ object Ingest {
     * both partition-parallel; profile snapshots are one row per segment
     * (compact); nothing collects on the driver.
     *
+    * Per-batch job ladder (r16): δ materializes once (JOB 1, the only
+    * action on the stream-side lineage) + one tiny δ sizing agg; the
+    * route-state fold writes its snapshot DIRECTLY to parquet with the
+    * probe aggregates riding the write via observe() — no state
+    * localCheckpoint (nothing data-sized pinned in executor storage) and
+    * no separate probe job; and when the carried driver scalars certify
+    * the fast lane (skipGrid + all sig rows exact), the profile fold
+    * provably needs neither the folded state nor the probe and runs
+    * CONCURRENTLY with the state write. Snapshot ids and the certificate
+    * scalars are carried in-memory across contiguous batches (listed /
+    * recovered once per JVM; every carried value advances only after the
+    * batch's writes commit, so same-JVM replays and fresh-JVM restarts
+    * both re-derive from the persisted truth).
+    *
     * Every `rebuildEvery` micro-batches the route state is NOT folded
     * but rebuilt from the landed segment store under a fresh group-hash
     * salt (MotifDiscord.routeStateOf; r13 verdict #3): the landed
@@ -650,6 +664,20 @@ object Ingest {
     // Advanced to the batch id whenever the state is rebuilt from the
     // landed segments, so rebuilt group identities are freshly keyed.
     var stateSalt = -1L
+    // min(exact) over ALL sig rows of the newest persisted state — the
+    // second half of the fast-lane certificate (see the batch body).
+    // Meaningful only once maxMAll >= 0; maintained from the state
+    // write's observed metrics, recovered alongside maxMAll at (re)start.
+    var allExactAll = true
+    // landed/persisted snapshot ids, listed ONCE per JVM and maintained
+    // incrementally — a long-lived stream otherwise pays 3 directory
+    // listings per micro-batch (pure driver latency locally, multi-RPC
+    // latency on an object store). Updated only AFTER a batch's writes
+    // commit, so a same-JVM replay of batch N still selects batch N-1's
+    // snapshots; a fresh JVM re-lists.
+    var knownSegs: Option[scala.collection.mutable.TreeSet[Long]] = None
+    var knownProf: Option[scala.collection.mutable.TreeSet[Long]] = None
+    var knownState: Option[scala.collection.mutable.TreeSet[Long]] = None
     segmentStream(spark, srcDir, segRows, maxFilesPerTrigger)
       .writeStream
       .outputMode(OutputMode.Append)
@@ -744,10 +772,15 @@ object Ingest {
             .filter(_.startsWith("batch="))
             .map(_.stripPrefix("batch=").toLong)
         }
+        import scala.collection.mutable.TreeSet
+        if (knownSegs.isEmpty) knownSegs = Some(TreeSet(snapshots(segsDir): _*))
+        if (knownProf.isEmpty) knownProf = Some(TreeSet(snapshots(profDir): _*))
+        if (knownState.isEmpty)
+          knownState = Some(TreeSet(snapshots(stateDir): _*))
         // all snapshot reads use the KNOWN static schemas — a per-batch
         // footer/schema-inference pass per directory is pure driver
         // latency the fold doesn't need
-        val prior = snapshots(profDir).filter(_ < batchId)
+        val prior = knownProf.get.filter(_ < batchId).toSeq
         // a work dir written before the routed increment carries
         // 3-column snapshots (no exact flag): the static schema reads the
         // missing column as null, and those folds were all exact
@@ -761,7 +794,7 @@ object Ingest {
         // read history from the PRIOR batch dirs listed explicitly: the
         // whole-directory read would list segsDir while the concurrent
         // δ append is mid-write
-        val priorSegDirs = snapshots(segsDir).filter(_ < batchId).sorted
+        val priorSegDirs = knownSegs.get.filter(_ < batchId).toSeq.sorted
           .map(b => s"$segsDir/batch=$b")
         val existingSegs =
           if (priorSegDirs.nonEmpty)
@@ -775,72 +808,110 @@ object Ingest {
         // under a FRESH salt (see the class doc's healing paragraph).
         // Replay-safe: a replayed rebuild batch re-derives the same
         // salt (= batchId), so the rewritten snapshot is identical.
-        val statePrior = snapshots(stateDir).filter(_ < batchId)
+        val statePrior = knownState.get.filter(_ < batchId).toSeq
         val doRebuild = rebuildEvery > 0 && batchId > 0 &&
           batchId % rebuildEvery == 0
+        // one recovery aggregation per (re)start when a prior state
+        // exists: salt, the global max per-signal count, and the
+        // all-sig-rows-exact flag — all three carried in-memory across
+        // contiguous batches thereafter (the state write's observed
+        // metrics refresh the latter two each batch)
+        def recoverScalars(st: DataFrame): Unit =
+          if (stateSalt < 0L || maxMAll < 0L) {
+            val r = st.agg(max(col("salt")),
+              max(when(col("kind") === "sig", col("m"))),
+              min(when(col("kind") === "sig", col("exact").cast("long"))))
+              .first()
+            if (stateSalt < 0L)
+              stateSalt = if (r.isNullAt(0)) 0L else r.getLong(0)
+            maxMAll = if (r.isNullAt(1)) 0L else r.getLong(1)
+            allExactAll = r.isNullAt(2) || r.getLong(2) == 1L
+          }
         val priorState = statePrior.sorted.lastOption match {
           case Some(pb) if !doRebuild =>
             val st = s.read.schema(RouteStateSchema)
               .parquet(s"$stateDir/batch=$pb")
-            if (stateSalt < 0L) {
-              val r = st.agg(max(col("salt"))).first()
-              stateSalt = if (r.isNullAt(0)) 0L else r.getLong(0)
-            }
+            recoverScalars(st)
             st
           case _ =>
             stateSalt = batchId
             if (dbg && doRebuild) System.err.println(
               s"[profileStream] batch $batchId: periodic route-state " +
                 s"rebuild from landed segments (salt=$stateSalt)")
-            MotifDiscord.routeStateOf(existingSegs, existingProfile,
-              stateSalt)
+            val derived = MotifDiscord.routeStateOf(existingSegs,
+              existingProfile, stateSalt)
+            if (maxMAll < 0L) {
+              // fresh JVM straight onto a rebuild boundary (or the very
+              // first batch): with no landed history the scalars are the
+              // empty-state literals; otherwise pay the recovery agg on
+              // the derived frame (rare — once per JVM at most)
+              if (priorSegDirs.isEmpty) { maxMAll = 0L; allExactAll = true }
+              else recoverScalars(derived)
+            }
+            derived
         }
         lap("snapshot-setup")
+        val stateOut = s"$stateDir/batch=$batchId"
+        val obs = org.apache.spark.sql.Observation(
+          s"profile-probe-$batchId-${System.nanoTime()}")
         try {
-          // JOB 2 — fold δ into the route state and materialize it ONCE
-          // (eager local checkpoint): the probe then reads local blocks
-          // (driver-cheap), the profile fold's flag joins broadcast them,
-          // and the state-parquet snapshot re-writes them without
-          // recomputing the fold
-          if (maxMAll < 0L) {
-            val r = priorState.filter(col("kind") === "sig")
-              .agg(max(col("m"))).first()
-            maxMAll = if (r.isNullAt(0)) 0L else r.getLong(0)
-          }
           // per-SIGNAL δ bound (the grid threshold is per signal, so the
           // total δ row count would never certify the skip on a wide
           // fleet); computed by the landing-write sizing agg above
           val skipGrid =
             maxMAll + maxDeltaPerSig <= MotifDiscord.PruneAbove.toLong
+          // FAST-LANE certificate, decided entirely on the driver from
+          // carried scalars: skipGrid proves every touched signal's
+          // folded m stays on the member route (<= PruneAbove => the fold
+          // sets dense=false, no rep threshold applies), and allExactAll
+          // (min exact over ALL sig rows, observed off the previous state
+          // write) makes the output's exact column the literal true —
+          // exactly the conditions routedProfileFrom's probe-fast path
+          // would derive AFTER the fold. Under the certificate the
+          // profile fold provably reads neither the folded state nor its
+          // probe, so it runs CONCURRENTLY with the state write instead
+          // of behind it; any batch that can't certify (first contact
+          // with a dense signal, a sampled-history signal, a restart
+          // before recovery) takes the general probe-gated path below.
+          val fastLane = skipGrid && allExactAll
           if (dbg) System.err.println(s"[profileStream] batch $batchId " +
-            s"skipGrid=$skipGrid maxMAll=$maxMAll maxDeltaPerSig=$maxDeltaPerSig")
-          val state = MotifDiscord.foldRouteState(priorState, newSegs,
-              budget, MotifDiscord.PruneAbove, skipGrid, stateSalt)
-            .localCheckpoint()
-          lap("state-fold")
-          val probe = MotifDiscord.probeRouteState(state)
-          maxMAll = math.max(maxMAll, probe.maxMTouched)
-          lap("probe")
-          if (probe.unordered > 0)
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"profileStream batch $batchId: out-of-order append detected; " +
-                "routed profile equality degrades to an upper bound " +
-                "for the affected signals")
-          // JOBS 3+4 CONCURRENTLY — the state snapshot (a copy-out of the
-          // checkpointed blocks) and the routed profile fold are
-          // independent given the materialized state, so they overlap;
-          // everything (segs/state/profile writes) completes before the
-          // batch returns, so the replay discipline (prior = newest
-          // snapshot < batchId, overwrite on replay) is exactly the
-          // sequential one
-          inFlight += Future {
-            state.write.mode("overwrite")
-              .parquet(s"$stateDir/batch=$batchId")
+            s"skipGrid=$skipGrid fastLane=$fastLane maxMAll=$maxMAll " +
+            s"maxDeltaPerSig=$maxDeltaPerSig")
+          // JOB 2 — fold δ into the route state and write the snapshot
+          // DIRECTLY to parquet: one job instead of the former eager
+          // localCheckpoint + async copy-out pair, and no data-sized
+          // blocks pinned in non-replicated executor storage (the
+          // 100 TB-safe shape — same discipline as Materialize.shared's
+          // staged path). The probe aggregates ride the write via
+          // observe(), so the probe costs zero extra jobs; consumers
+          // that need the materialized state re-read the just-written
+          // snapshot (one small file at steady state).
+          val statePlan = MotifDiscord.foldRouteState(priorState, newSegs,
+            budget, MotifDiscord.PruneAbove, skipGrid, stateSalt)
+          val probeCols = MotifDiscord.probeMetricCols
+          val stateWrite = Future {
+            statePlan.observe(obs, probeCols.head, probeCols.tail: _*)
+              .write.mode("overwrite").parquet(stateOut)
           }
-          MotifDiscord
-            .routedProfileFrom(existingSegs, existingProfile, newSegs,
-              state, probe, mod)
-            .write.mode("overwrite").parquet(s"$profDir/batch=$batchId")
+          inFlight += stateWrite
+          val profilePlan =
+            if (fastLane)
+              MotifDiscord.memberProfileIncrement(existingSegs,
+                existingProfile.select(col("signal_id"), col("seg"),
+                  col("nnd_q")),
+                newSegs).withColumn("exact", lit(true))
+            else {
+              // general path: the fold must land first — the probe and
+              // the per-signal flag joins read the materialized state
+              Await.result(stateWrite, Duration.Inf)
+              lap("state-fold")
+              val (probe, _) = MotifDiscord.probeFromMetrics(obs.get)
+              val stateM = s.read.schema(RouteStateSchema).parquet(stateOut)
+              MotifDiscord.routedProfileFrom(existingSegs, existingProfile,
+                newSegs, stateM, probe, mod)
+            }
+          profilePlan.write.mode("overwrite")
+            .parquet(s"$profDir/batch=$batchId")
           lap("profile-fold-write")
         } catch { case t: Throwable =>
           inFlight.toList.foreach(f =>
@@ -848,6 +919,21 @@ object Ingest {
           throw t
         }
         inFlight.toList.foreach(f => Await.result(f, Duration.Inf))
+        // the observed probe is final once the state write landed:
+        // refresh the carried certificate scalars and surface order
+        // violations (the general path already read the same metrics)
+        val (probeFinal, exactAllNext) =
+          MotifDiscord.probeFromMetrics(obs.get)
+        maxMAll = math.max(maxMAll, probeFinal.maxMTouched)
+        allExactAll = exactAllNext
+        if (probeFinal.unordered > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"profileStream batch $batchId: out-of-order append detected; " +
+              "routed profile equality degrades to an upper bound " +
+              "for the affected signals")
+        knownSegs.foreach(_ += batchId)
+        knownProf.foreach(_ += batchId)
+        knownState.foreach(_ += batchId)
         // bounded snapshot RETENTION: profile/state are full snapshots
         // per batch, so without pruning a long-lived stream leaks one
         // O(m)-sized directory per micro-batch forever. Only snapshots
@@ -858,10 +944,13 @@ object Ingest {
         // The segment store is NOT pruned: it is the data, not a view.
         if (retainSnapshots > 0) {
           val cutoff = batchId - retainSnapshots.toLong
-          for (dir <- Seq(profDir, stateDir); b <- snapshots(dir)
-               if b < cutoff)
-            try fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$b"), true)
-            catch { case _: Throwable => () } // retry next batch
+          for ((dir, known) <- Seq(profDir -> knownProf,
+                 stateDir -> knownState);
+               set <- known; b <- set.toSeq if b < cutoff)
+            try {
+              fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$b"), true)
+              set -= b
+            } catch { case _: Throwable => () } // retry next batch
         }
         lap("await-bg-writes")
       }
