@@ -83,16 +83,24 @@ object AnnQueries {
     */
   private[graft] def rpIvfBuildStore(s: SparkSession, d: String,
                                      path: String): Unit =
+    rpIvfBuildStore(s, d, path, rpIvfCentroids(s, d))
+
+  private[graft] def rpIvfBuildStore(s: SparkSession, d: String, path: String,
+                                     cents: Seq[(Int, Seq[Double])]): Unit =
     graft.sources.IvfStore.write(
       emb(s, d).select(col("vec_id"),
         Similarity.rpProject(col("embedding"),
           Similarity.lcgPlanes(RpDim, Dim)).as("rvec")),
-      "vec_id", "rvec", rpIvfCentroids(s, d), path)
+      "vec_id", "rvec", cents, path)
 
   private[graft] def rpIvfProbeStore(s: SparkSession, d: String,
                                      path: String): DataFrame =
+    rpIvfProbeStore(s, d, path, rpIvfCentroids(s, d))
+
+  private[graft] def rpIvfProbeStore(s: SparkSession, d: String, path: String,
+                                     cents: Seq[(Int, Seq[Double])]): DataFrame =
     graft.sources.IvfStore.topKReduced(s, path, probes(s, d), corpus(s, d),
-      TopK, Similarity.lcgPlanes(RpDim, Dim), rpIvfCentroids(s, d),
+      TopK, Similarity.lcgPlanes(RpDim, Dim), cents,
       NProbe, RpShortlist)
 
   /** The ann_ivf_store query split at the index boundary, so the bench
@@ -104,13 +112,21 @@ object AnnQueries {
     */
   private[graft] def ivfBuildStore(s: SparkSession, d: String,
                                    path: String): Unit =
+    ivfBuildStore(s, d, path, ivfCentroids(s, d))
+
+  private[graft] def ivfBuildStore(s: SparkSession, d: String, path: String,
+                                   cents: Seq[(Int, Seq[Double])]): Unit =
     graft.sources.IvfStore.write(emb(s, d), "vec_id", "embedding",
-      ivfCentroids(s, d), path)
+      cents, path)
 
   private[graft] def ivfProbeStore(s: SparkSession, d: String,
                                    path: String): DataFrame =
+    ivfProbeStore(s, d, path, ivfCentroids(s, d))
+
+  private[graft] def ivfProbeStore(s: SparkSession, d: String, path: String,
+                                   cents: Seq[(Int, Seq[Double])]): DataFrame =
     graft.sources.IvfStore.topK(s, path, probes(s, d), TopK,
-      ivfCentroids(s, d), NProbe)
+      cents, NProbe)
 
   // PQ layout: 8 subspaces x 8 dims, 16 centroids per subspace taken from
   // the first 16 corpus vectors' subvectors (deterministic sample — k-means
@@ -134,8 +150,18 @@ object AnnQueries {
     * expressions the query path runs (a 16-row bounded collect), so the
     * codebook the oracle regenerates in SQL is double-identical.
     */
-  private def ivfPqCodebook(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
-    val cents = ivfCentroids(s, d)
+  private def ivfPqCodebook(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    ivfPqCodebookFrom(s, d, ivfCentroids(s, d))
+
+  /** [[ivfPqCodebook]] with the coarse centroids supplied by a caller
+    * that already collected them — the IVF-PQ rows all need BOTH the
+    * centroid dictionary and the residual codebook, and the nested
+    * ivfCentroids collect re-ran the same bounded corpus-scan job once
+    * (ann_ivfpq/_recall) to twice (ann_ivfpq_store) per construction.
+    */
+  private def ivfPqCodebookFrom(s: SparkSession, d: String,
+                                cents: Seq[(Int, Seq[Double])])
+      : Array[Array[Array[Double]]] = {
     val centArr = array(cents.sortBy(_._1).map { case (_, c) => typedLit(c) }: _*)
     val base = emb(s, d)
       .filter(col("vec_id") >= NCells && col("vec_id") < NCells + PqCells)
@@ -238,8 +264,10 @@ object AnnQueries {
     // — same scoring arithmetic as ann_ivf, so the same oracle checks it
     "ann_ivf_store" -> ((s, d) => {
       val path = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
-      ivfBuildStore(s, d, path)
-      ivfProbeStore(s, d, path)
+      // one centroid collect feeds build AND probe (was one each)
+      val cents = ivfCentroids(s, d)
+      ivfBuildStore(s, d, path, cents)
+      ivfProbeStore(s, d, path, cents)
     }),
 
     // embedding-cosine near-duplicate pairs (LSH-bucketed candidates,
@@ -280,30 +308,41 @@ object AnnQueries {
       Seq("probe_id", "cand_id"))),
 
     // IVF-PQ (Faiss IVFADC): coarse cells prune the search, PQ codes on
-    // the residuals compress the scan payload to cell + 8 ints/vector
-    "ann_ivfpq" -> ((s, d) =>
+    // the residuals compress the scan payload to cell + 8 ints/vector.
+    // The bounded centroid dictionary is collected ONCE per construction
+    // and shared with the residual-codebook derivation (it was
+    // re-collected per consumer — one identical corpus-scan job each)
+    "ann_ivfpq" -> ((s, d) => {
+      val cents = ivfCentroids(s, d)
       Similarity.ivfPqTopK(probes(s, d), corpus(s, d), TopK,
-        ivfCentroids(s, d), NProbe, ivfPqCodebook(s, d))),
+        cents, NProbe, ivfPqCodebookFrom(s, d, cents))
+    }),
 
     // the persisted IVF-PQ index: cell-partitioned codes on disk (no
     // floats), probes read only their cells — same arithmetic as
-    // ann_ivfpq, so the same oracle checks it
+    // ann_ivfpq, so the same oracle checks it. Centroids collected once
+    // (they fed the codebook derivation, the store write AND the probe
+    // — three identical collect jobs per construction before r16)
     "ann_ivfpq_store" -> ((s, d) => {
       val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-store").toString
-      val cb = ivfPqCodebook(s, d)
+      val cents = ivfCentroids(s, d)
+      val cb = ivfPqCodebookFrom(s, d, cents)
       graft.sources.IvfStore.writePq(emb(s, d), "vec_id", "embedding",
-        ivfCentroids(s, d), cb, path)
+        cents, cb, path)
       graft.sources.IvfStore.topKPq(s, path, probes(s, d), TopK,
-        ivfCentroids(s, d), cb, NProbe)
+        cents, cb, NProbe)
     }),
 
-    "ann_ivfpq_recall" -> ((s, d) => recallSummary(
-      Similarity.bruteTopKL2(probes(s, d), corpus(s, d), TopK)
-        .select(col("probe_id"), col("cand_id")),
-      Similarity.ivfPqTopK(probes(s, d), corpus(s, d), TopK,
-          ivfCentroids(s, d), NProbe, ivfPqCodebook(s, d))
-        .select(col("probe_id"), col("cand_id")),
-      Seq("probe_id", "cand_id"))),
+    "ann_ivfpq_recall" -> ((s, d) => {
+      val cents = ivfCentroids(s, d)
+      recallSummary(
+        Similarity.bruteTopKL2(probes(s, d), corpus(s, d), TopK)
+          .select(col("probe_id"), col("cand_id")),
+        Similarity.ivfPqTopK(probes(s, d), corpus(s, d), TopK,
+            cents, NProbe, ivfPqCodebookFrom(s, d, cents))
+          .select(col("probe_id"), col("cand_id")),
+        Seq("probe_id", "cand_id"))
+    }),
 
     // top-k ranked entirely in the quantized integer domain (no f32 reads)
     "ann_quant" -> ((s, d) =>
@@ -432,8 +471,10 @@ object AnnQueries {
     "ann_rp_ivf_store" -> ((s, d) => {
       val path = java.nio.file.Files
         .createTempDirectory("graft-rpivf-store").toString
-      rpIvfBuildStore(s, d, path)
-      rpIvfProbeStore(s, d, path)
+      // one reduced-centroid collect feeds build AND probe (was one each)
+      val cents = rpIvfCentroids(s, d)
+      rpIvfBuildStore(s, d, path, cents)
+      rpIvfProbeStore(s, d, path, cents)
     }),
 
     "emb_norm" -> ((s, d) =>

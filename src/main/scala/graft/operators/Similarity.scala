@@ -350,17 +350,33 @@ object Similarity {
 
   /** Brute-force cosine pairs >= threshold (the exact ground truth the
     * LSH path is measured against — quadratic, measurement-only).
+    *
+    * Shape notes (r16, measured): the nested-loop join's STREAM side is
+    * repartitioned to the cluster's default parallelism — the vector
+    * table is small enough to be ONE input split, which ran the n²/2
+    * dot products near-serially (the explicit REPARTITION_BY_NUM count
+    * comes from defaultParallelism, scale-adaptive, and that shuffle
+    * origin keeps AQE from re-coalescing partitions that are tiny by
+    * bytes but quadratic by compute). Both predicates live in the join
+    * condition with the cheap ordered-pair guard FIRST: filtering cos
+    * after the join let the optimizer push it into the condition AHEAD
+    * of `vec_a < vec_b`, so every UNORDERED pair paid the full-dim dot.
+    * The surviving pairs (a near-dup fraction) recompute the dot once in
+    * the projection — far cheaper than doubling the candidate dots.
     */
   def cosinePairsBrute(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
+    val n = vecs.sparkSession.sparkContext.defaultParallelism
     val a = vecs.select(col(idCol).as("vec_a"), col(vecCol).as("ea"),
       l2(col(vecCol)).as("na"))
+      .repartition(n, col("vec_a"))
     val bb = vecs.select(col(idCol).as("vec_b"), col(vecCol).as("eb"),
       l2(col(vecCol)).as("nb"))
-    a.join(bb, col("vec_a") < col("vec_b"))
+    a.join(bb, col("vec_a") < col("vec_b") &&
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          >= threshold)
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
