@@ -61,7 +61,11 @@ object CodecStore {
     // sum — byte accounting is per-directory and unaffected by order
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // sized to the in-flight job count, not the core count: every job
+    // here is a single-partition write (or one bounded agg), so the
+    // cluster scheduler, not this pool, bounds real parallelism — at 8
+    // the twelve repr writes queued in two waves for no reason
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     def measured(repr: String, codec: String, df: DataFrame)
         : Future[(String, String, Long)] = Future {
@@ -77,15 +81,20 @@ object CodecStore {
     // native per-segment codecs (Gorilla XOR / Sprintz delta-zigzag, see
     // graft.functions.CodecExpressions): payload bytes = sum of encoded
     // segment lengths — the reference's own CR accounting
-    // (compress/mod.rs:127-135 compares encoded bytes, not file bytes)
+    // (compress/mod.rs:127-135 compares encoded bytes, not file bytes).
+    // Submitted as a concurrent job like the writes (r16): it only feeds
+    // the final rows, and run synchronously it serialized the driver
+    // between the repr writes and the plane derivations.
     val segs = graft.operators.Segments.of(rd)
     import graft.functions.CodecFunctions._
     val q = transform(col("values"), v => floor(v * lit(100)).cast("long"))
-    val nativeRows = segs.select(
-        sum(octet_length(gorillaEncode(col("values")))).cast("long").as("g"),
-        sum(octet_length(sprintzEncode(q))).cast("long").as("s"),
-        sum(octet_length(fcmEncode(q))).cast("long").as("f"))
-      .collect()(0)
+    val nativeRowsF = Future {
+      segs.select(
+          sum(octet_length(gorillaEncode(col("values")))).cast("long").as("g"),
+          sum(octet_length(sprintzEncode(q))).cast("long").as("s"),
+          sum(octet_length(fcmEncode(q))).cast("long").as("f"))
+        .collect()(0)
+    }
     // BUFF plane layouts: plain byte planes vs majority/outlier-coded
     // planes (majority rows NULLed into Parquet definition levels + a
     // per-signal dictionary). Measured finding worth keeping visible: on
@@ -99,30 +108,45 @@ object CodecStore {
     // printout) — never copy this into a data-path writer.
     val baseQ = rd.agg(min(col("value_q"))).first().getLong(0)
     // plane/outlier layouts each written under 2 codecs — derive once
-    // (size-gated like rd/deltas above: these are O(corpus) too)
+    // (size-gated like rd/deltas above: these are O(corpus) too). The
+    // two outlier layouts materialize CONCURRENTLY (they derive from the
+    // shared plane frame independently — run in sequence they added two
+    // full eager jobs to the driver's serial chain), and each (layout,
+    // codec) write is its own future: the former per-codec future ran
+    // its three writes back-to-back, so the measurement's wall time was
+    // 3x a write instead of the slowest one.
     val pl = graft.operators.Materialize.shared(BuffStore.planes(rd, baseQ, 3))
     val (encL, majL) = BuffStore.outlierEncode(pl, 3)
-    val (enc, maj) = (graft.operators.Materialize.shared(encL),
-      graft.operators.Materialize.shared(majL))
-    val planeRowsF = Future.sequence(
-      for (codec <- Seq("uncompressed", "zstd")) yield Future {
-        val d1 = base.resolve(s"buff_planes-$codec")
-        pl.coalesce(1).write.mode("overwrite")
-          .option("compression", codec).parquet(d1.toString)
-        val d2 = base.resolve(s"buff_outlier-$codec")
-        enc.coalesce(1).write.mode("overwrite")
-          .option("compression", codec).parquet(d2.toString)
-        val d3 = base.resolve(s"buff_outlier_dict-$codec")
-        maj.coalesce(1).write.mode("overwrite")
-          .option("compression", codec).parquet(d3.toString)
-        Seq((codec, "buff_planes", dirBytes(d1)),
-          (codec, "buff_outlier", dirBytes(d2) + dirBytes(d3)))
-      })
-    val (rows, planeRows) =
+    val encF = Future(graft.operators.Materialize.shared(encL))
+    val majF = Future(graft.operators.Materialize.shared(majL))
+    val (enc, maj) =
+      (Await.result(encF, Duration.Inf), Await.result(majF, Duration.Inf))
+    def measuredDir(repr: String, codec: String, df: DataFrame)
+        : Future[(String, String, Long)] = Future {
+      val out = base.resolve(s"$repr-$codec")
+      df.coalesce(1).write.mode("overwrite")
+        .option("compression", codec).parquet(out.toString)
+      (codec, repr, dirBytes(out))
+    }
+    val planeRowsF = Future.sequence(for {
+      codec <- Seq("uncompressed", "zstd")
+      (repr, df) <- Seq("buff_planes" -> pl, "buff_outlier" -> enc,
+        "buff_outlier_dict" -> maj)
+    } yield measuredDir(repr, codec, df))
+    val (rows, planeParts, nativeRows) =
       try {
         (Await.result(rowsF, Duration.Inf),
-          Await.result(planeRowsF, Duration.Inf))
+          Await.result(planeRowsF, Duration.Inf),
+          Await.result(nativeRowsF, Duration.Inf))
       } finally pool.shutdown()
+    // the outlier layout's published bytes stay enc + dict, as before
+    val planeRows = Seq("uncompressed", "zstd").map { codec =>
+      def b(r: String): Long = planeParts.collectFirst {
+        case (c, rr, bytes) if c == codec && rr == r => bytes
+      }.getOrElse(0L)
+      Seq((codec, "buff_planes", b("buff_planes")),
+        (codec, "buff_outlier", b("buff_outlier") + b("buff_outlier_dict")))
+    }
     val allRows = rows ++ planeRows.flatten ++ Seq(
       ("native", "gorilla_seg", nativeRows.getLong(0)),
       ("native", "sprintz_seg", nativeRows.getLong(1)),
