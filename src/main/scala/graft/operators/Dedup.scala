@@ -175,15 +175,17 @@ object Dedup {
     * Output: (doc_a, doc_b, jac).
     */
   def nearDupBySets(sets: DataFrame, threshold: Double): DataFrame = {
-    // deliberately NOT materialized (r15, measured): checkpointing the
-    // band table (or the element-hash sets) regressed dedup_ngram
-    // ~20-25% — at bench scale the scan->sets->signature pipeline fuses
-    // into a single-partition codegen pass per join side, and an eager
-    // checkpoint replaces one cheap recompute with a serial job plus
-    // two block-manager crossings. Re-evaluate if the signature stage
-    // ever stops being scan-fused (the simhash path, whose signature
-    // pass is genuinely expensive per doc, DOES checkpoint).
-    val bands = bandTable(sets)
+    // SIZE-GATED materialization (r16, after the r15 measured negative):
+    // at bench scale the scan->sets->signature pipeline fuses into a
+    // single-partition codegen pass per join side, and an eager
+    // checkpoint regressed dedup_ngram ~20-25% (a serial job plus two
+    // block-manager crossings for a cheap recompute) — so below the
+    // Materialize.sharedIfLarge estimate bound the band table stays an
+    // unmaterialized subtree, bit-identical to r15's shape. Past the
+    // bound the input is no longer one fused split and the duplicated
+    // shingle+signature scan per join side is real work, so the gated
+    // path materializes it once (local or staged per Materialize.shared).
+    val bands = Materialize.sharedIfLarge(bandTable(sets))
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band", "bh"))
       .where(col("a.doc_id") < col("b.doc_id"))

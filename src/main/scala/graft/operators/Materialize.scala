@@ -59,6 +59,26 @@ object Materialize {
       }))
   }
 
+  /** [[shared]] that only engages past a LOWER size bound — for reuse
+    * points where the duplicated upstream is so cheap at small scale
+    * that materializing it is a measured REGRESSION (dedup_ngram r15:
+    * checkpointing the band table cost ~20-25% — the scan->sets->
+    * signature pipeline fuses into one codegen pass per join side, and
+    * an eager checkpoint trades a cheap recompute for a serial job plus
+    * two block-manager crossings), while at 10-100x the duplicated scan
+    * is real work. Below `spark.graft.materialize.minSharedBytes`
+    * (default 256 MiB, the "no longer one fused input split" scale) the
+    * frame passes through untouched; above it, [[shared]]'s local-vs-
+    * staged discipline applies.
+    */
+  def sharedIfLarge(df: DataFrame): DataFrame = {
+    val minShared = df.sparkSession.conf
+      .getOption("spark.graft.materialize.minSharedBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < minShared) df else shared(df)
+  }
+
   /** Size-gated one-time materialization of a multiply-consumed frame
     * (see the object doc). Returns a frame whose plan is a leaf — the
     * upstream pipeline has executed exactly once when this returns.

@@ -45,6 +45,24 @@ class MaterializeSpec extends AnyFunSuite with SparkTest {
     } finally spark.conf.unset("spark.graft.materialize.maxLocalBytes")
   }
 
+  test("sharedIfLarge passes small frames through and engages past the bound") {
+    val df = fixture.withColumn("d", col("value") * 2)
+    spark.conf.unset("spark.graft.materialize.minSharedBytes")
+    // default bound (256 MiB): a 200-row frame passes through untouched —
+    // same plan object, no materialization job
+    val small = Materialize.sharedIfLarge(df)
+    assert(small eq df)
+    // bound forced to zero: the gate engages and shared()'s discipline
+    // applies (here the local fast path — the plan becomes an RDD leaf)
+    spark.conf.set("spark.graft.materialize.minSharedBytes", "0")
+    try {
+      val m = Materialize.sharedIfLarge(df)
+      assert(m.queryExecution.optimizedPlan.collectLeaves().exists(
+        _.getClass.getSimpleName.contains("LogicalRDD")))
+      assert(m.collect().toSet == df.collect().toSet)
+    } finally spark.conf.unset("spark.graft.materialize.minSharedBytes")
+  }
+
   test("staged path keeps operator results identical (codec-matrix shape)") {
     import spark.implicits._
     val readings = (1L to 100L).map(i => (i % 5, i, i * 0.25, (i * 25)))
