@@ -95,7 +95,10 @@ object AnnQueries {
 
   private[graft] def rpIvfProbeStore(s: SparkSession, d: String,
                                      path: String): DataFrame =
-    rpIvfProbeStore(s, d, path, rpIvfCentroids(s, d))
+    // serve from the index's OWN persisted codebook (a |cells|-row
+    // sidecar read) instead of re-deriving it with a corpus-scan collect
+    // — the dictionary is bit-identical (doubles round-trip parquet)
+    rpIvfProbeStore(s, d, path, graft.sources.IvfStore.readCentroids(s, path))
 
   private[graft] def rpIvfProbeStore(s: SparkSession, d: String, path: String,
                                      cents: Seq[(Int, Seq[Double])]): DataFrame =
@@ -121,7 +124,8 @@ object AnnQueries {
 
   private[graft] def ivfProbeStore(s: SparkSession, d: String,
                                    path: String): DataFrame =
-    ivfProbeStore(s, d, path, ivfCentroids(s, d))
+    // serve from the index's OWN persisted codebook (see rpIvfProbeStore)
+    ivfProbeStore(s, d, path, graft.sources.IvfStore.readCentroids(s, path))
 
   private[graft] def ivfProbeStore(s: SparkSession, d: String, path: String,
                                    cents: Seq[(Int, Seq[Double])]): DataFrame =

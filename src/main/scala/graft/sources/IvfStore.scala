@@ -22,12 +22,41 @@ import graft.operators.Similarity
   */
 object IvfStore {
 
-  /** Write `vecs` (idCol, vecCol float array) partitioned by best cell. */
+  /** Write `vecs` (idCol, vecCol float array) partitioned by best cell.
+    * The centroid dictionary is persisted WITH the index (a `_centroids`
+    * sidecar — underscore-prefixed, so store scans ignore it): an IVF
+    * index without its codebook is not self-contained, and a serving
+    * path that re-derives the centroids pays a full corpus-scan collect
+    * per probe session (measured r16: the ann_ivf_probe row spent a
+    * corpus scan on 16 rows the store already knew).
+    */
   def write(vecs: DataFrame, idCol: String, vecCol: String,
-            centroids: Seq[(Int, Seq[Double])], path: String): Unit =
+            centroids: Seq[(Int, Seq[Double])], path: String): Unit = {
     vecs.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
       .withColumn("cell", Similarity.bestCell(col("e"), centroids).cast("long"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeCentroids(vecs.sparkSession, centroids, path)
+  }
+
+  private def centroidsDir(path: String): String = s"$path/_centroids"
+
+  private def writeCentroids(spark: SparkSession,
+                             centroids: Seq[(Int, Seq[Double])],
+                             path: String): Unit = {
+    import spark.implicits._
+    centroids.toDF("cell", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(centroidsDir(path))
+  }
+
+  /** The centroid dictionary persisted by [[write]]/[[writePq]] — the
+    * bounded (|cells| rows) sidecar read that replaces the corpus-scan
+    * re-derivation on the serving path. Doubles round-trip parquet
+    * exactly, so the dictionary is bit-identical to the one the index
+    * was built with.
+    */
+  def readCentroids(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(centroidsDir(path)).orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
 
   /** Streaming index maintenance: each micro-batch of vectors lands in
     * the store under (batch_id, cell) — batch_id makes the at-least-once
@@ -98,6 +127,7 @@ object IvfStore {
         expression(col("resid")), codebook)))
       .select(col("vec_id"), col("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeCentroids(vecs.sparkSession, centroids, path)
   }
 
   /** Streaming maintenance of the PQ layout: micro-batches land as
