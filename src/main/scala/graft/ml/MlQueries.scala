@@ -140,8 +140,17 @@ object MlQueries {
       val test = blobs.where(pmod(hash(col("features")), lit(5)) === 0)
       val accs = Classifiers.trainEval(train, test).collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val feats = Classifiers.featuresFrame(Tables.embeddings(s, d), "embedding", "label")
-      val purity = Classifiers.kmeansPurity(feats, k = 10).collect()(0).getDouble(2)
+      // the purity term is EXACTLY ml_kmeans_purity's published artifact
+      // (same featuresFrame + seeded k=10 fit), so the gate reuses it
+      // through the FitCache companion mechanism when that query already
+      // ran this session, and refits identically when standalone — a
+      // full sweep pays the embeddings KMeans once, not three times
+      // (purity + its _check + this gate)
+      val purity = FitCache.getOrFitDf(s, s"kmeansPurity:$d")(
+        Classifiers.kmeansPurity(
+          Classifiers.featuresFrame(Tables.embeddings(s, d),
+            "embedding", "label"),
+          k = 10)).collect()(0).getDouble(2)
       Seq((accs("decision_tree") >= 0.9, accs("random_forest") >= 0.9,
         purity >= 0.12)).toDF("dt_ok", "rf_ok", "purity_ok")
     }),

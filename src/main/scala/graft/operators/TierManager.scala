@@ -29,11 +29,29 @@ class TierManager(spark: SparkSession, root: String) {
   val tier3 = s"$root/tier3" // PAA at doubled width, re-recoded FROM tier2
   private def stats(t: String) = s"$t.stats"
 
-  /** Land exact readings into tier0 (ingest output). */
+  /** Land exact readings into tier0 (ingest output). The data write and
+    * the zone-map stats write are independent (separate outputs, both
+    * reading `readings`), so they run CONCURRENTLY — sequential, the
+    * landing paid two full driver-serialized jobs back to back. Both
+    * complete before this returns, so callers' visibility contract is
+    * unchanged.
+    */
   def landTier0(readings: DataFrame): Unit = {
-    Tiers.writeTier(readings, tier0)
-    ZoneMap.segmentStats(readings)
-      .write.mode("overwrite").parquet(stats(tier0))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val statsW = Future {
+      ZoneMap.segmentStats(readings)
+        .write.mode("overwrite").parquet(stats(tier0))
+    }
+    // on a failure path the stats future is drained before rethrowing
+    // (the Ingest.profileStream discipline: never leave a zombie write
+    // racing a caller's retry against the same directory)
+    try Tiers.writeTier(readings, tier0)
+    catch { case t: Throwable =>
+      scala.util.Try(Await.result(statsW, Duration.Inf)); throw t
+    }
+    Await.result(statsW, Duration.Inf)
     ZoneMapRegistry.register(tier0, stats(tier0))
   }
 
@@ -206,8 +224,9 @@ class TierManager(spark: SparkSession, root: String) {
     * partitions the corrections touch are rewritten (dynamic partition
     * overwrite — bounded per-job I/O at any tier size), and the zone-map
     * stats are PATCHED the same way: affected signals' rows recomputed,
-    * the rest carried over untouched. localCheckpoint breaks the
-    * read-own-path cycle both rewrites would otherwise hit.
+    * the rest carried over untouched. A size-gated materialization
+    * (Materialize.shared) breaks the read-own-path cycle both rewrites
+    * would otherwise hit.
     * Idempotent: re-applying the same corrections is a no-op.
     * Returns the number of correction rows applied.
     */
@@ -217,24 +236,39 @@ class TierManager(spark: SparkSession, root: String) {
     // CONFLICTING rows for one key have no defined winner (the batch
     // carries no ordering column), so fail loudly rather than land both
     val deduped = corrections.dropDuplicates()
-    val dupKeys = deduped.groupBy(col("signal_id"), col("seq_no"))
-      .count().filter(col("count") > 1L).limit(1).collect()
-    require(dupKeys.isEmpty,
-      s"upsertCorrections: conflicting correction rows for key " +
-        s"(signal_id=${dupKeys.headOption.map(_.get(0)).orNull}, " +
-        s"seq_no=${dupKeys.headOption.map(_.get(1)).orNull}) within one batch")
     val keyed = deduped
       .withColumn("sig_bucket", pmod(col("signal_id"), lit(buckets)))
-    val nCorr = keyed.count()
-    val touched = keyed.select(col("sig_bucket")).distinct()
-      .collect().map(_.getAs[Any]("sig_bucket")) // bounded by `buckets`
+    // ONE probe pass over the batch (was three jobs: the dup-key check,
+    // the row count, and the touched-bucket distinct): row count vs
+    // distinct-key count detects within-batch conflicts, and the bucket
+    // set is bounded by `buckets`, so the collect_set stays driver-safe
+    // at any batch size. The offending key is re-derived only on the
+    // failure path, where its extra job cost is irrelevant.
+    val probe = keyed.agg(count(lit(1)).as("n"),
+      count_distinct(col("signal_id"), col("seq_no")).as("nd"),
+      collect_set(col("sig_bucket")).as("touched")).first()
+    val nCorr = probe.getLong(0)
+    if (nCorr != probe.getLong(1)) {
+      val dupKeys = deduped.groupBy(col("signal_id"), col("seq_no"))
+        .count().filter(col("count") > 1L).limit(1).collect()
+      require(dupKeys.isEmpty,
+        s"upsertCorrections: conflicting correction rows for key " +
+          s"(signal_id=${dupKeys.headOption.map(_.get(0)).orNull}, " +
+          s"seq_no=${dupKeys.headOption.map(_.get(1)).orNull}) within one batch")
+    }
+    val touched: Array[Any] = probe.getSeq[Any](2).toArray
     val existing = spark.read.parquet(tier0)
       .filter(col("sig_bucket").isin(touched: _*))
-    val merged = existing
+    // materialized to break the read-own-path cycle (the rewrite reads
+    // tier0 while overwriting it); size-gated — the merged frame is
+    // O(touched partitions), which a wide correction batch can make
+    // corpus-sized, so past the bound it stages to scratch parquet
+    // (which breaks the cycle just as well) instead of pinning executor
+    // storage (Materialize.shared's discipline)
+    val merged = Materialize.shared(existing
       .join(keyed.select(col("signal_id"), col("seq_no")),
         Seq("signal_id", "seq_no"), "left_anti")
-      .unionByName(keyed)
-      .localCheckpoint()
+      .unionByName(keyed))
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("sig_bucket").parquet(tier0)
@@ -242,10 +276,9 @@ class TierManager(spark: SparkSession, root: String) {
     val affected = keyed.select(col("signal_id")).distinct()
     val fresh = ZoneMap.segmentStats(
       spark.read.parquet(tier0).join(affected, Seq("signal_id")))
-    val patched = spark.read.parquet(stats(tier0))
+    val patched = Materialize.shared(spark.read.parquet(stats(tier0))
       .join(affected, Seq("signal_id"), "left_anti")
-      .unionByName(fresh)
-      .localCheckpoint()
+      .unionByName(fresh))
     patched.write.mode("overwrite").parquet(stats(tier0))
     nCorr
   }
