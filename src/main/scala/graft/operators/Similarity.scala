@@ -37,12 +37,28 @@ object Similarity {
   /** Brute-force cosine top-k: for each probe (small, broadcast), rank the
     * whole corpus. Deterministic tiebreak on candidate id.
     */
+  /** Widen the STREAM side of a compute-heavy nested-loop join to the
+    * cluster's default parallelism — measured r16: the bench corpora are
+    * one parquet split, so the brute-force distance loops ran
+    * near-serially on one core. No-op once the side already arrives at
+    * least that wide (at scale the scan is many splits, and an extra
+    * corpus shuffle would be pure cost); the explicit REPARTITION_BY_NUM
+    * origin keeps AQE from re-coalescing partitions that are tiny by
+    * bytes but quadratic by compute. Row values are untouched — every
+    * consumer ranks with deterministic tie-breaks, so placement cannot
+    * change results.
+    */
+  private def widenForCompute(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n, col(key))
+  }
+
   def bruteTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // norms are computed ONCE per vector before the join (1 fold per pair
     // instead of 3); sqrt(dot(v,v)) and the product order are unchanged,
     // so the doubles are bitwise-identical to the inline form
     val pn = probes.withColumn("pn", l2(col("pe")))
-    val cn = corpus.withColumn("cn", l2(col("ce")))
+    val cn = widenForCompute(corpus.withColumn("cn", l2(col("ce"))), "cand_id")
     val joined = cn.join(broadcast(pn), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         round(dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6).as("sim"))
@@ -143,7 +159,8 @@ object Similarity {
     * measured against (cosine is bruteTopK; PQ's natural domain is L2).
     */
   def bruteTopKL2(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+    val joined = widenForCompute(corpus, "cand_id")
+      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         sqDist(col("pe").cast("array<double>"), col("ce").cast("array<double>")).as("dist"))
     val w = Window.partitionBy(col("probe_id"))
@@ -366,10 +383,9 @@ object Similarity {
     */
   def cosinePairsBrute(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    val n = vecs.sparkSession.sparkContext.defaultParallelism
-    val a = vecs.select(col(idCol).as("vec_a"), col(vecCol).as("ea"),
-      l2(col(vecCol)).as("na"))
-      .repartition(n, col("vec_a"))
+    val a = widenForCompute(
+      vecs.select(col(idCol).as("vec_a"), col(vecCol).as("ea"),
+        l2(col(vecCol)).as("na")), "vec_a")
     val bb = vecs.select(col(idCol).as("vec_b"), col(vecCol).as("eb"),
       l2(col(vecCol)).as("nb"))
     a.join(bb, col("vec_a") < col("vec_b") &&
@@ -586,7 +602,8 @@ object Similarity {
     * reference knn/mod.rs:310 `classify` semantics on Spark primitives.
     */
   def knn1(test: DataFrame, train: DataFrame): DataFrame = {
-    val joined = train.join(broadcast(test), col("test_id") =!= col("train_id"))
+    val joined = widenForCompute(train, "train_id")
+      .join(broadcast(test), col("test_id") =!= col("train_id"))
       .select(col("test_id"), col("true_label"), col("train_id"), col("train_label"),
         round(sqrt(sqDist(col("te"), col("tre"))), 6).as("dist"))
     val w = Window.partitionBy(col("test_id"))
