@@ -47,6 +47,14 @@ object Similarity {
     * bytes but quadratic by compute. Row values are untouched — every
     * consumer ranks with deterministic tie-breaks, so placement cannot
     * change results.
+    *
+    * Where it applies (r16, measured BOTH ways): the genuinely quadratic
+    * sides — knn1's train side (|test|·|train| pairs) and
+    * cosinePairsBrute's full self-join — win 2.7-9x. The k-probe brute
+    * baselines (bruteTopK/bruteTopKL2, |probes| ~ 10) were measured and
+    * REVERTED: their pair count is linear in the corpus, the distance
+    * loop was never the bottleneck, and the added exchange cost those
+    * rows ~0.1 s each (ann_brute 0.40 -> 0.53 in the same-window sweep).
     */
   private def widenForCompute(df: DataFrame, key: String): DataFrame = {
     val n = df.sparkSession.sparkContext.defaultParallelism
@@ -58,7 +66,7 @@ object Similarity {
     // instead of 3); sqrt(dot(v,v)) and the product order are unchanged,
     // so the doubles are bitwise-identical to the inline form
     val pn = probes.withColumn("pn", l2(col("pe")))
-    val cn = widenForCompute(corpus.withColumn("cn", l2(col("ce"))), "cand_id")
+    val cn = corpus.withColumn("cn", l2(col("ce")))
     val joined = cn.join(broadcast(pn), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         round(dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6).as("sim"))
@@ -159,8 +167,7 @@ object Similarity {
     * measured against (cosine is bruteTopK; PQ's natural domain is L2).
     */
   def bruteTopKL2(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val joined = widenForCompute(corpus, "cand_id")
-      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+    val joined = corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         sqDist(col("pe").cast("array<double>"), col("ce").cast("array<double>")).as("dist"))
     val w = Window.partitionBy(col("probe_id"))
